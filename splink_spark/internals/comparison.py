@@ -1,0 +1,186 @@
+"""A Comparison = ordered ladder of ComparisonLevels for one attribute.
+
+Reference semantics: splink/internals/comparison.py (CASE ladder compile at
+:161-168; gamma-column naming :133-154). Gamma ("comparison vector value")
+assignment: the null level is -1, the ELSE arm is 0, and the remaining levels
+count down from n_nonnull-1 in declaration order — so the first (most
+specific) level gets the highest gamma, matching reference CASE semantics.
+
+Native rewrite: the CASE ladder is an ``F.when`` chain (identical first-match
+semantics); bayes-factor ladders are ``F.when`` chains over the gamma column.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .comparison_level import ComparisonLevel
+
+
+class Comparison:
+    def __init__(
+        self,
+        output_column_name: str,
+        comparison_levels: list[ComparisonLevel],
+        comparison_description: Optional[str] = None,
+        input_columns: Optional[list[str]] = None,
+    ):
+        self.output_column_name = output_column_name
+        self.comparison_description = comparison_description or output_column_name
+        self.comparison_levels = comparison_levels
+        # raw input columns this comparison reads (used to narrow the junction
+        # re-join's shuffle width; None → unknown, carry all columns)
+        self.input_columns = input_columns
+        self._assign_gamma_values()
+
+    # -- gamma assignment ------------------------------------------------------
+    def _assign_gamma_values(self) -> None:
+        non_null = [lv for lv in self.comparison_levels if not lv.is_null_level]
+        n = len(non_null)
+        next_gamma = n - 1
+        for lv in self.comparison_levels:
+            if lv.is_null_level:
+                lv.comparison_vector_value = -1
+            else:
+                lv.comparison_vector_value = next_gamma
+                next_gamma -= 1
+
+    @property
+    def gamma_column_name(self) -> str:
+        return f"gamma_{self.output_column_name}"
+
+    @property
+    def num_levels(self) -> int:
+        return len([lv for lv in self.comparison_levels if not lv.is_null_level])
+
+    @property
+    def has_null_level(self) -> bool:
+        return any(lv.is_null_level for lv in self.comparison_levels)
+
+    @property
+    def has_tf_adjustments(self) -> bool:
+        return any(lv.has_tf_adjustment for lv in self.comparison_levels)
+
+    @property
+    def tf_adjustment_input_columns(self) -> list[str]:
+        return sorted(
+            {lv.tf_adjustment_column for lv in self.comparison_levels if lv.has_tf_adjustment}
+        )
+
+    # -- CASE ladders ----------------------------------------------------------
+    def gamma_column(self) -> Column:
+        """``CASE WHEN <null> THEN -1 WHEN <level k> THEN k ... ELSE 0 END``.
+
+        First-match-wins order is the declaration order, exactly as the
+        reference compiles its CASE (comparison.py:161-168).
+        """
+        expr: Optional[Column] = None
+        for lv in self.comparison_levels:
+            if lv.is_else_level:
+                continue
+            arm = F.lit(lv.comparison_vector_value)
+            if expr is None:
+                expr = F.when(lv.condition(), arm)
+            else:
+                expr = expr.when(lv.condition(), arm)
+        if expr is None:  # single ELSE-only comparison (degenerate)
+            return F.lit(0)
+        return expr.otherwise(F.lit(0)).alias(self.gamma_column_name)
+
+    def bayes_factor_column(self) -> Column:
+        """Per-pair bayes factor keyed off the materialised gamma column.
+
+        Reference: comparison_level.py:664-669 emits log2(m/u) per gamma; we
+        emit the bayes factor itself (``bf_gamma_<col>`` in predict output)
+        and take log2 at combine time — numerically identical because the
+        constants are computed once on the driver.
+        """
+        gamma = F.col(self.gamma_column_name)
+        expr: Optional[Column] = None
+        for lv in self.comparison_levels:
+            if lv.is_null_level:
+                continue
+            bf = F.lit(float(lv.bayes_factor))
+            cond = gamma == F.lit(lv.comparison_vector_value)
+            expr = F.when(cond, bf) if expr is None else expr.when(cond, bf)
+        assert expr is not None
+        # null level → bayes factor 1 (no evidence)
+        return expr.otherwise(F.lit(1.0)).alias(f"bf_{self.gamma_column_name}")
+
+    def tf_adjustment_column_expr(self) -> Optional[Column]:
+        """Term-frequency adjusted bayes-factor multiplier (``bf_tf_adj_*``).
+
+        Reference comparison_level.py:671-731: for a TF-adjusted level k on
+        column c, multiplier = (u_for_exact_match / tf_term)^tf_weight where
+        tf_term = greatest(coalesce(tf_l, tf_r), coalesce(tf_r, tf_l),
+        tf_minimum_u_value). Levels without TF config contribute 1.
+        """
+        if not self.has_tf_adjustments:
+            return None
+        gamma = F.col(self.gamma_column_name)
+        expr: Optional[Column] = None
+        for lv in self.comparison_levels:
+            if not lv.has_tf_adjustment:
+                continue
+            c = lv.tf_adjustment_column
+            tf_l, tf_r = F.col(f"tf_{c}_l"), F.col(f"tf_{c}_r")
+            tf_term = F.greatest(
+                F.coalesce(tf_l, tf_r),
+                F.coalesce(tf_r, tf_l),
+                F.lit(float(lv.tf_minimum_u_value)),
+            )
+            u_exact = F.lit(float(self._u_probability_for_exact_match(lv)))
+            mult = F.pow(u_exact / tf_term, F.lit(float(lv.tf_adjustment_weight)))
+            cond = gamma == F.lit(lv.comparison_vector_value)
+            arm = F.when(tf_term.isNotNull() & (tf_term > 0), mult).otherwise(F.lit(1.0))
+            expr = F.when(cond, arm) if expr is None else expr.when(cond, arm)
+        assert expr is not None
+        return expr.otherwise(F.lit(1.0)).alias(f"bf_tf_adj_{self.gamma_column_name}")
+
+    def _u_probability_for_exact_match(self, level: ComparisonLevel) -> float:
+        """u of the exact-match level on the same column; fallback: level's own u.
+
+        Replaces the reference's sqlglot-signature autodetection
+        (comparison_level.py:587-662) with the structural
+        ``is_exact_match_level`` flag set by the level builders.
+        """
+        for lv in self.comparison_levels:
+            if lv.is_exact_match_level and lv.u_probability is not None:
+                return lv.u_probability
+        return level.u_probability if level.u_probability is not None else 1.0
+
+    # -- parameter access ------------------------------------------------------
+    def level_for_gamma(self, gamma: int) -> ComparisonLevel:
+        for lv in self.comparison_levels:
+            if lv.comparison_vector_value == gamma:
+                return lv
+        raise KeyError(gamma)
+
+    @property
+    def all_probabilities_set(self) -> bool:
+        return all(
+            lv.has_probabilities for lv in self.comparison_levels if not lv.is_null_level
+        )
+
+    def as_dict(self) -> dict:
+        return {
+            "output_column_name": self.output_column_name,
+            "comparison_description": self.comparison_description,
+            "comparison_levels": [lv.as_dict() for lv in self.comparison_levels],
+        }
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return (
+            f"Comparison({self.output_column_name!r}, "
+            f"{len(self.comparison_levels)} levels)"
+        )
+
+
+def match_weight_columns(prior_lambda: float) -> tuple[float, str]:
+    """log2 prior bayes factor (reference predict.py:203-212)."""
+    lam = min(max(prior_lambda, 1e-300), 1 - 1e-15)
+    return math.log2(lam / (1 - lam)), "match_weight"

@@ -1,0 +1,141 @@
+"""Comparison levels: one boolean predicate + m/u probabilities each.
+
+Reference semantics: splink/internals/comparison_level.py:161-849. A
+``ComparisonLevel`` owns (a) a boolean condition over the ``_l``/``_r``
+suffixed columns of a candidate pair, (b) ``m_probability`` /
+``u_probability``, (c) optional term-frequency adjustment config.
+
+Native rewrite: the condition is a ``pyspark.sql.Column`` factory, not an SQL
+string; match-weight math (log2(m/u), clamps at 1e-300 — reference
+comparison_level.py:33-52, 426-441) is plain Python on the driver; the CASE
+ladder is built with ``F.when`` chains in comparison.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+from pyspark.sql import Column
+
+# reference comparison_level.py:33-52 — avoid log2(0)
+_PROB_CLAMP = 1e-300
+
+LEVEL_NOT_OBSERVED_TEXT = "level not observed in training dataset"
+
+
+def _clamp(p: float) -> float:
+    return max(float(p), _PROB_CLAMP)
+
+
+def prob_to_log2_bayes_factor(m: float, u: float) -> float:
+    return math.log2(_clamp(m) / _clamp(u))
+
+
+def bayes_factor(m: float, u: float) -> float:
+    return _clamp(m) / _clamp(u)
+
+
+class ComparisonLevel:
+    """One arm of a comparison's CASE ladder.
+
+    ``condition`` is a zero-arg callable returning the boolean ``Column``
+    (lazy so that levels can be constructed without an active SparkSession).
+    """
+
+    def __init__(
+        self,
+        condition: Callable[[], Column],
+        label_for_charts: str,
+        *,
+        is_null_level: bool = False,
+        is_else_level: bool = False,
+        m_probability: Optional[float] = None,
+        u_probability: Optional[float] = None,
+        tf_adjustment_column: Optional[str] = None,
+        tf_adjustment_weight: float = 1.0,
+        tf_minimum_u_value: float = 0.0,
+        is_exact_match_level: bool = False,
+        fix_m_probability: bool = False,
+        fix_u_probability: bool = False,
+    ):
+        self._condition = condition
+        self.label_for_charts = label_for_charts
+        self.is_null_level = is_null_level
+        self.is_else_level = is_else_level
+        self.m_probability = m_probability
+        self.u_probability = u_probability
+        self.tf_adjustment_column = tf_adjustment_column
+        self.tf_adjustment_weight = tf_adjustment_weight
+        self.tf_minimum_u_value = tf_minimum_u_value
+        # Structural flag replacing the reference's sqlglot-tree autodetection
+        # of exact-match levels (comparison_level.py:587-662): builders set it
+        # explicitly when the level predicate is plain equality.
+        self.is_exact_match_level = is_exact_match_level
+        self.fix_m_probability = fix_m_probability
+        self.fix_u_probability = fix_u_probability
+        # assigned by the owning Comparison
+        self.comparison_vector_value: Optional[int] = None
+        # per-training-session estimates (median taken across sessions,
+        # reference comparison_level.py:386-399)
+        self._m_estimates: list[float] = []
+        self._u_estimates: list[float] = []
+
+    # -- predicate -------------------------------------------------------------
+    def condition(self) -> Column:
+        return self._condition()
+
+    # -- weight math -----------------------------------------------------------
+    @property
+    def has_probabilities(self) -> bool:
+        return self.m_probability is not None and self.u_probability is not None
+
+    @property
+    def log2_bayes_factor(self) -> float:
+        if self.is_null_level:
+            return 0.0
+        return prob_to_log2_bayes_factor(self.m_probability, self.u_probability)
+
+    @property
+    def bayes_factor(self) -> float:
+        if self.is_null_level:
+            return 1.0
+        return bayes_factor(self.m_probability, self.u_probability)
+
+    @property
+    def has_tf_adjustment(self) -> bool:
+        return self.tf_adjustment_column is not None
+
+    def add_trained_m(self, value: float) -> None:
+        self._m_estimates.append(value)
+
+    def add_trained_u(self, value: float) -> None:
+        self._u_estimates.append(value)
+
+    def fold_trained_values(self) -> None:
+        """Median across training sessions → final m/u (linker.py:459-467)."""
+        import statistics
+
+        if self._m_estimates and not self.fix_m_probability:
+            self.m_probability = statistics.median(self._m_estimates)
+        if self._u_estimates and not self.fix_u_probability:
+            self.u_probability = statistics.median(self._u_estimates)
+
+    # -- (de)serialisation -----------------------------------------------------
+    def as_dict(self) -> dict:
+        d: dict = {"label_for_charts": self.label_for_charts}
+        if self.is_null_level:
+            d["is_null_level"] = True
+        if self.m_probability is not None:
+            d["m_probability"] = self.m_probability
+        if self.u_probability is not None:
+            d["u_probability"] = self.u_probability
+        if self.tf_adjustment_column:
+            d["tf_adjustment_column"] = self.tf_adjustment_column
+            d["tf_adjustment_weight"] = self.tf_adjustment_weight
+            if self.tf_minimum_u_value:
+                d["tf_minimum_u_value"] = self.tf_minimum_u_value
+        return d
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"ComparisonLevel({self.label_for_charts!r}, gamma={self.comparison_vector_value})"

@@ -1,0 +1,357 @@
+"""Comparison-level library: builders for every level type in the reference
+(splink/internals/comparison_level_library.py; class:line cited per builder).
+
+Each builder returns a ``ComparisonLevel`` whose condition is a lazy
+``pyspark.sql.Column`` factory over the ``_l``/``_r`` suffixed pair columns.
+Built-in Spark functions are used wherever they exist (levenshtein, array
+ops, date math, haversine trig, cosine HOFs); only jaro/jaro-winkler/
+damerau-levenshtein/char-jaccard drop to the pandas-UDF pack in functions.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .column_expression import ColumnExpression
+from .comparison_level import ComparisonLevel
+from .functions import (
+    cosine_similarity,
+    damerau_levenshtein_udf,
+    haversine_km,
+    jaccard_udf,
+    jaro_sim_udf,
+    jaro_winkler_udf,
+)
+
+ColSpec = Union[str, ColumnExpression]
+
+
+def _ce(spec: ColSpec) -> ColumnExpression:
+    return ColumnExpression.instantiate(spec)
+
+
+# -- core levels (reference :88-404) ----------------------------------------
+
+
+def NullLevel(col: ColSpec, valid_string_pattern: Optional[str] = None) -> ComparisonLevel:
+    """comparison_level_library.py:88 — ``l IS NULL OR r IS NULL``; with a
+    pattern, values failing the regex are treated as null first."""
+    ce = _ce(col)
+    if valid_string_pattern is not None:
+        ce = ce.regex_extract(valid_string_pattern)
+
+    def cond() -> Column:
+        return ce.l().isNull() | ce.r().isNull()
+
+    return ComparisonLevel(cond, f"{ce.name} is NULL", is_null_level=True)
+
+
+def ElseLevel() -> ComparisonLevel:
+    """comparison_level_library.py:125 — the CASE ELSE arm."""
+    return ComparisonLevel(lambda: F.lit(True), "All other comparisons", is_else_level=True)
+
+
+def CustomLevel(sql_condition: str, label: Optional[str] = None, **kw) -> ComparisonLevel:
+    """comparison_level_library.py:138 — user SQL fragment over ``*_l``/``*_r``
+    columns, parsed by Spark (``F.expr``): the engine's SQL escape hatch."""
+    return ComparisonLevel(lambda: F.expr(sql_condition), label or sql_condition, **kw)
+
+
+def ExactMatchLevel(col: ColSpec, term_frequency_adjustments: bool = False) -> ComparisonLevel:
+    """comparison_level_library.py:236."""
+    ce = _ce(col)
+    return ComparisonLevel(
+        lambda: ce.l() == ce.r(),
+        f"Exact match on {ce.name}",
+        is_exact_match_level=True,
+        tf_adjustment_column=ce.name if term_frequency_adjustments else None,
+    )
+
+
+def LiteralMatchLevel(
+    col: ColSpec, literal_value, literal_datatype: str = "string", side: str = "both"
+) -> ComparisonLevel:
+    """comparison_level_library.py:295 — column equals a typed literal on
+    one or both sides."""
+    ce = _ce(col)
+    lit = F.lit(literal_value).cast(literal_datatype)
+
+    def cond() -> Column:
+        if side == "left":
+            return ce.l() == lit
+        if side == "right":
+            return ce.r() == lit
+        return (ce.l() == lit) & (ce.r() == lit)
+
+    return ComparisonLevel(cond, f"{ce.name} = {literal_value!r}")
+
+
+def ColumnsReversedLevel(col1: ColSpec, col2: ColSpec, symmetrical: bool = False) -> ComparisonLevel:
+    """comparison_level_library.py:363 — a_l = b_r (and a_r = b_l if symmetrical)."""
+    a, b = _ce(col1), _ce(col2)
+
+    def cond() -> Column:
+        c = a.l() == b.r()
+        if symmetrical:
+            c = c & (a.r() == b.l())
+        return c
+
+    return ComparisonLevel(cond, f"Match on reversed cols: {a.name} and {b.name}")
+
+
+# -- string-distance levels (reference :406-711) -----------------------------
+
+
+def LevenshteinLevel(col: ColSpec, distance_threshold: int) -> ComparisonLevel:
+    """comparison_level_library.py:406 — native ``F.levenshtein`` (JVM-side)."""
+    ce = _ce(col)
+    return ComparisonLevel(
+        lambda: F.levenshtein(ce.l(), ce.r()) <= distance_threshold,
+        f"Levenshtein distance of {ce.name} <= {distance_threshold}",
+    )
+
+
+def DamerauLevenshteinLevel(col: ColSpec, distance_threshold: int) -> ComparisonLevel:
+    """comparison_level_library.py:431 — pandas UDF (no native Spark fn)."""
+    ce = _ce(col)
+    return ComparisonLevel(
+        lambda: damerau_levenshtein_udf(ce.l(), ce.r()) <= float(distance_threshold),
+        f"Damerau-Levenshtein distance of {ce.name} <= {distance_threshold}",
+    )
+
+
+def JaroWinklerLevel(col: ColSpec, distance_threshold: float) -> ComparisonLevel:
+    """comparison_level_library.py:458."""
+    ce = _ce(col)
+    return ComparisonLevel(
+        lambda: jaro_winkler_udf(ce.l(), ce.r()) >= float(distance_threshold),
+        f"Jaro-Winkler distance of {ce.name} >= {distance_threshold}",
+    )
+
+
+def JaroLevel(col: ColSpec, distance_threshold: float) -> ComparisonLevel:
+    """comparison_level_library.py:493."""
+    ce = _ce(col)
+    return ComparisonLevel(
+        lambda: jaro_sim_udf(ce.l(), ce.r()) >= float(distance_threshold),
+        f"Jaro distance of {ce.name} >= {distance_threshold}",
+    )
+
+
+def JaccardLevel(col: ColSpec, distance_threshold: float) -> ComparisonLevel:
+    """comparison_level_library.py:528 — char-set Jaccard."""
+    ce = _ce(col)
+    return ComparisonLevel(
+        lambda: jaccard_udf(ce.l(), ce.r()) >= float(distance_threshold),
+        f"Jaccard distance of {ce.name} >= {distance_threshold}",
+    )
+
+
+def DistanceFunctionLevel(
+    col: ColSpec, distance_function_name: str, distance_threshold: float, higher_is_more_similar: bool = True
+) -> ComparisonLevel:
+    """comparison_level_library.py:563 — arbitrary registered SQL function."""
+    ce = _ce(col)
+    op = ">=" if higher_is_more_similar else "<="
+
+    def cond() -> Column:
+        fn = F.expr(f"{distance_function_name}({ce.name}_l, {ce.name}_r)")
+        return fn >= distance_threshold if higher_is_more_similar else fn <= distance_threshold
+
+    return ComparisonLevel(
+        cond, f"{distance_function_name}({ce.name}) {op} {distance_threshold}"
+    )
+
+
+def PairwiseStringDistanceFunctionLevel(
+    col: ColSpec, distance_function_name: str, distance_threshold: float
+) -> ComparisonLevel:
+    """comparison_level_library.py:613 — best score over the cross-product of
+    two string arrays. The reference builds nested transform/flatten SQL
+    (:671-687); here: flatten(transform(l, x -> transform(r, y -> f(x,y))))
+    then array_max/min — native higher-order functions where possible."""
+    ce = _ce(col)
+    udf_map = {
+        "jaro_winkler": jaro_winkler_udf,
+        "jaro": jaro_sim_udf,
+        "jaccard": jaccard_udf,
+    }
+    lower_is_better = distance_function_name in ("levenshtein", "damerau_levenshtein")
+
+    def cond() -> Column:
+        if distance_function_name == "levenshtein":
+            pairwise = F.flatten(
+                F.transform(ce.l(), lambda x: F.transform(ce.r(), lambda y: F.levenshtein(x, y)))
+            )
+            return F.array_min(pairwise) <= distance_threshold
+        # UDF-backed metrics can't run inside HOF lambdas → explode-free
+        # emulation: compare the concatenated cross product via pandas UDF on
+        # joined strings is lossy, so use posexplode-style expression instead:
+        # best = max over zip of all pairs computed with the UDF on a
+        # flattened struct array. Simplest correct form: reduce with exists.
+        udf = udf_map[distance_function_name]
+        # Cross product sizes here are tiny (alias lists); evaluate via
+        # concat of per-element comparisons using aggregate over l.
+        pairs = F.flatten(
+            F.transform(ce.l(), lambda x: F.transform(ce.r(), lambda y: F.struct(x.alias("a"), y.alias("b"))))
+        )
+        # exists(pairs, p -> udf(p.a, p.b) >= t) is not allowed with pandas
+        # UDFs inside lambdas; instead explode is handled upstream by
+        # PairwiseStringDistanceFunctionAtThresholds via a dedicated column.
+        raise NotImplementedError(
+            "UDF-backed pairwise metrics are provided via "
+            "comparison_library.PairwiseStringDistanceFunctionAtThresholds"
+        )
+
+    if lower_is_better:
+        label = f"min pairwise {distance_function_name}({ce.name}) <= {distance_threshold}"
+    else:
+        label = f"max pairwise {distance_function_name}({ce.name}) >= {distance_threshold}"
+    return ComparisonLevel(cond, label)
+
+
+# -- date/time levels (reference :715-847) -----------------------------------
+
+_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "month": 86400 * 365.25 / 12, "year": 86400 * 365.25}
+
+
+def AbsoluteTimeDifferenceLevel(col: ColSpec, threshold: float, metric: str = "day") -> ComparisonLevel:
+    """comparison_level_library.py:715 — |epoch_l - epoch_r| <= seconds.
+
+    Uses exact epoch difference (the reference's Spark dialect shortcut to
+    datediff-days, dialects.py:493-501, loses sub-day precision; we keep the
+    exact semantics the other backends use). Threshold unit conversion
+    matches :774-783 (month = 365.25/12 days).
+    """
+    ce = _ce(col)
+    seconds = float(threshold) * _SECONDS[metric]
+    return ComparisonLevel(
+        lambda: F.abs(
+            ce.l().cast("timestamp").cast("double") - ce.r().cast("timestamp").cast("double")
+        )
+        <= seconds,
+        f"Abs difference of '{ce.name} <= {threshold} {metric}'",
+    )
+
+
+def AbsoluteDateDifferenceLevel(col: ColSpec, threshold: float, metric: str = "day") -> ComparisonLevel:
+    """comparison_level_library.py:839 — same, over dates."""
+    return AbsoluteTimeDifferenceLevel(col, threshold, metric)
+
+
+def DistanceInKMLevel(
+    lat_col: ColSpec, long_col: ColSpec, km_threshold: float, not_null: bool = False
+) -> ComparisonLevel:
+    """comparison_level_library.py:849 — haversine great-circle distance."""
+    lat, lon = _ce(lat_col), _ce(long_col)
+
+    def cond() -> Column:
+        d = haversine_km(
+            lat.l().cast("double"), lon.l().cast("double"),
+            lat.r().cast("double"), lon.r().cast("double"),
+        )
+        c = d <= km_threshold
+        if not_null:
+            c = c & lat.l().isNotNull() & lat.r().isNotNull() & lon.l().isNotNull() & lon.r().isNotNull()
+        return c
+
+    return ComparisonLevel(cond, f"Distance in km <= {km_threshold}")
+
+
+# -- array levels (reference :907-1046) --------------------------------------
+
+
+def CosineSimilarityLevel(col: ColSpec, similarity_threshold: float) -> ComparisonLevel:
+    """comparison_level_library.py:907 — native HOF cosine (dialects.py:409-427)."""
+    ce = _ce(col)
+    return ComparisonLevel(
+        lambda: cosine_similarity(ce.l(), ce.r()) >= float(similarity_threshold),
+        f"Cosine similarity of {ce.name} >= {similarity_threshold}",
+    )
+
+
+def ArrayIntersectLevel(col: ColSpec, min_intersection: int = 1) -> ComparisonLevel:
+    """comparison_level_library.py:957 — size(array_intersect) >= n."""
+    ce = _ce(col)
+    return ComparisonLevel(
+        lambda: F.size(F.array_intersect(ce.l(), ce.r())) >= min_intersection,
+        f"Array intersection size >= {min_intersection}",
+    )
+
+
+def ArraySubsetLevel(col: ColSpec, empty_is_subset: bool = False) -> ComparisonLevel:
+    """comparison_level_library.py:1003 — one side's set contained in the other."""
+    ce = _ce(col)
+
+    def cond() -> Column:
+        inter = F.size(F.array_intersect(ce.l(), ce.r()))
+        smaller = F.least(F.size(ce.l()), F.size(ce.r()))
+        c = inter == smaller
+        if not empty_is_subset:
+            c = c & (smaller > 0)
+        return c
+
+    return ComparisonLevel(cond, f"Array subset on {ce.name}")
+
+
+# -- numeric levels (reference :1049-1120) -----------------------------------
+
+
+def PercentageDifferenceLevel(col: ColSpec, percentage_threshold: float) -> ComparisonLevel:
+    """comparison_level_library.py:1049 — abs(l-r)/greatest(l,r) < p."""
+    ce = _ce(col)
+    return ComparisonLevel(
+        lambda: (
+            F.abs(ce.l().cast("double") - ce.r().cast("double"))
+            / F.greatest(ce.l().cast("double"), ce.r().cast("double"))
+        )
+        < float(percentage_threshold),
+        f"Percentage difference of '{ce.name}' within {percentage_threshold:.2%}",
+    )
+
+
+def AbsoluteDifferenceLevel(col: ColSpec, difference_threshold: float) -> ComparisonLevel:
+    """comparison_level_library.py:1088 — abs(l-r) <= t."""
+    ce = _ce(col)
+    return ComparisonLevel(
+        lambda: F.abs(ce.l().cast("double") - ce.r().cast("double")) <= float(difference_threshold),
+        f"Absolute difference of '{ce.name}' <= {difference_threshold}",
+    )
+
+
+# -- composition (reference comparison_level_composition.py) -----------------
+
+
+def And(*levels: ComparisonLevel) -> ComparisonLevel:
+    label = " AND ".join(lv.label_for_charts for lv in levels)
+    return ComparisonLevel(
+        lambda: _fold(levels, lambda a, b: a & b),
+        f"({label})",
+        is_null_level=all(lv.is_null_level for lv in levels),
+    )
+
+
+def Or(*levels: ComparisonLevel) -> ComparisonLevel:
+    label = " OR ".join(lv.label_for_charts for lv in levels)
+    return ComparisonLevel(
+        lambda: _fold(levels, lambda a, b: a | b),
+        f"({label})",
+        is_null_level=all(lv.is_null_level for lv in levels),
+    )
+
+
+def Not(level: ComparisonLevel) -> ComparisonLevel:
+    if level.is_null_level:
+        raise ValueError("Cannot negate a null level")
+    return ComparisonLevel(lambda: ~level.condition(), f"NOT ({level.label_for_charts})")
+
+
+def _fold(levels, op) -> Column:
+    cols = [lv.condition() for lv in levels]
+    out = cols[0]
+    for c in cols[1:]:
+        out = op(out, c)
+    return out

@@ -1,0 +1,76 @@
+"""Lineage-break / materialization policy.
+
+Reference: splink/internals/spark/database_api.py:289-349 — the Spark backend
+breaks lineage at named stages via a configurable menu (persist | checkpoint |
+parquet round-trip | delta), with per-stage repartition counts derived from
+``spark.sql.shuffle.partitions`` (:211-287; BASELINE.md row 9). Long lineage
+is the documented Spark bottleneck for the iterative EM/CC loops
+(docs/topic_guides/performance/optimising_spark.md).
+
+Native rewrite: a small policy object carrying the same menu. Default method
+is ``persist`` for intra-job reuse and ``checkpoint``/``parquet`` for the
+iterative loops (plan-size growth is the failure mode there, not recompute).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from dataclasses import dataclass, field
+from pyspark.sql import DataFrame
+from pyspark import StorageLevel
+
+
+# fraction of spark.sql.shuffle.partitions per stage
+# (reference spark/database_api.py:211-287)
+_STAGE_PARTITION_FRACTIONS = {
+    "blocked_pairs": 1 / 6,
+    "concat_with_tf": 1 / 4,
+    "predict": 1.0,
+    "clustering": 1 / 10,
+    "distinct_clusters": None,  # tiny: coalesce(1)-ish, leave to AQE
+}
+
+
+@dataclass
+class MaterializationPolicy:
+    """How to break lineage per pipeline stage."""
+
+    method: str = "persist"  # persist | local_checkpoint | checkpoint | parquet
+    parquet_dir: str | None = None
+    _registry: list[DataFrame] = field(default_factory=list)
+
+    def repartition_count(self, df: DataFrame, stage: str) -> int | None:
+        frac = _STAGE_PARTITION_FRACTIONS.get(stage)
+        if frac is None:
+            return None
+        base = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        return max(1, int(base * frac))
+
+    def materialize(self, df: DataFrame, stage: str = "generic") -> DataFrame:
+        if self.method == "persist":
+            out = df.persist(StorageLevel.MEMORY_AND_DISK)
+            out.count()  # force
+            self._registry.append(out)
+            return out
+        if self.method == "local_checkpoint":
+            return df.localCheckpoint(eager=True)
+        if self.method == "checkpoint":
+            return df.checkpoint(eager=True)
+        if self.method == "parquet":
+            base = self.parquet_dir or os.path.join(
+                tempfile.gettempdir(), "splink_spark_materialize"
+            )
+            path = os.path.join(base, f"{stage}_{uuid.uuid4().hex}")
+            df.write.mode("overwrite").parquet(path)
+            return df.sparkSession.read.parquet(path)
+        raise ValueError(f"unknown materialization method {self.method!r}")
+
+    def unpersist_all(self) -> None:
+        for df in self._registry:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._registry.clear()

@@ -1,0 +1,104 @@
+"""The model: link type, blocking rules, comparisons, prior.
+
+Reference: splink/internals/settings.py:197-670 and settings_creator.py:19-123.
+Keeps the same JSON vocabulary (link_type, probability_two_random_records_match,
+blocking_rules_to_generate_predictions, comparisons, unique_id_column_name,
+source_dataset_column_name, em_convergence, max_iterations, retain flags) so
+models interchange at the JSON level.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Union
+
+from .blocking import BlockingRule, CustomRule, block_on
+from .comparison import Comparison
+
+
+@dataclass
+class Settings:
+    link_type: str = "dedupe_only"  # dedupe_only | link_only | link_and_dedupe
+    comparisons: list[Comparison] = field(default_factory=list)
+    blocking_rules_to_generate_predictions: list[BlockingRule] = field(default_factory=list)
+    probability_two_random_records_match: float = 0.0001
+    unique_id_column_name: str = "unique_id"
+    source_dataset_column_name: Optional[str] = None
+    retain_matching_columns: bool = True
+    retain_intermediate_calculation_columns: bool = False
+    em_convergence: float = 1e-4  # settings_creator.py:33-35
+    max_iterations: int = 25
+
+    def __post_init__(self) -> None:
+        if self.link_type not in ("dedupe_only", "link_only", "link_and_dedupe"):
+            raise ValueError(f"invalid link_type {self.link_type!r}")
+        if self.link_type != "dedupe_only" and self.source_dataset_column_name is None:
+            self.source_dataset_column_name = "source_dataset"
+        self.blocking_rules_to_generate_predictions = [
+            _to_rule(r) for r in self.blocking_rules_to_generate_predictions
+        ]
+
+    # -- conveniences ----------------------------------------------------------
+    @property
+    def needs_source_dataset(self) -> bool:
+        return self.link_type != "dedupe_only"
+
+    @property
+    def tf_columns(self) -> list[str]:
+        cols: list[str] = []
+        for c in self.comparisons:
+            for col in c.tf_adjustment_input_columns:
+                if col not in cols:
+                    cols.append(col)
+        return cols
+
+    @property
+    def all_probabilities_set(self) -> bool:
+        return all(c.all_probabilities_set for c in self.comparisons)
+
+    # -- JSON round-trip (misc.py:19 save_model_to_json) -----------------------
+    def as_dict(self) -> dict:
+        return {
+            "link_type": self.link_type,
+            "probability_two_random_records_match": self.probability_two_random_records_match,
+            "unique_id_column_name": self.unique_id_column_name,
+            "source_dataset_column_name": self.source_dataset_column_name,
+            "retain_matching_columns": self.retain_matching_columns,
+            "retain_intermediate_calculation_columns": self.retain_intermediate_calculation_columns,
+            "em_convergence": self.em_convergence,
+            "max_iterations": self.max_iterations,
+            "blocking_rules_to_generate_predictions": [
+                r.description for r in self.blocking_rules_to_generate_predictions
+            ],
+            "comparisons": [c.as_dict() for c in self.comparisons],
+            "sql_dialect": "spark",
+        }
+
+    def to_json(self, path: Optional[str] = None) -> str:
+        s = json.dumps(self.as_dict(), indent=2, default=float)
+        if path:
+            with open(path, "w") as f:
+                f.write(s)
+        return s
+
+
+def _to_rule(rule: Union[str, BlockingRule]) -> BlockingRule:
+    if isinstance(rule, BlockingRule):
+        return rule
+    return CustomRule(rule)
+
+
+def SettingsCreator(
+    link_type: str = "dedupe_only",
+    comparisons: Sequence[Comparison] = (),
+    blocking_rules_to_generate_predictions: Sequence[Union[str, BlockingRule]] = (),
+    **kw,
+) -> Settings:
+    """Constructor mirroring the reference's ``SettingsCreator`` keyword API."""
+    return Settings(
+        link_type=link_type,
+        comparisons=list(comparisons),
+        blocking_rules_to_generate_predictions=list(blocking_rules_to_generate_predictions),
+        **kw,
+    )

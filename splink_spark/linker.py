@@ -1,0 +1,278 @@
+"""The Linker facade: settings + input DataFrames + component namespaces.
+
+Reference: splink/internals/linker.py:66-174 — component namespaces
+(``inference``, ``training``, ``clustering``, ``evaluation``,
+``blocking_analysis``, ``table_management``; :167-174). Here each namespace is
+a thin object over pure DataFrame-pipeline functions in ``internals/``.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .internals.blocking import BlockingRule, block_using_rules, count_comparisons_per_rule
+from .internals.comparison_vectors import (
+    blocked_pairs_with_columns,
+    compute_comparison_vectors,
+)
+from .internals.functions import register_udfs
+from .internals.materialize import MaterializationPolicy
+from .internals.predict import predict_from_comparison_vectors
+from .internals.settings import Settings
+from .internals.term_frequencies import (
+    compute_all_term_frequencies,
+    join_term_frequencies,
+)
+from .internals.vertically_concatenate import (
+    split_link_only_two_datasets,
+    vertically_concatenate,
+)
+
+FrameInput = Union[DataFrame, Sequence[DataFrame], Mapping[str, DataFrame]]
+
+
+class Linker:
+    def __init__(
+        self,
+        input_table_or_tables: FrameInput,
+        settings: Settings,
+        materialization: Optional[MaterializationPolicy] = None,
+    ):
+        self.settings = settings
+        self._frames = _normalise_frames(input_table_or_tables)
+        first = next(iter(self._frames.values()))
+        self.spark: SparkSession = first.sparkSession
+        register_udfs(self.spark)
+        self.materialization = materialization or MaterializationPolicy()
+        self._concat: Optional[DataFrame] = None
+        self._concat_with_tf: Optional[DataFrame] = None
+        self._tf_tables: Optional[dict[str, DataFrame]] = None
+
+        if settings.needs_source_dataset and len(self._frames) < 2:
+            raise ValueError(f"{settings.link_type} requires >= 2 input tables")
+
+        self.inference = LinkerInference(self)
+        self.training = LinkerTraining(self)
+        self.clustering = LinkerClustering(self)
+        self.evaluation = LinkerEvaluation(self)
+        self.blocking_analysis = LinkerBlockingAnalysis(self)
+
+    # -- shared intermediates --------------------------------------------------
+    def df_concat(self) -> DataFrame:
+        """``__splink__df_concat`` (vertically_concatenate.py:84-93)."""
+        if self._concat is None:
+            self._concat = vertically_concatenate(
+                self._frames,
+                self.settings.source_dataset_column_name
+                if self.settings.needs_source_dataset
+                else None,
+            )
+        return self._concat
+
+    def tf_tables(self) -> dict[str, DataFrame]:
+        if self._tf_tables is None:
+            self._tf_tables = compute_all_term_frequencies(
+                self.df_concat(), self.settings.tf_columns
+            )
+        return self._tf_tables
+
+    def df_concat_with_tf(self) -> DataFrame:
+        """``__splink__df_concat_with_tf`` (vertically_concatenate.py:74-81)."""
+        if self._concat_with_tf is None:
+            self._concat_with_tf = join_term_frequencies(
+                self.df_concat(), self.tf_tables()
+            )
+        return self._concat_with_tf
+
+    def blocked_pairs(
+        self, rules: Optional[Sequence[BlockingRule]] = None, materialize: bool = True
+    ) -> DataFrame:
+        """``__splink__blocked_id_pairs`` — materialized by default, exactly the
+        lineage-break point the reference marks (blocking.py:603-695)."""
+        s = self.settings
+        rules = list(rules or s.blocking_rules_to_generate_predictions)
+        concat = self.df_concat_with_tf()
+        split = None
+        if s.link_type == "link_only" and s.source_dataset_column_name:
+            split = split_link_only_two_datasets(concat, s.source_dataset_column_name)
+        if split is not None:
+            left, right = split
+            pairs = block_using_rules(
+                left,
+                rules,
+                link_type=s.link_type,
+                unique_id_column_name=s.unique_id_column_name,
+                source_dataset_column_name=s.source_dataset_column_name,
+                nodes_right=right,
+            )
+        else:
+            pairs = block_using_rules(
+                concat,
+                rules,
+                link_type=s.link_type,
+                unique_id_column_name=s.unique_id_column_name,
+                source_dataset_column_name=s.source_dataset_column_name
+                if s.needs_source_dataset
+                else None,
+            )
+        if materialize:
+            n = self.materialization.repartition_count(pairs, "blocked_pairs")
+            if n:
+                pairs = pairs.repartition(n)
+            pairs = self.materialization.materialize(pairs, "blocked_pairs")
+        return pairs
+
+    def comparison_vectors(self, pairs: Optional[DataFrame] = None) -> DataFrame:
+        if pairs is None:
+            pairs = self.blocked_pairs()
+        with_cols = blocked_pairs_with_columns(
+            pairs, self.df_concat_with_tf(), self.settings
+        )
+        return compute_comparison_vectors(with_cols, self.settings)
+
+
+class LinkerInference:
+    """linker_components/inference.py."""
+
+    def __init__(self, linker: Linker):
+        self._l = linker
+
+    def predict(
+        self,
+        threshold_match_probability: Optional[float] = None,
+        threshold_match_weight: Optional[float] = None,
+    ) -> DataFrame:
+        """The flagship query (inference.py:294-444): concat → TF → block →
+        comparison vectors → score [→ threshold]."""
+        cv = self._l.comparison_vectors()
+        return predict_from_comparison_vectors(
+            cv,
+            self._l.settings,
+            threshold_match_probability=threshold_match_probability,
+            threshold_match_weight=threshold_match_weight,
+        )
+
+    def deterministic_link(self) -> DataFrame:
+        """Pairs from the blocking rules alone, no scoring
+        (inference.py:223-292)."""
+        pairs = self._l.blocked_pairs(materialize=False)
+        return blocked_pairs_with_columns(
+            pairs, self._l.df_concat_with_tf(), self._l.settings
+        )
+
+    def score_pairs(self, id_pairs: DataFrame) -> DataFrame:
+        """Score caller-supplied id pairs (inference.py:746-1021). ``id_pairs``
+        needs columns join_key_l / join_key_r (unique ids)."""
+        if "match_key" not in id_pairs.columns:
+            id_pairs = id_pairs.withColumn("match_key", F.lit("user"))
+        cv = self._l.comparison_vectors(pairs=id_pairs)
+        return predict_from_comparison_vectors(cv, self._l.settings)
+
+    def compare_two_records(self, record_1: dict, record_2: dict) -> DataFrame:
+        """realtime.py:44-159 — score one pair without blocking."""
+        s = self._l.settings
+        spark = self._l.spark
+        concat = self._l.df_concat()
+        r1 = dict(record_1)
+        r2 = dict(record_2)
+        r1.setdefault(s.unique_id_column_name, 0)
+        r2.setdefault(s.unique_id_column_name, 1)
+        two = spark.createDataFrame([r1, r2], schema=concat.schema)
+        two_tf = join_term_frequencies(two, self._l.tf_tables())
+        pairs = spark.createDataFrame(
+            [("0", r1[s.unique_id_column_name], r2[s.unique_id_column_name])],
+            ["match_key", "join_key_l", "join_key_r"],
+        )
+        with_cols = blocked_pairs_with_columns(pairs, two_tf, s)
+        cv = compute_comparison_vectors(with_cols, s)
+        return predict_from_comparison_vectors(cv, s)
+
+
+class LinkerTraining:
+    """linker_components/training.py — filled in by internals/training.py."""
+
+    def __init__(self, linker: Linker):
+        self._l = linker
+
+    def estimate_probability_two_random_records_match(self, deterministic_rules, recall: float):
+        from .internals.training import estimate_probability_two_random_records_match
+
+        return estimate_probability_two_random_records_match(self._l, deterministic_rules, recall)
+
+    def estimate_u_using_random_sampling(self, max_pairs: float = 1e6, seed: Optional[int] = None):
+        from .internals.training import estimate_u_using_random_sampling
+
+        return estimate_u_using_random_sampling(self._l, max_pairs=max_pairs, seed=seed)
+
+    def estimate_parameters_using_expectation_maximisation(self, blocking_rule, **kw):
+        from .internals.training import estimate_parameters_using_em
+
+        return estimate_parameters_using_em(self._l, blocking_rule, **kw)
+
+
+class LinkerClustering:
+    """linker_components/clustering.py."""
+
+    def __init__(self, linker: Linker):
+        self._l = linker
+
+    def cluster_pairwise_predictions_at_threshold(
+        self, df_predict: DataFrame, threshold_match_probability: float = 0.5
+    ) -> DataFrame:
+        from .internals.connected_components import cluster_pairwise_predictions_at_threshold
+
+        return cluster_pairwise_predictions_at_threshold(
+            self._l, df_predict, threshold_match_probability
+        )
+
+
+class LinkerEvaluation:
+    """linker_components/evaluation.py."""
+
+    def __init__(self, linker: Linker):
+        self._l = linker
+
+    def accuracy_analysis_from_labels_column(self, labels_column: str, df_predict: Optional[DataFrame] = None):
+        from .internals.accuracy import truth_space_table_from_labels_column
+
+        return truth_space_table_from_labels_column(self._l, labels_column, df_predict)
+
+
+class LinkerBlockingAnalysis:
+    """linker_components/blocking_analysis.py."""
+
+    def __init__(self, linker: Linker):
+        self._l = linker
+
+    def count_comparisons_from_blocking_rules(self, rules=None) -> list[dict]:
+        s = self._l.settings
+        return count_comparisons_per_rule(
+            self._l.df_concat(),
+            list(rules or s.blocking_rules_to_generate_predictions),
+            link_type=s.link_type,
+            unique_id_column_name=s.unique_id_column_name,
+            source_dataset_column_name=s.source_dataset_column_name
+            if s.needs_source_dataset
+            else None,
+        )
+
+    def n_largest_blocks(self, blocking_rule: BlockingRule, n: int = 5) -> DataFrame:
+        """Top-k blocks by generated-pair count (blocking_analysis.py:123-146)."""
+        pairs = self._l.blocked_pairs([blocking_rule], materialize=False)
+        return (
+            pairs.groupBy("match_key")
+            .count()
+            .orderBy(F.desc("count"))
+            .limit(n)
+        )
+
+
+def _normalise_frames(inp: FrameInput) -> dict[str, DataFrame]:
+    if isinstance(inp, DataFrame):
+        return {"__input__": inp}
+    if isinstance(inp, Mapping):
+        return dict(inp)
+    return {f"table_{i}": df for i, df in enumerate(inp)}
