@@ -47,11 +47,16 @@ class BlockingRule:
         description: str,
         exploded_columns: Sequence[str] = (),
         salting_partitions: int = 1,
+        columns: Sequence[str] = (),
     ):
         self._condition = condition
         self.description = description
         self.exploded_columns = list(exploded_columns)
         self.salting_partitions = salting_partitions
+        # raw input columns the rule's predicate consumes, when known —
+        # used by EM training to deactivate comparisons the training rule
+        # conditions on (em_training_session.py:136-160)
+        self.columns = list(columns)
 
     def condition(self) -> Column:
         return self._condition()
@@ -75,7 +80,12 @@ def block_on(*col_specs: ColSpec, salting_partitions: int = 1) -> BlockingRule:
         return out
 
     desc = " AND ".join(f"l.{ce.name} = r.{ce.name}" for ce in ces)
-    return BlockingRule(cond, desc, salting_partitions=salting_partitions)
+    return BlockingRule(
+        cond,
+        desc,
+        salting_partitions=salting_partitions,
+        columns=[ce.name for ce in ces if ce.is_pure_column_reference],
+    )
 
 
 def CustomRule(sql_condition: str) -> BlockingRule:

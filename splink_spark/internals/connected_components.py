@@ -1,0 +1,175 @@
+"""Clustering: connected components over the thresholded edge list.
+
+Reference: splink/internals/connected_components.py:121-335 — iterative
+min-label propagation in SQL (inspired by arXiv:1802.09478): symmetrize
+edges, init representative = node, then repeatedly set
+``rep(node) = min(rep(node), min over neighbours' reps)`` until no edge
+crosses two clusters.
+
+Native rewrite: the same min-propagation loop as DataFrame joins, with a
+mandatory lineage break per iteration (plan growth, not recompute, is the
+Spark failure mode — reference persists ``__splink__representatives*`` per
+iteration, spark/database_api.py:292-312). Exit condition = zero changed
+representatives, one driver round-trip per iteration exactly like the
+reference (:305-307). Iteration count ~ O(log(cluster diameter)) because
+representatives chain-contract via min-propagation over the rep graph.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .materialize import MaterializationPolicy
+
+
+def solve_connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_col: str = "node_id",
+    edge_l_col: str = "node_id_l",
+    edge_r_col: str = "node_id_r",
+    materialization: Optional[MaterializationPolicy] = None,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Return (node_id, cluster_id) with cluster_id = min node id in component."""
+    mat = materialization or MaterializationPolicy(method="local_checkpoint")
+
+    # symmetric neighbour list (reference :169-187 reverse-union)
+    fwd = edges.select(F.col(edge_l_col).alias("node"), F.col(edge_r_col).alias("nbr"))
+    rev = edges.select(F.col(edge_r_col).alias("node"), F.col(edge_l_col).alias("nbr"))
+    neighbours = fwd.unionByName(rev)
+    neighbours = mat.materialize(neighbours, "clustering")
+
+    # init: rep = min(self, direct neighbours) (reference :197-220)
+    self_rep = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("rep"))
+    nbr_min = neighbours.groupBy("node").agg(F.min("nbr").alias("nbr_min"))
+    rep = (
+        self_rep.join(nbr_min, on="node", how="left")
+        .select("node", F.least(F.col("rep"), F.col("nbr_min")).alias("rep"))
+    )
+    rep = mat.materialize(rep, "clustering")
+
+    for _ in range(max_iterations):
+        # new rep = min(own rep, min over neighbours' reps)
+        nbr_reps = (
+            neighbours.join(
+                rep.select(F.col("node").alias("nbr"), F.col("rep").alias("nbr_rep")),
+                on="nbr",
+            )
+            .groupBy("node")
+            .agg(F.min("nbr_rep").alias("min_nbr_rep"))
+        )
+        new_rep = (
+            rep.join(nbr_reps, on="node", how="left")
+            .select(
+                "node",
+                F.least(F.col("rep"), F.col("min_nbr_rep")).alias("rep"),
+                F.col("rep").alias("old_rep"),
+            )
+        )
+        # pointer jumping (path halving): rep(node) <- rep(rep(node)).
+        # Label propagation alone moves labels one hop per iteration —
+        # O(diameter) rounds, pathological on chain-shaped clusters. Jumping
+        # through the representative chain doubles the contraction each round
+        # → O(log n) rounds (the same contraction the reference gets from
+        # re-keying neighbours onto representatives, connected_components.py
+        # :273-290).
+        parent = new_rep.select(
+            F.col("node").alias("p_node"), F.col("rep").alias("p_rep")
+        )
+        new_rep = (
+            new_rep.join(parent, new_rep["rep"] == parent["p_node"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("p_rep"), F.col("rep")).alias("new_rep"),
+                "old_rep",
+            )
+        )
+        new_rep = mat.materialize(new_rep, "clustering")
+        n_changed = new_rep.where(F.col("new_rep") != F.col("old_rep")).count()
+        rep = new_rep.select("node", F.col("new_rep").alias("rep"))
+        if n_changed == 0:
+            break
+
+    return rep.select(F.col("node").alias(node_col), F.col("rep").alias("cluster_id"))
+
+
+def cluster_pairwise_predictions_at_threshold(
+    linker,
+    df_predict: DataFrame,
+    threshold_match_probability: float = 0.5,
+) -> DataFrame:
+    """linker_components/clustering.py:43-179: threshold the edges, solve CC,
+    join cluster ids back onto the input columns."""
+    s = linker.settings
+    uid = s.unique_id_column_name
+    concat = linker.df_concat()
+
+    if s.needs_source_dataset and s.source_dataset_column_name in concat.columns:
+        # composite node id (unique_id_concat.py:8-43)
+        sd = s.source_dataset_column_name
+        node_expr = F.concat_ws("-__-", F.col(sd).cast("string"), F.col(uid).cast("string"))
+        edge_l = F.concat_ws(
+            "-__-", F.col(f"{sd}_l").cast("string"), F.col(f"{uid}_l").cast("string")
+        )
+        edge_r = F.concat_ws(
+            "-__-", F.col(f"{sd}_r").cast("string"), F.col(f"{uid}_r").cast("string")
+        )
+    else:
+        node_expr = F.col(uid)
+        edge_l = F.col(f"{uid}_l")
+        edge_r = F.col(f"{uid}_r")
+
+    edges = (
+        df_predict.where(F.col("match_probability") >= threshold_match_probability)
+        .select(edge_l.alias("node_id_l"), edge_r.alias("node_id_r"))
+    )
+    nodes = concat.select(node_expr.alias("node_id")).distinct()
+
+    assignments = solve_connected_components(
+        edges, nodes, materialization=linker.materialization
+    )
+    out = concat.withColumn("node_id", node_expr).join(
+        assignments, on="node_id", how="left"
+    )
+    # isolated nodes cluster with themselves
+    out = out.withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("node_id")))
+    return out.drop("node_id").select("cluster_id", *concat.columns)
+
+
+def compute_graph_metrics(
+    edges: DataFrame,
+    assignments: DataFrame,
+    node_col: str = "node_id",
+) -> DataFrame:
+    """Cluster size, density, degree centralisation
+    (reference graph_metrics.py:257-330). Bridges (igraph-on-driver in the
+    reference) are out of v1 scope."""
+    fwd = edges.select(F.col(f"{node_col}_l").alias("node"))
+    rev = edges.select(F.col(f"{node_col}_r").alias("node"))
+    degrees = fwd.unionByName(rev).groupBy("node").agg(F.count("*").alias("degree"))
+    joined = assignments.select(
+        F.col(node_col).alias("node"), "cluster_id"
+    ).join(degrees, on="node", how="left").fillna({"degree": 0})
+    per_cluster = joined.groupBy("cluster_id").agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum("degree") / F.lit(2.0)).alias("n_edges"),
+        F.max("degree").alias("max_degree"),
+    )
+    n = F.col("n_nodes").cast("double")
+    density = F.when(n > 1, F.col("n_edges") * 2.0 / (n * (n - 1))).otherwise(None)
+    centralisation = F.when(
+        n > 2,
+        (n * F.col("max_degree") - 2 * F.col("n_edges"))
+        / ((n - 1) * (n - 2)),
+    ).otherwise(None)
+    return per_cluster.select(
+        "cluster_id",
+        "n_nodes",
+        "n_edges",
+        density.alias("density"),
+        centralisation.alias("centralisation"),
+    )

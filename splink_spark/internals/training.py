@@ -1,0 +1,292 @@
+"""Training: deterministic-lambda, u-by-random-sampling, EM.
+
+Reference:
+- ``estimate_probability_two_random_records_match`` — count pairs produced by
+  deterministic rules / total possible pairs / recall
+  (linker_components/training.py:35-161).
+- ``estimate_u_using_random_sampling`` — deterministic hash-sample so that
+  sample^2 ~= max_pairs, cartesian the sample against itself, count gamma
+  levels, all pairs assumed non-matches (training.py:163-229, estimate_u.py).
+  Sampling uses ``pmod(hash(uid), m) < k`` (dialects.py:170-206, :545-549) —
+  deterministic across runs/partitionings, unlike ``df.sample``.
+- ``estimate_parameters_using_expectation_maximisation`` — block on the
+  training rule, compute comparison vectors ONCE (materialized), pre-aggregate
+  to agreement-pattern counts (expectation_maximisation.py:28-42, 247-251 —
+  the loop-invariant hoist), then iterate E/M on the driver over the tiny
+  pattern table: mathematically identical to the reference's SQL loop, and
+  the idiomatic Spark design (per-iteration work is O(#patterns), no reason
+  to launch a job per iteration).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import functions as F
+
+from .blocking import BlockingRule, CustomRule, block_using_rules
+from .comparison_vectors import blocked_pairs_with_columns, compute_comparison_vectors
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# lambda from deterministic rules
+# ---------------------------------------------------------------------------
+
+
+def _cartesian_total(linker) -> float:
+    """Total comparisons the blank-blocking space contains
+    (reference misc.py calculate_cartesian)."""
+    s = linker.settings
+    concat = linker.df_concat()
+    if not s.needs_source_dataset:
+        n = concat.count()
+        return n * (n - 1) / 2
+    counts = [
+        r["count"]
+        for r in concat.groupBy(s.source_dataset_column_name).count().collect()
+    ]
+    if s.link_type == "link_only":
+        total = 0.0
+        for i, a in enumerate(counts):
+            for b in counts[i + 1 :]:
+                total += a * b
+        return total
+    n = sum(counts)
+    return n * (n - 1) / 2
+
+
+def estimate_probability_two_random_records_match(
+    linker, deterministic_rules: Sequence[Union[str, BlockingRule]], recall: float
+) -> float:
+    if not 0 < recall <= 1:
+        raise ValueError("recall must be in (0, 1]")
+    rules = [r if isinstance(r, BlockingRule) else CustomRule(r) for r in deterministic_rules]
+    s = linker.settings
+    pairs = block_using_rules(
+        linker.df_concat(),
+        rules,
+        link_type=s.link_type,
+        unique_id_column_name=s.unique_id_column_name,
+        source_dataset_column_name=s.source_dataset_column_name
+        if s.needs_source_dataset
+        else None,
+    )
+    observed = pairs.count()
+    total = _cartesian_total(linker)
+    prob = observed / recall / total if total else 0.0
+    prob = min(max(prob, 1e-12), 1 - 1e-12)
+    s.probability_two_random_records_match = prob
+    logger.info(
+        "estimated probability_two_random_records_match=%.3g "
+        "(%d observed pairs, recall %.2f, %.3g total comparisons)",
+        prob, observed, recall, total,
+    )
+    return prob
+
+
+# ---------------------------------------------------------------------------
+# u by random sampling
+# ---------------------------------------------------------------------------
+
+
+def estimate_u_using_random_sampling(
+    linker, max_pairs: float = 1e6, seed: Optional[int] = None
+) -> dict:
+    """All sampled pairs assumed non-matches → gamma distribution estimates u.
+
+    Deterministic sampling filter: pmod(xxhash64(uid, seed), M) < k with
+    M chosen so the kept fraction f satisfies (f*n)^2/2 ~= max_pairs.
+    """
+    s = linker.settings
+    uid = s.unique_id_column_name
+    concat = linker.df_concat_with_tf()
+    n = concat.count()
+    target_sample = math.sqrt(max_pairs * 2)
+    fraction = min(1.0, target_sample / max(n, 1))
+
+    modulus = 1_000_000
+    threshold = int(fraction * modulus)
+    sample = concat.where(
+        F.pmod(F.xxhash64(F.col(uid), F.lit(seed or 0)), F.lit(modulus)) < threshold
+    )
+
+    pairs = block_using_rules(
+        sample,
+        [CustomRule("TRUE")],
+        link_type="dedupe_only",  # uid_l < uid_r dedup of the cartesian
+        unique_id_column_name=uid,
+    )
+    with_cols = blocked_pairs_with_columns(pairs, sample, s)
+    cv = compute_comparison_vectors(with_cols, s)
+
+    aggs = []
+    for comp in s.comparisons:
+        g = comp.gamma_column_name
+        for lv in comp.comparison_levels:
+            if lv.is_null_level:
+                continue
+            k = lv.comparison_vector_value
+            aggs.append(
+                F.sum(F.when(F.col(g) == k, 1).otherwise(0)).alias(f"{g}__{k}")
+            )
+        aggs.append(F.sum(F.when(F.col(g) != -1, 1).otherwise(0)).alias(f"{g}__total"))
+    row = cv.agg(*aggs).collect()[0].asDict()
+
+    result = {}
+    for comp in s.comparisons:
+        g = comp.gamma_column_name
+        total = row[f"{g}__total"] or 0
+        for lv in comp.comparison_levels:
+            if lv.is_null_level:
+                continue
+            k = lv.comparison_vector_value
+            count = row[f"{g}__{k}"] or 0
+            if total > 0 and not lv.fix_u_probability:
+                u = count / total
+                lv.u_probability = max(u, 1e-9)
+                result[f"{comp.output_column_name}[{k}]"] = lv.u_probability
+    return result
+
+
+# ---------------------------------------------------------------------------
+# EM over agreement-pattern counts
+# ---------------------------------------------------------------------------
+
+
+def estimate_parameters_using_em(
+    linker,
+    blocking_rule: Union[str, BlockingRule],
+    fix_u_probabilities: bool = False,
+    fix_m_probabilities: bool = False,
+    fix_probability_two_random_records_match: bool = True,
+    max_iterations: Optional[int] = None,
+    em_convergence: Optional[float] = None,
+) -> dict:
+    """One EM training session blocked on ``blocking_rule``.
+
+    Comparisons whose input columns are consumed by the training rule are
+    deactivated for this session (em_training_session.py:136-160) — their
+    gammas are constant under the block so carry no signal.
+    """
+    s = linker.settings
+    rule = blocking_rule if isinstance(blocking_rule, BlockingRule) else CustomRule(blocking_rule)
+    max_iterations = max_iterations or s.max_iterations
+    em_convergence = em_convergence or s.em_convergence
+
+    rule_cols = set(rule.columns)
+    active = [
+        c
+        for c in s.comparisons
+        if not (c.input_columns and rule_cols and set(c.input_columns) & rule_cols)
+    ]
+    if not active:
+        raise ValueError("training rule consumes every comparison's columns")
+    deactivated = [c for c in s.comparisons if c not in active]
+    if deactivated:
+        logger.info(
+            "EM session: deactivated comparisons %s (columns consumed by rule %r)",
+            [c.output_column_name for c in deactivated], rule.description,
+        )
+
+    # blocked pairs → comparison vectors, materialized ONCE, then the
+    # loop-invariant agreement-pattern aggregation
+    pairs = linker.blocked_pairs([rule], materialize=False)
+    with_cols = blocked_pairs_with_columns(pairs, linker.df_concat_with_tf(), s)
+    cv = compute_comparison_vectors(with_cols, s)
+    gamma_cols = [c.gamma_column_name for c in active]
+    patterns = cv.groupBy(*gamma_cols).agg(F.count(F.lit(1)).alias("pattern_count"))
+    rows = patterns.collect()  # O(prod levels) rows — tiny
+    counts = [(tuple(r[g] for g in gamma_cols), r["pattern_count"]) for r in rows]
+
+    # init params from current settings (defaults if unset)
+    m: dict[tuple[int, int], float] = {}
+    u: dict[tuple[int, int], float] = {}
+    for ci, comp in enumerate(active):
+        nlev = comp.num_levels
+        for lv in comp.comparison_levels:
+            if lv.is_null_level:
+                continue
+            k = lv.comparison_vector_value
+            m[(ci, k)] = lv.m_probability if lv.m_probability is not None else (
+                0.9 if k == nlev - 1 else 0.1 / max(nlev - 1, 1)
+            )
+            u[(ci, k)] = lv.u_probability if lv.u_probability is not None else (
+                0.1 if k == nlev - 1 else 0.9 / max(nlev - 1, 1)
+            )
+    lam = s.probability_two_random_records_match
+    # under the training block the prior is much higher than the global prior;
+    # init at 0.5 like a fresh session unless the caller fixed it
+    session_lam = 0.5
+
+    history = []
+    for it in range(max_iterations):
+        # E step (predict.py:135-200 semantics on the pattern table)
+        new_m = {k: 0.0 for k in m}
+        new_u = {k: 0.0 for k in u}
+        m_tot = {ci: 0.0 for ci in range(len(active))}
+        u_tot = {ci: 0.0 for ci in range(len(active))}
+        lam_num = 0.0
+        lam_den = 0.0
+        for gammas, cnt in counts:
+            bf = 1.0
+            for ci in range(len(active)):
+                g = gammas[ci]
+                if g == -1:
+                    continue
+                bf *= m[(ci, g)] / max(u[(ci, g)], 1e-300)
+            prior_odds = session_lam / (1 - session_lam)
+            odds = prior_odds * bf
+            p = odds / (1 + odds)
+            lam_num += p * cnt
+            lam_den += cnt
+            for ci in range(len(active)):
+                g = gammas[ci]
+                if g == -1:
+                    continue
+                new_m[(ci, g)] += p * cnt
+                new_u[(ci, g)] += (1 - p) * cnt
+                m_tot[ci] += p * cnt
+                u_tot[ci] += (1 - p) * cnt
+        # M step: normalise within comparison (expectation_maximisation.py:89-118)
+        max_delta = 0.0
+        for key in list(new_m):
+            ci, k = key
+            nm = new_m[key] / m_tot[ci] if m_tot[ci] > 0 else m[key]
+            nu = new_u[key] / u_tot[ci] if u_tot[ci] > 0 else u[key]
+            if not fix_m_probabilities:
+                max_delta = max(max_delta, abs(nm - m[key]))
+                m[key] = max(nm, 1e-12)
+            if not fix_u_probabilities:
+                max_delta = max(max_delta, abs(nu - u[key]))
+                u[key] = max(nu, 1e-12)
+        new_lam = lam_num / lam_den if lam_den else session_lam
+        max_delta = max(max_delta, abs(new_lam - session_lam))
+        session_lam = new_lam
+        history.append({"iteration": it, "max_delta": max_delta, "lambda": session_lam})
+        logger.info("EM iteration %d: max_delta=%.3g lambda=%.4f", it, max_delta, session_lam)
+        if max_delta < em_convergence:
+            break
+
+    # write back (median across sessions via fold_trained_values)
+    for ci, comp in enumerate(active):
+        for lv in comp.comparison_levels:
+            if lv.is_null_level:
+                continue
+            k = lv.comparison_vector_value
+            if not fix_m_probabilities:
+                lv.add_trained_m(m[(ci, k)])
+            if not fix_u_probabilities:
+                lv.add_trained_u(u[(ci, k)])
+            lv.fold_trained_values()
+    if not fix_probability_two_random_records_match:
+        s.probability_two_random_records_match = session_lam
+    return {
+        "m": {f"{active[ci].output_column_name}[{k}]": v for (ci, k), v in m.items()},
+        "u": {f"{active[ci].output_column_name}[{k}]": v for (ci, k), v in u.items()},
+        "lambda": session_lam,
+        "history": history,
+    }

@@ -1,0 +1,75 @@
+"""Connected components vs networkx on random graphs (mirrors reference
+tests/cc_testing_utils.py / test_cc_random_graphs.py)."""
+
+from __future__ import annotations
+
+import random
+
+import networkx as nx
+import pytest
+
+from splink_spark.internals.connected_components import (
+    compute_graph_metrics,
+    solve_connected_components,
+)
+from splink_spark.internals.materialize import MaterializationPolicy
+
+
+def _random_graph(n: int, p: float, seed: int):
+    g = nx.fast_gnp_random_graph(n, p, seed=seed)
+    return list(g.nodes()), list(g.edges()), g
+
+
+@pytest.mark.parametrize("n,p,seed", [(100, 0.02, 1), (500, 0.004, 2), (300, 0.0005, 3)])
+def test_cc_matches_networkx(spark, n, p, seed):
+    nodes, edges, g = _random_graph(n, p, seed)
+    nodes_df = spark.createDataFrame([(x,) for x in nodes], ["node_id"])
+    edges_df = spark.createDataFrame(
+        edges or [(0, 0)], ["node_id_l", "node_id_r"]
+    )
+    result = solve_connected_components(
+        edges_df, nodes_df, materialization=MaterializationPolicy(method="local_checkpoint")
+    )
+    got = {r["node_id"]: r["cluster_id"] for r in result.collect()}
+    assert len(got) == n
+
+    expected_components = list(nx.connected_components(g))
+    # same partition: every expected component maps to exactly one cluster id
+    seen_cluster_ids = set()
+    for comp in expected_components:
+        ids = {got[node] for node in comp}
+        assert len(ids) == 1, f"component {comp} split into {ids}"
+        cid = ids.pop()
+        assert cid == min(comp), "cluster_id should be the min node id"
+        assert cid not in seen_cluster_ids, "two components merged"
+        seen_cluster_ids.add(cid)
+
+
+def test_cc_chain_graph(spark):
+    """Worst-case diameter: a long path must converge, not hit max_iterations."""
+    n = 200
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], ["node_id"])
+    edges_df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["node_id_l", "node_id_r"]
+    )
+    result = solve_connected_components(
+        edges_df, nodes_df, materialization=MaterializationPolicy(method="local_checkpoint")
+    )
+    assert {r["cluster_id"] for r in result.collect()} == {0}
+
+
+def test_graph_metrics(spark):
+    # triangle 0-1-2 plus isolated 3
+    nodes = spark.createDataFrame([(i,) for i in range(4)], ["node_id"])
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], ["node_id_l", "node_id_r"]
+    )
+    assign = solve_connected_components(
+        edges, nodes, materialization=MaterializationPolicy(method="local_checkpoint")
+    )
+    metrics = {r["cluster_id"]: r for r in compute_graph_metrics(edges, assign).collect()}
+    tri = metrics[0]
+    assert tri["n_nodes"] == 3 and tri["n_edges"] == 3.0
+    assert tri["density"] == pytest.approx(1.0)
+    iso = metrics[3]
+    assert iso["n_nodes"] == 1 and iso["density"] is None

@@ -1,0 +1,129 @@
+"""Training tests: EM parameter recovery on data generated from a KNOWN
+Fellegi-Sunter model (mirrors reference tests/test_correctness_of_convergence.py
+and the FIXTURES.md F4 generating parameters), u-estimation, and
+deterministic-lambda estimation."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+import splink_spark.internals.comparison_library as cl
+from splink_spark import Linker, SettingsCreator, block_on
+from splink_spark.internals.blocking import CustomRule
+from splink_spark.internals.training import estimate_parameters_using_em
+
+# F4 generating parameters (known_params_comparison_vectors)
+TRUE_M = {"col_1": 0.7, "col_2": 0.9, "col_3": 0.95}  # P(gamma=1 | match)
+TRUE_U = {"col_1": 0.1, "col_2": 0.025, "col_3": 0.2}  # P(gamma=1 | non-match)
+TRUE_LAMBDA = 0.5
+
+
+def _synthesize_pairs(n: int, seed: int = 42):
+    """Pairs drawn from the known model: match w.p. lambda, then each binary
+    gamma drawn from m or u."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        is_match = rng.random() < TRUE_LAMBDA
+        probs = TRUE_M if is_match else TRUE_U
+        rows.append(
+            (
+                2 * i,
+                2 * i + 1,
+                "a" if rng.random() < probs["col_1"] else "b",
+                "a" if rng.random() < probs["col_2"] else "b",
+                "a" if rng.random() < probs["col_3"] else "b",
+            )
+        )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def em_fixture(spark):
+    """Turn synthetic pairs into a node table where pair (2i, 2i+1) shares a
+    pair_id blocking key; col_k_l/r values encode agreement."""
+    rng = random.Random(7)
+    pair_rows = _synthesize_pairs(4000)
+    node_rows = []
+    for pid, (l_id, r_id, a1, a2, a3) in enumerate(pair_rows):
+        # left record: fixed values; right record: equal iff gamma=1
+        def other(v, agree):
+            return v if agree == "a" else f"x{rng.random():.9f}"
+
+        v1, v2, v3 = f"v1_{pid}", f"v2_{pid}", f"v3_{pid}"
+        node_rows.append((l_id, pid, v1, v2, v3))
+        node_rows.append((r_id, pid, other(v1, a1), other(v2, a2), other(v3, a3)))
+    return spark.createDataFrame(
+        node_rows, ["unique_id", "pair_id", "col_1", "col_2", "col_3"]
+    )
+
+
+def test_em_recovers_known_parameters(spark, em_fixture):
+    settings = SettingsCreator(
+        link_type="dedupe_only",
+        comparisons=[cl.ExactMatch("col_1"), cl.ExactMatch("col_2"), cl.ExactMatch("col_3")],
+        blocking_rules_to_generate_predictions=[block_on("pair_id")],
+    )
+    linker = Linker(em_fixture, settings)
+    result = estimate_parameters_using_em(
+        linker, block_on("pair_id"), fix_probability_two_random_records_match=False
+    )
+    # recovered m/u for gamma=1 within sampling noise of the generating model
+    for i, col in enumerate(["col_1", "col_2", "col_3"]):
+        m_hat = result["m"][f"{col}[1]"]
+        u_hat = result["u"][f"{col}[1]"]
+        assert m_hat == pytest.approx(TRUE_M[col], abs=0.05), col
+        assert u_hat == pytest.approx(TRUE_U[col], abs=0.05), col
+    assert result["lambda"] == pytest.approx(TRUE_LAMBDA, abs=0.05)
+    # settings got the trained values written back
+    assert settings.all_probabilities_set
+
+
+def test_em_deactivates_comparisons_on_rule_columns(spark, em_fixture):
+    settings = SettingsCreator(
+        link_type="dedupe_only",
+        comparisons=[cl.ExactMatch("col_1"), cl.ExactMatch("col_2"), cl.ExactMatch("col_3")],
+        blocking_rules_to_generate_predictions=[block_on("pair_id")],
+    )
+    linker = Linker(em_fixture, settings)
+    result = estimate_parameters_using_em(linker, block_on("col_1"))
+    assert not any(k.startswith("col_1") for k in result["m"])
+    assert any(k.startswith("col_2") for k in result["m"])
+
+
+def test_estimate_u_random_sampling(spark):
+    """u for an exact match on a uniform 10-value column ~ 0.1."""
+    rng = random.Random(3)
+    rows = [(i, f"v{rng.randrange(10)}") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["unique_id", "col"])
+    settings = SettingsCreator(
+        comparisons=[cl.ExactMatch("col")],
+        blocking_rules_to_generate_predictions=[block_on("col")],
+    )
+    linker = Linker(df, settings)
+    result = linker.training.estimate_u_using_random_sampling(max_pairs=2e5, seed=1)
+    assert result["col[1]"] == pytest.approx(0.1, abs=0.02)
+    assert result["col[0]"] == pytest.approx(0.9, abs=0.02)
+
+
+def test_estimate_lambda_from_deterministic_rules(spark):
+    """200 records = 100 duplicated entities; rule 'exact name' has perfect
+    recall → lambda = 100 / C(200,2)."""
+    rows = []
+    for e in range(100):
+        rows.append((2 * e, f"name_{e}"))
+        rows.append((2 * e + 1, f"name_{e}"))
+    df = spark.createDataFrame(rows, ["unique_id", "name"])
+    settings = SettingsCreator(
+        comparisons=[cl.ExactMatch("name")],
+        blocking_rules_to_generate_predictions=[block_on("name")],
+    )
+    linker = Linker(df, settings)
+    prob = linker.training.estimate_probability_two_random_records_match(
+        [block_on("name")], recall=1.0
+    )
+    expected = 100 / (200 * 199 / 2)
+    assert prob == pytest.approx(expected, rel=1e-9)
