@@ -1,38 +1,671 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (+ the LLM-pipeline operators); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL. The flagship linkage model's m/u constants live in
+``MODEL`` and feed BOTH the Spark settings and the oracle SQL, so the
+match-weight constants are literally the same doubles on both sides.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# flagship customer-dedupe model: shared constants
+# ---------------------------------------------------------------------------
+
+PRIOR = 0.001
+# per comparison: {gamma: (m, u)}
+MODEL = {
+    "c_name": {3: (0.70, 0.001), 2: (0.18, 0.004), 1: (0.08, 0.015), 0: (0.04, 0.98)},
+    "c_mktsegment": {1: (0.92, 0.20), 0: (0.08, 0.80)},
+    "c_acctbal": {3: (0.40, 0.001), 2: (0.30, 0.002), 1: (0.20, 0.017), 0: (0.10, 0.98)},
+}
+PRIOR_L2 = math.log2(PRIOR / (1 - PRIOR))
+L2 = {
+    comp: {g: math.log2(m / u) for g, (m, u) in gs.items()} for comp, gs in MODEL.items()
+}
+L2_U_EXACT_SEG = math.log2(MODEL["c_mktsegment"][1][1])  # u of the exact level
+
+
+def _session(spark: SparkSession) -> SparkSession:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.parquet stores TIMESTAMP(NANOS): read as nanos-since-epoch long
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .withColumnRenamed("c_custkey", "unique_id")
+    )
+
+
+def _flagship_settings():
+    import splink_spark.internals.comparison_library as cl
+    from splink_spark import SettingsCreator, block_on
+
+    comps = [
+        cl.LevenshteinAtThresholds("c_name", [1, 2]),
+        cl.ExactMatch("c_mktsegment", term_frequency_adjustments=True),
+        cl.AbsoluteDifferenceAtThresholds("c_acctbal", [10.0, 100.0]),
+    ]
+    for comp in comps:
+        for lv in comp.comparison_levels:
+            if lv.is_null_level:
+                continue
+            m, u = MODEL[comp.output_column_name][lv.comparison_vector_value]
+            lv.m_probability, lv.u_probability = m, u
+    return SettingsCreator(
+        link_type="dedupe_only",
+        comparisons=comps,
+        blocking_rules_to_generate_predictions=[block_on("c_nationkey")],
+        probability_two_random_records_match=PRIOR,
+        retain_intermediate_calculation_columns=False,
+    )
+
+
+def _linker(spark: SparkSession, sf_dir: str):
+    from splink_spark import Linker
+
+    return Linker(_customer(_session(spark), sf_dir), _flagship_settings())
+
+
+def _predict_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _linker(spark, sf_dir).inference.predict()
+    return scored.select(
+        F.col("unique_id_l"),
+        F.col("unique_id_r"),
+        F.col("gamma_c_name"),
+        F.col("gamma_c_mktsegment"),
+        F.col("gamma_c_acctbal"),
+        F.round("match_weight", 6).alias("match_weight"),
+        F.round("match_probability", 6).alias("match_probability"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry + queries
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: customer dedupe predict."""
+    return _predict_df(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from splink_spark import Linker, block_on
+    from splink_spark.internals.blocking import block_using_rules
+    from splink_spark.internals.term_frequencies import compute_term_frequencies
+    from splink_spark.internals.vertically_concatenate import vertically_concatenate
+    from splink_spark.internals.connected_components import solve_connected_components
+    from splink_spark.internals.accuracy import truth_space_table
+    from splink_spark.pipeline import ann, dedup, text
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_concat_union(spark, sf_dir):
+        cust = _customer(_session(spark), sf_dir)
+        frames = {
+            "even": cust.where(F.col("unique_id") % 2 == 0),
+            "odd": cust.where(F.col("unique_id") % 2 == 1),
+        }
+        return vertically_concatenate(frames, "source_dataset")
+
+    def q_tf_mktsegment(spark, sf_dir):
+        cust = _customer(_session(spark), sf_dir)
+        tf = compute_term_frequencies(cust, "c_mktsegment")
+        return tf.select("c_mktsegment", F.round("tf_c_mktsegment", 9).alias("tf"))
+
+    def q_block_single(spark, sf_dir):
+        cust = _customer(_session(spark), sf_dir)
+        return block_using_rules(cust, [block_on("c_nationkey")])
+
+    def q_block_multi(spark, sf_dir):
+        cust = _customer(_session(spark), sf_dir)
+        return block_using_rules(
+            cust,
+            [block_on("c_nationkey", "c_mktsegment"), block_on("c_nationkey")],
+        )
+
+    def q_comparison_vectors(spark, sf_dir):
+        cv = _linker(spark, sf_dir).comparison_vectors()
+        return cv.select(
+            "unique_id_l", "unique_id_r",
+            "gamma_c_name", "gamma_c_mktsegment", "gamma_c_acctbal",
+        )
+
+    def q_predict(spark, sf_dir):
+        return _predict_df(spark, sf_dir)
+
+    def q_em_patterns(spark, sf_dir):
+        cv = _linker(spark, sf_dir).comparison_vectors()
+        return (
+            cv.groupBy("gamma_c_name", "gamma_c_mktsegment", "gamma_c_acctbal")
+            .agg(F.count(F.lit(1)).alias("pattern_count"))
+        )
+
+    def q_cluster(spark, sf_dir):
+        cust = _customer(_session(spark), sf_dir)
+        l = cust.select(
+            F.col("unique_id").alias("id_l"),
+            F.col("c_nationkey").alias("nk_l"),
+            F.col("c_mktsegment").alias("seg_l"),
+            F.col("c_acctbal").alias("bal_l"),
+        )
+        r = cust.select(
+            F.col("unique_id").alias("id_r"),
+            F.col("c_nationkey").alias("nk_r"),
+            F.col("c_mktsegment").alias("seg_r"),
+            F.col("c_acctbal").alias("bal_r"),
+        )
+        edges = l.join(
+            r,
+            (F.col("nk_l") == F.col("nk_r"))
+            & (F.col("seg_l") == F.col("seg_r"))
+            & (F.abs(F.col("bal_l") - F.col("bal_r")) <= 50.0)
+            & (F.col("id_l") < F.col("id_r")),
+        ).select(F.col("id_l").alias("node_id_l"), F.col("id_r").alias("node_id_r"))
+        nodes = cust.select(F.col("unique_id").alias("node_id"))
+        out = solve_connected_components(edges, nodes)
+        return out.select(
+            F.col("node_id").alias("unique_id"), F.col("cluster_id")
+        )
+
+    def q_truth_space(spark, sf_dir):
+        scored = _linker(spark, sf_dir).inference.predict()
+        labelled = scored.withColumn(
+            "is_match",
+            (
+                (F.col("c_mktsegment_l") == F.col("c_mktsegment_r"))
+                & (F.abs(F.col("c_acctbal_l") - F.col("c_acctbal_r")) <= 100.0)
+            ).cast("int"),
+        ).withColumn("match_weight", F.round("match_weight", 6))
+        ts = truth_space_table(labelled, "match_weight", "is_match")
+        return ts.select(
+            "truth_threshold", "tp", "fp", "fn", "tn",
+            F.round("precision", 6).alias("precision"),
+            F.round("recall", 6).alias("recall"),
+            F.round("f1", 6).alias("f1"),
+        )
+
+    def q_unlinkables(spark, sf_dir):
+        from splink_spark.internals.accuracy import unlinkables_table
+
+        return unlinkables_table(_linker(spark, sf_dir))
+
+    # -- LLM-pipeline operators ------------------------------------------------
+
+    def q_dedup_exact(spark, sf_dir):
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        return dedup.exact_duplicates(docs)
+
+    def q_fingerprint(spark, sf_dir):
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        return text.fingerprint(docs)
+
+    def q_ngram_jaccard(spark, sf_dir):
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        pairs = dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.62, block_cols=["lang"]
+        )
+        return pairs.select(
+            "doc_id_l", "doc_id_r", F.round("jaccard", 6).alias("jaccard")
+        )
+
+    def q_minhash_lsh(spark, sf_dir):
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        pairs = dedup.minhash_lsh_pairs(
+            docs, num_hashes=60, bands=10, shingle_size=6, jaccard_threshold=0.45, n=5
+        )
+        return pairs.select(
+            "doc_id_l", "doc_id_r", F.round("jaccard", 6).alias("jaccard")
+        )
+
+    def q_text_quality(spark, sf_dir):
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        m = text.quality_metrics(docs)
+        return m.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round("avg_token_len", 6).alias("avg_token_len"),
+            F.round("punct_ratio", 6).alias("punct_ratio"),
+            F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        )
+
+    def q_lang_stats(spark, sf_dir):
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        from pyspark.sql.window import Window
+
+        agg = docs.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        w = Window.orderBy(F.desc("n_docs"), F.asc("lang"))
+        return agg.select(
+            "lang", "n_docs", "avg_chars",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+
+    def q_ann_topk(spark, sf_dir):
+        emb = _session(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = ann.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+        return out.select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbour_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+
+    def q_embedding_neardup(spark, sf_dir):
+        emb = _session(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+        pairs = dedup.embedding_near_duplicates(
+            emb, threshold=0.25, block_cols=["label"]
+        )
+        return pairs.select(
+            "vec_id_l", "vec_id_r", F.round("cosine_sim", 6).alias("cosine_sim")
+        )
+
+    def q_events_window(spark, sf_dir):
+        from pyspark.sql.window import Window
+
+        ev = _session(spark).read.parquet(f"{sf_dir}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        cum = w.rowsBetween(Window.unboundedPreceding, 0)
+        return ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.round(F.sum("value").over(cum), 6).alias("running_value"),
+        )
+
+    def q_events_sessions(spark, sf_dir):
+        """Sessionization: 30-min-gap sessions per user (gaps-and-islands)."""
+        from pyspark.sql.window import Window
+
+        ev = _session(spark).read.parquet(f"{sf_dir}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        prev_ts = F.lag("ts").over(w)
+        new_session = (
+            prev_ts.isNull()
+            | ((F.col("ts") - prev_ts) > 1800 * 1_000_000_000)  # ts in nanos
+        ).cast("int")
+        sess = ev.select(
+            "event_id", "user_id", "ts", "value", new_session.alias("is_new")
+        ).withColumn(
+            "session_idx",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        return (
+            sess.groupBy("user_id", "session_idx")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("session_value"),
+            )
+        )
+
+    return {
+        "concat_union": q_concat_union,
+        "tf_mktsegment": q_tf_mktsegment,
+        "block_single": q_block_single,
+        "block_multi": q_block_multi,
+        "comparison_vectors": q_comparison_vectors,
+        "predict_customer": q_predict,
+        "em_patterns": q_em_patterns,
+        "cluster_components": q_cluster,
+        "truth_space": q_truth_space,
+        "unlinkables": q_unlinkables,
+        "dedup_exact": q_dedup_exact,
+        "fingerprint": q_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "text_quality": q_text_quality,
+        "lang_stats": q_lang_stats,
+        "ann_topk": q_ann_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "events_window": q_events_window,
+        "events_sessions": q_events_sessions,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+_CUST = "SELECT c_custkey AS unique_id, c_name, c_nationkey, c_mktsegment, c_acctbal FROM customer"
+
+
+def _gamma_sql() -> str:
+    return f"""
+      CASE WHEN name_l IS NULL OR name_r IS NULL THEN -1
+           WHEN name_l = name_r THEN 3
+           WHEN levenshtein(name_l, name_r) <= 1 THEN 2
+           WHEN levenshtein(name_l, name_r) <= 2 THEN 1
+           ELSE 0 END AS gamma_c_name,
+      CASE WHEN seg_l IS NULL OR seg_r IS NULL THEN -1
+           WHEN seg_l = seg_r THEN 1
+           ELSE 0 END AS gamma_c_mktsegment,
+      CASE WHEN bal_l IS NULL OR bal_r IS NULL THEN -1
+           WHEN bal_l = bal_r THEN 3
+           WHEN abs(CAST(bal_l AS DOUBLE) - CAST(bal_r AS DOUBLE)) <= 10.0 THEN 2
+           WHEN abs(CAST(bal_l AS DOUBLE) - CAST(bal_r AS DOUBLE)) <= 100.0 THEN 1
+           ELSE 0 END AS gamma_c_acctbal"""
+
+
+def _pairs_sql(with_tf: bool = False) -> str:
+    tf_cte = """
+    tf AS (
+      SELECT c_mktsegment AS seg, CAST(count(*) AS DOUBLE) /
+             (SELECT CAST(count(c_mktsegment) AS DOUBLE) FROM cust) AS tf
+      FROM cust WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment
+    ),"""
+    tf_cols = ", tfl.tf AS tf_l, tfr.tf AS tf_r" if with_tf else ""
+    tf_join = (
+        "LEFT JOIN tf tfl ON l.c_mktsegment = tfl.seg "
+        "LEFT JOIN tf tfr ON r.c_mktsegment = tfr.seg"
+        if with_tf
+        else ""
+    )
+    return f"""
+    WITH cust AS ({_CUST}),{tf_cte if with_tf else ""}
+    pairs AS (
+      SELECT l.unique_id AS unique_id_l, r.unique_id AS unique_id_r,
+             l.c_name AS name_l, r.c_name AS name_r,
+             l.c_mktsegment AS seg_l, r.c_mktsegment AS seg_r,
+             l.c_acctbal AS bal_l, r.c_acctbal AS bal_r{tf_cols}
+      FROM cust l JOIN cust r
+        ON l.c_nationkey = r.c_nationkey AND l.unique_id < r.unique_id
+        {tf_join}
+    ),
+    gammas AS (SELECT *, {_gamma_sql()} FROM pairs)"""
+
+
+def _mw_case(comp: str, gamma_col: str) -> str:
+    arms = " ".join(
+        f"WHEN {g} THEN {repr(w)}" for g, w in sorted(L2[comp].items(), reverse=True)
+    )
+    return f"CASE {gamma_col} {arms} ELSE 0.0 END"
+
+
+def _predict_sql() -> str:
+    tf_term = f"""CASE WHEN gamma_c_mktsegment = 1 THEN
+        CASE WHEN greatest(coalesce(tf_l, tf_r), coalesce(tf_r, tf_l), 0.0) > 0
+             THEN 1.0 * ({repr(L2_U_EXACT_SEG)} - log2(greatest(coalesce(tf_l, tf_r), coalesce(tf_r, tf_l), 0.0)))
+             ELSE 0.0 END
+        ELSE 0.0 END"""
+    mw = (
+        f"{repr(PRIOR_L2)} + {_mw_case('c_name', 'gamma_c_name')} "
+        f"+ {_mw_case('c_mktsegment', 'gamma_c_mktsegment')} + ({tf_term}) "
+        f"+ {_mw_case('c_acctbal', 'gamma_c_acctbal')}"
+    )
+    return f"""
+    {_pairs_sql(with_tf=True)},
+    weights AS (SELECT *, ({mw}) AS mw FROM gammas)
+    SELECT unique_id_l, unique_id_r,
+           gamma_c_name, gamma_c_mktsegment, gamma_c_acctbal,
+           round(mw, 6) AS match_weight,
+           round(CASE WHEN mw >= 0 THEN 1.0 / (1.0 + pow(2.0, -mw))
+                      ELSE pow(2.0, mw) / (1.0 + pow(2.0, mw)) END, 6) AS match_probability
+    FROM weights"""
+
+
+def _ngrams_sql(col: str, n: int) -> str:
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(length({col}) - {n - 1}, 1)), "
+        f"i -> {col}[i:i+{n - 1}]))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    prior = repr(PRIOR_L2)
+    sqls: dict[str, str] = {}
+
+    sqls["concat_union"] = """
+      SELECT c_custkey AS unique_id, c_name, c_nationkey, c_mktsegment, c_acctbal,
+             'even' AS source_dataset FROM customer WHERE c_custkey % 2 = 0
+      UNION ALL
+      SELECT c_custkey AS unique_id, c_name, c_nationkey, c_mktsegment, c_acctbal,
+             'odd' AS source_dataset FROM customer WHERE c_custkey % 2 = 1
     """
-    return {}
+
+    sqls["tf_mktsegment"] = """
+      SELECT c_mktsegment,
+             round(CAST(count(*) AS DOUBLE) /
+                   (SELECT CAST(count(c_mktsegment) AS DOUBLE) FROM customer), 9) AS tf
+      FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment
+    """
+
+    sqls["block_single"] = f"""
+      WITH cust AS ({_CUST})
+      SELECT '0' AS match_key, l.unique_id AS join_key_l, r.unique_id AS join_key_r
+      FROM cust l JOIN cust r
+        ON l.c_nationkey = r.c_nationkey AND l.unique_id < r.unique_id
+    """
+
+    sqls["block_multi"] = f"""
+      WITH cust AS ({_CUST})
+      SELECT '0' AS match_key, l.unique_id AS join_key_l, r.unique_id AS join_key_r
+      FROM cust l JOIN cust r
+        ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
+           AND l.unique_id < r.unique_id
+      UNION ALL
+      SELECT '1', l.unique_id, r.unique_id
+      FROM cust l JOIN cust r
+        ON l.c_nationkey = r.c_nationkey AND l.unique_id < r.unique_id
+           AND NOT coalesce(l.c_nationkey = r.c_nationkey
+                            AND l.c_mktsegment = r.c_mktsegment, FALSE)
+    """
+
+    sqls["comparison_vectors"] = f"""
+      {_pairs_sql()}
+      SELECT unique_id_l, unique_id_r,
+             gamma_c_name, gamma_c_mktsegment, gamma_c_acctbal
+      FROM gammas
+    """
+
+    sqls["predict_customer"] = _predict_sql()
+
+    sqls["em_patterns"] = f"""
+      {_pairs_sql()}
+      SELECT gamma_c_name, gamma_c_mktsegment, gamma_c_acctbal,
+             count(*) AS pattern_count
+      FROM gammas GROUP BY 1, 2, 3
+    """
+
+    sqls["cluster_components"] = f"""
+      WITH RECURSIVE cust AS ({_CUST}),
+      e AS (
+        SELECT l.unique_id AS a, r.unique_id AS b
+        FROM cust l JOIN cust r
+          ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
+             AND abs(CAST(l.c_acctbal AS DOUBLE) - CAST(r.c_acctbal AS DOUBLE)) <= 50.0
+             AND l.unique_id < r.unique_id
+      ),
+      und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      walk(node, reach) AS (
+        SELECT unique_id, unique_id FROM cust
+        UNION
+        SELECT w.node, u.b FROM walk w JOIN und u ON w.reach = u.a
+      )
+      SELECT node AS unique_id, min(reach) AS cluster_id FROM walk GROUP BY node
+    """
+
+    sqls["truth_space"] = f"""
+      {_pairs_sql(with_tf=True)},
+      weights AS (
+        SELECT *,
+          round({prior} + {_mw_case('c_name', 'gamma_c_name')}
+            + {_mw_case('c_mktsegment', 'gamma_c_mktsegment')}
+            + (CASE WHEN gamma_c_mktsegment = 1 THEN
+                 CASE WHEN greatest(coalesce(tf_l, tf_r), coalesce(tf_r, tf_l), 0.0) > 0
+                      THEN 1.0 * ({repr(L2_U_EXACT_SEG)} - log2(greatest(coalesce(tf_l, tf_r), coalesce(tf_r, tf_l), 0.0)))
+                      ELSE 0.0 END
+               ELSE 0.0 END)
+            + {_mw_case('c_acctbal', 'gamma_c_acctbal')}, 6) AS mw,
+          CASE WHEN seg_l = seg_r
+                    AND abs(CAST(bal_l AS DOUBLE) - CAST(bal_r AS DOUBLE)) <= 100.0
+               THEN 1 ELSE 0 END AS is_match
+        FROM gammas
+      ),
+      per AS (
+        SELECT mw AS truth_threshold,
+               CAST(sum(is_match) AS BIGINT) AS n_pos,
+               CAST(sum(1 - is_match) AS BIGINT) AS n_neg
+        FROM weights GROUP BY mw
+      ),
+      cum AS (
+        SELECT truth_threshold,
+          CAST(sum(n_pos) OVER (ORDER BY truth_threshold DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+          CAST(sum(n_neg) OVER (ORDER BY truth_threshold DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp,
+          CAST((SELECT sum(n_pos) FROM per) - sum(n_pos) OVER (ORDER BY truth_threshold DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fn,
+          CAST((SELECT sum(n_neg) FROM per) - sum(n_neg) OVER (ORDER BY truth_threshold DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tn
+        FROM per
+      )
+      SELECT truth_threshold, tp, fp, fn, tn,
+        round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision,
+        round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall,
+        round(CASE WHEN 2 * tp + fp + fn > 0 THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END, 6) AS f1
+      FROM cum
+    """
+
+    seg_tf = """
+      tf AS (
+        SELECT c_mktsegment AS seg, CAST(count(*) AS DOUBLE) /
+               (SELECT CAST(count(c_mktsegment) AS DOUBLE) FROM cust) AS tf
+        FROM cust WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment
+      )"""
+    sqls["unlinkables"] = f"""
+      WITH cust AS ({_CUST}),{seg_tf},
+      selfp AS (
+        SELECT c.unique_id, c.c_name, c.c_mktsegment, c.c_acctbal, t.tf
+        FROM cust c LEFT JOIN tf t ON c.c_mktsegment = t.seg
+      ),
+      w AS (
+        SELECT round({prior}
+          + (CASE WHEN c_name IS NULL THEN 0.0 ELSE {repr(L2['c_name'][3])} END)
+          + (CASE WHEN c_mktsegment IS NULL THEN 0.0 ELSE {repr(L2['c_mktsegment'][1])} END)
+          + (CASE WHEN c_mktsegment IS NOT NULL AND coalesce(tf, 0.0) > 0
+                  THEN {repr(L2_U_EXACT_SEG)} - log2(tf) ELSE 0.0 END)
+          + (CASE WHEN c_acctbal IS NULL THEN 0.0 ELSE {repr(L2['c_acctbal'][3])} END), 2) AS match_weight
+        FROM selfp
+      )
+      SELECT match_weight, count(*) AS count FROM w GROUP BY match_weight
+    """
+
+    sqls["dedup_exact"] = """
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id
+      FROM documents
+    """
+
+    sqls["fingerprint"] = """
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                     '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    """
+
+    g3 = _ngrams_sql("text", 3)
+    sqls["ngram_jaccard"] = f"""
+      WITH g AS (SELECT doc_id, lang, {g3} AS grams FROM documents)
+      SELECT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r,
+             round(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+                   / len(list_distinct(list_concat(l.grams, r.grams))), 6) AS jaccard
+      FROM g l JOIN g r ON l.lang = r.lang AND l.doc_id < r.doc_id
+      WHERE CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+            / len(list_distinct(list_concat(l.grams, r.grams))) >= 0.62
+    """
+
+    sqls["text_quality"] = """
+      WITH t AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+      )
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS BIGINT) AS n_tokens,
+        round(CAST(length(text) AS DOUBLE) /
+              greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END, 1), 6) AS avg_token_len,
+        round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+              / greatest(length(text), 1), 6) AS punct_ratio,
+        round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    t2 -> t2 IN ('the','and','of','to','a','in','is','it','for','on','with','as'))) AS DOUBLE)
+              / greatest(len(toks), 1), 6) AS stopword_ratio
+      FROM t
+    """
+
+    sqls["lang_stats"] = """
+      WITH agg AS (
+        SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+        FROM documents GROUP BY lang
+      )
+      SELECT lang, n_docs, avg_chars,
+             CAST(row_number() OVER (ORDER BY n_docs DESC, lang ASC) AS BIGINT) AS rank
+      FROM agg
+    """
+
+    sqls["ann_topk"] = """
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      s AS (
+        SELECT q.query_id, e.vec_id AS neighbour_id,
+               list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+      )
+      SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id ASC) AS BIGINT) AS rank,
+             neighbour_id, round(sim, 6) AS cosine_sim
+      FROM s
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id ASC) <= 5
+    """
+
+    sqls["embedding_neardup"] = """
+      SELECT l.vec_id AS vec_id_l, r.vec_id AS vec_id_r,
+             round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+                                          CAST(r.embedding AS DOUBLE[])), 6) AS cosine_sim
+      FROM embeddings l JOIN embeddings r
+        ON l.label = r.label AND l.vec_id < r.vec_id
+      WHERE list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+                                   CAST(r.embedding AS DOUBLE[])) >= 0.25
+    """
+
+    sqls["events_window"] = """
+      SELECT event_id, user_id, event_type,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+             round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING), 6) AS running_value
+      FROM events
+    """
+
+    sqls["events_sessions"] = """
+      WITH flagged AS (
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR epoch_ns(ts) - epoch_ns(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      ),
+      sess AS (
+        SELECT user_id, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged
+      )
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             count(*) AS n_events, round(sum(value), 6) AS session_value
+      FROM sess GROUP BY user_id, session_idx
+    """
+    # NOTE: minhash_lsh has no oracle (xxhash64 hash family is Spark-specific)
+    return sqls

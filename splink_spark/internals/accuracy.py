@@ -1,0 +1,136 @@
+"""Evaluation: truth-space (threshold sweep) tables.
+
+Reference: splink/internals/accuracy.py:60-290 — group scored pairs by
+truth_threshold, running-total windows for cumulative TP/FP/TN/FN, then the
+derived metrics (precision, recall, specificity, F1...) at every threshold.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def truth_space_table(
+    scored: DataFrame,
+    score_col: str = "match_weight",
+    label_col: str = "clerical_match",
+) -> DataFrame:
+    """One row per distinct score threshold with cumulative confusion counts.
+
+    A pair predicts positive at threshold t iff score >= t. Sweeping from the
+    highest threshold down, TP/FP accumulate via running-sum windows — one
+    shuffle on the (small) distinct-threshold table.
+    """
+    per_threshold = (
+        scored.select(
+            F.col(score_col).alias("truth_threshold"),
+            F.col(label_col).cast("int").alias("is_match"),
+        )
+        .groupBy("truth_threshold")
+        .agg(
+            F.sum("is_match").alias("n_pos"),
+            F.sum(F.lit(1) - F.col("is_match")).alias("n_neg"),
+        )
+    )
+    total_pos = F.sum("n_pos").over(Window.partitionBy())
+    total_neg = F.sum("n_neg").over(Window.partitionBy())
+    w_desc = (
+        Window.orderBy(F.desc("truth_threshold"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = per_threshold.select(
+        "truth_threshold",
+        F.sum("n_pos").over(w_desc).alias("tp"),
+        F.sum("n_neg").over(w_desc).alias("fp"),
+        (total_pos - F.sum("n_pos").over(w_desc)).alias("fn"),
+        (total_neg - F.sum("n_neg").over(w_desc)).alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    d = lambda x: x.cast("double")  # noqa: E731
+    precision = F.when(tp + fp > 0, d(tp) / d(tp + fp))
+    recall = F.when(tp + fn > 0, d(tp) / d(tp + fn))
+    specificity = F.when(tn + fp > 0, d(tn) / d(tn + fp))
+    f1 = F.when(2 * tp + fp + fn > 0, d(2 * tp) / d(2 * tp + fp + fn))
+    accuracy = (d(tp) + d(tn)) / (d(tp) + d(tn) + d(fp) + d(fn))
+    return out.select(
+        "truth_threshold",
+        "tp", "fp", "fn", "tn",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        specificity.alias("specificity"),
+        f1.alias("f1"),
+        accuracy.alias("accuracy"),
+    ).orderBy("truth_threshold")
+
+
+def truth_space_table_from_labels_column(
+    linker, labels_column: str, df_predict: Optional[DataFrame] = None
+) -> DataFrame:
+    """Truth from a ground-truth entity column on the input (accuracy.py:
+    *_from_label_column path): a pair is a true match iff labels agree."""
+    if df_predict is None:
+        df_predict = linker.inference.predict()
+    label = (
+        F.col(f"{labels_column}_l").eqNullSafe(F.col(f"{labels_column}_r"))
+    ).cast("int")
+    return truth_space_table(
+        df_predict.withColumn("__clerical", label),
+        score_col="match_weight",
+        label_col="__clerical",
+    )
+
+
+def prediction_errors_from_labels_column(
+    linker,
+    labels_column: str,
+    df_predict: Optional[DataFrame] = None,
+    threshold_match_probability: float = 0.5,
+    include_false_positives: bool = True,
+    include_false_negatives: bool = True,
+) -> DataFrame:
+    """FP/FN pair lists at a threshold (accuracy.py:442-520)."""
+    if df_predict is None:
+        df_predict = linker.inference.predict()
+    truth = F.col(f"{labels_column}_l").eqNullSafe(F.col(f"{labels_column}_r"))
+    pred = F.col("match_probability") >= threshold_match_probability
+    conds = []
+    if include_false_positives:
+        conds.append(pred & ~truth)
+    if include_false_negatives:
+        conds.append(~pred & truth)
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond | c
+    return df_predict.where(cond)
+
+
+def unlinkables_table(linker) -> DataFrame:
+    """Self-link match-weight distribution (reference unlinkables.py;
+    linker.py:493-552): score every record against itself; records whose
+    self-match weight is low are intrinsically unlinkable."""
+    from .comparison_vectors import blocked_pairs_with_columns, compute_comparison_vectors
+    from .predict import predict_from_comparison_vectors
+
+    s = linker.settings
+    uid = s.unique_id_column_name
+    concat = linker.df_concat_with_tf()
+    pairs = concat.select(
+        F.lit("self").alias("match_key"),
+        F.col(uid).alias("join_key_l"),
+        F.col(uid).alias("join_key_r"),
+    )
+    cv = compute_comparison_vectors(
+        blocked_pairs_with_columns(pairs, concat, s), s
+    )
+    scored = predict_from_comparison_vectors(cv, s)
+    rounded = F.round(F.col("match_weight"), 2).alias("match_weight")
+    return (
+        scored.select(rounded)
+        .groupBy("match_weight")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("match_weight")
+    )

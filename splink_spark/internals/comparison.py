@@ -111,6 +111,50 @@ class Comparison:
         # null level → bayes factor 1 (no evidence)
         return expr.otherwise(F.lit(1.0)).alias(f"bf_{self.gamma_column_name}")
 
+    def log2_bayes_factor_column(self) -> Column:
+        """``mw_<col>``: per-pair log2 bayes factor as a CASE ladder over
+        driver-precomputed constants (comparison_level.py:664-669). Using
+        log2 constants (not runtime log2(bf)) keeps the combine step a pure
+        sum of literals — deterministic across engines for oracle parity."""
+        gamma = F.col(self.gamma_column_name)
+        expr: Optional[Column] = None
+        for lv in self.comparison_levels:
+            if lv.is_null_level:
+                continue
+            c = F.lit(float(lv.log2_bayes_factor))
+            cond = gamma == F.lit(lv.comparison_vector_value)
+            expr = F.when(cond, c) if expr is None else expr.when(cond, c)
+        assert expr is not None
+        return expr.otherwise(F.lit(0.0)).alias(f"mw_{self.output_column_name}")
+
+    def log2_tf_adjustment_column(self) -> Optional[Column]:
+        """log2 of the TF-adjusted multiplier: w * (log2(u_exact) - log2(tf))
+        (comparison_level.py:671-731, log-space form per SURVEY §2.8)."""
+        if not self.has_tf_adjustments:
+            return None
+        import math as _math
+
+        gamma = F.col(self.gamma_column_name)
+        expr: Optional[Column] = None
+        for lv in self.comparison_levels:
+            if not lv.has_tf_adjustment:
+                continue
+            c = lv.tf_adjustment_column
+            tf_l, tf_r = F.col(f"tf_{c}_l"), F.col(f"tf_{c}_r")
+            tf_term = F.greatest(
+                F.coalesce(tf_l, tf_r),
+                F.coalesce(tf_r, tf_l),
+                F.lit(float(lv.tf_minimum_u_value)),
+            )
+            u_exact = self._u_probability_for_exact_match(lv)
+            log2_u_exact = F.lit(_math.log2(max(u_exact, 1e-300)))
+            adj = F.lit(float(lv.tf_adjustment_weight)) * (log2_u_exact - F.log2(tf_term))
+            cond = gamma == F.lit(lv.comparison_vector_value)
+            arm = F.when(tf_term.isNotNull() & (tf_term > 0), adj).otherwise(F.lit(0.0))
+            expr = F.when(cond, arm) if expr is None else expr.when(cond, arm)
+        assert expr is not None
+        return expr.otherwise(F.lit(0.0)).alias(f"mw_tf_{self.output_column_name}")
+
     def tf_adjustment_column_expr(self) -> Optional[Column]:
         """Term-frequency adjusted bayes-factor multiplier (``bf_tf_adj_*``).
 

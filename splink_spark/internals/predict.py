@@ -59,11 +59,15 @@ def predict_from_comparison_vectors(
 
     scored = cv.select("*", *bf_cols)
 
+    # match weight: a sum of driver-precomputed log2 constants selected by
+    # CASE-on-gamma ladders (plus the runtime log2(tf) terms) — identical
+    # result to log2(prod bf) but deterministic in summation order
     mw: Column = F.lit(prior_log2_bayes_factor(settings.probability_two_random_records_match))
     for comp in settings.comparisons:
-        mw = mw + F.log2(F.col(f"bf_{comp.gamma_column_name}"))
-        if comp.has_tf_adjustments:
-            mw = mw + F.log2(F.col(f"bf_tf_adj_{comp.gamma_column_name}"))
+        mw = mw + comp.log2_bayes_factor_column()
+        tf_mw = comp.log2_tf_adjustment_column()
+        if tf_mw is not None:
+            mw = mw + tf_mw
 
     scored = scored.withColumn("match_weight", mw)
     scored = scored.withColumn("match_probability", stable_sigmoid(F.col("match_weight")))

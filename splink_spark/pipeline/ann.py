@@ -1,0 +1,139 @@
+"""Approximate-nearest-neighbour search over an embedding column.
+
+Brute-force cosine top-k is the correctness baseline (bounded: queries are a
+small broadcast side). The scale path is random-hyperplane LSH bucketing: the
+probe join becomes an equi-join on bucket signature, so candidate generation
+is O(bucket) not O(corpus) per query — the shape that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..internals.functions import cosine_similarity
+
+
+def _sim(l, r):
+    return cosine_similarity(l.cast("array<double>"), r.cast("array<double>"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the (small) query side against the
+    corpus, window-rank per query. Ties broken by corpus id (deterministic)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(embedding_col).alias("__q_emb")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbour_id"), F.col(embedding_col).alias("__c_emb")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbour_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbour_id",
+            _sim(F.col("__q_emb"), F.col("__c_emb")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbour_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbour_id", "cosine_sim")
+    )
+
+
+def random_hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-ish hyperplanes (pure python; tiny)."""
+    import hashlib
+    import struct
+
+    planes = []
+    for p in range(num_planes):
+        vec = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
+            (x,) = struct.unpack("<q", h[:8])
+            vec.append(x / 2**63)  # [-1, 1)
+        planes.append(vec)
+    return planes
+
+
+def lsh_bucket_signature(embedding_col, planes: Sequence[Sequence[float]]):
+    """Sign-bit signature: one bit per hyperplane, packed into a bigint.
+
+    Everything is HOF arithmetic over the array column — JVM-side codegen.
+    """
+    bits = []
+    for i, plane in enumerate(planes):
+        plane_arr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(embedding_col.cast("array<double>"), plane_arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("bigint")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    num_tables: int = 4,
+    dim: Optional[int] = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus rows sharing any of
+    ``num_tables`` LSH bucket signatures with the query, then exact cosine
+    rank within candidates."""
+    if dim is None:
+        dim = len(corpus.select(embedding_col).first()[0])
+    cand = None
+    for t in range(num_tables):
+        planes = random_hyperplanes(dim, num_planes, seed=seed + 1000 * t)
+        sig = lambda col: lsh_bucket_signature(col, planes)  # noqa: E731
+        c = corpus.select(
+            F.col(id_col).alias("neighbour_id"),
+            F.col(embedding_col).alias("__c_emb"),
+            sig(F.col(embedding_col)).alias("__bucket"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(embedding_col).alias("__q_emb"),
+            sig(F.col(embedding_col)).alias("__bucket"),
+        )
+        pairs = c.join(F.broadcast(q), on="__bucket").where(
+            F.col("neighbour_id") != F.col("query_id")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates(["query_id", "neighbour_id"])
+    scored = cand.select(
+        "query_id",
+        "neighbour_id",
+        _sim(F.col("__q_emb"), F.col("__c_emb")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbour_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbour_id", "cosine_sim")
+    )

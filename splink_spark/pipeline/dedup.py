@@ -1,0 +1,209 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+These go beyond the reference's record-linkage surface (BASELINE.json
+north_star): exact dedup, n-gram Jaccard near-dup, MinHash+LSH, and
+embedding-cosine near-dup — each designed so the candidate-generation step is
+a bounded join (hash bucket / LSH band / block), never an unblocked O(n^2)
+cross join, so the same plan holds at 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, canonical_id) with canonical = min id among identical texts.
+
+    Scale: group on md5(text) (16-byte key) instead of the full text so the
+    shuffle carries a fixed-width key, not document bodies.
+    """
+    hashed = df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__text_hash")
+    )
+    canon = hashed.groupBy("__text_hash").agg(F.min(id_col).alias("canonical_id"))
+    return (
+        hashed.join(canon, on="__text_hash")
+        .select(F.col(id_col), F.col("canonical_id"))
+    )
+
+
+def char_ngrams(col, n: int = 3):
+    """Distinct character n-grams of a string as an array column (pure HOF)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1))),
+            lambda i: F.substring(col, i, n),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard similarity.
+
+    ``block_cols`` bound the self-join (e.g. language, source, length bucket);
+    with no blocks this is the exact quadratic baseline — only for small n or
+    as the verification oracle for the MinHash path.
+    """
+    grams = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols],
+        char_ngrams(F.col(text_col), n).alias("__grams"),
+    )
+    left = grams.select(
+        *[F.col(c).alias(f"{c}_l") for c in (id_col, *block_cols)],
+        F.col("__grams").alias("__grams_l"),
+    )
+    right = grams.select(
+        *[F.col(c).alias(f"{c}_r") for c in (id_col, *block_cols)],
+        F.col("__grams").alias("__grams_r"),
+    )
+    cond = F.col(f"{id_col}_l") < F.col(f"{id_col}_r")
+    for c in block_cols:
+        cond = cond & (F.col(f"{c}_l") == F.col(f"{c}_r"))
+    inter = F.size(F.array_intersect(F.col("__grams_l"), F.col("__grams_r")))
+    union = F.size(F.array_union(F.col("__grams_l"), F.col("__grams_r")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        left.join(right, on=cond)
+        .select(
+            F.col(f"{id_col}_l"),
+            F.col(f"{id_col}_r"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """MinHash signature per document, fully JVM-side.
+
+    The hash family is ``xxhash64(shingle, seed_i)`` — i-th family member
+    seeded by position; array HOFs keep everything inside codegen (no UDF).
+    """
+    shingles = char_ngrams(F.col(text_col), shingle_size)
+    sig = F.transform(
+        F.sequence(F.lit(1), F.lit(num_hashes)),
+        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, i))),
+    )
+    return df.select(F.col(id_col), sig.alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    jaccard_threshold: Optional[float] = 0.5,
+    n: Optional[int] = None,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    signature → ``bands`` bands of ``num_hashes/bands`` rows each → explode →
+    group-join on (band_index, band_hash). The candidate join is an equi-join
+    on the band key (shuffle bounded by bucket sizes — the 100 TB path).
+    Optionally verifies candidates with exact n-gram Jaccard.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band).cast(
+                        "string"
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    l = banded.select(
+        F.col(id_col).alias(f"{id_col}_l"), "band", "band_hash"
+    )
+    r = banded.select(
+        F.col(id_col).alias(f"{id_col}_r"), "band", "band_hash"
+    )
+    cand = (
+        l.join(r, on=["band", "band_hash"])
+        .where(F.col(f"{id_col}_l") < F.col(f"{id_col}_r"))
+        .select(f"{id_col}_l", f"{id_col}_r")
+        .distinct()
+    )
+    if jaccard_threshold is None:
+        return cand
+    # verify candidates with exact n-gram jaccard (rejoin text)
+    n = n or shingle_size
+    grams = df.select(F.col(id_col), char_ngrams(F.col(text_col), n).alias("__g"))
+    out = (
+        cand.join(
+            grams.select(F.col(id_col).alias(f"{id_col}_l"), F.col("__g").alias("__g_l")),
+            on=f"{id_col}_l",
+        )
+        .join(
+            grams.select(F.col(id_col).alias(f"{id_col}_r"), F.col("__g").alias("__g_r")),
+            on=f"{id_col}_r",
+        )
+        .select(
+            f"{id_col}_l",
+            f"{id_col}_r",
+            (
+                F.size(F.array_intersect("__g_l", "__g_r")).cast("double")
+                / F.size(F.array_union("__g_l", "__g_r")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+    return out
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    block_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine similarity (HOF dot product)."""
+    from ..internals.functions import cosine_similarity
+
+    cols = [id_col, embedding_col, *block_cols]
+    l = df.select(*[F.col(c).alias(f"{c}_l") for c in cols])
+    r = df.select(*[F.col(c).alias(f"{c}_r") for c in cols])
+    cond = F.col(f"{id_col}_l") < F.col(f"{id_col}_r")
+    for c in block_cols:
+        cond = cond & (F.col(f"{c}_l") == F.col(f"{c}_r"))
+    sim = cosine_similarity(
+        F.col(f"{embedding_col}_l").cast("array<double>"),
+        F.col(f"{embedding_col}_r").cast("array<double>"),
+    )
+    return (
+        l.join(r, on=cond)
+        .select(
+            F.col(f"{id_col}_l"),
+            F.col(f"{id_col}_r"),
+            sim.alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,107 @@
+"""Text-analysis operators: token counting, quality scoring, language-ID
+heuristic, document fingerprinting. All pure Column expressions (JVM-side,
+whole-stage codegen) — designed to run over billions of documents with no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small English stopword set for quality scoring / lang-id heuristic
+_EN_STOPWORDS = [
+    "the", "and", "of", "to", "a", "in", "is", "it", "for", "on", "with", "as",
+]
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token estimate: word chunks + digits + punctuation marks
+    counted separately (a deterministic, regex-only BPE stand-in)."""
+    return F.size(
+        F.expr(
+            f"regexp_extract_all({_sql(col)}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"
+        )
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    n_punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(col), F.lit(1)).cast("double")
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(_EN_STOPWORDS))
+    )
+    return n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality metrics (length/punct/stopword heuristics)."""
+    c = F.col(text_col)
+    n_tok = token_count(c)
+    return df.select(
+        F.col(id_col),
+        F.length(c).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        (F.length(c).cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")).alias(
+            "avg_token_len"
+        ),
+        punct_ratio(c).alias("punct_ratio"),
+        stopword_ratio(c).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite 0-1 quality score from the metrics (monotone, deterministic)."""
+    m = quality_metrics(df, text_col, id_col)
+    len_score = F.least(F.col("n_tokens").cast("double") / F.lit(50.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))
+    stop_score = F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0))
+    return m.select(
+        id_col,
+        ((len_score + punct_score + stop_score) / 3.0).alias("quality_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Normalised-content fingerprint: md5 of lowercased text with whitespace
+    collapsed and punctuation stripped. Stable across engines (md5 is
+    bit-identical everywhere) — the exact-dedup key for noisy duplicates."""
+    c = F.col(text_col)
+    normalized = F.regexp_replace(
+        F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " "
+    )
+    return df.select(
+        F.col(id_col), F.md5(F.trim(normalized)).alias("fingerprint")
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N-gram/stopword language-ID heuristic: English stopword density above a
+    threshold → 'en', else 'other'. (A real model is out of scope; the operator
+    shape — per-doc classification, no shuffle — is the point.)"""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.when(stopword_ratio(c) >= 0.08, F.lit("en")).otherwise(F.lit("other")).alias(
+            "lang_pred"
+        ),
+    )
+
+
+def _sql(col: Column) -> str:
+    # Column -> SQL fragment for embedding in F.expr strings
+    return col._jc.toString()  # type: ignore[attr-defined]

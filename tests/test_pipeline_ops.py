@@ -1,0 +1,148 @@
+"""Tests for the LLM-data-pipeline operators (dedup, ANN, text, multimodal)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from splink_spark.pipeline import ann, dedup, multimodal, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (2, "the quick brown fox jumped over the lazy dog", "en"),  # near dup
+        (3, "completely different content here about sparks", "en"),
+        (4, "pack my box with five dozen liquor jugs", "en"),
+        (5, "The Quick Brown Fox... jumps over the lazy dog!!", "en"),  # fp-dup of 0
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_exact_duplicates(spark, docs):
+    out = {r["doc_id"]: r["canonical_id"] for r in dedup.exact_duplicates(docs).collect()}
+    assert out[1] == 0 and out[0] == 0
+    assert out[2] == 2 and out[3] == 3
+
+
+def test_fingerprint_normalises(spark, docs):
+    out = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(docs).collect()}
+    assert out[0] == out[1]
+    assert out[0] == out[5], "case/punct-insensitive fingerprint"
+    assert out[0] != out[2]
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, block_cols=["lang"]).collect()
+    d = {(r["doc_id_l"], r["doc_id_r"]): r["jaccard"] for r in pairs}
+    assert d[(0, 1)] == pytest.approx(1.0)
+    assert d[(0, 2)] > 0.8
+    assert (0, 3) not in d
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, shingle_size=4, jaccard_threshold=0.5, n=3
+    ).collect()
+    found = {(r["doc_id_l"], r["doc_id_r"]) for r in pairs}
+    assert (0, 1) in found
+    assert (0, 2) in found
+    assert (0, 3) not in found
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    """MinHash signature agreement rate ~ true shingle jaccard."""
+    sigs = {r["doc_id"]: r["minhash"] for r in dedup.minhash_signatures(
+        docs, num_hashes=128, shingle_size=4).collect()}
+    agree = sum(a == b for a, b in zip(sigs[0], sigs[2])) / 128
+    grams = lambda s: {s[i:i+4] for i in range(len(s) - 3)}  # noqa: E731
+    g0, g2 = grams("the quick brown fox jumps over the lazy dog"), grams(
+        "the quick brown fox jumped over the lazy dog")
+    true_j = len(g0 & g2) / len(g0 | g2)
+    assert agree == pytest.approx(true_j, abs=0.15)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = random.Random(0)
+    rows = []
+    for i in range(100):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v, i % 3))
+    # vec 100 = vec 0 scaled (cosine 1.0)
+    rows.append((100, [2 * x for x in rows[0][1]], 0))
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_brute_force_topk(spark, vectors):
+    out = ann.brute_force_topk(vectors, vectors.where(F.col("vec_id") == 0), k=3)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert rows[0]["neighbour_id"] == 100
+    assert rows[0]["cosine_sim"] == pytest.approx(1.0)
+    assert len(rows) == 3
+    # verify rank-2 against a python oracle
+    import itertools
+
+    data = {r["vec_id"]: r["embedding"] for r in vectors.collect()}
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / math.sqrt(sum(x * x for x in a)) / math.sqrt(sum(x * x for x in b))
+    sims = sorted(
+        ((cos(data[0], v), k) for k, v in data.items() if k != 0), reverse=True
+    )
+    assert rows[1]["neighbour_id"] == sims[1][1]
+
+
+def test_lsh_topk_recall(spark, vectors):
+    exact = ann.brute_force_topk(vectors, vectors.where(F.col("vec_id") < 5), k=5)
+    # random gaussian vectors: neighbours sit at cosine ~0.4, so collision
+    # P/table = (1 - theta/pi)^planes ~ 0.16 with 4 planes; 16 tables -> ~94%
+    approx = ann.lsh_topk(
+        vectors, vectors.where(F.col("vec_id") < 5), k=5, num_planes=4, num_tables=16
+    )
+    e = {(r["query_id"], r["neighbour_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbour_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # the scaled twin must be found
+    assert (0, 100) in a
+
+
+def test_quality_and_tokens(spark, docs):
+    m = {r["doc_id"]: r for r in text.quality_metrics(docs).collect()}
+    assert m[0]["n_tokens"] == 9
+    assert m[0]["stopword_ratio"] == pytest.approx(2 / 9)  # the, the
+    assert m[5]["punct_ratio"] > 0
+    q = {r["doc_id"]: r["quality_score"] for r in text.quality_score(docs).collect()}
+    assert 0 <= min(q.values()) and max(q.values()) <= 1
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.documents_as_media(docs)
+    assert [f.name for f in media.schema.fields] == [
+        "media_id", "media_type", "content", "width", "height", "duration_ms"
+    ]
+    feats = multimodal.extract_features(media).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[0]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    assert len(by_id[0]["feature"]) == 4
+    # deterministic fake must be stable
+    feats2 = multimodal.extract_features(media).collect()
+    assert {r["media_id"]: r["feature"] for r in feats2} == {
+        r["media_id"]: r["feature"] for r in feats
+    }
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(media, 100, 100)
+
+
+def test_frame_sampling(spark):
+    media = spark.createDataFrame(
+        [(1, "video", None, None, None, 3500)], multimodal.MEDIA_SCHEMA
+    )
+    frames = multimodal.sample_frames(media, every_ms=1000).collect()
+    assert [r["frame_offset_ms"] for r in frames] == [0, 1000, 2000, 3000]
