@@ -1,0 +1,289 @@
+"""Literal-driven level tests, mirroring the reference's
+run_comparison_vector_value_tests harness (tests/literal_utils.py): feed
+literal record pairs through a single Comparison and assert which gamma each
+lands in."""
+
+from __future__ import annotations
+
+import pytest
+
+import splink_spark.internals.comparison_level_library as cll
+from splink_spark.internals.column_expression import ColumnExpression
+from splink_spark.internals.comparison import Comparison
+from splink_spark.internals.comparison_vectors import compute_comparison_vectors
+from splink_spark.internals.settings import SettingsCreator
+
+
+def run_gamma_tests(spark, comparison, col_types, cases):
+    """cases: list of (value_l, value_r, expected_gamma). Values are dicts if
+    the comparison reads several columns."""
+    rows = []
+    for i, (vl, vr, expected) in enumerate(cases):
+        row = {"pair_id": i, "expected": expected}
+        if not isinstance(vl, dict):
+            vl, vr = {"c": vl}, {"c": vr}
+        for k, v in vl.items():
+            row[f"{k}_l"] = v
+        for k, v in vr.items():
+            row[f"{k}_r"] = v
+        rows.append(row)
+    schema_parts = ["pair_id bigint", "expected int"]
+    for name, typ in col_types.items():
+        schema_parts += [f"{name}_l {typ}", f"{name}_r {typ}"]
+    df = spark.createDataFrame(rows, schema=", ".join(schema_parts))
+    out = df.select("pair_id", "expected", comparison.gamma_column())
+    for r in out.collect():
+        assert r[comparison.gamma_column_name] == r["expected"], (
+            f"case {r['pair_id']}: got gamma {r[comparison.gamma_column_name]}, "
+            f"want {r['expected']}"
+        )
+
+
+def _comp(levels, name="c"):
+    return Comparison(name, levels)
+
+
+def test_exact_and_null_levels(spark):
+    comp = _comp([cll.NullLevel("c"), cll.ExactMatchLevel("c"), cll.ElseLevel()])
+    run_gamma_tests(spark, comp, {"c": "string"}, [
+        ("a", "a", 1),
+        ("a", "b", 0),
+        (None, "a", -1),
+        ("a", None, -1),
+        (None, None, -1),
+        ("", "", 1),
+    ])
+
+
+def test_levenshtein_ladder(spark):
+    comp = _comp([
+        cll.NullLevel("c"), cll.ExactMatchLevel("c"),
+        cll.LevenshteinLevel("c", 1), cll.LevenshteinLevel("c", 2), cll.ElseLevel(),
+    ])
+    run_gamma_tests(spark, comp, {"c": "string"}, [
+        ("martha", "martha", 3),
+        ("martha", "martho", 2),   # 1 sub
+        ("martha", "marthat", 2),  # 1 insert
+        ("martha", "mortho", 1),   # 2 subs
+        ("martha", "xxxxxx", 0),
+    ])
+
+
+def test_damerau_levenshtein_counts_transposition(spark):
+    comp = _comp([
+        cll.NullLevel("c"), cll.DamerauLevenshteinLevel("c", 1), cll.ElseLevel(),
+    ])
+    run_gamma_tests(spark, comp, {"c": "string"}, [
+        ("martha", "marhta", 1),  # adjacent transposition = 1
+        ("martha", "mathra", 0),  # non-adjacent = 2
+        ("ab", "ba", 1),
+    ])
+
+
+def test_jaro_winkler_level(spark):
+    comp = _comp([
+        cll.NullLevel("c"), cll.JaroWinklerLevel("c", 0.9),
+        cll.JaroWinklerLevel("c", 0.7), cll.ElseLevel(),
+    ])
+    run_gamma_tests(spark, comp, {"c": "string"}, [
+        ("martha", "marhta", 2),     # JW ~0.961
+        ("dixon", "dicksonx", 1),    # JW ~0.813
+        ("abc", "xyz", 0),
+    ])
+
+
+def test_jaccard_level(spark):
+    comp = _comp([cll.NullLevel("c"), cll.JaccardLevel("c", 0.7), cll.ElseLevel()])
+    run_gamma_tests(spark, comp, {"c": "string"}, [
+        ("abc", "bca", 1),     # same char set
+        ("abcd", "abce", 0),   # 3/5 = 0.6
+        ("abcde", "abcdf", 0),  # 4/6
+        ("aab", "ab", 1),
+    ])
+
+
+def test_columns_reversed(spark):
+    comp = Comparison("fs", [
+        cll.NullLevel("f"),
+        cll.And(cll.ExactMatchLevel("f"), cll.ExactMatchLevel("s")),
+        cll.ColumnsReversedLevel("f", "s", symmetrical=True),
+        cll.ElseLevel(),
+    ])
+    run_gamma_tests(spark, comp, {"f": "string", "s": "string"}, [
+        ({"f": "john", "s": "smith"}, {"f": "john", "s": "smith"}, 2),
+        ({"f": "john", "s": "smith"}, {"f": "smith", "s": "john"}, 1),
+        ({"f": "john", "s": "smith"}, {"f": "john", "s": "jones"}, 0),
+    ])
+
+
+def test_absolute_difference_and_percentage(spark):
+    comp = _comp([
+        cll.NullLevel("c"), cll.AbsoluteDifferenceLevel("c", 5),
+        cll.PercentageDifferenceLevel("c", 0.1), cll.ElseLevel(),
+    ])
+    run_gamma_tests(spark, comp, {"c": "double"}, [
+        (100.0, 103.0, 2),
+        (100.0, 109.0, 1),   # 9% of 109
+        (100.0, 150.0, 0),
+        (None, 100.0, -1),
+    ])
+
+
+def test_date_difference_levels(spark):
+    ce = ColumnExpression("c").try_parse_date("yyyy-MM-dd")
+    comp = Comparison("c", [
+        cll.NullLevel(ce),
+        cll.ExactMatchLevel("c"),
+        cll.AbsoluteDateDifferenceLevel(ce, 30, "day"),
+        cll.AbsoluteDateDifferenceLevel(ce, 1, "year"),
+        cll.ElseLevel(),
+    ])
+    run_gamma_tests(spark, comp, {"c": "string"}, [
+        ("2020-01-01", "2020-01-01", 3),
+        ("2020-01-01", "2020-01-20", 2),
+        ("2020-01-01", "2020-06-01", 1),
+        ("2020-01-01", "2025-01-01", 0),
+        ("2020-01-01", "not-a-date", -1),  # unparseable → null level
+        ("2011-02-30", "2020-01-01", -1),  # invalid date
+    ])
+
+
+def test_array_intersect_and_subset(spark):
+    comp = _comp([
+        cll.NullLevel("c"), cll.ArraySubsetLevel("c"),
+        cll.ArrayIntersectLevel("c", 2), cll.ArrayIntersectLevel("c", 1), cll.ElseLevel(),
+    ])
+    run_gamma_tests(spark, comp, {"c": "array<string>"}, [
+        (["a", "b"], ["a", "b", "c"], 3),       # subset
+        (["a", "b", "x"], ["a", "b", "c"], 2),  # 2 common
+        (["a", "y", "x"], ["a", "b", "c"], 1),  # 1 common
+        (["z", "y", "x"], ["a", "b", "c"], 0),
+        ([], ["a"], 0),                          # empty not subset by default
+        (None, ["a"], -1),
+    ])
+
+
+def test_cosine_similarity_level(spark):
+    comp = _comp([
+        cll.NullLevel("c"), cll.CosineSimilarityLevel("c", 0.99),
+        cll.CosineSimilarityLevel("c", 0.5), cll.ElseLevel(),
+    ])
+    run_gamma_tests(spark, comp, {"c": "array<double>"}, [
+        ([1.0, 0.0], [2.0, 0.0], 2),
+        ([1.0, 0.0], [1.0, 1.0], 1),   # cos = 0.707
+        ([1.0, 0.0], [0.0, 1.0], 0),   # orthogonal
+        ([1.0, 0.0], [-1.0, 0.0], 0),
+    ])
+
+
+def test_distance_in_km_level(spark):
+    comp = Comparison("geo", [
+        cll.Or(cll.NullLevel("lat"), cll.NullLevel("lon")),
+        cll.DistanceInKMLevel("lat", "lon", 10),
+        cll.DistanceInKMLevel("lat", "lon", 300),
+        cll.ElseLevel(),
+    ])
+    run_gamma_tests(spark, comp, {"lat": "double", "lon": "double"}, [
+        # London ~ London
+        ({"lat": 51.5074, "lon": -0.1278}, {"lat": 51.51, "lon": -0.13}, 2),
+        # London ~ Birmingham ~163km
+        ({"lat": 51.5074, "lon": -0.1278}, {"lat": 52.4862, "lon": -1.8904}, 1),
+        # London ~ Edinburgh ~534km
+        ({"lat": 51.5074, "lon": -0.1278}, {"lat": 55.9533, "lon": -3.1883}, 0),
+        ({"lat": None, "lon": -0.1278}, {"lat": 51.0, "lon": -0.13}, -1),
+    ])
+
+
+def test_literal_match_level(spark):
+    comp = _comp([
+        cll.NullLevel("c"), cll.LiteralMatchLevel("c", "london"), cll.ElseLevel(),
+    ])
+    run_gamma_tests(spark, comp, {"c": "string"}, [
+        ("london", "london", 1),
+        ("london", "leeds", 0),
+        ("leeds", "leeds", 0),
+    ])
+
+
+def test_custom_level_sql(spark):
+    comp = _comp([
+        cll.NullLevel("c"),
+        cll.CustomLevel("substring(c_l, 1, 3) = substring(c_r, 1, 3)"),
+        cll.ElseLevel(),
+    ])
+    run_gamma_tests(spark, comp, {"c": "string"}, [
+        ("abcdef", "abcxyz", 1),
+        ("abcdef", "abx", 0),
+    ])
+
+
+def test_pairwise_levenshtein_arrays(spark):
+    from splink_spark.internals.comparison_library import (
+        PairwiseStringDistanceFunctionAtThresholds,
+    )
+
+    comp = PairwiseStringDistanceFunctionAtThresholds("c", "levenshtein", [1])
+    run_gamma_tests(spark, comp, {"c": "array<string>"}, [
+        (["rob", "bob"], ["robert", "bobby"], 0),
+        (["rob", "bob"], ["rab", "x"], 1),     # rob~rab = 1
+        (["rob"], ["rob"], 1),                  # exact still lev 0 <= 1
+    ])
+
+
+def test_column_expression_transforms(spark):
+    lower = ColumnExpression("c").lower()
+    comp = Comparison("c", [
+        cll.NullLevel("c"), cll.ExactMatchLevel(lower), cll.ElseLevel(),
+    ])
+    run_gamma_tests(spark, comp, {"c": "string"}, [
+        ("LONDON", "london", 1),
+        ("LONDON", "leeds", 0),
+    ])
+    # regex_extract: domain part of email
+    domain = ColumnExpression("c").regex_extract("@(.+)$", 1)
+    comp2 = Comparison("c", [
+        cll.NullLevel("c"), cll.ExactMatchLevel(domain), cll.ElseLevel(),
+    ])
+    run_gamma_tests(spark, comp2, {"c": "string"}, [
+        ("a@x.com", "b@x.com", 1),
+        ("a@x.com", "a@y.com", 0),
+    ])
+    # array element access
+    first = ColumnExpression("c").access_extreme_array_element("first")
+    comp3 = Comparison("c", [
+        cll.NullLevel("c"), cll.ExactMatchLevel(first), cll.ElseLevel(),
+    ])
+    run_gamma_tests(spark, comp3, {"c": "array<string>"}, [
+        (["a", "b"], ["a", "z"], 1),
+        (["a", "b"], ["z", "b"], 0),
+    ])
+
+
+def test_composite_templates_run(spark):
+    """Smoke: every composite template produces a valid gamma on a tiny pair."""
+    import splink_spark.internals.comparison_library as cl
+
+    email = cl.EmailComparison("c")
+    run_gamma_tests(spark, email, {"c": "string"}, [
+        ("john@x.com", "john@x.com", 4),
+        ("john@x.com", "john@y.com", 3),   # username exact
+        ("john@x.com", "jhon@x.com", 2),   # JW full >= 0.88
+        (None, "a@b.com", -1),
+    ])
+
+    name = cl.NameComparison("c")
+    run_gamma_tests(spark, name, {"c": "string"}, [
+        ("stephen", "stephen", 4),
+        ("stephen", "stephan", 3),   # JW >= 0.92
+        ("stephen", "zzz", 0),
+    ])
+
+    pc = cl.PostcodeComparison("c")
+    run_gamma_tests(spark, pc, {"c": "string"}, [
+        ("SE1P 0NY", "SE1P 0NY", 4),
+        ("SE1P 0NY", "SE1P 0AB", 3),   # same sector (SE1P 0)
+        ("SE1P 0NY", "SE1P 4UX", 2),   # same district (SE1P)
+        ("SE1P 0NY", "SE2P 0NY", 1),   # same area only
+        ("SE1P 0NY", "NW1 8YL", 0),
+        ("bad", "SE1P 0NY", -1),       # invalid postcode → null
+    ])
