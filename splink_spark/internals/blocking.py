@@ -57,6 +57,8 @@ class BlockingRule:
         # used by EM training to deactivate comparisons the training rule
         # conditions on (em_training_session.py:136-160)
         self.columns = list(columns)
+        # builder spec for JSON round-trip (set by the DSL constructors)
+        self.spec: Optional[dict] = None
 
     def condition(self) -> Column:
         return self._condition()
@@ -80,17 +82,39 @@ def block_on(*col_specs: ColSpec, salting_partitions: int = 1) -> BlockingRule:
         return out
 
     desc = " AND ".join(f"l.{ce.name} = r.{ce.name}" for ce in ces)
-    return BlockingRule(
+    rule = BlockingRule(
         cond,
         desc,
         salting_partitions=salting_partitions,
         columns=[ce.name for ce in ces if ce.is_pure_column_reference],
     )
+    rule.spec = {
+        "builder": "block_on",
+        "args": [ce.name if ce.is_pure_column_reference else {"__ce__": ce.as_dict()} for ce in ces],
+        "kwargs": {"salting_partitions": salting_partitions},
+    }
+    return rule
 
 
 def CustomRule(sql_condition: str) -> BlockingRule:
     """Arbitrary SQL fragment over ``*_l`` / ``*_r`` columns (blocking_rule_library CustomRule)."""
-    return BlockingRule(lambda: F.expr(sql_condition), sql_condition)
+    rule = BlockingRule(lambda: F.expr(sql_condition), sql_condition)
+    rule.spec = {"builder": "CustomRule", "args": [sql_condition], "kwargs": {}}
+    return rule
+
+
+def rule_from_spec(spec: dict) -> BlockingRule:
+    from .column_expression import ColumnExpression
+
+    if spec["builder"] == "block_on":
+        args = [
+            ColumnExpression.from_dict(a["__ce__"]) if isinstance(a, dict) else a
+            for a in spec["args"]
+        ]
+        return block_on(*args, **spec.get("kwargs", {}))
+    if spec["builder"] == "CustomRule":
+        return CustomRule(spec["args"][0])
+    raise ValueError(f"unknown rule builder {spec['builder']!r}")
 
 
 def cross_rule() -> BlockingRule:

@@ -21,11 +21,21 @@ Transform = Callable[[Column], Column]
 
 
 class ColumnExpression:
-    """A column reference plus a chain of pre-comparison transforms."""
+    """A column reference plus a chain of pre-comparison transforms.
 
-    def __init__(self, name: str, transforms: tuple[Transform, ...] = ()):
+    ``spec`` records the transform chain as (method_name, args) tuples so the
+    expression is JSON-serializable (model save/load round trip).
+    """
+
+    def __init__(
+        self,
+        name: str,
+        transforms: tuple[Transform, ...] = (),
+        spec: tuple[tuple, ...] = (),
+    ):
         self.name = name
         self.transforms = transforms
+        self.spec = spec
 
     # -- construction helpers -------------------------------------------------
     @staticmethod
@@ -34,46 +44,69 @@ class ColumnExpression:
             return spec
         return ColumnExpression(spec)
 
-    def _with(self, fn: Transform) -> "ColumnExpression":
-        return ColumnExpression(self.name, self.transforms + (fn,))
+    def as_dict(self) -> dict:
+        return {"name": self.name, "transforms": [list(t) for t in self.spec]}
+
+    @staticmethod
+    def from_dict(d: Union[str, dict]) -> "ColumnExpression":
+        if isinstance(d, str):
+            return ColumnExpression(d)
+        ce = ColumnExpression(d["name"])
+        for method, *args in d.get("transforms", []):
+            args = args[0] if len(args) == 1 and isinstance(args[0], list) else args
+            ce = getattr(ce, method)(*args)
+        return ce
+
+    def _with(self, fn: Transform, method: str, *args) -> "ColumnExpression":
+        return ColumnExpression(
+            self.name, self.transforms + (fn,), self.spec + ((method, list(args)),)
+        )
 
     # -- transform library (reference column_expression.py:115-310) -----------
     def lower(self) -> "ColumnExpression":
-        return self._with(F.lower)
+        return self._with(F.lower, "lower")
 
     def upper(self) -> "ColumnExpression":
-        return self._with(F.upper)
+        return self._with(F.upper, "upper")
 
     def substr(self, start: int, length: int) -> "ColumnExpression":
-        return self._with(lambda c: F.substring(c, start, length))
+        return self._with(lambda c: F.substring(c, start, length), "substr", start, length)
 
     def cast_to_string(self) -> "ColumnExpression":
-        return self._with(lambda c: c.cast("string"))
+        return self._with(lambda c: c.cast("string"), "cast_to_string")
 
     def regex_extract(self, pattern: str, capture_group: int = 0) -> "ColumnExpression":
         # empty capture -> NULL, mirroring reference dialects.py:208-249
         return self._with(
-            lambda c: F.nullif(F.regexp_extract(c, pattern, capture_group), F.lit(""))
+            lambda c: F.nullif(F.regexp_extract(c, pattern, capture_group), F.lit("")),
+            "regex_extract", pattern, capture_group,
         )
 
     def nullif(self, value) -> "ColumnExpression":
-        return self._with(lambda c: F.nullif(c, F.lit(value)))
+        return self._with(lambda c: F.nullif(c, F.lit(value)), "nullif", value)
 
     def try_parse_date(self, fmt: str = "yyyy-MM-dd") -> "ColumnExpression":
         # Spark impl in reference dialects.py:481-491: date(try_to_timestamp(c, fmt))
-        return self._with(lambda c: F.try_to_timestamp(c, F.lit(fmt)).cast("date"))
+        return self._with(
+            lambda c: F.try_to_timestamp(c, F.lit(fmt)).cast("date"),
+            "try_parse_date", fmt,
+        )
 
     def try_parse_timestamp(self, fmt: str = "yyyy-MM-dd HH:mm:ss") -> "ColumnExpression":
-        return self._with(lambda c: F.try_to_timestamp(c, F.lit(fmt)))
+        return self._with(
+            lambda c: F.try_to_timestamp(c, F.lit(fmt)), "try_parse_timestamp", fmt
+        )
 
     def access_extreme_array_element(self, first_or_last: str) -> "ColumnExpression":
         if first_or_last not in ("first", "last"):
             raise ValueError("first_or_last must be 'first' or 'last'")
         idx = 1 if first_or_last == "first" else -1
-        return self._with(lambda c: F.element_at(c, idx))
+        return self._with(
+            lambda c: F.element_at(c, idx), "access_extreme_array_element", first_or_last
+        )
 
     def struct_field(self, field: str) -> "ColumnExpression":
-        return self._with(lambda c: c.getField(field))
+        return self._with(lambda c: c.getField(field), "struct_field", field)
 
     # -- application -----------------------------------------------------------
     def apply(self, col: Column) -> Column:

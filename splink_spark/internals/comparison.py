@@ -211,11 +211,25 @@ class Comparison:
         )
 
     def as_dict(self) -> dict:
+        from .comparison_level_library import level_spec_dict
+
         return {
             "output_column_name": self.output_column_name,
             "comparison_description": self.comparison_description,
-            "comparison_levels": [lv.as_dict() for lv in self.comparison_levels],
+            "input_columns": self.input_columns,
+            "comparison_levels": [level_spec_dict(lv) for lv in self.comparison_levels],
         }
+
+    @staticmethod
+    def from_dict(d: dict) -> "Comparison":
+        from .comparison_level_library import level_from_spec_dict
+
+        return Comparison(
+            d["output_column_name"],
+            [level_from_spec_dict(ld) for ld in d["comparison_levels"]],
+            d.get("comparison_description"),
+            d.get("input_columns"),
+        )
 
     def __repr__(self) -> str:  # pragma: no cover
         return (

@@ -74,6 +74,8 @@ class ComparisonLevel:
         self.is_exact_match_level = is_exact_match_level
         self.fix_m_probability = fix_m_probability
         self.fix_u_probability = fix_u_probability
+        # builder spec recorded by comparison_level_library for JSON round-trip
+        self.spec: Optional[dict] = None
         # assigned by the owning Comparison
         self.comparison_vector_value: Optional[int] = None
         # per-training-session estimates (median taken across sessions,

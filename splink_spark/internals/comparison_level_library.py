@@ -355,3 +355,91 @@ def _fold(levels, op) -> Column:
     for c in cols[1:]:
         out = op(out, c)
     return out
+
+
+# ---------------------------------------------------------------------------
+# builder-spec recording for JSON model round-trip
+# ---------------------------------------------------------------------------
+
+_BUILDER_NAMES = [
+    "NullLevel", "ElseLevel", "CustomLevel", "ExactMatchLevel",
+    "LiteralMatchLevel", "ColumnsReversedLevel", "LevenshteinLevel",
+    "DamerauLevenshteinLevel", "JaroWinklerLevel", "JaroLevel", "JaccardLevel",
+    "DistanceFunctionLevel", "AbsoluteTimeDifferenceLevel",
+    "AbsoluteDateDifferenceLevel", "DistanceInKMLevel", "CosineSimilarityLevel",
+    "ArrayIntersectLevel", "ArraySubsetLevel", "PercentageDifferenceLevel",
+    "AbsoluteDifferenceLevel", "And", "Or", "Not",
+]
+
+
+def _ser(x):
+    if isinstance(x, ColumnExpression):
+        return {"__ce__": x.as_dict()}
+    if isinstance(x, ComparisonLevel):
+        return {"__level__": level_spec_dict(x)}
+    return x
+
+
+def _deser(x):
+    if isinstance(x, dict) and "__ce__" in x:
+        return ColumnExpression.from_dict(x["__ce__"])
+    if isinstance(x, dict) and "__level__" in x:
+        return level_from_spec_dict(x["__level__"])
+    return x
+
+
+def level_spec_dict(lv: ComparisonLevel) -> dict:
+    d = lv.as_dict()
+    if getattr(lv, "spec", None):
+        d["spec"] = lv.spec
+    return d
+
+
+def level_from_spec_dict(d: dict) -> ComparisonLevel:
+    import sys
+
+    spec = d.get("spec")
+    if spec is None:
+        raise ValueError(f"level dict has no builder spec: {d}")
+    mod = sys.modules[__name__]
+    fn = getattr(mod, spec["builder"])
+    lv = fn(
+        *[_deser(a) for a in spec.get("args", [])],
+        **{k: _deser(v) for k, v in spec.get("kwargs", {}).items()},
+    )
+    if "m_probability" in d:
+        lv.m_probability = d["m_probability"]
+    if "u_probability" in d:
+        lv.u_probability = d["u_probability"]
+    if d.get("tf_adjustment_column"):
+        lv.tf_adjustment_column = d["tf_adjustment_column"]
+        lv.tf_adjustment_weight = d.get("tf_adjustment_weight", 1.0)
+        lv.tf_minimum_u_value = d.get("tf_minimum_u_value", 0.0)
+    return lv
+
+
+def _wrap_builders() -> None:
+    import functools
+    import sys
+
+    mod = sys.modules[__name__]
+    for name in _BUILDER_NAMES:
+        fn = getattr(mod, name)
+
+        def make(fn=fn, name=name):
+            @functools.wraps(fn)
+            def wrapper(*args, **kwargs):
+                lv = fn(*args, **kwargs)
+                lv.spec = {
+                    "builder": name,
+                    "args": [_ser(a) for a in args],
+                    "kwargs": {k: _ser(v) for k, v in kwargs.items()},
+                }
+                return lv
+
+            return wrapper
+
+        setattr(mod, name, make())
+
+
+_wrap_builders()

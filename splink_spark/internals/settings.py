@@ -69,7 +69,8 @@ class Settings:
             "em_convergence": self.em_convergence,
             "max_iterations": self.max_iterations,
             "blocking_rules_to_generate_predictions": [
-                r.description for r in self.blocking_rules_to_generate_predictions
+                r.spec if r.spec else {"builder": "CustomRule", "args": [r.description], "kwargs": {}}
+                for r in self.blocking_rules_to_generate_predictions
             ],
             "comparisons": [c.as_dict() for c in self.comparisons],
             "sql_dialect": "spark",
@@ -81,6 +82,42 @@ class Settings:
             with open(path, "w") as f:
                 f.write(s)
         return s
+
+    @staticmethod
+    def from_dict(d: dict) -> "Settings":
+        from .blocking import rule_from_spec
+
+        rules = [
+            rule_from_spec(r) if isinstance(r, dict) else CustomRule(r)
+            for r in d.get("blocking_rules_to_generate_predictions", [])
+        ]
+        return Settings(
+            link_type=d.get("link_type", "dedupe_only"),
+            comparisons=[Comparison.from_dict(c) for c in d.get("comparisons", [])],
+            blocking_rules_to_generate_predictions=rules,
+            probability_two_random_records_match=d.get(
+                "probability_two_random_records_match", 0.0001
+            ),
+            unique_id_column_name=d.get("unique_id_column_name", "unique_id"),
+            source_dataset_column_name=d.get("source_dataset_column_name"),
+            retain_matching_columns=d.get("retain_matching_columns", True),
+            retain_intermediate_calculation_columns=d.get(
+                "retain_intermediate_calculation_columns", False
+            ),
+            em_convergence=d.get("em_convergence", 1e-4),
+            max_iterations=d.get("max_iterations", 25),
+        )
+
+    @staticmethod
+    def from_json(path_or_str: str) -> "Settings":
+        import os
+
+        if os.path.exists(path_or_str):
+            with open(path_or_str) as f:
+                d = json.load(f)
+        else:
+            d = json.loads(path_or_str)
+        return Settings.from_dict(d)
 
 
 def _to_rule(rule: Union[str, BlockingRule]) -> BlockingRule:

@@ -171,6 +171,43 @@ class LinkerInference:
         cv = self._l.comparison_vectors(pairs=id_pairs)
         return predict_from_comparison_vectors(cv, self._l.settings)
 
+    def find_matches_to_new_records(self, new_records: DataFrame) -> DataFrame:
+        """Link a new batch against the indexed base (inference.py:1156-1511
+        predict_between + find_matches_to_new_records.py:14-60). TF values for
+        new records come from the base's TF tables (the
+        register_term_frequency_lookup semantics, table_management.py:204-253).
+        """
+        s = self._l.settings
+        base = self._l.df_concat_with_tf()
+        new_tf = join_term_frequencies(new_records, self._l.tf_tables())
+        pairs = block_using_rules(
+            base,
+            s.blocking_rules_to_generate_predictions,
+            link_type=s.link_type,
+            unique_id_column_name=s.unique_id_column_name,
+            nodes_right=new_tf,
+        )
+        with_cols = blocked_pairs_with_columns(
+            pairs, base, s, concat_with_tf_right=new_tf
+        )
+        cv = compute_comparison_vectors(with_cols, s)
+        return predict_from_comparison_vectors(cv, s)
+
+    def predict_within(self, new_records: DataFrame) -> DataFrame:
+        """Dedupe within a new batch using the trained model + base TF tables
+        (inference.py predict_within)."""
+        s = self._l.settings
+        new_tf = join_term_frequencies(new_records, self._l.tf_tables())
+        pairs = block_using_rules(
+            new_tf,
+            s.blocking_rules_to_generate_predictions,
+            link_type="dedupe_only",
+            unique_id_column_name=s.unique_id_column_name,
+        )
+        with_cols = blocked_pairs_with_columns(pairs, new_tf, s)
+        cv = compute_comparison_vectors(with_cols, s)
+        return predict_from_comparison_vectors(cv, s)
+
     def compare_two_records(self, record_1: dict, record_2: dict) -> DataFrame:
         """realtime.py:44-159 — score one pair without blocking."""
         s = self._l.settings
@@ -227,6 +264,72 @@ class LinkerClustering:
         return cluster_pairwise_predictions_at_threshold(
             self._l, df_predict, threshold_match_probability
         )
+
+    def cluster_pairwise_predictions_at_multiple_thresholds(
+        self, df_predict: DataFrame, thresholds: Sequence[float]
+    ) -> DataFrame:
+        from .internals.one_to_one import cluster_at_multiple_thresholds
+
+        s = self._l.settings
+        uid = s.unique_id_column_name
+        edges = df_predict.select(
+            F.col(f"{uid}_l").alias("node_id_l"),
+            F.col(f"{uid}_r").alias("node_id_r"),
+            "match_probability",
+        )
+        nodes = self._l.df_concat().select(F.col(uid).alias("node_id"))
+        return cluster_at_multiple_thresholds(
+            edges, nodes, list(thresholds), materialization=self._l.materialization
+        )
+
+    def cluster_using_single_best_links(
+        self,
+        df_predict: DataFrame,
+        threshold_match_probability: float = 0.5,
+        ties: str = "drop",
+    ) -> DataFrame:
+        from .internals.one_to_one import cluster_using_single_best_links
+
+        s = self._l.settings
+        uid = s.unique_id_column_name
+        sd = s.source_dataset_column_name
+        if not sd:
+            raise ValueError("single-best-links clustering needs source datasets")
+        edges = df_predict.select(
+            F.col(f"{uid}_l").alias("node_id_l"),
+            F.col(f"{uid}_r").alias("node_id_r"),
+            F.col(f"{sd}_l").alias("source_dataset_l"),
+            F.col(f"{sd}_r").alias("source_dataset_r"),
+            "match_probability",
+        )
+        nodes = self._l.df_concat().select(
+            F.col(uid).alias("node_id"), F.col(sd).alias("source_dataset")
+        )
+        return cluster_using_single_best_links(
+            edges,
+            nodes,
+            threshold_match_probability=threshold_match_probability,
+            ties=ties,
+        )
+
+    def compute_graph_metrics(
+        self, df_predict: DataFrame, df_clustered: DataFrame,
+        threshold_match_probability: float = 0.5,
+    ) -> DataFrame:
+        from .internals.connected_components import compute_graph_metrics
+
+        s = self._l.settings
+        uid = s.unique_id_column_name
+        edges = df_predict.where(
+            F.col("match_probability") >= threshold_match_probability
+        ).select(
+            F.col(f"{uid}_l").alias("node_id_l"),
+            F.col(f"{uid}_r").alias("node_id_r"),
+        )
+        assignments = df_clustered.select(
+            F.col(uid).alias("node_id"), "cluster_id"
+        )
+        return compute_graph_metrics(edges, assignments)
 
 
 class LinkerEvaluation:

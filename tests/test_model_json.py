@@ -1,0 +1,102 @@
+"""Model save/load round-trip (reference misc.py save_model_to_json +
+Linker(settings=path) load path): a model trained in one session must predict
+identically after a JSON round trip."""
+
+from __future__ import annotations
+
+import pytest
+
+import splink_spark.internals.comparison_library as cl
+from splink_spark import ColumnExpression, Linker, Settings, SettingsCreator, block_on
+
+
+def _set(comp, mus):
+    for lv in comp.comparison_levels:
+        if lv.is_null_level:
+            continue
+        lv.m_probability, lv.u_probability = mus[lv.comparison_vector_value]
+    return comp
+
+
+def test_json_round_trip_predict_identical(spark, persons, tmp_path):
+    settings = SettingsCreator(
+        comparisons=[
+            _set(cl.LevenshteinAtThresholds("first_name", [2]),
+                 {2: (0.7, 0.01), 1: (0.2, 0.05), 0: (0.1, 0.94)}),
+            _set(cl.ExactMatch("city", term_frequency_adjustments=True),
+                 {1: (0.8, 0.2), 0: (0.2, 0.8)}),
+            _set(cl.ExactMatch(ColumnExpression("email").regex_extract("@(.+)$", 1)),
+                 {1: (0.9, 0.1), 0: (0.1, 0.9)}),
+        ],
+        blocking_rules_to_generate_predictions=[block_on("dob"), block_on("surname")],
+        probability_two_random_records_match=0.05,
+    )
+    path = str(tmp_path / "model.json")
+    settings.to_json(path)
+
+    loaded = Settings.from_json(path)
+    assert loaded.probability_two_random_records_match == 0.05
+    assert len(loaded.comparisons) == 3
+    assert len(loaded.blocking_rules_to_generate_predictions) == 2
+
+    def snapshot(s):
+        df = Linker(persons, s).inference.predict()
+        return sorted(
+            (r["unique_id_l"], r["unique_id_r"], round(r["match_weight"], 9))
+            for r in df.collect()
+        )
+
+    assert snapshot(settings) == snapshot(loaded)
+
+
+def test_trained_model_round_trips(spark, persons, tmp_path):
+    settings = SettingsCreator(
+        comparisons=[cl.ExactMatch("surname"), cl.ExactMatch("dob"),
+                     cl.ExactMatch("city")],
+        blocking_rules_to_generate_predictions=[block_on("dob")],
+    )
+    linker = Linker(persons, settings)
+    linker.training.estimate_u_using_random_sampling(max_pairs=1e4, seed=5)
+    linker.training.estimate_parameters_using_expectation_maximisation(
+        block_on("dob"), fix_u_probabilities=True
+    )
+    linker.training.estimate_parameters_using_expectation_maximisation(
+        block_on("surname"), fix_u_probabilities=True
+    )
+    assert settings.all_probabilities_set
+    j = settings.to_json()
+    loaded = Settings.from_json(j)
+    for c_orig, c_new in zip(settings.comparisons, loaded.comparisons):
+        for lv_o, lv_n in zip(c_orig.comparison_levels, c_new.comparison_levels):
+            assert lv_o.m_probability == lv_n.m_probability
+            assert lv_o.u_probability == lv_n.u_probability
+
+
+def test_custom_level_round_trip(spark, persons):
+    import splink_spark.internals.comparison_level_library as cll
+
+    comp = cl.CustomComparison(
+        "name_sub", [
+            cll.NullLevel("first_name"),
+            cll.CustomLevel("substring(first_name_l, 1, 3) = substring(first_name_r, 1, 3)"),
+            cll.ElseLevel(),
+        ], input_columns=["first_name"],
+    )
+    for lv in comp.comparison_levels:
+        if not lv.is_null_level:
+            lv.m_probability, lv.u_probability = 0.5, 0.1
+    s = SettingsCreator(
+        comparisons=[comp],
+        blocking_rules_to_generate_predictions=[block_on("surname")],
+        probability_two_random_records_match=0.01,
+    )
+    loaded = Settings.from_json(s.to_json())
+
+    def snapshot(st):
+        df = Linker(persons, st).inference.predict()
+        return sorted(
+            (r["unique_id_l"], r["unique_id_r"], round(r["match_weight"], 9))
+            for r in df.collect()
+        )
+
+    assert snapshot(s) == snapshot(loaded)
