@@ -45,13 +45,33 @@ def blocked_pairs_with_columns(
     concat_with_tf: DataFrame,
     settings: Settings,
     concat_with_tf_right: Optional[DataFrame] = None,
+    broadcast_nodes_max_rows: Optional[int] = 5_000_000,
 ) -> DataFrame:
-    """The junction re-join (comparison_vector_values.py:98-115)."""
+    """The junction re-join (comparison_vector_values.py:98-115).
+
+    Join-strategy note: |pairs| >> |nodes| in any blocked workload, so when
+    the narrow node table is small enough to broadcast we hint it explicitly
+    — otherwise Catalyst sort-merge-joins and shuffles the (much larger) pair
+    table twice. At billions of nodes the hint is skipped and SMJ is correct.
+    The row count is known for free: the concat was already counted when the
+    blocked pairs materialized.
+    """
     uid = settings.unique_id_column_name
     cols = _needed_columns(settings, concat_with_tf)
     narrow_l = concat_with_tf.select([F.col(c).alias(f"{c}_l") for c in cols])
     right_src = concat_with_tf_right if concat_with_tf_right is not None else concat_with_tf
     narrow_r = right_src.select([F.col(c).alias(f"{c}_r") for c in cols])
+    if broadcast_nodes_max_rows:
+        n_nodes = getattr(concat_with_tf, "_splink_row_count", None)
+        if n_nodes is None:
+            n_nodes = concat_with_tf.count()
+            try:
+                concat_with_tf._splink_row_count = n_nodes  # type: ignore[attr-defined]
+            except Exception:
+                pass
+        if n_nodes <= broadcast_nodes_max_rows:
+            narrow_l = F.broadcast(narrow_l)
+            narrow_r = F.broadcast(narrow_r)
 
     join_l = [blocked_pairs["join_key_l"] == narrow_l[f"{uid}_l"]]
     join_r = [blocked_pairs["join_key_r"] == narrow_r[f"{uid}_r"]]

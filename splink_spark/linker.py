@@ -80,11 +80,22 @@ class Linker:
         return self._tf_tables
 
     def df_concat_with_tf(self) -> DataFrame:
-        """``__splink__df_concat_with_tf`` (vertically_concatenate.py:74-81)."""
+        """``__splink__df_concat_with_tf`` (vertically_concatenate.py:74-81).
+
+        Persisted: it feeds both sides of the blocking join AND both sides of
+        the junction re-join — 4 scans of the same plan otherwise (the
+        reference materializes exactly this stage, spark/database_api.py:
+        292-312). The forced count doubles as the node count the junction
+        join's broadcast decision needs.
+        """
         if self._concat_with_tf is None:
-            self._concat_with_tf = join_term_frequencies(
-                self.df_concat(), self.tf_tables()
-            )
+            df = join_term_frequencies(self.df_concat(), self.tf_tables())
+            df = self.materialization.materialize(df, "concat_with_tf")
+            try:
+                df._splink_row_count = df.count()  # type: ignore[attr-defined]
+            except Exception:
+                pass
+            self._concat_with_tf = df
         return self._concat_with_tf
 
     def blocked_pairs(

@@ -1,0 +1,6 @@
+from .operators import (  # noqa: F401
+    incremental_link,
+    stream_dedupe_exact,
+    stream_session_aggregate,
+    stream_windowed_counts,
+)

@@ -1,0 +1,129 @@
+"""Structured Streaming operator tests: file-source streams with
+availableNow trigger + memory sink → deterministic end-to-end runs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+import splink_spark.internals.comparison_library as cl
+from splink_spark import Linker, SettingsCreator, block_on
+from splink_spark.streaming import (
+    incremental_link,
+    stream_dedupe_exact,
+    stream_session_aggregate,
+    stream_windowed_counts,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _mk_stream(spark, tmp_path, rows, schema, name):
+    src = str(tmp_path / f"src_{name}")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+    static = spark.read.parquet(src)
+    return spark.readStream.schema(static.schema).parquet(src)
+
+
+def _run_to_memory(stream_df, name, tmp_path, output_mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_dedupe_exact(spark, tmp_path):
+    rows = [
+        (0, T0, "hello world"),
+        (1, T0 + dt.timedelta(minutes=1), "hello world"),   # dup
+        (2, T0 + dt.timedelta(minutes=2), "something else"),
+    ]
+    stream = _mk_stream(spark, tmp_path, rows, "id long, ts timestamp, text string", "dd")
+    out = stream_dedupe_exact(stream, watermark="10 minutes")
+    _run_to_memory(out, "dedup_sink", tmp_path)
+    got = spark.sql("select * from dedup_sink").collect()
+    texts = sorted(r["text"] for r in got)
+    assert texts == ["hello world", "something else"]
+
+
+def test_stream_windowed_counts(spark, tmp_path):
+    rows = [
+        (0, T0 + dt.timedelta(minutes=5), "click", 1.0),
+        (1, T0 + dt.timedelta(minutes=40), "click", 2.0),
+        (2, T0 + dt.timedelta(minutes=70), "click", 4.0),
+        (3, T0 + dt.timedelta(minutes=75), "view", 8.0),
+    ]
+    stream = _mk_stream(
+        spark, tmp_path, rows, "id long, ts timestamp, event_type string, value double", "wc"
+    )
+    out = stream_windowed_counts(stream, window_duration="1 hour", watermark="2 hours")
+    # append mode only emits a window once the watermark passes its end —
+    # with one availableNow batch nothing would flush; complete mode shows all
+    _run_to_memory(out, "wc_sink", tmp_path, output_mode="complete")
+    got = spark.sql(
+        "select window_start, event_type, n_events, total_value from wc_sink"
+    ).collect()
+    by_key = {(r["window_start"], r["event_type"]): r for r in got}
+    assert by_key[(T0, "click")]["n_events"] == 2
+    assert by_key[(T0, "click")]["total_value"] == 3.0
+    assert by_key[(T0 + dt.timedelta(hours=1), "view")]["n_events"] == 1
+
+
+def test_stream_session_aggregate(spark, tmp_path):
+    rows = [
+        (0, T0, 1, 1.0),
+        (1, T0 + dt.timedelta(minutes=10), 1, 2.0),                # same session
+        (2, T0 + dt.timedelta(minutes=60), 1, 4.0),                # new session
+        (3, T0 + dt.timedelta(minutes=5), 2, 8.0),
+    ]
+    stream = _mk_stream(
+        spark, tmp_path, rows, "id long, ts timestamp, user_id long, value double", "sess"
+    )
+    out = stream_session_aggregate(stream, gap="30 minutes", watermark="2 hours")
+    _run_to_memory(out, "sess_sink", tmp_path, output_mode="complete")
+    got = spark.sql("select user_id, n_events, session_value from sess_sink").collect()
+    sessions = sorted((r["user_id"], r["n_events"], r["session_value"]) for r in got)
+    assert sessions == [(1, 1, 4.0), (1, 2, 3.0), (2, 1, 8.0)]
+
+
+def test_incremental_link(spark, tmp_path, persons):
+    def _set(comp, mus):
+        for lv in comp.comparison_levels:
+            if lv.is_null_level:
+                continue
+            lv.m_probability, lv.u_probability = mus[lv.comparison_vector_value]
+        return comp
+
+    settings = SettingsCreator(
+        comparisons=[
+            _set(cl.ExactMatch("surname"), {1: (0.9, 0.02), 0: (0.1, 0.98)}),
+            _set(cl.ExactMatch("dob"), {1: (0.85, 0.01), 0: (0.15, 0.99)}),
+        ],
+        blocking_rules_to_generate_predictions=[block_on("dob")],
+        probability_two_random_records_match=0.05,
+    )
+    linker = Linker(persons, settings)
+
+    new_rows = [(300, "julia", "taylor", "2015-10-29", "london", None, -1)]
+    stream = _mk_stream(spark, tmp_path, new_rows, persons.schema, "link")
+
+    results = []
+    q = incremental_link(
+        stream, linker,
+        sink_fn=lambda df, bid: results.append((bid, df.collect())),
+        checkpoint_dir=str(tmp_path / "ckpt_link"),
+    )
+    q.awaitTermination(120)
+    assert len(results) == 1
+    scored = results[0][1]
+    assert any(
+        r["match_probability"] > 0.9 and r["unique_id_r"] == 300 for r in scored
+    ), "streamed julia taylor must match the base entity"
