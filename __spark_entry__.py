@@ -231,6 +231,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id_l", "doc_id_r", F.round("jaccard", 6).alias("jaccard")
         )
 
+    def q_simhash(spark, sf_dir):
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        return dedup.simhash_pairs(docs, max_hamming=12, num_bands=8)
+
     def q_text_quality(spark, sf_dir):
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
@@ -331,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
         "text_quality": q_text_quality,
         "lang_stats": q_lang_stats,
         "ann_topk": q_ann_topk,

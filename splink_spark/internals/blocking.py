@@ -222,6 +222,20 @@ def block_using_rules(
             if prev.exploded_columns:
                 continue  # exploded rules dedup via min(match_key) below
             cond = cond & ~F.coalesce(prev.condition(), F.lit(False))
+
+        # salting (reference SaltedBlockingRule, Spark-only): widen the join
+        # key with a deterministic salt so one giant block spreads across
+        # `s` reducers — lhs rows get hash(uid) % s, rhs rows are replicated
+        # for every salt value; salt equality joins into the shuffle key.
+        if rule.salting_partitions > 1:
+            s_parts = rule.salting_partitions
+            lhs = lhs.withColumn(
+                "__salt_l", F.pmod(F.xxhash64(F.col(f"{uid}_l")), F.lit(s_parts))
+            )
+            rhs = rhs.withColumn(
+                "__salt_r", F.explode(F.sequence(F.lit(0), F.lit(s_parts - 1)))
+            ).withColumn("__salt_r", F.col("__salt_r").cast("bigint"))
+            cond = cond & (F.col("__salt_l") == F.col("__salt_r"))
         if nodes_right is not None:
             where = F.lit(True)  # distinct tables: every pair valid once
         else:

@@ -213,6 +213,28 @@ def PairwiseStringDistanceFunctionLevel(
     return ComparisonLevel(cond, label)
 
 
+def PhoneticMatchLevel(col: ColSpec) -> ComparisonLevel:
+    """Double-metaphone agreement: any shared code between the two sides'
+    [primary, alternate] arrays (the reference jar's Dmetaphone/DmetaphoneAlt
+    pair, used by NameComparison comparison_library.py:1005-1090)."""
+    from .phonetic import dmetaphone_udf
+
+    ce = _ce(col)
+    return ComparisonLevel(
+        lambda: F.size(F.array_intersect(dmetaphone_udf(ce.l()), dmetaphone_udf(ce.r()))) >= 1,
+        f"Phonetic (double metaphone) match on {ce.name}",
+    )
+
+
+def SoundexMatchLevel(col: ColSpec) -> ComparisonLevel:
+    """Native-JVM soundex agreement (F.soundex, no UDF)."""
+    ce = _ce(col)
+    return ComparisonLevel(
+        lambda: F.soundex(ce.l()) == F.soundex(ce.r()),
+        f"Soundex match on {ce.name}",
+    )
+
+
 # -- date/time levels (reference :715-847) -----------------------------------
 
 _SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "month": 86400 * 365.25 / 12, "year": 86400 * 365.25}
@@ -369,6 +391,7 @@ _BUILDER_NAMES = [
     "AbsoluteDateDifferenceLevel", "DistanceInKMLevel", "CosineSimilarityLevel",
     "ArrayIntersectLevel", "ArraySubsetLevel", "PercentageDifferenceLevel",
     "AbsoluteDifferenceLevel", "And", "Or", "Not",
+    "PhoneticMatchLevel", "SoundexMatchLevel",
 ]
 
 

@@ -248,8 +248,12 @@ def EmailComparison(col: ColSpec) -> Comparison:
     return Comparison(name, levels, f"EmailComparison({name})", input_columns=[name])
 
 
-def NameComparison(col: ColSpec, jaro_winkler_thresholds: Sequence[float] = (0.92, 0.88, 0.7)) -> Comparison:
-    """comparison_library.py:1005 — exact(TF) → JW ladder."""
+def NameComparison(
+    col: ColSpec,
+    jaro_winkler_thresholds: Sequence[float] = (0.92, 0.88, 0.7),
+    phonetic_match: bool = False,
+) -> Comparison:
+    """comparison_library.py:1005 — exact(TF) → JW ladder [→ dmetaphone]."""
     name = _name(col)
     levels: list[ComparisonLevel] = [
         cll.NullLevel(col),
@@ -257,6 +261,8 @@ def NameComparison(col: ColSpec, jaro_winkler_thresholds: Sequence[float] = (0.9
     ]
     for t in jaro_winkler_thresholds:
         levels.append(cll.JaroWinklerLevel(col, t))
+    if phonetic_match:
+        levels.append(cll.PhoneticMatchLevel(col))
     levels.append(cll.ElseLevel())
     return Comparison(name, levels, f"NameComparison({name})", input_columns=[name])
 

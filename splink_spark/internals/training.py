@@ -153,6 +153,56 @@ def estimate_u_using_random_sampling(
 
 
 # ---------------------------------------------------------------------------
+# m from ground-truth labels
+# ---------------------------------------------------------------------------
+
+
+def estimate_m_from_label_column(linker, label_column: str) -> dict:
+    """m from a ground-truth entity column: pairs sharing the label are true
+    matches; their gamma distribution estimates m directly
+    (reference training.py:359-437 / m_training.py via block_from_labels)."""
+    from .blocking import block_on
+
+    s = linker.settings
+    pairs = block_using_rules(
+        linker.df_concat_with_tf(),
+        [block_on(label_column)],
+        link_type=s.link_type if not s.needs_source_dataset else "link_and_dedupe",
+        unique_id_column_name=s.unique_id_column_name,
+        source_dataset_column_name=s.source_dataset_column_name
+        if s.needs_source_dataset
+        else None,
+    )
+    with_cols = blocked_pairs_with_columns(pairs, linker.df_concat_with_tf(), s)
+    cv = compute_comparison_vectors(with_cols, s)
+    aggs = []
+    for comp in s.comparisons:
+        g = comp.gamma_column_name
+        for lv in comp.comparison_levels:
+            if lv.is_null_level:
+                continue
+            aggs.append(
+                F.sum(
+                    F.when(F.col(g) == lv.comparison_vector_value, 1).otherwise(0)
+                ).alias(f"{g}__{lv.comparison_vector_value}")
+            )
+        aggs.append(F.sum(F.when(F.col(g) != -1, 1).otherwise(0)).alias(f"{g}__total"))
+    row = cv.agg(*aggs).collect()[0].asDict()
+    result = {}
+    for comp in s.comparisons:
+        g = comp.gamma_column_name
+        total = row[f"{g}__total"] or 0
+        for lv in comp.comparison_levels:
+            if lv.is_null_level:
+                continue
+            k = lv.comparison_vector_value
+            if total > 0 and not lv.fix_m_probability:
+                lv.m_probability = max((row[f"{g}__{k}"] or 0) / total, 1e-9)
+                result[f"{comp.output_column_name}[{k}]"] = lv.m_probability
+    return result
+
+
+# ---------------------------------------------------------------------------
 # EM over agreement-pattern counts
 # ---------------------------------------------------------------------------
 

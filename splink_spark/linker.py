@@ -155,16 +155,42 @@ class LinkerInference:
         self,
         threshold_match_probability: Optional[float] = None,
         threshold_match_weight: Optional[float] = None,
+        num_chunks: int = 1,
     ) -> DataFrame:
         """The flagship query (inference.py:294-444): concat → TF → block →
-        comparison vectors → score [→ threshold]."""
-        cv = self._l.comparison_vectors()
-        return predict_from_comparison_vectors(
-            cv,
-            self._l.settings,
-            threshold_match_probability=threshold_match_probability,
-            threshold_match_weight=threshold_match_weight,
-        )
+        comparison vectors → score [→ threshold].
+
+        ``num_chunks`` > 1 partitions the pair space by deterministic uid-hash
+        chunks run as separate jobs and unioned (reference chunking.py:12-42 /
+        inference.py:384-444) — the >memory-per-job splitting lever at scale;
+        output is identical to the unchunked run.
+        """
+        if num_chunks <= 1:
+            cv = self._l.comparison_vectors()
+            return predict_from_comparison_vectors(
+                cv,
+                self._l.settings,
+                threshold_match_probability=threshold_match_probability,
+                threshold_match_weight=threshold_match_weight,
+            )
+        s = self._l.settings
+        uid = s.unique_id_column_name
+        out: Optional[DataFrame] = None
+        for ci in range(num_chunks):
+            for cj in range(num_chunks):
+                pairs = self._l.blocked_pairs(materialize=False).where(
+                    (F.pmod(F.xxhash64(F.col("join_key_l")), F.lit(num_chunks)) == ci)
+                    & (F.pmod(F.xxhash64(F.col("join_key_r")), F.lit(num_chunks)) == cj)
+                )
+                cv = self._l.comparison_vectors(pairs=pairs)
+                scored = predict_from_comparison_vectors(
+                    cv,
+                    s,
+                    threshold_match_probability=threshold_match_probability,
+                    threshold_match_weight=threshold_match_weight,
+                )
+                out = scored if out is None else out.unionByName(scored)
+        return out
 
     def deterministic_link(self) -> DataFrame:
         """Pairs from the blocking rules alone, no scoring
@@ -259,6 +285,11 @@ class LinkerTraining:
         from .internals.training import estimate_parameters_using_em
 
         return estimate_parameters_using_em(self._l, blocking_rule, **kw)
+
+    def estimate_m_from_label_column(self, label_column: str):
+        from .internals.training import estimate_m_from_label_column
+
+        return estimate_m_from_label_column(self._l, label_column)
 
 
 class LinkerClustering:

@@ -178,6 +178,87 @@ def minhash_lsh_pairs(
     return out
 
 
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens — pure HOF arithmetic.
+
+    Per bit b: sign of sum over tokens of (+1 if bit b of xxhash64(token) set
+    else -1); set bits assemble into one bigint signature. Stays inside
+    whole-stage codegen (num_bits aggregates over the token array per row).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # shift amounts must be python ints (F.shiftright takes no Column), so
+    # unroll the bit loop driver-side — still one codegen'd expression
+    def _bit_counter(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sig = F.lit(0).cast("bigint")
+    for b in range(num_bits):
+        cnt = F.aggregate(hashes, F.lit(0), _bit_counter(b))
+        # 1 << 63 overflows a Java long literal; shiftleft keeps it in-range
+        sig = sig.bitwiseOR(
+            F.when(cnt >= 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance.
+
+    Candidates come from banding the 64-bit signature into ``num_bands``
+    16-bit bands: by pigeonhole, two signatures within hamming distance
+    ``num_bands - 1`` share at least one exact band — so the candidate join
+    is an equi-join on (band, band_value), never O(n^2). Exact hamming
+    (bit_count of xor) verifies candidates.
+    """
+    bits_per_band = 64 // num_bands
+    sigs = simhash_signatures(df, text_col, id_col)
+    band_values = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), b * bits_per_band).bitwiseAND(
+                F.lit((1 << bits_per_band) - 1)
+            )
+            for b in range(num_bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(band_values).alias("band", "band_value"),
+    )
+    l = banded.select(
+        F.col(id_col).alias(f"{id_col}_l"), F.col("simhash").alias("__sig_l"),
+        "band", "band_value",
+    )
+    r = banded.select(
+        F.col(id_col).alias(f"{id_col}_r"), F.col("simhash").alias("__sig_r"),
+        "band", "band_value",
+    )
+    hamming = F.bit_count(F.col("__sig_l").bitwiseXOR(F.col("__sig_r")))
+    return (
+        l.join(r, on=["band", "band_value"])
+        .where(F.col(f"{id_col}_l") < F.col(f"{id_col}_r"))
+        .select(f"{id_col}_l", f"{id_col}_r", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     embedding_col: str = "embedding",

@@ -1,0 +1,120 @@
+"""Tests: phonetic levels, simhash, salted blocking, chunked predict,
+exploding blocking rules, estimate_m_from_label_column."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import splink_spark.internals.comparison_library as cl
+import splink_spark.internals.comparison_level_library as cll
+from splink_spark import Linker, SettingsCreator, block_on, exploding_rule
+from splink_spark.internals.blocking import block_using_rules
+from splink_spark.internals.phonetic import double_metaphone
+from splink_spark.pipeline import dedup
+
+
+def test_double_metaphone_common_names():
+    # phonetically-equal name pairs must share a primary code
+    for a, b in [("smith", "smyth"), ("catherine", "katherine"),
+                 ("stephen", "steven"), ("jonson", "johnson")]:
+        pa, _ = double_metaphone(a)
+        pb, _ = double_metaphone(b)
+        assert pa == pb, f"{a}({pa}) vs {b}({pb})"
+    # different names must differ
+    for a, b in [("smith", "jones"), ("adam", "zachary")]:
+        assert double_metaphone(a)[0] != double_metaphone(b)[0]
+
+
+def test_phonetic_level(spark):
+    from tests.test_comparison_levels import run_gamma_tests
+    from splink_spark.internals.comparison import Comparison
+
+    comp = Comparison("c", [
+        cll.NullLevel("c"), cll.ExactMatchLevel("c"),
+        cll.PhoneticMatchLevel("c"), cll.ElseLevel(),
+    ])
+    run_gamma_tests(spark, comp, {"c": "string"}, [
+        ("smith", "smith", 2),
+        ("smith", "smyth", 1),
+        ("smith", "jones", 0),
+    ])
+
+
+def test_simhash_near_dups(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy cat today"),   # 1 token diff
+        (2, "entirely unrelated content about database systems and joins"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.simhash_pairs(docs, max_hamming=16, num_bands=8).collect()
+    found = {(r["doc_id_l"], r["doc_id_r"]): r["hamming"] for r in pairs}
+    assert (0, 1) in found
+    assert found[(0, 1)] <= 16
+    assert (0, 2) not in found
+
+
+def test_salted_blocking_same_pairs(spark, persons):
+    plain = block_using_rules(persons, [block_on("city")])
+    salted = block_using_rules(persons, [block_on("city", salting_partitions=4)])
+    p = {(r["join_key_l"], r["join_key_r"]) for r in plain.collect()}
+    s = {(r["join_key_l"], r["join_key_r"]) for r in salted.collect()}
+    assert p == s and len(p) > 0
+
+
+def test_exploding_blocking_rule(spark):
+    rows = [
+        (0, ["a", "b"]),
+        (1, ["b", "c"]),
+        (2, ["x"]),
+        (3, ["c", "a"]),
+    ]
+    df = spark.createDataFrame(rows, ["unique_id", "codes"])
+    rule = exploding_rule(block_on("codes"), ["codes"])
+    pairs = block_using_rules(df, [rule])
+    got = {(r["join_key_l"], r["join_key_r"]) for r in pairs.collect()}
+    assert got == {(0, 1), (1, 3), (0, 3)}
+    # exploded pairs must be distinct even when multiple elements overlap
+    assert pairs.count() == 3
+
+
+def test_chunked_predict_equals_unchunked(spark, persons):
+    def _set(comp, mus):
+        for lv in comp.comparison_levels:
+            if not lv.is_null_level:
+                lv.m_probability, lv.u_probability = mus[lv.comparison_vector_value]
+        return comp
+
+    settings = SettingsCreator(
+        comparisons=[_set(cl.ExactMatch("surname"), {1: (0.9, 0.02), 0: (0.1, 0.98)})],
+        blocking_rules_to_generate_predictions=[block_on("dob")],
+        probability_two_random_records_match=0.05,
+    )
+    linker = Linker(persons, settings)
+
+    def snap(df):
+        return sorted(
+            (r["unique_id_l"], r["unique_id_r"], round(r["match_weight"], 9))
+            for r in df.collect()
+        )
+
+    assert snap(linker.inference.predict()) == snap(
+        linker.inference.predict(num_chunks=3)
+    )
+
+
+def test_estimate_m_from_label_column(spark, persons):
+    settings = SettingsCreator(
+        comparisons=[cl.ExactMatch("surname"), cl.ExactMatch("dob")],
+        blocking_rules_to_generate_predictions=[block_on("dob")],
+    )
+    linker = Linker(persons, settings)
+    result = linker.training.estimate_m_from_label_column("cluster")
+    # within true entities, surnames mostly agree (entity 2 has one swap)
+    assert result["surname[1]"] > 0.5
+    assert result["surname[1]"] + result["surname[0]"] == pytest.approx(1.0)
+    for comp in settings.comparisons:
+        for lv in comp.comparison_levels:
+            if not lv.is_null_level:
+                assert lv.m_probability is not None
