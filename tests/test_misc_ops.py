@@ -1,0 +1,87 @@
+"""misc namespace (query_sql, converters), score_missing_cluster_edges,
+evaluation namespace completion."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import splink_spark.internals.comparison_library as cl
+from splink_spark import Linker, SettingsCreator, block_on
+from splink_spark.internals.misc import (
+    match_weight_to_prob,
+    prob_to_match_weight,
+    threshold_args_to_match_weight,
+)
+
+
+def _set(comp, mus):
+    for lv in comp.comparison_levels:
+        if not lv.is_null_level:
+            lv.m_probability, lv.u_probability = mus[lv.comparison_vector_value]
+    return comp
+
+
+@pytest.fixture(scope="module")
+def trained2(spark, persons):
+    settings = SettingsCreator(
+        comparisons=[
+            _set(cl.ExactMatch("surname"), {1: (0.9, 0.02), 0: (0.1, 0.98)}),
+            _set(cl.ExactMatch("dob"), {1: (0.85, 0.01), 0: (0.15, 0.99)}),
+        ],
+        blocking_rules_to_generate_predictions=[block_on("dob")],
+        probability_two_random_records_match=0.05,
+    )
+    return Linker(persons, settings)
+
+
+def test_converters_round_trip():
+    for p in [0.01, 0.5, 0.99]:
+        assert match_weight_to_prob(prob_to_match_weight(p)) == pytest.approx(p)
+    assert threshold_args_to_match_weight(0.5, None) == pytest.approx(0.0)
+    with pytest.raises(ValueError):
+        threshold_args_to_match_weight(0.5, 1.0)
+
+
+def test_query_sql_escape_hatch(spark, trained2):
+    out = trained2.misc.query_sql(
+        "SELECT count(*) AS n FROM __splink__df_concat WHERE surname = 'taylor'"
+    ).collect()
+    assert out[0]["n"] == 2
+
+
+def test_score_missing_cluster_edges(spark, trained2):
+    df_predict = trained2.inference.predict()
+    clusters = trained2.clustering.cluster_pairwise_predictions_at_threshold(df_predict, 0.5)
+    missing = trained2.inference.score_missing_cluster_edges(clusters, df_predict)
+    rows = missing.collect()
+    # records 0,1,2 cluster together via dob but (0,2)-style pairs across
+    # different blocking keys may be unscored; all returned pairs must carry
+    # scores and must not duplicate existing predict pairs
+    existing = {(r["unique_id_l"], r["unique_id_r"]) for r in df_predict.collect()}
+    got = {(r["unique_id_l"], r["unique_id_r"]) for r in rows}
+    assert not (existing & got)
+    for r in rows:
+        assert r["match_probability"] is not None
+
+
+def test_prediction_errors_and_unlinkables(spark, trained2):
+    df_predict = trained2.inference.predict()
+    errors = trained2.evaluation.prediction_errors_from_labels_column(
+        "cluster", df_predict, threshold_match_probability=0.5
+    )
+    # every error row is either FP (pred & !truth) or FN (!pred & truth)
+    for r in errors.collect():
+        truth = r["cluster_l"] == r["cluster_r"]
+        pred = r["match_probability"] >= 0.5
+        assert truth != pred
+    unl = trained2.evaluation.unlinkables_table().collect()
+    assert sum(r["count"] for r in unl) == 12  # one self-link per record
+
+
+def test_invalidate_cache(spark, trained2):
+    trained2.df_concat_with_tf()
+    trained2.misc.invalidate_cache()
+    assert trained2._concat_with_tf is None
+    # still works after invalidation
+    assert trained2.inference.predict().count() > 0
