@@ -200,7 +200,9 @@ def block_using_rules(
         F.col(f"{uid}_l").alias("join_key_l"),
         F.col(f"{uid}_r").alias("join_key_r"),
     ]
-    if source_dataset_column_name and nodes_right is None:
+    # carry source datasets whenever they exist — uids are only unique per
+    # dataset, so the downstream junction join needs (source, uid) keys
+    if source_dataset_column_name and source_dataset_column_name in left_raw.columns:
         out_cols = [
             F.col("match_key"),
             F.col(f"{source_dataset_column_name}_l").alias("source_dataset_l"),

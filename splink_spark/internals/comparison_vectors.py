@@ -83,11 +83,16 @@ def blocked_pairs_with_columns(
         join_l.append(blocked_pairs["source_dataset_l"] == narrow_l[f"{sd}_l"])
         join_r.append(blocked_pairs["source_dataset_r"] == narrow_r[f"{sd}_r"])
 
-    out = (
-        blocked_pairs.join(narrow_l, on=_and(join_l), how="inner")
-        .join(narrow_r, on=_and(join_r), how="inner")
-        .drop("join_key_l", "join_key_r", "source_dataset_l", "source_dataset_r")
+    out = blocked_pairs.join(narrow_l, on=_and(join_l), how="inner").join(
+        narrow_r, on=_and(join_r), how="inner"
     )
+    # drop the pair table's copies by REFERENCE — the node table contributes
+    # identically-named source_dataset_l/_r columns that must survive
+    out = out.drop(blocked_pairs["join_key_l"]).drop(blocked_pairs["join_key_r"])
+    if "source_dataset_l" in blocked_pairs.columns:
+        out = out.drop(blocked_pairs["source_dataset_l"]).drop(
+            blocked_pairs["source_dataset_r"]
+        )
     return out
 
 

@@ -1,0 +1,140 @@
+"""Two-dataset link_only / link_and_dedupe paths: source_dataset synthesis,
+the two-dataset split optimisation, cross-dataset pair semantics, composite
+ids in clustering."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import splink_spark.internals.comparison_library as cl
+from splink_spark import Linker, SettingsCreator, block_on
+
+
+def _set(comp, mus):
+    for lv in comp.comparison_levels:
+        if not lv.is_null_level:
+            lv.m_probability, lv.u_probability = mus[lv.comparison_vector_value]
+    return comp
+
+
+@pytest.fixture(scope="module")
+def two_tables(spark):
+    left = spark.createDataFrame(
+        [
+            (0, "alice", "1990-01-01"),
+            (1, "bob", "1985-05-05"),
+            (2, "carol", "1970-12-12"),
+        ],
+        ["unique_id", "name", "dob"],
+    )
+    right = spark.createDataFrame(
+        [
+            (0, "alice", "1990-01-01"),     # same uid as left 0 — must still pair
+            (10, "bob", "1985-05-05"),
+            (11, "dave", "2000-07-07"),
+        ],
+        ["unique_id", "name", "dob"],
+    )
+    return left, right
+
+
+def _settings(link_type):
+    return SettingsCreator(
+        link_type=link_type,
+        comparisons=[_set(cl.ExactMatch("name"), {1: (0.9, 0.01), 0: (0.1, 0.99)})],
+        blocking_rules_to_generate_predictions=[block_on("dob")],
+        probability_two_random_records_match=0.1,
+    )
+
+
+def test_link_only_cross_dataset_pairs(spark, two_tables):
+    left, right = two_tables
+    linker = Linker({"l_tbl": left, "r_tbl": right}, _settings("link_only"))
+    rows = linker.inference.predict().collect()
+    pairs = {(r["unique_id_l"], r["unique_id_r"]) for r in rows}
+    # only cross-dataset pairs; (0_left, 0_right) must appear despite equal uid
+    assert (0, 0) in pairs
+    assert (1, 10) in pairs
+    assert len(pairs) == 2
+    # uid collisions across datasets must not fan out duplicate rows
+    assert len(rows) == len(pairs)
+    probs = {p: r["match_probability"] for p, r in
+             zip(pairs, sorted(rows, key=lambda r: r["unique_id_l"]))}
+    assert all(r["match_probability"] > 0.4 for r in rows)
+
+
+def test_link_and_dedupe_includes_within(spark, two_tables):
+    left, right = two_tables
+    # add an intra-left duplicate
+    left2 = left.unionByName(
+        spark.createDataFrame([(5, "alice", "1990-01-01")], left.schema)
+    )
+    linker = Linker({"l_tbl": left2, "r_tbl": right}, _settings("link_and_dedupe"))
+    pairs = {
+        (r["unique_id_l"], r["unique_id_r"])
+        for r in linker.inference.predict().collect()
+    }
+    # cross pair and within-left pair both present
+    assert (0, 0) in pairs or (0, 5) in pairs
+    within = {(0, 5)}
+    assert within & pairs, "link_and_dedupe must generate within-dataset pairs"
+
+
+def test_link_only_clustering_composite_ids(spark, two_tables):
+    left, right = two_tables
+    linker = Linker({"l_tbl": left, "r_tbl": right}, _settings("link_only"))
+    pred = linker.inference.predict()
+    clusters = linker.clustering.cluster_pairwise_predictions_at_threshold(pred, 0.4)
+    rows = clusters.collect()
+    assert len(rows) == 6
+    by_key = {(r["source_dataset"], r["unique_id"]): r["cluster_id"] for r in rows}
+    # alice left and alice right share a cluster despite both having uid 0
+    assert by_key[("l_tbl", 0)] == by_key[("r_tbl", 0)]
+    assert by_key[("l_tbl", 1)] == by_key[("r_tbl", 10)]
+    assert by_key[("l_tbl", 2)] != by_key[("r_tbl", 11)]
+
+
+def test_source_dataset_required(spark, two_tables):
+    left, _ = two_tables
+    with pytest.raises(ValueError, match="requires"):
+        Linker(left, _settings("link_only"))
+
+
+def test_full_example_train_predict_cluster_eval(spark, persons):
+    """The reference's full-example shape: profile → estimate lambda → u →
+    EM ×2 → predict → cluster → truth space (tests/test_full_example_*)."""
+    settings = SettingsCreator(
+        comparisons=[
+            cl.LevenshteinAtThresholds("first_name", [2]),
+            cl.ExactMatch("surname"),
+            cl.ExactMatch("dob"),
+            cl.ExactMatch("city", term_frequency_adjustments=True),
+        ],
+        blocking_rules_to_generate_predictions=[block_on("dob"), block_on("surname")],
+    )
+    linker = Linker(persons, settings)
+    linker.training.estimate_probability_two_random_records_match(
+        [block_on("surname", "dob")], recall=0.8
+    )
+    linker.training.estimate_u_using_random_sampling(max_pairs=1e4, seed=1)
+    linker.training.estimate_parameters_using_expectation_maximisation(
+        block_on("dob"), fix_u_probabilities=True
+    )
+    linker.training.estimate_parameters_using_expectation_maximisation(
+        block_on("surname"), fix_u_probabilities=True
+    )
+    assert settings.all_probabilities_set
+
+    scored = linker.inference.predict()
+    clusters = linker.clustering.cluster_pairwise_predictions_at_threshold(scored, 0.9)
+    # entity 0 records 0,1 share dob+surname+city: must cluster together
+    by_id = {r["unique_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert by_id[0] == by_id[1]
+    # zoe li (11) is a singleton
+    assert sum(1 for v in by_id.values() if v == by_id[11]) == 1
+
+    ts = linker.evaluation.accuracy_analysis_from_labels_column("cluster", scored)
+    rows = ts.collect()
+    assert rows, "truth space must be non-empty"
+    assert all(r["tp"] + r["fn"] >= 0 for r in rows)

