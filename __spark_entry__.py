@@ -144,6 +144,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pairs.groupBy("match_key").agg(F.count(F.lit(1)).alias("n_pairs"))
 
+    def q_exploding_block(spark, sf_dir):
+        """Exploding blocking rule over a derived array column (SURVEY §2.3):
+        customers blocked on sharing any order-key bucket."""
+        from splink_spark import exploding_rule
+
+        orders = _session(spark).read.parquet(f"{sf_dir}/orders.parquet")
+        arr = orders.groupBy(F.col("o_custkey").alias("unique_id")).agg(
+            F.array_distinct(F.collect_list(F.pmod(F.col("o_orderkey"), F.lit(997)))).alias("codes")
+        )
+        rule = exploding_rule(block_on("codes"), ["codes"])
+        return block_using_rules(arr, [rule])
+
     def q_comparison_vectors(spark, sf_dir):
         cv = _linker(spark, sf_dir).comparison_vectors()
         return cv.select(
@@ -336,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_single": q_block_single,
         "block_multi": q_block_multi,
         "block_counts": q_block_counts,
+        "exploding_block": q_exploding_block,
         "comparison_vectors": q_comparison_vectors,
         "predict_customer": q_predict,
         "em_patterns": q_em_patterns,
@@ -497,6 +510,15 @@ def oracle_sql() -> dict[str, str]:
                               AND l.c_mktsegment = r.c_mktsegment, FALSE)
       )
       SELECT match_key, count(*) AS n_pairs FROM pairs GROUP BY match_key
+    """
+
+    sqls["exploding_block"] = """
+      WITH arr AS (
+        SELECT o_custkey AS unique_id, o_orderkey % 997 AS code
+        FROM orders GROUP BY o_custkey, o_orderkey % 997
+      )
+      SELECT DISTINCT '0' AS match_key, l.unique_id AS join_key_l, r.unique_id AS join_key_r
+      FROM arr l JOIN arr r ON l.code = r.code AND l.unique_id < r.unique_id
     """
 
     sqls["comparison_vectors"] = f"""

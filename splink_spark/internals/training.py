@@ -157,24 +157,29 @@ def estimate_u_using_random_sampling(
 # ---------------------------------------------------------------------------
 
 
-def estimate_m_from_label_column(linker, label_column: str) -> dict:
-    """m from a ground-truth entity column: pairs sharing the label are true
-    matches; their gamma distribution estimates m directly
-    (reference training.py:359-437 / m_training.py via block_from_labels)."""
-    from .blocking import block_on
-
+def estimate_m_from_pairwise_labels(linker, labels: "DataFrame") -> dict:
+    """m from a clerically-labelled pair table (unique_id_l, unique_id_r
+    [, clerical_match_score]) — reference m_from_labels.py / block_from_labels
+    .py: orient pairs lower-id-first, junction-join, count gamma levels.
+    Rows with clerical_match_score < 1 are excluded (non-matches teach u,
+    not m)."""
     s = linker.settings
-    pairs = block_using_rules(
-        linker.df_concat_with_tf(),
-        [block_on(label_column)],
-        link_type=s.link_type if not s.needs_source_dataset else "link_and_dedupe",
-        unique_id_column_name=s.unique_id_column_name,
-        source_dataset_column_name=s.source_dataset_column_name
-        if s.needs_source_dataset
-        else None,
-    )
+    if "clerical_match_score" in labels.columns:
+        labels = labels.where(F.col("clerical_match_score") >= 1.0)
+    # lower id on lhs (reference lower_id_on_lhs.py)
+    lo = F.least(F.col("unique_id_l"), F.col("unique_id_r"))
+    hi = F.greatest(F.col("unique_id_l"), F.col("unique_id_r"))
+    pairs = labels.select(
+        F.lit("labels").alias("match_key"),
+        lo.alias("join_key_l"),
+        hi.alias("join_key_r"),
+    ).distinct()
     with_cols = blocked_pairs_with_columns(pairs, linker.df_concat_with_tf(), s)
     cv = compute_comparison_vectors(with_cols, s)
+    return _m_from_cv(s, cv)
+
+
+def _m_from_cv(s, cv) -> dict:
     aggs = []
     for comp in s.comparisons:
         g = comp.gamma_column_name
@@ -200,6 +205,27 @@ def estimate_m_from_label_column(linker, label_column: str) -> dict:
                 lv.m_probability = max((row[f"{g}__{k}"] or 0) / total, 1e-9)
                 result[f"{comp.output_column_name}[{k}]"] = lv.m_probability
     return result
+
+
+def estimate_m_from_label_column(linker, label_column: str) -> dict:
+    """m from a ground-truth entity column: pairs sharing the label are true
+    matches; their gamma distribution estimates m directly
+    (reference training.py:359-437 / m_training.py via block_from_labels)."""
+    from .blocking import block_on
+
+    s = linker.settings
+    pairs = block_using_rules(
+        linker.df_concat_with_tf(),
+        [block_on(label_column)],
+        link_type=s.link_type if not s.needs_source_dataset else "link_and_dedupe",
+        unique_id_column_name=s.unique_id_column_name,
+        source_dataset_column_name=s.source_dataset_column_name
+        if s.needs_source_dataset
+        else None,
+    )
+    with_cols = blocked_pairs_with_columns(pairs, linker.df_concat_with_tf(), s)
+    cv = compute_comparison_vectors(with_cols, s)
+    return _m_from_cv(s, cv)
 
 
 # ---------------------------------------------------------------------------

@@ -321,6 +321,11 @@ class LinkerTraining:
 
         return estimate_m_from_label_column(self._l, label_column)
 
+    def estimate_m_from_pairwise_labels(self, labels: DataFrame):
+        from .internals.training import estimate_m_from_pairwise_labels
+
+        return estimate_m_from_pairwise_labels(self._l, labels)
+
 
 class LinkerClustering:
     """linker_components/clustering.py."""

@@ -118,3 +118,19 @@ def test_estimate_m_from_label_column(spark, persons):
         for lv in comp.comparison_levels:
             if not lv.is_null_level:
                 assert lv.m_probability is not None
+
+
+def test_estimate_m_from_pairwise_labels(spark, persons):
+    settings = SettingsCreator(
+        comparisons=[cl.ExactMatch("surname"), cl.ExactMatch("city")],
+        blocking_rules_to_generate_predictions=[block_on("dob")],
+    )
+    linker = Linker(persons, settings)
+    labels = spark.createDataFrame(
+        [(1, 0, 1.0), (2, 0, 1.0), (4, 3, 1.0), (9, 11, 0.0)],  # last is non-match
+        "unique_id_l bigint, unique_id_r bigint, clerical_match_score double",
+    )
+    result = linker.training.estimate_m_from_pairwise_labels(labels)
+    # labelled matches: (0,1) same surname, (0,2) different, (3,4) same
+    assert result["surname[1]"] == pytest.approx(2 / 3)
+    assert result["surname[0]"] == pytest.approx(1 / 3)
