@@ -94,12 +94,22 @@ def estimate_probability_two_random_records_match(
 
 
 def estimate_u_using_random_sampling(
-    linker, max_pairs: float = 1e6, seed: Optional[int] = None
+    linker,
+    max_pairs: float = 1e6,
+    seed: Optional[int] = None,
+    min_count_per_level: Optional[int] = None,
+    num_chunks: int = 1,
 ) -> dict:
     """All sampled pairs assumed non-matches → gamma distribution estimates u.
 
     Deterministic sampling filter: pmod(xxhash64(uid, seed), M) < k with
     M chosen so the kept fraction f satisfies (f*n)^2/2 ~= max_pairs.
+
+    ``num_chunks`` > 1 enables the reference's chunked early-stop
+    (estimate_u.py:122-160): the rhs sample is hash-split into chunks,
+    processed in turn, and iteration stops once every non-null level has
+    accumulated >= ``min_count_per_level`` observations — rare fuzzy levels
+    get enough mass without always paying the full max_pairs budget.
     """
     s = linker.settings
     uid = s.unique_id_column_name
@@ -114,15 +124,7 @@ def estimate_u_using_random_sampling(
         F.pmod(F.xxhash64(F.col(uid), F.lit(seed or 0)), F.lit(modulus)) < threshold
     )
 
-    pairs = block_using_rules(
-        sample,
-        [CustomRule("TRUE")],
-        link_type="dedupe_only",  # uid_l < uid_r dedup of the cartesian
-        unique_id_column_name=uid,
-    )
-    with_cols = blocked_pairs_with_columns(pairs, sample, s)
-    cv = compute_comparison_vectors(with_cols, s)
-
+    level_keys: list[tuple[str, int]] = []
     aggs = []
     for comp in s.comparisons:
         g = comp.gamma_column_name
@@ -130,21 +132,59 @@ def estimate_u_using_random_sampling(
             if lv.is_null_level:
                 continue
             k = lv.comparison_vector_value
+            level_keys.append((g, k))
             aggs.append(
                 F.sum(F.when(F.col(g) == k, 1).otherwise(0)).alias(f"{g}__{k}")
             )
         aggs.append(F.sum(F.when(F.col(g) != -1, 1).otherwise(0)).alias(f"{g}__total"))
-    row = cv.agg(*aggs).collect()[0].asDict()
+
+    def count_chunk(rhs) -> dict:
+        if rhs is sample:
+            pairs = block_using_rules(
+                sample, [CustomRule("TRUE")], link_type="dedupe_only",
+                unique_id_column_name=uid,
+            )
+        else:
+            # full-sample x chunk; uid_l < uid_r keeps each unordered pair in
+            # exactly one chunk (the one containing its larger id) and drops
+            # self-pairs — no double counting across chunks
+            pairs = block_using_rules(
+                sample, [CustomRule("TRUE")], link_type="dedupe_only",
+                unique_id_column_name=uid, nodes_right=rhs,
+            ).where(F.col("join_key_l") < F.col("join_key_r"))
+        with_cols = blocked_pairs_with_columns(
+            pairs, sample, s, concat_with_tf_right=rhs if rhs is not sample else None
+        )
+        cv = compute_comparison_vectors(with_cols, s)
+        return cv.agg(*aggs).collect()[0].asDict()
+
+    totals: dict[str, int] = {}
+    if num_chunks <= 1:
+        totals = count_chunk(sample)
+    else:
+        for ci in range(num_chunks):
+            rhs = sample.where(
+                F.pmod(F.xxhash64(F.col(uid), F.lit((seed or 0) + 1)), F.lit(num_chunks))
+                == ci
+            )
+            row = count_chunk(rhs)
+            for key, v in row.items():
+                totals[key] = totals.get(key, 0) + (v or 0)
+            if min_count_per_level is not None and all(
+                totals.get(f"{g}__{k}", 0) >= min_count_per_level for g, k in level_keys
+            ):
+                logger.info("u-estimation early stop after chunk %d", ci)
+                break
 
     result = {}
     for comp in s.comparisons:
         g = comp.gamma_column_name
-        total = row[f"{g}__total"] or 0
+        total = totals.get(f"{g}__total", 0) or 0
         for lv in comp.comparison_levels:
             if lv.is_null_level:
                 continue
             k = lv.comparison_vector_value
-            count = row[f"{g}__{k}"] or 0
+            count = totals.get(f"{g}__{k}", 0) or 0
             if total > 0 and not lv.fix_u_probability:
                 u = count / total
                 lv.u_probability = max(u, 1e-9)

@@ -306,10 +306,22 @@ class LinkerTraining:
 
         return estimate_probability_two_random_records_match(self._l, deterministic_rules, recall)
 
-    def estimate_u_using_random_sampling(self, max_pairs: float = 1e6, seed: Optional[int] = None):
+    def estimate_u_using_random_sampling(
+        self,
+        max_pairs: float = 1e6,
+        seed: Optional[int] = None,
+        min_count_per_level: Optional[int] = None,
+        num_chunks: int = 1,
+    ):
         from .internals.training import estimate_u_using_random_sampling
 
-        return estimate_u_using_random_sampling(self._l, max_pairs=max_pairs, seed=seed)
+        return estimate_u_using_random_sampling(
+            self._l,
+            max_pairs=max_pairs,
+            seed=seed,
+            min_count_per_level=min_count_per_level,
+            num_chunks=num_chunks,
+        )
 
     def estimate_parameters_using_expectation_maximisation(self, blocking_rule, **kw):
         from .internals.training import estimate_parameters_using_em

@@ -30,10 +30,12 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k by cosine: broadcast the (small) query side against the
     corpus, window-rank per query. Ties broken by corpus id (deterministic)."""
+    from .dedup import _widen
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(embedding_col).alias("__q_emb")
     )
-    c = corpus.select(
+    c = _widen(corpus).select(
         F.col(id_col).alias("neighbour_id"), F.col(embedding_col).alias("__c_emb")
     )
     scored = (

@@ -16,6 +16,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Small single-file inputs arrive as one partition; pairwise ops would
+    then run on one core. Repartition up to the session's parallelism (a
+    no-op shape at real scale where inputs have many splits)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -58,7 +68,7 @@ def ngram_jaccard_pairs(
     with no blocks this is the exact quadratic baseline — only for small n or
     as the verification oracle for the MinHash path.
     """
-    grams = df.select(
+    grams = _widen(df).select(
         F.col(id_col), *[F.col(c) for c in block_cols],
         char_ngrams(F.col(text_col), n).alias("__grams"),
     )
@@ -103,7 +113,7 @@ def minhash_signatures(
     cross the wire. ~3x faster than the nested-HOF formulation (whose
     codegen alone costs seconds) and the same shape at 100 TB.
     """
-    ex = df.select(
+    ex = _widen(df).select(
         F.col(id_col), F.explode(char_ngrams(F.col(text_col), shingle_size)).alias("__s")
     ).withColumn("__h", F.xxhash64("__s"))
     aggs = [
@@ -280,6 +290,7 @@ def embedding_near_duplicates(
     from ..internals.functions import cosine_similarity
 
     cols = [id_col, embedding_col, *block_cols]
+    df = _widen(df)
     l = df.select(*[F.col(c).alias(f"{c}_l") for c in cols])
     r = df.select(*[F.col(c).alias(f"{c}_r") for c in cols])
     cond = F.col(f"{id_col}_l") < F.col(f"{id_col}_r")

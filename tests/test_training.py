@@ -127,3 +127,28 @@ def test_estimate_lambda_from_deterministic_rules(spark):
     )
     expected = 100 / (200 * 199 / 2)
     assert prob == pytest.approx(expected, rel=1e-9)
+
+
+def test_estimate_u_chunked_equals_unchunked(spark):
+    rng = random.Random(11)
+    rows = [(i, f"v{rng.randrange(10)}") for i in range(1500)]
+    df = spark.createDataFrame(rows, ["unique_id", "col"])
+
+    def run(**kw):
+        settings = SettingsCreator(
+            comparisons=[cl.ExactMatch("col")],
+            blocking_rules_to_generate_predictions=[block_on("col")],
+        )
+        linker = Linker(df, settings)
+        return linker.training.estimate_u_using_random_sampling(
+            max_pairs=2e5, seed=1, **kw
+        )
+
+    base = run()
+    chunked = run(num_chunks=4)
+    # all chunks processed -> identical pair set -> identical estimates
+    assert chunked["col[1]"] == pytest.approx(base["col[1]"], rel=1e-9)
+
+    early = run(num_chunks=4, min_count_per_level=5)
+    # early stop uses fewer pairs but must stay near the true value 0.1
+    assert early["col[1]"] == pytest.approx(0.1, abs=0.04)
