@@ -46,6 +46,13 @@ class MaterializationPolicy:
         if frac is None:
             return None
         base = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        # wide stages (pair scoring) floor at the core count — the reference's
+        # /6-style fractions assume shuffle.partitions >> cores. The iterative
+        # clustering stages keep the small reference fractions: their tables
+        # are tiny and per-iteration task-scheduling overhead dominates.
+        if stage in ("blocked_pairs", "predict", "concat_with_tf"):
+            floor = df.sparkSession.sparkContext.defaultParallelism
+            return max(1, int(base * frac), floor)
         return max(1, int(base * frac))
 
     def materialize(self, df: DataFrame, stage: str = "generic") -> DataFrame:

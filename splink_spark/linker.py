@@ -91,6 +91,11 @@ class Linker:
         """
         if self._concat_with_tf is None:
             df = join_term_frequencies(self.df_concat(), self.tf_tables())
+            # single-file inputs arrive as one partition; the blocking join
+            # would then probe on one core — spread before persisting
+            target = self.spark.sparkContext.defaultParallelism
+            if df.rdd.getNumPartitions() < target:
+                df = df.repartition(target)
             df = self.materialization.materialize(df, "concat_with_tf")
             try:
                 df._splink_row_count = df.count()  # type: ignore[attr-defined]
