@@ -93,6 +93,76 @@ def lsh_bucket_signature(embedding_col, planes: Sequence[Sequence[float]]):
     return sig.cast("bigint")
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k.
+
+    Index: ``num_cells`` centroids chosen deterministically (corpus rows with
+    the smallest xxhash64(id) — a seedless reservoir stand-in for k-means);
+    every corpus vector is assigned to its nearest centroid by a
+    numpy-vectorized pandas UDF (one matmul per Arrow batch). Probe: each
+    query searches its ``nprobe`` nearest cells only — candidate generation
+    is an equi-join on cell id, O(corpus/num_cells * nprobe) per query.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    centroid_rows = (
+        corpus.select(id_col, embedding_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col)))
+        .orderBy("__h")
+        .limit(num_cells)
+        .collect()
+    )
+    cm = np.array([list(r[embedding_col]) for r in centroid_rows], dtype="float64")
+    cm_norm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+
+    def _cells(n: int):
+        @pandas_udf(ArrayType(IntegerType()))
+        def nearest_cells(embs):
+            mat = np.array([list(v) for v in embs], dtype="float64")
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ cm_norm.T  # batch matmul: cosine to every centroid
+            top = np.argsort(-sims, axis=1)[:, :n]
+            return pd.Series([row.tolist() for row in top])
+
+        return nearest_cells
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbour_id"),
+        F.col(embedding_col).alias("__c_emb"),
+        F.element_at(_cells(1)(F.col(embedding_col)), 1).alias("__cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(embedding_col).alias("__q_emb"),
+        F.explode(_cells(nprobe)(F.col(embedding_col))).alias("__cell"),
+    )
+    cand = c.join(F.broadcast(q), on="__cell").where(
+        F.col("neighbour_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbour_id",
+        _sim(F.col("__q_emb"), F.col("__c_emb")).alias("cosine_sim"),
+    ).dropDuplicates(["query_id", "neighbour_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbour_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbour_id", "cosine_sim")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

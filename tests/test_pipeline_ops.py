@@ -146,3 +146,18 @@ def test_frame_sampling(spark):
     )
     frames = multimodal.sample_frames(media, every_ms=1000).collect()
     assert [r["frame_offset_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_ivf_topk(spark, vectors):
+    exact = ann.brute_force_topk(vectors, vectors.where(F.col("vec_id") < 5), k=5)
+    approx = ann.ivf_topk(
+        vectors, vectors.where(F.col("vec_id") < 5), k=5, num_cells=8, nprobe=4
+    )
+    e = {(r["query_id"], r["neighbour_id"]) for r in exact.collect()}
+    a_rows = approx.collect()
+    a = {(r["query_id"], r["neighbour_id"]) for r in a_rows}
+    # probing half the cells: decent recall, and the scaled twin must be found
+    assert len(e & a) / len(e) >= 0.4
+    assert (0, 100) in a
+    # candidates only come from probed cells (bounded work per query)
+    assert all(r["rank"] <= 5 for r in a_rows)
