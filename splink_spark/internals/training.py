@@ -268,6 +268,65 @@ def estimate_m_from_label_column(linker, label_column: str) -> dict:
     return _m_from_cv(s, cv)
 
 
+def _em_tf_aggs(active, m, u, session_lam):
+    """Aggregate expressions for the with-TF E-step: p per pair from current
+    session params (match-weight ladder + TF adjustment, predict.py
+    semantics), then expected-count sums per level."""
+    import math as _math
+
+    from .predict import stable_sigmoid
+
+    mw = F.lit(_math.log2(session_lam / (1.0 - session_lam)))
+    for ci, comp in enumerate(active):
+        gamma = F.col(comp.gamma_column_name)
+        case = None
+        exact_u = None
+        for lv in comp.comparison_levels:
+            if lv.is_null_level:
+                continue
+            k = lv.comparison_vector_value
+            const = F.lit(_math.log2(max(m[(ci, k)], 1e-300) / max(u[(ci, k)], 1e-300)))
+            cond = gamma == F.lit(k)
+            case = F.when(cond, const) if case is None else case.when(cond, const)
+            if lv.is_exact_match_level:
+                exact_u = u[(ci, k)]
+        mw = mw + case.otherwise(F.lit(0.0))
+        for lv in comp.comparison_levels:
+            if not lv.has_tf_adjustment:
+                continue
+            c = lv.tf_adjustment_column
+            tf_l, tf_r = F.col(f"tf_{c}_l"), F.col(f"tf_{c}_r")
+            tf_term = F.greatest(
+                F.coalesce(tf_l, tf_r),
+                F.coalesce(tf_r, tf_l),
+                F.lit(float(lv.tf_minimum_u_value)),
+            )
+            u_ex = exact_u if exact_u is not None else u[(ci, lv.comparison_vector_value)]
+            adj = F.lit(float(lv.tf_adjustment_weight)) * (
+                F.lit(_math.log2(max(u_ex, 1e-300))) - F.log2(tf_term)
+            )
+            arm = F.when(tf_term.isNotNull() & (tf_term > 0), adj).otherwise(F.lit(0.0))
+            mw = mw + F.when(
+                gamma == F.lit(lv.comparison_vector_value), arm
+            ).otherwise(F.lit(0.0))
+
+    p = stable_sigmoid(mw)
+    aggs = [
+        F.sum(p).alias("__lam_num"),
+        F.count(F.lit(1)).cast("double").alias("__lam_den"),
+    ]
+    for ci, comp in enumerate(active):
+        gamma = F.col(comp.gamma_column_name)
+        for lv in comp.comparison_levels:
+            if lv.is_null_level:
+                continue
+            k = lv.comparison_vector_value
+            hit = (gamma == F.lit(k)).cast("double")
+            aggs.append(F.sum(p * hit).alias(f"__m_{ci}_{k}"))
+            aggs.append(F.sum((F.lit(1.0) - p) * hit).alias(f"__u_{ci}_{k}"))
+    return aggs
+
+
 # ---------------------------------------------------------------------------
 # EM over agreement-pattern counts
 # ---------------------------------------------------------------------------
@@ -281,12 +340,20 @@ def estimate_parameters_using_em(
     fix_probability_two_random_records_match: bool = True,
     max_iterations: Optional[int] = None,
     em_convergence: Optional[float] = None,
+    estimate_without_term_frequencies: bool = True,
 ) -> dict:
     """One EM training session blocked on ``blocking_rule``.
 
     Comparisons whose input columns are consumed by the training rule are
     deactivated for this session (em_training_session.py:136-160) — their
     gammas are constant under the block so carry no signal.
+
+    ``estimate_without_term_frequencies=True`` (the reference's fast path,
+    expectation_maximisation.py:247-251): pairs compress to agreement-pattern
+    counts once and the whole loop runs on the driver.
+    ``False``: the E-step scores every pair including TF adjustments — one
+    Spark aggregate per iteration over the materialized comparison-vector
+    table (the reference's default-path semantics).
     """
     s = linker.settings
     rule = blocking_rule if isinstance(blocking_rule, BlockingRule) else CustomRule(blocking_rule)
@@ -314,9 +381,20 @@ def estimate_parameters_using_em(
     with_cols = blocked_pairs_with_columns(pairs, linker.df_concat_with_tf(), s)
     cv = compute_comparison_vectors(with_cols, s)
     gamma_cols = [c.gamma_column_name for c in active]
-    patterns = cv.groupBy(*gamma_cols).agg(F.count(F.lit(1)).alias("pattern_count"))
-    rows = patterns.collect()  # O(prod levels) rows — tiny
-    counts = [(tuple(r[g] for g in gamma_cols), r["pattern_count"]) for r in rows]
+    if estimate_without_term_frequencies:
+        patterns = cv.groupBy(*gamma_cols).agg(F.count(F.lit(1)).alias("pattern_count"))
+        rows = patterns.collect()  # O(prod levels) rows — tiny
+        counts = [(tuple(r[g] for g in gamma_cols), r["pattern_count"]) for r in rows]
+    else:
+        # with-TF path: keep gamma + tf columns only, materialize (the loop
+        # re-scans this table every iteration)
+        keep = list(gamma_cols)
+        for comp in active:
+            for c in comp.tf_adjustment_input_columns:
+                keep += [f"tf_{c}_l", f"tf_{c}_r"]
+        keep = [c for c in dict.fromkeys(keep) if c in cv.columns]
+        cv = linker.materialization.materialize(cv.select(*keep), "em_cv")
+        counts = None
 
     # init params from current settings (defaults if unset)
     m: dict[tuple[int, int], float] = {}
@@ -340,33 +418,51 @@ def estimate_parameters_using_em(
 
     history = []
     for it in range(max_iterations):
-        # E step (predict.py:135-200 semantics on the pattern table)
+        # E step (predict.py:135-200 semantics)
         new_m = {k: 0.0 for k in m}
         new_u = {k: 0.0 for k in u}
         m_tot = {ci: 0.0 for ci in range(len(active))}
         u_tot = {ci: 0.0 for ci in range(len(active))}
         lam_num = 0.0
         lam_den = 0.0
-        for gammas, cnt in counts:
-            bf = 1.0
+        if counts is not None:
+            for gammas, cnt in counts:
+                bf = 1.0
+                for ci in range(len(active)):
+                    g = gammas[ci]
+                    if g == -1:
+                        continue
+                    bf *= m[(ci, g)] / max(u[(ci, g)], 1e-300)
+                prior_odds = session_lam / (1 - session_lam)
+                odds = prior_odds * bf
+                p = odds / (1 + odds)
+                lam_num += p * cnt
+                lam_den += cnt
+                for ci in range(len(active)):
+                    g = gammas[ci]
+                    if g == -1:
+                        continue
+                    new_m[(ci, g)] += p * cnt
+                    new_u[(ci, g)] += (1 - p) * cnt
+                    m_tot[ci] += p * cnt
+                    u_tot[ci] += (1 - p) * cnt
+        else:
+            # with-TF path: score every pair with current params incl. TF
+            # adjustments, aggregate expected counts in ONE Spark job
+            row = cv.agg(*_em_tf_aggs(active, m, u, session_lam)).collect()[0].asDict()
+            lam_num = row["__lam_num"] or 0.0
+            lam_den = row["__lam_den"] or 0.0
             for ci in range(len(active)):
-                g = gammas[ci]
-                if g == -1:
-                    continue
-                bf *= m[(ci, g)] / max(u[(ci, g)], 1e-300)
-            prior_odds = session_lam / (1 - session_lam)
-            odds = prior_odds * bf
-            p = odds / (1 + odds)
-            lam_num += p * cnt
-            lam_den += cnt
-            for ci in range(len(active)):
-                g = gammas[ci]
-                if g == -1:
-                    continue
-                new_m[(ci, g)] += p * cnt
-                new_u[(ci, g)] += (1 - p) * cnt
-                m_tot[ci] += p * cnt
-                u_tot[ci] += (1 - p) * cnt
+                for lv in active[ci].comparison_levels:
+                    if lv.is_null_level:
+                        continue
+                    k = lv.comparison_vector_value
+                    mn = row[f"__m_{ci}_{k}"] or 0.0
+                    un = row[f"__u_{ci}_{k}"] or 0.0
+                    new_m[(ci, k)] += mn
+                    new_u[(ci, k)] += un
+                    m_tot[ci] += mn
+                    u_tot[ci] += un
         # M step: normalise within comparison (expectation_maximisation.py:89-118)
         max_delta = 0.0
         for key in list(new_m):

@@ -152,3 +152,42 @@ def test_estimate_u_chunked_equals_unchunked(spark):
     early = run(num_chunks=4, min_count_per_level=5)
     # early stop uses fewer pairs but must stay near the true value 0.1
     assert early["col[1]"] == pytest.approx(0.1, abs=0.04)
+
+
+def test_em_with_tf_path_matches_pattern_path_without_tf(spark, em_fixture):
+    """With no TF-adjusted comparisons, the with-TF E-step must converge to
+    the same parameters as the agreement-pattern fast path."""
+    def run(without_tf):
+        settings = SettingsCreator(
+            link_type="dedupe_only",
+            comparisons=[cl.ExactMatch("col_1"), cl.ExactMatch("col_2"),
+                         cl.ExactMatch("col_3")],
+            blocking_rules_to_generate_predictions=[block_on("pair_id")],
+        )
+        linker = Linker(em_fixture, settings)
+        return estimate_parameters_using_em(
+            linker, block_on("pair_id"),
+            fix_probability_two_random_records_match=False,
+            estimate_without_term_frequencies=without_tf,
+        )
+
+    fast = run(True)
+    full = run(False)
+    for key in fast["m"]:
+        assert full["m"][key] == pytest.approx(fast["m"][key], rel=1e-6), key
+        assert full["u"][key] == pytest.approx(fast["u"][key], rel=1e-6), key
+    assert full["lambda"] == pytest.approx(fast["lambda"], rel=1e-6)
+
+
+def test_em_with_tf_adjustments_runs(spark, persons):
+    settings = SettingsCreator(
+        comparisons=[cl.ExactMatch("surname"),
+                     cl.ExactMatch("city", term_frequency_adjustments=True)],
+        blocking_rules_to_generate_predictions=[block_on("dob")],
+    )
+    linker = Linker(persons, settings)
+    out = estimate_parameters_using_em(
+        linker, block_on("dob"), estimate_without_term_frequencies=False
+    )
+    assert "city[1]" in out["m"] and 0 < out["m"]["city[1]"] <= 1
+    assert len(out["history"]) >= 1
