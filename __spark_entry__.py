@@ -270,6 +270,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("stopword_ratio", 6).alias("stopword_ratio"),
         )
 
+    def q_quality_score(spark, sf_dir):
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        qs = text.quality_score(docs)
+        return qs.select("doc_id", F.round("quality_score", 6).alias("quality_score"))
+
+    def q_completeness(spark, sf_dir):
+        from splink_spark.internals.profile_data import completeness_chart_data
+
+        cust = _customer(_session(spark), sf_dir)
+        out = completeness_chart_data(cust)
+        return out.select("column", F.round("completeness", 6).alias("completeness"))
+
     def q_lang_stats(spark, sf_dir):
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
         from pyspark.sql.window import Window
@@ -361,6 +373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "text_quality": q_text_quality,
+        "quality_score": q_quality_score,
+        "completeness": q_completeness,
         "lang_stats": q_lang_stats,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -657,6 +671,34 @@ def oracle_sql() -> dict[str, str]:
                     t2 -> t2 IN ('the','and','of','to','a','in','is','it','for','on','with','as'))) AS DOUBLE)
               / greatest(len(toks), 1), 6) AS stopword_ratio
       FROM t
+    """
+
+    sqls["quality_score"] = """
+      WITH t AS (
+        SELECT doc_id, text,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+               CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1) AS punct_ratio,
+               CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                    t2 -> t2 IN ('the','and','of','to','a','in','is','it','for','on','with','as'))) AS DOUBLE)
+                 / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                                 ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS stopword_ratio
+        FROM documents
+      )
+      SELECT doc_id,
+        round((least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+               + (1.0 - least(punct_ratio * 5.0, 1.0))
+               + least(stopword_ratio * 4.0, 1.0)) / 3.0, 6) AS quality_score
+      FROM t
+    """
+
+    sqls["completeness"] = """
+      SELECT 'unique_id' AS column, round(avg(CASE WHEN c_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS completeness FROM customer
+      UNION ALL SELECT 'c_name', round(avg(CASE WHEN c_name IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) FROM customer
+      UNION ALL SELECT 'c_nationkey', round(avg(CASE WHEN c_nationkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) FROM customer
+      UNION ALL SELECT 'c_acctbal', round(avg(CASE WHEN c_acctbal IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) FROM customer
+      UNION ALL SELECT 'c_mktsegment', round(avg(CASE WHEN c_mktsegment IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) FROM customer
     """
 
     sqls["lang_stats"] = """
