@@ -282,6 +282,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = completeness_chart_data(cust)
         return out.select("column", F.round("completeness", 6).alias("completeness"))
 
+    def q_lang_id(spark, sf_dir):
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        return text.language_id(docs)
+
     def q_lang_stats(spark, sf_dir):
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
         from pyspark.sql.window import Window
@@ -375,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "quality_score": q_quality_score,
         "completeness": q_completeness,
+        "lang_id": q_lang_id,
         "lang_stats": q_lang_stats,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -699,6 +704,16 @@ def oracle_sql() -> dict[str, str]:
       UNION ALL SELECT 'c_nationkey', round(avg(CASE WHEN c_nationkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) FROM customer
       UNION ALL SELECT 'c_acctbal', round(avg(CASE WHEN c_acctbal IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) FROM customer
       UNION ALL SELECT 'c_mktsegment', round(avg(CASE WHEN c_mktsegment IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) FROM customer
+    """
+
+    sqls["lang_id"] = """
+      SELECT doc_id,
+        CASE WHEN CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                  t2 -> t2 IN ('the','and','of','to','a','in','is','it','for','on','with','as'))) AS DOUBLE)
+                  / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                                  ELSE len(string_split_regex(trim(text), '\s+')) END, 1) >= 0.08
+             THEN 'en' ELSE 'other' END AS lang_pred
+      FROM documents
     """
 
     sqls["lang_stats"] = """
