@@ -59,6 +59,10 @@ class BlockingRule:
         self.columns = list(columns)
         # builder spec for JSON round-trip (set by the DSL constructors)
         self.spec: Optional[dict] = None
+        # the equi-join key expressions (ColumnExpression list) when the rule
+        # is pure equality blocking — powers the pre-filter blocking analysis
+        # (reference blocking_analysis.py:78-190 `_equi_join_conditions`)
+        self.key_expressions: list[ColumnExpression] = []
 
     def condition(self) -> Column:
         return self._condition()
@@ -93,6 +97,7 @@ def block_on(*col_specs: ColSpec, salting_partitions: int = 1) -> BlockingRule:
         "args": [ce.name if ce.is_pure_column_reference else {"__ce__": ce.as_dict()} for ce in ces],
         "kwargs": {"salting_partitions": salting_partitions},
     }
+    rule.key_expressions = ces
     return rule
 
 
@@ -262,26 +267,187 @@ def block_using_rules(
     return out
 
 
+# modulus for the deterministic record-sampling hash filter used by blocking
+# analysis (reference em_sampling.py:20-29 _PROBE_SAMPLE_MODULUS)
+_SAMPLE_MODULUS = 10_000
+
+
+def _sample_records(
+    df: DataFrame, uid: str, record_sample_proportion: float
+) -> tuple[DataFrame, float]:
+    """Deterministic hash sample of records: keep iff
+    pmod(xxhash64(uid), M) < ceil(p * M). Returns (sampled_df, actual_fraction)
+    — mirrors reference em_sampling.py:65-82."""
+    import math as _math
+
+    if not 0 < record_sample_proportion <= 1:
+        raise ValueError("record_sample_proportion must be in (0, 1]")
+    threshold = min(
+        _SAMPLE_MODULUS,
+        max(1, _math.ceil(record_sample_proportion * _SAMPLE_MODULUS)),
+    )
+    if threshold >= _SAMPLE_MODULUS:
+        return df, 1.0
+    sampled = df.where(
+        F.pmod(F.xxhash64(F.col(uid)), F.lit(_SAMPLE_MODULUS)) < threshold
+    )
+    return sampled, threshold / _SAMPLE_MODULUS
+
+
 def count_comparisons_per_rule(
     nodes: DataFrame,
     rules: Sequence[BlockingRule],
     link_type: str = "dedupe_only",
     unique_id_column_name: str = "unique_id",
     source_dataset_column_name: Optional[str] = None,
+    record_sample_proportion: float = 1.0,
 ) -> list[dict]:
-    """Post-filter exact pair count per rule (blocking_analysis.py:76-190).
+    """Marginal + cumulative pair count per rule in ONE Spark job
+    (reference blocking_analysis.py:350-595
+    ``_cumulative_comparisons_to_be_scored_from_blocking_rules``).
 
-    Cheap relative to scoring (ids-only join, count aggregate); used as the
-    pre-flight diagnostic before expensive predict runs.
+    All rules go through a single ``block_using_rules`` call — the per-rule
+    joins are unioned with their match_key and counted with one
+    ``groupBy(match_key)`` aggregate, so one job covers every rule (the
+    reference enqueues one CTE pipeline for the same reason).
+
+    ``record_sample_proportion`` < 1 applies a deterministic hash sample to
+    the records on both sides of the join and scales the counts back up by
+    1/fraction² (reference default 0.05) — the guard-rail that lets users vet
+    a blocking rule without executing the full join.
     """
+    uid = unique_id_column_name
+    sampled, fraction = _sample_records(nodes, uid, record_sample_proportion)
+    pairs = block_using_rules(
+        sampled,
+        list(rules),
+        link_type=link_type,
+        unique_id_column_name=uid,
+        source_dataset_column_name=source_dataset_column_name,
+    )
+    counted = {
+        r["match_key"]: r["n"]
+        for r in pairs.groupBy("match_key").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # total possible comparisons (reference misc.py calculate_cartesian)
+    if source_dataset_column_name and source_dataset_column_name in nodes.columns:
+        per_ds = [
+            r["count"]
+            for r in nodes.groupBy(source_dataset_column_name).count().collect()
+        ]
+        n_total = sum(per_ds)
+        if link_type == "link_only":
+            cartesian = sum(
+                a * b for i, a in enumerate(per_ds) for b in per_ds[i + 1 :]
+            )
+        else:
+            cartesian = n_total * (n_total - 1) // 2
+    else:
+        n_total = nodes.count()
+        cartesian = n_total * (n_total - 1) // 2
+
+    scale = 1.0 / (fraction**2)
     out = []
+    cumulative = 0
     for k, rule in enumerate(rules):
-        pairs = block_using_rules(
-            nodes,
-            [rule],
-            link_type=link_type,
-            unique_id_column_name=unique_id_column_name,
-            source_dataset_column_name=source_dataset_column_name,
+        marginal = int(round(counted.get(str(k), 0) * scale))
+        cumulative += marginal
+        out.append(
+            {
+                "rule": rule.description,
+                "blocking_rule": rule.description,
+                "match_key": str(k),
+                "count": marginal,
+                "marginal_comparison_count": marginal,
+                "cumulative_comparison_count": cumulative,
+                "total_possible_comparison_count": cartesian,
+                "record_sample_proportion": fraction,
+                "is_estimate": fraction < 1.0,
+            }
         )
-        out.append({"rule": rule.description, "match_key": str(k), "count": pairs.count()})
     return out
+
+
+def estimate_comparisons_pre_filter(
+    nodes: DataFrame,
+    rule: BlockingRule,
+    link_type: str = "dedupe_only",
+    unique_id_column_name: str = "unique_id",
+    nodes_right: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Pre-filter comparison-count estimate WITHOUT executing the blocking
+    join (reference blocking_analysis.py:78-190
+    ``_count_comparisons_from_blocking_rule_pre_filter_conditions_sqls``):
+    group each side by the rule's equi-join key values, then the joined
+    per-key ``count_l * count_r`` products are the per-block pair counts.
+
+    Two narrow aggregations + a key-equi-join of the (small) per-key count
+    tables — the cost is O(distinct keys), independent of how many pairs the
+    rule would generate. This is the scale guard-rail against a runaway rule.
+
+    Returns a DataFrame (key_0..key_k, count_l, count_r, block_count).
+    """
+    ces = rule.key_expressions
+    left = nodes
+    right = nodes_right if nodes_right is not None else nodes
+    if not ces:
+        # no equi-join conditions: the estimate is the full cartesian
+        spark = nodes.sparkSession
+        n_l = left.count()
+        n_r = right.count() if nodes_right is not None else n_l
+        return spark.createDataFrame(
+            [(n_l, n_r, n_l * n_r)], "count_l bigint, count_r bigint, block_count bigint"
+        )
+    key_aliases = [f"key_{i}" for i in range(len(ces))]
+
+    def keyed_counts(df: DataFrame, count_alias: str) -> DataFrame:
+        keys = [ce.on(ce.name).alias(a) for ce, a in zip(ces, key_aliases)]
+        # NULL keys never satisfy the equality join, so drop them here
+        # (the reference's USING join drops them implicitly)
+        not_null = _fold([F.col(a).isNotNull() for a in key_aliases], lambda x, y: x & y)
+        return (
+            df.select(*keys)
+            .where(not_null)
+            .groupBy(*key_aliases)
+            .agg(F.count(F.lit(1)).alias(count_alias))
+        )
+
+    counts_l = keyed_counts(left, "count_l")
+    counts_r = (
+        keyed_counts(right, "count_r")
+        if nodes_right is not None
+        else counts_l.select(*key_aliases, F.col("count_l").alias("count_r"))
+    )
+    return counts_l.join(counts_r, on=key_aliases).select(
+        *key_aliases,
+        "count_l",
+        "count_r",
+        (F.col("count_l") * F.col("count_r")).alias("block_count"),
+    )
+
+
+def n_largest_blocks(
+    nodes: DataFrame,
+    rule: BlockingRule,
+    link_type: str = "dedupe_only",
+    unique_id_column_name: str = "unique_id",
+    n_largest: int = 5,
+    nodes_right: Optional[DataFrame] = None,
+) -> DataFrame:
+    """The blocking-key values responsible for the largest blocks
+    (reference blocking_analysis.py:725-784): the pre-filter per-key count
+    table ordered by ``count_l * count_r`` descending, limit n.
+
+    This is also the skew diagnostic for cluster runs — the top keys are
+    exactly the reducers that will straggle in the blocking shuffle.
+    """
+    est = estimate_comparisons_pre_filter(
+        nodes,
+        rule,
+        link_type=link_type,
+        unique_id_column_name=unique_id_column_name,
+        nodes_right=nodes_right,
+    )
+    return est.orderBy(F.desc("block_count"), *[
+        c for c in est.columns if c.startswith("key_")
+    ]).limit(n_largest)

@@ -63,13 +63,17 @@ def _jaro(s1: str, s2: str) -> float:
 
 def _jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
     jaro = _jaro(s1, s2)
+    # standard Winkler boost threshold: the prefix bonus only applies when
+    # jaro > 0.7 (DuckDB jaro_winkler_similarity / rapidfuzz default) —
+    # below it the score is plain Jaro
+    if jaro <= 0.7:
+        return jaro
     prefix = 0
     for a, b in zip(s1[:4], s2[:4]):
         if a == b:
             prefix += 1
         else:
             break
-    # standard boost-threshold-free variant (matches DuckDB/rapidfuzz default)
     return jaro + prefix * prefix_weight * (1.0 - jaro)
 
 

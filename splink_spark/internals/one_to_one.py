@@ -60,12 +60,27 @@ def cluster_using_single_best_links(
             .where((F.col("rk_l") == 1) & (F.col("rk_r") == 1))
         )
 
-    pair_cluster = accepted.select(
-        "l", "r", F.least(F.col("l"), F.col("r")).alias("cluster_id")
+    # Transitive closure over the accepted edges (reference
+    # one_to_one_clustering.py:103-336 iterates min-label propagation to
+    # stability). A one-shot min(endpoint) assignment splits chains that span
+    # >= 3 datasets (A-B, B-C: B->min(A,B)=A but C->min(B,C)=B). The accepted
+    # edge set is degree-bounded (<= one link per node per other dataset), so
+    # connected components converges in ~log(chain length) rounds.
+    from .connected_components import solve_connected_components
+
+    accepted_edges = accepted.select("l", "r")
+    members = (
+        accepted_edges.select(F.col("l").alias("member"))
+        .unionByName(accepted_edges.select(F.col("r").alias("member")))
+        .distinct()
     )
-    by_l = pair_cluster.select(F.col("l").alias("n"), "cluster_id")
-    by_r = pair_cluster.select(F.col("r").alias("n"), "cluster_id")
-    assigned = by_l.unionByName(by_r).groupBy("n").agg(F.min("cluster_id").alias("cluster_id"))
+    assigned = solve_connected_components(
+        accepted_edges,
+        members,
+        node_col="member",
+        edge_l_col="l",
+        edge_r_col="r",
+    ).select(F.col("member").alias("n"), "cluster_id")
     out = nodes.join(
         assigned, nodes[node_col] == assigned["n"], "left"
     ).select(

@@ -180,11 +180,15 @@ class LinkerInference:
                 threshold_match_weight=threshold_match_weight,
             )
         s = self._l.settings
-        uid = s.unique_id_column_name
+        # materialize the blocking join ONCE; each chunk filters the cached
+        # pair table (reference chunking.py:45-81 caches blocked pairs
+        # chunk-aware — re-running the join per chunk defeats the memory
+        # lever this API exists for)
+        all_pairs = self._l.blocked_pairs(materialize=True)
         out: Optional[DataFrame] = None
         for ci in range(num_chunks):
             for cj in range(num_chunks):
-                pairs = self._l.blocked_pairs(materialize=False).where(
+                pairs = all_pairs.where(
                     (F.pmod(F.xxhash64(F.col("join_key_l")), F.lit(num_chunks)) == ci)
                     & (F.pmod(F.xxhash64(F.col("join_key_r")), F.lit(num_chunks)) == cj)
                 )
@@ -484,7 +488,12 @@ class LinkerBlockingAnalysis:
     def __init__(self, linker: Linker):
         self._l = linker
 
-    def count_comparisons_from_blocking_rules(self, rules=None) -> list[dict]:
+    def count_comparisons_from_blocking_rules(
+        self, rules=None, record_sample_proportion: float = 1.0
+    ) -> list[dict]:
+        """Marginal/cumulative comparison counts per rule, one Spark job for
+        all rules; ``record_sample_proportion`` < 1 estimates from a
+        deterministic record sample (reference blocking_analysis.py:601-677)."""
         s = self._l.settings
         return count_comparisons_per_rule(
             self._l.df_concat(),
@@ -494,16 +503,35 @@ class LinkerBlockingAnalysis:
             source_dataset_column_name=s.source_dataset_column_name
             if s.needs_source_dataset
             else None,
+            record_sample_proportion=record_sample_proportion,
+        )
+
+    def estimate_comparisons_pre_filter(self, blocking_rule: BlockingRule) -> DataFrame:
+        """Pre-filter per-key count products — no blocking join executed
+        (reference blocking_analysis.py:78-190)."""
+        from .internals.blocking import estimate_comparisons_pre_filter
+
+        s = self._l.settings
+        return estimate_comparisons_pre_filter(
+            self._l.df_concat(),
+            blocking_rule,
+            link_type=s.link_type,
+            unique_id_column_name=s.unique_id_column_name,
         )
 
     def n_largest_blocks(self, blocking_rule: BlockingRule, n: int = 5) -> DataFrame:
-        """Top-k blocks by generated-pair count (blocking_analysis.py:123-146)."""
-        pairs = self._l.blocked_pairs([blocking_rule], materialize=False)
-        return (
-            pairs.groupBy("match_key")
-            .count()
-            .orderBy(F.desc("count"))
-            .limit(n)
+        """The key VALUES responsible for the largest blocks, pre-filter
+        (reference blocking_analysis.py:725-784): (key_0..key_k, count_l,
+        count_r, block_count) ordered by block_count desc, limit n."""
+        from .internals.blocking import n_largest_blocks
+
+        s = self._l.settings
+        return n_largest_blocks(
+            self._l.df_concat(),
+            blocking_rule,
+            link_type=s.link_type,
+            unique_id_column_name=s.unique_id_column_name,
+            n_largest=n,
         )
 
 
