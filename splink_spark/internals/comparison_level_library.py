@@ -173,37 +173,39 @@ def PairwiseStringDistanceFunctionLevel(
     two string arrays. The reference builds nested transform/flatten SQL
     (:671-687); here: flatten(transform(l, x -> transform(r, y -> f(x,y))))
     then array_max/min — native higher-order functions where possible."""
+    from .functions import (
+        pairwise_damerau_levenshtein_min_udf,
+        pairwise_jaccard_max_udf,
+        pairwise_jaro_max_udf,
+        pairwise_jaro_winkler_max_udf,
+    )
+
     ce = _ce(col)
-    udf_map = {
-        "jaro_winkler": jaro_winkler_udf,
-        "jaro": jaro_sim_udf,
-        "jaccard": jaccard_udf,
+    best_udf_map = {
+        "jaro_winkler": pairwise_jaro_winkler_max_udf,
+        "jaro": pairwise_jaro_max_udf,
+        "jaccard": pairwise_jaccard_max_udf,
+        "damerau_levenshtein": pairwise_damerau_levenshtein_min_udf,
     }
     lower_is_better = distance_function_name in ("levenshtein", "damerau_levenshtein")
 
     def cond() -> Column:
         if distance_function_name == "levenshtein":
+            # native higher-order functions — stays JVM-side
             pairwise = F.flatten(
                 F.transform(ce.l(), lambda x: F.transform(ce.r(), lambda y: F.levenshtein(x, y)))
             )
             return F.array_min(pairwise) <= distance_threshold
-        # UDF-backed metrics can't run inside HOF lambdas → explode-free
-        # emulation: compare the concatenated cross product via pandas UDF on
-        # joined strings is lossy, so use posexplode-style expression instead:
-        # best = max over zip of all pairs computed with the UDF on a
-        # flattened struct array. Simplest correct form: reduce with exists.
-        udf = udf_map[distance_function_name]
-        # Cross product sizes here are tiny (alias lists); evaluate via
-        # concat of per-element comparisons using aggregate over l.
-        pairs = F.flatten(
-            F.transform(ce.l(), lambda x: F.transform(ce.r(), lambda y: F.struct(x.alias("a"), y.alias("b"))))
-        )
-        # exists(pairs, p -> udf(p.a, p.b) >= t) is not allowed with pandas
-        # UDFs inside lambdas; instead explode is handled upstream by
-        # PairwiseStringDistanceFunctionAtThresholds via a dedicated column.
-        raise NotImplementedError(
-            "UDF-backed pairwise metrics are provided via "
-            "comparison_library.PairwiseStringDistanceFunctionAtThresholds"
+        if distance_function_name not in best_udf_map:
+            raise ValueError(
+                f"unknown pairwise distance function {distance_function_name!r}"
+            )
+        # HOF lambdas can't call Python UDFs, so the best-over-cross-product
+        # runs inside ONE Arrow-batched pandas UDF over the two array columns
+        # (alias arrays are tiny; reference comparison_level_library.py:613-687)
+        best = best_udf_map[distance_function_name](ce.l(), ce.r())
+        return (
+            best <= distance_threshold if lower_is_better else best >= distance_threshold
         )
 
     if lower_is_better:

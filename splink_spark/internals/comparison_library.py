@@ -317,26 +317,25 @@ def PairwiseStringDistanceFunctionAtThresholds(
     distance_threshold_or_thresholds=(1, 2),
 ) -> Comparison:
     """comparison_library.py:350 — best score over the cross product of two
-    string arrays, via native higher-order fns (levenshtein only in v1)."""
-    if distance_function_name != "levenshtein":
-        raise NotImplementedError(
-            "v1 supports pairwise levenshtein (native HOF); UDF-backed pairwise "
-            "metrics land with the dmetaphone pack"
-        )
+    string arrays. levenshtein runs as native higher-order functions
+    (JVM-side); jaro_winkler / jaro / jaccard / damerau_levenshtein run the
+    whole cross product inside one Arrow-batched pandas UDF (reference
+    comparison_level_library.py:613-687 builds the same cross product in SQL
+    feeding the jar UDF). Lower-is-better metrics order thresholds ascending
+    (tightest first); similarity metrics descending."""
     name = _name(col)
-    ce = ColumnExpression.instantiate(col)
     ts = _as_list(distance_threshold_or_thresholds)
-
-    def level(t: int) -> ComparisonLevel:
-        def cond():
-            pairwise = F.flatten(
-                F.transform(ce.l(), lambda x: F.transform(ce.r(), lambda y: F.levenshtein(x, y)))
-            )
-            return F.array_min(pairwise) <= t
-
-        return ComparisonLevel(cond, f"min pairwise levenshtein({name}) <= {t}")
-
-    levels = [cll.NullLevel(col), *[level(t) for t in ts], cll.ElseLevel()]
+    levels = [
+        cll.NullLevel(col),
+        # identical values are the most similar pair (reference
+        # comparison_library.py:391-396 puts ArrayIntersectLevel on top)
+        cll.ArrayIntersectLevel(col, min_intersection=1),
+        *[
+            cll.PairwiseStringDistanceFunctionLevel(col, distance_function_name, t)
+            for t in ts
+        ],
+        cll.ElseLevel(),
+    ]
     return Comparison(
         name, levels, f"PairwiseStringDistance({name})", input_columns=[name]
     )

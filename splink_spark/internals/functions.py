@@ -161,6 +161,55 @@ def jaccard_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
     return _apply2(s1, s2, _jaccard_charset)
 
 
+def _apply2_arrays(s1: pd.Series, s2: pd.Series, fn, higher_is_better: bool) -> pd.Series:
+    """Best pairwise score over the cross product of two string arrays.
+
+    The reference expresses this as nested list_transform SQL feeding the jar
+    UDF (comparison_level_library.py:613-687); Spark HOF lambdas cannot call
+    Python UDFs, so the whole (tiny — alias lists) cross product is evaluated
+    inside one Arrow batch instead.
+    """
+    out = []
+    for a_list, b_list in zip(s1, s2):
+        if a_list is None or b_list is None or len(a_list) == 0 or len(b_list) == 0:
+            out.append(None)
+            continue
+        best = None
+        for a in a_list:
+            if a is None:
+                continue
+            for b in b_list:
+                if b is None:
+                    continue
+                v = fn(str(a), str(b))
+                if best is None or (v > best if higher_is_better else v < best):
+                    best = v
+        out.append(best)
+    return pd.Series(out, dtype="float64")
+
+
+@pandas_udf(DoubleType())
+def pairwise_jaro_winkler_max_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return _apply2_arrays(s1, s2, _jaro_winkler, higher_is_better=True)
+
+
+@pandas_udf(DoubleType())
+def pairwise_jaro_max_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return _apply2_arrays(s1, s2, _jaro, higher_is_better=True)
+
+
+@pandas_udf(DoubleType())
+def pairwise_jaccard_max_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return _apply2_arrays(s1, s2, _jaccard_charset, higher_is_better=True)
+
+
+@pandas_udf(DoubleType())
+def pairwise_damerau_levenshtein_min_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return _apply2_arrays(
+        s1, s2, lambda a, b: float(_damerau_levenshtein(a, b)), higher_is_better=False
+    )
+
+
 _REGISTERED_SESSIONS: set[int] = set()
 
 

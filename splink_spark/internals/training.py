@@ -332,17 +332,70 @@ def _em_tf_aggs(active, m, u, session_lam):
 # ---------------------------------------------------------------------------
 
 
+def _prob_to_bayes_factor(p: float) -> float:
+    p = min(max(p, 1e-12), 1 - 1e-12)
+    return p / (1 - p)
+
+
+def _bayes_factor_to_prob(bf: float) -> float:
+    return bf / (1 + bf)
+
+
+def _levels_to_reverse_blocking_rule(s, rule: BlockingRule) -> list:
+    """The exact-match comparison levels 'used up' by an equality training
+    rule (reference settings.py
+    ``_get_comparison_levels_corresponding_to_training_blocking_rule``):
+    blocking on first_name conditions every blocked pair on
+    first_name-exact-match, so the session prior must be multiplied by that
+    level's Bayes factor going in, and divided back out on write-back."""
+    rule_cols = set(rule.columns)
+    out = []
+    for comp in s.comparisons:
+        if comp.input_columns and rule_cols and set(comp.input_columns) & rule_cols:
+            for lv in comp.comparison_levels:
+                if lv.is_exact_match_level:
+                    out.append((comp, lv))
+                    break
+    return out
+
+
+# EM record-sampling moduli (reference em_sampling.py:20-29)
+_EM_PROBE_MODULUS = 10_000
+_EM_SAMPLE_MODULUS = 1_000_000_000
+
+
 def estimate_parameters_using_em(
     linker,
     blocking_rule: Union[str, BlockingRule],
-    fix_u_probabilities: bool = False,
+    fix_u_probabilities: bool = True,
     fix_m_probabilities: bool = False,
-    fix_probability_two_random_records_match: bool = True,
+    fix_probability_two_random_records_match: bool = False,
+    populate_probability_two_random_records_match_from_trained_values: bool = False,
     max_iterations: Optional[int] = None,
     em_convergence: Optional[float] = None,
     estimate_without_term_frequencies: bool = True,
+    max_pairs: Optional[float] = None,
+    record_sample_proportion: float = 0.01,
 ) -> dict:
     """One EM training session blocked on ``blocking_rule``.
+
+    Reference semantics (linker_components/training.py:231-242 defaults,
+    em_training_session.py:80-200):
+    - ``fix_u_probabilities`` defaults True — the unbiased random-sampling u
+      estimates are kept; EM's in-block u is biased by the blocking condition.
+    - The session prior is initialized to the blocking-ADJUSTED global lambda:
+      prob_to_bf(global) times the Bayes factor of each exact-match level the
+      training rule conditions on (em_training_session.py:367-397).
+    - Lambda varies during EM unless ``fix_probability_two_random_records_match``,
+      but is NOT written back to the model by default. With
+      ``populate_probability_two_random_records_match_from_trained_values``
+      the write-back REVERSES the blocking adjustment (divides out each
+      reversed level's trained Bayes factor — linker.py:383-457) and medians
+      across sessions.
+    - ``max_pairs`` bounds EM cost on big blocks: a probe at
+      ``record_sample_proportion`` estimates the full blocked-pair count; if
+      it exceeds max_pairs, records on both sides are hash-sampled at
+      p* = sqrt(max_pairs / estimate) (em_sampling.py:143-249).
 
     Comparisons whose input columns are consumed by the training rule are
     deactivated for this session (em_training_session.py:136-160) — their
@@ -374,11 +427,56 @@ def estimate_parameters_using_em(
             "EM session: deactivated comparisons %s (columns consumed by rule %r)",
             [c.output_column_name for c in deactivated], rule.description,
         )
+    reverse_levels = _levels_to_reverse_blocking_rule(s, rule)
+
+    # -- optional max_pairs record sampling (em_sampling.py:143-249) ----------
+    uid = s.unique_id_column_name
+    nodes = linker.df_concat_with_tf()
+    sample_info: dict = {"sampling_applied": False, "max_pairs": max_pairs}
+    if max_pairs is not None:
+        probe_threshold = min(
+            _EM_PROBE_MODULUS,
+            max(1, math.ceil(record_sample_proportion * _EM_PROBE_MODULUS)),
+        )
+        probe_fraction = probe_threshold / _EM_PROBE_MODULUS
+        probe = nodes.where(
+            F.pmod(F.xxhash64(F.col(uid)), F.lit(_EM_PROBE_MODULUS)) < probe_threshold
+        )
+        probe_count = block_using_rules(
+            probe, [rule], link_type=s.link_type,
+            unique_id_column_name=uid,
+            source_dataset_column_name=s.source_dataset_column_name
+            if s.needs_source_dataset else None,
+        ).count()
+        p_hat = probe_count / (probe_fraction**2)
+        sample_info.update(probe_pair_count=probe_count, estimated_total_pairs=p_hat)
+        if probe_count > 0 and p_hat > max_pairs:
+            p_star = min(1.0, math.sqrt(max_pairs / p_hat))
+            threshold = max(1, int(round(p_star * _EM_SAMPLE_MODULUS)))
+            nodes = nodes.where(
+                F.pmod(F.xxhash64(F.col(uid)), F.lit(_EM_SAMPLE_MODULUS)) < threshold
+            )
+            sample_info.update(
+                sampling_applied=True, p_star=p_star,
+                expected_pairs_after_sampling=p_hat * (threshold / _EM_SAMPLE_MODULUS) ** 2,
+            )
+            logger.info(
+                "EM sampling: est. %.0f pairs > max_pairs=%.0f — sampling records "
+                "at p*=%.4f", p_hat, max_pairs, p_star,
+            )
 
     # blocked pairs → comparison vectors, materialized ONCE, then the
     # loop-invariant agreement-pattern aggregation
-    pairs = linker.blocked_pairs([rule], materialize=False)
-    with_cols = blocked_pairs_with_columns(pairs, linker.df_concat_with_tf(), s)
+    if sample_info["sampling_applied"]:
+        pairs = block_using_rules(
+            nodes, [rule], link_type=s.link_type,
+            unique_id_column_name=uid,
+            source_dataset_column_name=s.source_dataset_column_name
+            if s.needs_source_dataset else None,
+        )
+    else:
+        pairs = linker.blocked_pairs([rule], materialize=False)
+    with_cols = blocked_pairs_with_columns(pairs, nodes, s)
     cv = compute_comparison_vectors(with_cols, s)
     gamma_cols = [c.gamma_column_name for c in active]
     if estimate_without_term_frequencies:
@@ -411,10 +509,19 @@ def estimate_parameters_using_em(
             u[(ci, k)] = lv.u_probability if lv.u_probability is not None else (
                 0.1 if k == nlev - 1 else 0.9 / max(nlev - 1, 1)
             )
-    lam = s.probability_two_random_records_match
-    # under the training block the prior is much higher than the global prior;
-    # init at 0.5 like a fresh session unless the caller fixed it
-    session_lam = 0.5
+    # session prior = global lambda pushed through the blocking condition:
+    # each exact-match level the rule conditions on multiplies the prior's
+    # Bayes factor (em_training_session.py:161-163, 367-397)
+    lam_bf = _prob_to_bayes_factor(s.probability_two_random_records_match)
+    for comp, lv in reverse_levels:
+        if lv.has_probabilities:
+            lam_bf *= lv.bayes_factor
+        else:
+            logger.warning(
+                "EM session: cannot blocking-adjust lambda through %s (no m/u "
+                "set on its exact-match level yet)", comp.output_column_name,
+            )
+    session_lam = _bayes_factor_to_prob(lam_bf)
 
     history = []
     for it in range(max_iterations):
@@ -475,9 +582,10 @@ def estimate_parameters_using_em(
             if not fix_u_probabilities:
                 max_delta = max(max_delta, abs(nu - u[key]))
                 u[key] = max(nu, 1e-12)
-        new_lam = lam_num / lam_den if lam_den else session_lam
-        max_delta = max(max_delta, abs(new_lam - session_lam))
-        session_lam = new_lam
+        if not fix_probability_two_random_records_match:
+            new_lam = lam_num / lam_den if lam_den else session_lam
+            max_delta = max(max_delta, abs(new_lam - session_lam))
+            session_lam = new_lam
         history.append({"iteration": it, "max_delta": max_delta, "lambda": session_lam})
         logger.info("EM iteration %d: max_delta=%.3g lambda=%.4f", it, max_delta, session_lam)
         if max_delta < em_convergence:
@@ -494,11 +602,35 @@ def estimate_parameters_using_em(
             if not fix_u_probabilities:
                 lv.add_trained_u(u[(ci, k)])
             lv.fold_trained_values()
-    if not fix_probability_two_random_records_match:
-        s.probability_two_random_records_match = session_lam
+    if populate_probability_two_random_records_match_from_trained_values:
+        # reverse the blocking adjustment before any global write-back
+        # (reference linker.py:383-457): divide the session lambda's Bayes
+        # factor by each reversed level's trained (or default) Bayes factor,
+        # then median the reciprocal estimates across sessions
+        import statistics
+
+        bf = _prob_to_bayes_factor(session_lam)
+        for comp, lv in reverse_levels:
+            if lv._m_estimates and lv._u_estimates:
+                rbf = statistics.median(lv._m_estimates) / max(
+                    statistics.median(lv._u_estimates), 1e-300
+                )
+            elif lv.has_probabilities:
+                rbf = lv.bayes_factor
+            else:
+                continue
+            bf = bf / rbf
+        recip = 1.0 / _bayes_factor_to_prob(bf)
+        if not hasattr(linker, "_em_lambda_recips"):
+            linker._em_lambda_recips = []
+        linker._em_lambda_recips.append(recip)
+        s.probability_two_random_records_match = 1.0 / statistics.median(
+            linker._em_lambda_recips
+        )
     return {
         "m": {f"{active[ci].output_column_name}[{k}]": v for (ci, k), v in m.items()},
         "u": {f"{active[ci].output_column_name}[{k}]": v for (ci, k), v in u.items()},
         "lambda": session_lam,
         "history": history,
+        "sample_info": sample_info,
     }

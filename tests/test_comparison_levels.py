@@ -223,10 +223,60 @@ def test_pairwise_levenshtein_arrays(spark):
     )
 
     comp = PairwiseStringDistanceFunctionAtThresholds("c", "levenshtein", [1])
+    # ladder: null=-1, else=0, lev<=1 → 1, array-intersect → 2
     run_gamma_tests(spark, comp, {"c": "array<string>"}, [
         (["rob", "bob"], ["robert", "bobby"], 0),
         (["rob", "bob"], ["rab", "x"], 1),     # rob~rab = 1
-        (["rob"], ["rob"], 1),                  # exact still lev 0 <= 1
+        (["rob"], ["rob"], 2),                  # shared element → intersect level
+    ])
+
+
+def test_pairwise_damerau_levenshtein_arrays_reference_cases(spark):
+    """Mirrors reference tests/test_comparison_lib.py:73-118 (thresholds
+    [1, 2]): gamma 3 = array intersect, 2 = min dl <= 1, 1 = min dl <= 2."""
+    from splink_spark.internals.comparison_library import (
+        PairwiseStringDistanceFunctionAtThresholds,
+    )
+
+    comp = PairwiseStringDistanceFunctionAtThresholds(
+        "c", "damerau_levenshtein", [1, 2]
+    )
+    run_gamma_tests(spark, comp, {"c": "array<string>"}, [
+        (["Cally", "Sally"], ["Cally"], 3),
+        (["Geof"], ["Geoff"], 2),
+        (["Saly", "Barey"], ["Sally", "Barry"], 2),
+        (["Carry", "Different"], ["Barry", "Completely"], 2),
+        (["Carry", "Sabby"], ["Cally"], 1),
+        (["Completely", "Different"], ["Something", "Else"], 0),
+        (None, ["x"], -1),
+    ])
+
+
+def test_pairwise_jaro_winkler_arrays(spark):
+    from splink_spark.internals.comparison_library import (
+        PairwiseStringDistanceFunctionAtThresholds,
+    )
+
+    comp = PairwiseStringDistanceFunctionAtThresholds("c", "jaro_winkler", [0.9, 0.7])
+    # gamma 3 = intersect, 2 = max jw >= 0.9, 1 = max jw >= 0.7
+    run_gamma_tests(spark, comp, {"c": "array<string>"}, [
+        (["martha", "zzz"], ["qqq", "martha"], 3),
+        (["martha"], ["marhta"], 2),            # jw ~0.961
+        (["dixon", "zzz"], ["dicksonx"], 1),    # jw ~0.813
+        (["abc"], ["xyz"], 0),
+    ])
+
+
+def test_pairwise_jaccard_arrays(spark):
+    from splink_spark.internals.comparison_library import (
+        PairwiseStringDistanceFunctionAtThresholds,
+    )
+
+    comp = PairwiseStringDistanceFunctionAtThresholds("c", "jaccard", [0.7])
+    run_gamma_tests(spark, comp, {"c": "array<string>"}, [
+        (["abc"], ["abc", "qqq"], 2),   # shared element → intersect level
+        (["abc"], ["bca", "qqq"], 1),   # char-set jaccard("abc","bca") = 1.0
+        (["abcd"], ["abce"], 0),        # 3/5 = 0.6 < 0.7
     ])
 
 

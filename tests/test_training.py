@@ -66,10 +66,11 @@ def test_em_recovers_known_parameters(spark, em_fixture):
         link_type="dedupe_only",
         comparisons=[cl.ExactMatch("col_1"), cl.ExactMatch("col_2"), cl.ExactMatch("col_3")],
         blocking_rules_to_generate_predictions=[block_on("pair_id")],
+        probability_two_random_records_match=0.2,  # mediocre prior; EM must recover
     )
     linker = Linker(em_fixture, settings)
     result = estimate_parameters_using_em(
-        linker, block_on("pair_id"), fix_probability_two_random_records_match=False
+        linker, block_on("pair_id"), fix_u_probabilities=False
     )
     # recovered m/u for gamma=1 within sampling noise of the generating model
     for i, col in enumerate(["col_1", "col_2", "col_3"]):
@@ -163,11 +164,12 @@ def test_em_with_tf_path_matches_pattern_path_without_tf(spark, em_fixture):
             comparisons=[cl.ExactMatch("col_1"), cl.ExactMatch("col_2"),
                          cl.ExactMatch("col_3")],
             blocking_rules_to_generate_predictions=[block_on("pair_id")],
+            probability_two_random_records_match=0.2,
         )
         linker = Linker(em_fixture, settings)
         return estimate_parameters_using_em(
             linker, block_on("pair_id"),
-            fix_probability_two_random_records_match=False,
+            fix_u_probabilities=False,
             estimate_without_term_frequencies=without_tf,
         )
 
@@ -191,3 +193,107 @@ def test_em_with_tf_adjustments_runs(spark, persons):
     )
     assert "city[1]" in out["m"] and 0 < out["m"]["city[1]"] <= 1
     assert len(out["history"]) >= 1
+
+
+def _preset(comp, mus):
+    for lv in comp.comparison_levels:
+        if not lv.is_null_level:
+            lv.m_probability, lv.u_probability = mus[lv.comparison_vector_value]
+    return comp
+
+
+def test_em_lambda_blocking_adjustment_and_reversal(spark, em_fixture):
+    """Session lambda init = global prior pushed through the reversed
+    exact-match level's Bayes factor (em_training_session.py:367-397), and
+    populate_...=True reverses the TRAINED Bayes factor on write-back
+    (linker.py:383-457)."""
+    import math as _m
+
+    global_lam = 0.01
+    m1, u1 = 0.8, 0.1  # col_1 exact level — bf = 8
+    settings = SettingsCreator(
+        link_type="dedupe_only",
+        comparisons=[
+            _preset(cl.ExactMatch("col_1"), {1: (m1, u1), 0: (0.2, 0.9)}),
+            cl.ExactMatch("col_2"),
+            cl.ExactMatch("col_3"),
+        ],
+        blocking_rules_to_generate_predictions=[block_on("pair_id")],
+        probability_two_random_records_match=global_lam,
+    )
+    linker = Linker(em_fixture, settings)
+    out = estimate_parameters_using_em(
+        linker, block_on("col_1"),
+        fix_probability_two_random_records_match=True,  # freeze at the init
+        max_iterations=1,
+        populate_probability_two_random_records_match_from_trained_values=True,
+    )
+    bf0 = global_lam / (1 - global_lam) * (m1 / u1)
+    expected_init = bf0 / (1 + bf0)
+    assert out["lambda"] == pytest.approx(expected_init, rel=1e-9)
+    # reversal: col_1's level has preset (not trained) values -> divide by m1/u1
+    # exactly undoes the adjustment -> global lambda restored
+    assert settings.probability_two_random_records_match == pytest.approx(
+        global_lam, rel=1e-9
+    )
+
+
+def test_em_lambda_not_written_back_by_default(spark, em_fixture):
+    settings = SettingsCreator(
+        link_type="dedupe_only",
+        comparisons=[cl.ExactMatch("col_1"), cl.ExactMatch("col_2"),
+                     cl.ExactMatch("col_3")],
+        blocking_rules_to_generate_predictions=[block_on("pair_id")],
+        probability_two_random_records_match=0.2,
+    )
+    linker = Linker(em_fixture, settings)
+    out = estimate_parameters_using_em(linker, block_on("pair_id"))
+    # lambda trained freely in-session ...
+    assert out["lambda"] != pytest.approx(0.2, abs=1e-6)
+    # ... but the model's global prior is untouched (reference default)
+    assert settings.probability_two_random_records_match == 0.2
+
+
+def test_em_fix_u_default_keeps_u(spark, em_fixture):
+    """Default fix_u_probabilities=True: EM must not overwrite u estimates
+    (they come from unbiased random sampling, not the biased block)."""
+    preset_u = {1: 0.123, 0: 0.877}
+    settings = SettingsCreator(
+        link_type="dedupe_only",
+        comparisons=[
+            cl.ExactMatch("col_1"),
+            _preset(cl.ExactMatch("col_2"), {1: (0.5, preset_u[1]), 0: (0.5, preset_u[0])}),
+            cl.ExactMatch("col_3"),
+        ],
+        blocking_rules_to_generate_predictions=[block_on("pair_id")],
+        probability_two_random_records_match=0.2,
+    )
+    linker = Linker(em_fixture, settings)
+    estimate_parameters_using_em(linker, block_on("pair_id"))
+    col2 = settings.comparisons[1]
+    for lv in col2.comparison_levels:
+        if lv.is_null_level:
+            continue
+        assert lv.u_probability == pytest.approx(preset_u[lv.comparison_vector_value])
+        assert lv.m_probability != pytest.approx(0.5)  # m WAS trained
+
+
+def test_em_max_pairs_bounds_cv_and_stays_close(spark, em_fixture):
+    settings_full = SettingsCreator(
+        link_type="dedupe_only",
+        comparisons=[cl.ExactMatch("col_1"), cl.ExactMatch("col_2"),
+                     cl.ExactMatch("col_3")],
+        blocking_rules_to_generate_predictions=[block_on("pair_id")],
+        probability_two_random_records_match=0.2,
+    )
+    linker = Linker(em_fixture, settings_full)
+    out = estimate_parameters_using_em(
+        linker, block_on("pair_id"), fix_u_probabilities=False,
+        max_pairs=1000, record_sample_proportion=0.5,
+    )
+    info = out["sample_info"]
+    assert info["sampling_applied"] is True
+    # 4000 blocked pairs estimated; cap 1000 -> expected after sampling ~1000
+    assert info["expected_pairs_after_sampling"] == pytest.approx(1000, rel=0.25)
+    # parameters still in the right neighbourhood despite 4x fewer pairs
+    assert out["m"]["col_2[1]"] == pytest.approx(TRUE_M["col_2"], abs=0.12)
