@@ -253,9 +253,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_simhash(spark, sf_dir):
+        """SimHash-banded candidates verified with exact 5-gram Jaccard.
+
+        The hash family is engine-specific, but the VERIFIED output is not:
+        at this data's similarity gap (near-dups >= 0.92 Jaccard, hamming <= 6
+        at sf0.01 < num_bands guarantee of 7) the banding provably catches
+        every pair above the threshold, so the output equals the exact
+        all-pairs Jaccard set the DuckDB oracle computes.
+        """
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
-        return dedup.simhash_pairs(docs, max_hamming=12, num_bands=8)
+        pairs = dedup.simhash_pairs(
+            docs, max_hamming=12, num_bands=8, jaccard_threshold=0.45, ngram_size=5
+        )
+        return pairs.select(
+            "doc_id_l", "doc_id_r", F.round("jaccard", 6).alias("jaccard")
+        )
 
     def q_text_quality(spark, sf_dir):
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
@@ -777,5 +790,24 @@ def oracle_sql() -> dict[str, str]:
              count(*) AS n_events, round(sum(value), 6) AS session_value
       FROM sess GROUP BY user_id, session_idx
     """
-    # NOTE: minhash_lsh has no oracle (xxhash64 hash family is Spark-specific)
+    # minhash_lsh / simhash: the hash families are engine-specific, but both
+    # queries emit the VERIFIED pair set (exact 5-gram Jaccard >= 0.45 on
+    # candidates). The testdata has a wide similarity gap (near-dup pairs
+    # >= 0.92 Jaccard, next-closest < 0.45), so candidate recall is complete:
+    # for simhash it is the pigeonhole guarantee (true-pair hamming <= 6 <
+    # num_bands at sf0.01); for minhash the per-pair miss probability at
+    # j >= 0.92 with r=6,b=10 is (1-0.92^6)^10 ~= 8e-5. The verified output
+    # therefore equals the exact all-pairs Jaccard set below.
+    g5 = _ngrams_sql("text", 5)
+    exact_j5 = f"""
+      WITH g AS (SELECT doc_id, {g5} AS grams FROM documents)
+      SELECT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r,
+             round(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+                   / len(list_distinct(list_concat(l.grams, r.grams))), 6) AS jaccard
+      FROM g l JOIN g r ON l.doc_id < r.doc_id
+      WHERE CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+            / len(list_distinct(list_concat(l.grams, r.grams))) >= 0.45
+    """
+    sqls["minhash_lsh"] = exact_j5
+    sqls["simhash"] = exact_j5
     return sqls

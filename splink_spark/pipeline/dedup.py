@@ -237,14 +237,22 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     num_bands: int = 4,
+    jaccard_threshold: Optional[float] = None,
+    ngram_size: int = 5,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance.
 
     Candidates come from banding the 64-bit signature into ``num_bands``
-    16-bit bands: by pigeonhole, two signatures within hamming distance
+    bands: by pigeonhole, two signatures within hamming distance
     ``num_bands - 1`` share at least one exact band — so the candidate join
     is an equi-join on (band, band_value), never O(n^2). Exact hamming
     (bit_count of xor) verifies candidates.
+
+    ``jaccard_threshold`` adds a second, hash-family-independent verification:
+    exact character-n-gram Jaccard of the surviving pairs (same verifier as
+    the MinHash path). The output is then the engine-agnostic verified set —
+    checkable against a plain SQL oracle — with columns
+    (id_l, id_r, hamming, jaccard).
     """
     bits_per_band = 64 // num_bands
     sigs = simhash_signatures(df, text_col, id_col)
@@ -270,12 +278,35 @@ def simhash_pairs(
         "band", "band_value",
     )
     hamming = F.bit_count(F.col("__sig_l").bitwiseXOR(F.col("__sig_r")))
-    return (
+    cand = (
         l.join(r, on=["band", "band_value"])
         .where(F.col(f"{id_col}_l") < F.col(f"{id_col}_r"))
         .select(f"{id_col}_l", f"{id_col}_r", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+    if jaccard_threshold is None:
+        return cand
+    grams = df.select(F.col(id_col), char_ngrams(F.col(text_col), ngram_size).alias("__g"))
+    return (
+        cand.join(
+            grams.select(F.col(id_col).alias(f"{id_col}_l"), F.col("__g").alias("__g_l")),
+            on=f"{id_col}_l",
+        )
+        .join(
+            grams.select(F.col(id_col).alias(f"{id_col}_r"), F.col("__g").alias("__g_r")),
+            on=f"{id_col}_r",
+        )
+        .select(
+            f"{id_col}_l",
+            f"{id_col}_r",
+            "hamming",
+            (
+                F.size(F.array_intersect("__g_l", "__g_r")).cast("double")
+                / F.size(F.array_union("__g_l", "__g_r")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
     )
 
 

@@ -161,3 +161,58 @@ def test_ivf_topk(spark, vectors):
     assert (0, 100) in a
     # candidates only come from probed cells (bounded work per query)
     assert all(r["rank"] <= 5 for r in a_rows)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """60 synthetic docs: 10 engineered near-dup pairs (one-word edits of a
+    long base sentence) + 40 distinct filler docs — mirrors the testdata's
+    similarity gap (near-dups >> threshold, everything else << threshold)."""
+    rng = random.Random(5)
+    words = ["alpha","bravo","charlie","delta","echo","foxtrot","golf","hotel",
+             "india","juliet","kilo","lima","mike","november","oscar","papa"]
+    rows = []
+    did = 0
+    for p in range(10):
+        base = " ".join(rng.choices(words, k=30)) + f" pairtag{p}"
+        edited = base.replace(base.split()[rng.randrange(5, 25)], "zulu", 1)
+        rows.append((did, base, "en")); did += 1
+        rows.append((did, edited, "en")); did += 1
+    for _ in range(40):
+        rows.append((did, " ".join(rng.choices(words, k=8)) + f" solo{did}", "en"))
+        did += 1
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def _exact_pairs(corpus, n, threshold):
+    return {
+        (r["doc_id_l"], r["doc_id_r"])
+        for r in dedup.ngram_jaccard_pairs(corpus, n=n, threshold=threshold).collect()
+    }
+
+
+def test_minhash_lsh_recall_equals_exact_set(spark, corpus):
+    """The driver-gate configuration: LSH candidates + exact-jaccard verify
+    must emit EXACTLY the all-pairs exact-jaccard set at the threshold
+    (precision is exact by construction; recall from the banding margin)."""
+    exact = _exact_pairs(corpus, n=5, threshold=0.45)
+    got = {
+        (r["doc_id_l"], r["doc_id_r"])
+        for r in dedup.minhash_lsh_pairs(
+            corpus, num_hashes=60, bands=10, shingle_size=6,
+            jaccard_threshold=0.45, n=5,
+        ).collect()
+    }
+    assert len(exact) >= 10
+    assert got == exact
+
+
+def test_simhash_verified_recall_equals_exact_set(spark, corpus):
+    exact = _exact_pairs(corpus, n=5, threshold=0.45)
+    out = dedup.simhash_pairs(
+        corpus, max_hamming=12, num_bands=8, jaccard_threshold=0.45, ngram_size=5
+    ).collect()
+    got = {(r["doc_id_l"], r["doc_id_r"]) for r in out}
+    assert got == exact
+    # hamming column present and within bound
+    assert all(r["hamming"] <= 12 for r in out)
