@@ -144,6 +144,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pairs.groupBy("match_key").agg(F.count(F.lit(1)).alias("n_pairs"))
 
+    def q_n_largest_blocks(spark, sf_dir):
+        """Skew diagnostic: key values with the largest pre-filter blocks
+        (reference blocking_analysis.py:725-784)."""
+        from splink_spark.internals.blocking import n_largest_blocks
+
+        cust = _customer(_session(spark), sf_dir)
+        return n_largest_blocks(cust, block_on("c_nationkey"), n_largest=5)
+
+    def q_block_estimate(spark, sf_dir):
+        """Pre-filter comparison-count estimate: per-key count products with
+        NO blocking join executed (reference blocking_analysis.py:78-190)."""
+        from splink_spark.internals.blocking import estimate_comparisons_pre_filter
+
+        cust = _customer(_session(spark), sf_dir)
+        return estimate_comparisons_pre_filter(
+            cust, block_on("c_nationkey", "c_mktsegment")
+        )
+
     def q_exploding_block(spark, sf_dir):
         """Exploding blocking rule over a derived array column (SURVEY §2.3):
         customers blocked on sharing any order-key bucket."""
@@ -377,6 +395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_single": q_block_single,
         "block_multi": q_block_multi,
         "block_counts": q_block_counts,
+        "n_largest_blocks": q_n_largest_blocks,
+        "block_estimate": q_block_estimate,
         "exploding_block": q_exploding_block,
         "comparison_vectors": q_comparison_vectors,
         "predict_customer": q_predict,
@@ -542,6 +562,26 @@ def oracle_sql() -> dict[str, str]:
                               AND l.c_mktsegment = r.c_mktsegment, FALSE)
       )
       SELECT match_key, count(*) AS n_pairs FROM pairs GROUP BY match_key
+    """
+
+    sqls["n_largest_blocks"] = f"""
+      WITH cust AS ({_CUST}),
+      counts AS (
+        SELECT c_nationkey AS key_0, count(*) AS count_l, count(*) AS count_r,
+               count(*) * count(*) AS block_count
+        FROM cust WHERE c_nationkey IS NOT NULL GROUP BY c_nationkey
+      )
+      SELECT * FROM counts ORDER BY block_count DESC, key_0 LIMIT 5
+    """
+
+    sqls["block_estimate"] = f"""
+      WITH cust AS ({_CUST})
+      SELECT c_nationkey AS key_0, c_mktsegment AS key_1,
+             count(*) AS count_l, count(*) AS count_r,
+             count(*) * count(*) AS block_count
+      FROM cust
+      WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+      GROUP BY c_nationkey, c_mktsegment
     """
 
     sqls["exploding_block"] = """
