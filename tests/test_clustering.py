@@ -7,6 +7,7 @@ import random
 
 import networkx as nx
 import pytest
+from pyspark.sql import functions as F
 
 from splink_spark.internals.connected_components import (
     compute_graph_metrics,
@@ -73,3 +74,41 @@ def test_graph_metrics(spark):
     assert tri["density"] == pytest.approx(1.0)
     iso = metrics[3]
     assert iso["n_nodes"] == 1 and iso["density"] is None
+
+
+def test_multi_threshold_stable_reuse_matches_full_rerun(spark):
+    """Stable-cluster reuse must give IDENTICAL assignments to a full
+    per-threshold CC re-run (reference clustering.py:158-601)."""
+    import random
+
+    from splink_spark.internals.connected_components import (
+        solve_connected_components,
+    )
+    from splink_spark.internals.one_to_one import cluster_at_multiple_thresholds
+
+    rng = random.Random(13)
+    # 3 chains of 6 nodes; edge probabilities stepped so chains split at
+    # different thresholds, plus singletons
+    edges_rows = []
+    for c in range(3):
+        base = c * 10
+        for i in range(5):
+            p = [0.95, 0.85, 0.75, 0.65, 0.55][i] if c == 0 else (
+                0.9 if c == 1 else 0.6 + 0.05 * i)
+            edges_rows.append((base + i, base + i + 1, p))
+    nodes_rows = [(i,) for i in range(30)]
+    edges = spark.createDataFrame(edges_rows, ["node_id_l", "node_id_r", "match_probability"])
+    nodes = spark.createDataFrame(nodes_rows, ["node_id"])
+    thresholds = [0.5, 0.6, 0.7, 0.8, 0.9]
+
+    reused = cluster_at_multiple_thresholds(edges, nodes, thresholds)
+    got = {(r["threshold"], r["node_id"]): r["cluster_id"] for r in reused.collect()}
+
+    for t in thresholds:
+        full = solve_connected_components(
+            edges.where(F.col("match_probability") >= t), nodes,
+            node_col="node_id", edge_l_col="node_id_l", edge_r_col="node_id_r",
+        )
+        expect = {r["node_id"]: r["cluster_id"] for r in full.collect()}
+        for nid, cid in expect.items():
+            assert got[(t, nid)] == cid, (t, nid)
