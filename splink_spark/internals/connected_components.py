@@ -50,7 +50,7 @@ def solve_connected_components(
         self_rep.join(nbr_min, on="node", how="left")
         .select("node", F.least(F.col("rep"), F.col("nbr_min")).alias("rep"))
     )
-    rep = mat.materialize(rep, "clustering")
+    rep = mat.materialize(rep, "clustering", iterative=True)
 
     for _ in range(max_iterations):
         # new rep = min(own rep, min over neighbours' reps)
@@ -88,7 +88,7 @@ def solve_connected_components(
                 "old_rep",
             )
         )
-        new_rep = mat.materialize(new_rep, "clustering")
+        new_rep = mat.materialize(new_rep, "clustering", iterative=True)
         n_changed = new_rep.where(F.col("new_rep") != F.col("old_rep")).count()
         rep = new_rep.select("node", F.col("new_rep").alias("rep"))
         if n_changed == 0:
@@ -140,14 +140,99 @@ def cluster_pairwise_predictions_at_threshold(
     return out.drop("node_id").select("cluster_id", *concat.columns)
 
 
+def _find_bridges(edge_list: list) -> set:
+    """Bridge edges of an undirected graph — iterative Tarjan low-link
+    (the algorithm igraph implements for the reference's is_bridge,
+    edge_metrics.py:75-160). Returns indices into ``edge_list``. Parallel
+    edges are handled: only the single parent-edge occurrence is skipped, so
+    a duplicated edge is never a bridge."""
+    from collections import defaultdict
+
+    adj: dict = defaultdict(list)
+    for i, (u, v) in enumerate(edge_list):
+        if u == v:
+            continue  # self-loops are never bridges
+        adj[u].append((v, i))
+        adj[v].append((u, i))
+    disc: dict = {}
+    low: dict = {}
+    bridges: set = set()
+    timer = 0
+    for start in adj:
+        if start in disc:
+            continue
+        disc[start] = low[start] = timer
+        timer += 1
+        stack = [(start, -1, iter(adj[start]))]
+        while stack:
+            node, pedge, it = stack[-1]
+            advanced = False
+            for nbr, eidx in it:
+                if eidx == pedge:
+                    continue
+                if nbr not in disc:
+                    disc[nbr] = low[nbr] = timer
+                    timer += 1
+                    stack.append((nbr, eidx, iter(adj[nbr])))
+                    advanced = True
+                    break
+                low[node] = min(low[node], disc[nbr])
+            if not advanced:
+                stack.pop()
+                if stack:
+                    parent = stack[-1][0]
+                    low[parent] = min(low[parent], low[node])
+                    if low[node] > disc[parent]:
+                        bridges.add(pedge)
+    return bridges
+
+
+def compute_edge_metrics(
+    edges: DataFrame,
+    assignments: DataFrame,
+    node_col: str = "node_id",
+) -> DataFrame:
+    """Edge table with ``is_bridge`` (reference edge_metrics.py:75-160).
+
+    The reference collects all edges to the driver and runs igraph once.
+    Spark-first shape instead: edges group by ``cluster_id`` and each group
+    runs Tarjan bridge-finding inside ``applyInPandas`` — per-cluster
+    parallelism across executors, bounded by the largest single cluster (the
+    same bound the reference's driver-side igraph has for the whole graph).
+    Output: (cluster_id, node_id_l, node_id_r, is_bridge).
+    """
+    import pandas as pd
+
+    l_col, r_col = f"{node_col}_l", f"{node_col}_r"
+    with_cluster = edges.join(
+        assignments.select(
+            F.col(node_col).alias(l_col), F.col("cluster_id")
+        ),
+        on=l_col,
+    ).select("cluster_id", l_col, r_col)
+
+    def bridges_per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        edge_list = list(zip(pdf[l_col], pdf[r_col]))
+        bridge_idx = _find_bridges(edge_list)
+        pdf = pdf.copy()
+        pdf["is_bridge"] = [i in bridge_idx for i in range(len(edge_list))]
+        return pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in with_cluster.schema.fields
+    ) + ", is_bridge boolean"
+    return with_cluster.groupBy("cluster_id").applyInPandas(
+        bridges_per_cluster, schema=schema
+    )
+
+
 def compute_graph_metrics(
     edges: DataFrame,
     assignments: DataFrame,
     node_col: str = "node_id",
 ) -> DataFrame:
     """Cluster size, density, degree centralisation
-    (reference graph_metrics.py:257-330). Bridges (igraph-on-driver in the
-    reference) are out of v1 scope."""
+    (reference graph_metrics.py:257-330). Bridges: ``compute_edge_metrics``."""
     fwd = edges.select(F.col(f"{node_col}_l").alias("node"))
     rev = edges.select(F.col(f"{node_col}_r").alias("node"))
     degrees = fwd.unionByName(rev).groupBy("node").agg(F.count("*").alias("degree"))

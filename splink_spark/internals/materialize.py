@@ -55,8 +55,20 @@ class MaterializationPolicy:
             return max(1, int(base * frac), floor)
         return max(1, int(base * frac))
 
-    def materialize(self, df: DataFrame, stage: str = "generic") -> DataFrame:
+    def materialize(
+        self, df: DataFrame, stage: str = "generic", iterative: bool = False
+    ) -> DataFrame:
+        """``iterative=True`` marks a loop-carried table (CC / multi-threshold
+        clustering): those MUST truncate lineage, not just cache — with plain
+        persist the logical plan still nests the whole history, growing
+        per-iteration until planning itself OOMs the driver (the exact Spark
+        failure mode the reference breaks lineage for,
+        spark/database_api.py:289-349). persist therefore upgrades to
+        localCheckpoint inside loops; the reliable methods already truncate.
+        """
         if self.method == "persist":
+            if iterative:
+                return df.localCheckpoint(eager=True)
             out = df.persist(StorageLevel.MEMORY_AND_DISK)
             out.count()  # force
             self._registry.append(out)

@@ -163,7 +163,7 @@ def cluster_at_multiple_thresholds(
             assign = stable_assign.select(node_col, "cluster_id").unionByName(
                 sub_assign
             )
-            assign = mat.materialize(assign, "clustering")
+            assign = mat.materialize(assign, "clustering", iterative=True)
         step = assign.withColumn("threshold", F.lit(float(t)))
         out = step if out is None else out.unionByName(step)
         prev_t = t

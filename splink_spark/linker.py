@@ -416,6 +416,28 @@ class LinkerClustering:
     ) -> DataFrame:
         from .internals.connected_components import compute_graph_metrics
 
+        edges, assignments = self._edges_and_assignments(
+            df_predict, df_clustered, threshold_match_probability
+        )
+        return compute_graph_metrics(edges, assignments)
+
+    def compute_edge_metrics(
+        self, df_predict: DataFrame, df_clustered: DataFrame,
+        threshold_match_probability: float = 0.5,
+    ) -> DataFrame:
+        """Thresholded edges + is_bridge flag (reference edge_metrics.py:
+        75-160, igraph-on-driver → here per-cluster Tarjan in applyInPandas)."""
+        from .internals.connected_components import compute_edge_metrics
+
+        edges, assignments = self._edges_and_assignments(
+            df_predict, df_clustered, threshold_match_probability
+        )
+        return compute_edge_metrics(edges, assignments)
+
+    def _edges_and_assignments(
+        self, df_predict: DataFrame, df_clustered: DataFrame,
+        threshold_match_probability: float,
+    ) -> tuple[DataFrame, DataFrame]:
         s = self._l.settings
         uid = s.unique_id_column_name
         edges = df_predict.where(
@@ -427,7 +449,7 @@ class LinkerClustering:
         assignments = df_clustered.select(
             F.col(uid).alias("node_id"), "cluster_id"
         )
-        return compute_graph_metrics(edges, assignments)
+        return edges, assignments
 
 
 class LinkerEvaluation:
