@@ -420,18 +420,57 @@ def level_spec_dict(lv: ComparisonLevel) -> dict:
     return d
 
 
+def _normalise_identifier_quoting(sql: str) -> str:
+    """Reference settings JSON carries dialect-quoted identifiers
+    (``"first_name_l"``); Spark quotes with backticks and reads double quotes
+    as string literals. Rewrite double-quoted IDENTIFIERS (single token, no
+    spaces) to backticks — real string literals in splink conditions are
+    single-quoted, so this is safe."""
+    import re
+
+    return re.sub(r'"([A-Za-z_][A-Za-z0-9_]*)"', r"`\1`", sql)
+
+
+def _level_from_reference_dict(d: dict) -> ComparisonLevel:
+    """Accept a genuine reference-splink settings level dict (sql_condition
+    string + probabilities — reference comparison_level.py as_dict shape), so
+    models interchange at the JSON level (ADVICE r1). The condition goes
+    through ``F.expr`` exactly like ``CustomLevel``."""
+    import re
+
+    sql = d.get("sql_condition")
+    if sql is None:
+        raise ValueError(f"level dict has neither 'spec' nor 'sql_condition': {d}")
+    label = d.get("label_for_charts")
+    if sql.strip().upper() == "ELSE":
+        return ElseLevel()
+    sql = _normalise_identifier_quoting(sql)
+    # recognise plain-equality conditions so EM's blocking-adjustment and TF
+    # logic see them as exact-match levels
+    m = re.fullmatch(
+        r"\s*`?(\w+)_l`?\s*=\s*`?(\w+)_r`?\s*", sql
+    )
+    return CustomLevel(
+        sql,
+        label or sql,
+        is_null_level=bool(d.get("is_null_level", False)),
+        is_exact_match_level=bool(m and m.group(1) == m.group(2)),
+    )
+
+
 def level_from_spec_dict(d: dict) -> ComparisonLevel:
     import sys
 
     spec = d.get("spec")
     if spec is None:
-        raise ValueError(f"level dict has no builder spec: {d}")
-    mod = sys.modules[__name__]
-    fn = getattr(mod, spec["builder"])
-    lv = fn(
-        *[_deser(a) for a in spec.get("args", [])],
-        **{k: _deser(v) for k, v in spec.get("kwargs", {}).items()},
-    )
+        lv = _level_from_reference_dict(d)
+    else:
+        mod = sys.modules[__name__]
+        fn = getattr(mod, spec["builder"])
+        lv = fn(
+            *[_deser(a) for a in spec.get("args", [])],
+            **{k: _deser(v) for k, v in spec.get("kwargs", {}).items()},
+        )
     if "m_probability" in d:
         lv.m_probability = d["m_probability"]
     if "u_probability" in d:

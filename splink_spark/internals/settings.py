@@ -88,9 +88,19 @@ class Settings:
     def from_dict(d: dict) -> "Settings":
         from .blocking import rule_from_spec
 
+        def _rule(r):
+            if isinstance(r, str):
+                return CustomRule(_normalise_rule_sql(r))
+            if "builder" in r:
+                return rule_from_spec(r)
+            # reference-format dict: {"blocking_rule": sql, "salting_partitions": n}
+            # (reference blocking.py BlockingRule.as_dict)
+            rule = CustomRule(_normalise_rule_sql(r["blocking_rule"]))
+            rule.salting_partitions = int(r.get("salting_partitions", 1))
+            return rule
+
         rules = [
-            rule_from_spec(r) if isinstance(r, dict) else CustomRule(r)
-            for r in d.get("blocking_rules_to_generate_predictions", [])
+            _rule(r) for r in d.get("blocking_rules_to_generate_predictions", [])
         ]
         return Settings(
             link_type=d.get("link_type", "dedupe_only"),
@@ -119,6 +129,20 @@ class Settings:
         else:
             d = json.loads(path_or_str)
         return Settings.from_dict(d)
+
+
+def _normalise_rule_sql(sql: str) -> str:
+    """Translate reference-splink blocking-rule SQL to this engine's column
+    convention: the reference writes ``l.first_name = r.first_name`` (table
+    aliases over two scans); here the pair table carries suffixed columns, so
+    it becomes ``first_name_l = first_name_r``. Double-quoted identifiers are
+    rewritten to backticks for Spark's parser."""
+    import re
+
+    sql = re.sub(r'"([A-Za-z_][A-Za-z0-9_]*)"', r"`\1`", sql)
+    sql = re.sub(r"\bl\.(\w+)", r"\1_l", sql)
+    sql = re.sub(r"\br\.(\w+)", r"\1_r", sql)
+    return sql
 
 
 def _to_rule(rule: Union[str, BlockingRule]) -> BlockingRule:

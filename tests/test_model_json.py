@@ -100,3 +100,63 @@ def test_custom_level_round_trip(spark, persons):
         )
 
     assert snapshot(s) == snapshot(loaded)
+
+
+def test_load_reference_format_settings_json(spark, persons):
+    """A genuine reference-splink settings dict (sql_condition strings,
+    blocking rules as l./r. strings and {'blocking_rule': ...} dicts) must
+    load and predict (ADVICE r1: interop was export-only)."""
+    ref_settings = {
+        "link_type": "dedupe_only",
+        "probability_two_random_records_match": 0.02,
+        "unique_id_column_name": "unique_id",
+        "comparisons": [
+            {
+                "output_column_name": "surname",
+                "comparison_levels": [
+                    {
+                        "sql_condition": "surname_l IS NULL OR surname_r IS NULL",
+                        "label_for_charts": "Null",
+                        "is_null_level": True,
+                    },
+                    {
+                        "sql_condition": '"surname_l" = "surname_r"',
+                        "label_for_charts": "Exact match",
+                        "m_probability": 0.9,
+                        "u_probability": 0.1,
+                    },
+                    {
+                        "sql_condition": "levenshtein(surname_l, surname_r) <= 2",
+                        "label_for_charts": "lev <= 2",
+                        "m_probability": 0.07,
+                        "u_probability": 0.1,
+                    },
+                    {
+                        "sql_condition": "ELSE",
+                        "label_for_charts": "All other comparisons",
+                        "m_probability": 0.03,
+                        "u_probability": 0.8,
+                    },
+                ],
+            }
+        ],
+        "blocking_rules_to_generate_predictions": [
+            "l.dob = r.dob",
+            {"blocking_rule": "l.city = r.city", "salting_partitions": 2},
+        ],
+    }
+    s = Settings.from_dict(ref_settings)
+    comp = s.comparisons[0]
+    assert comp.comparison_levels[0].is_null_level
+    assert comp.comparison_levels[1].is_exact_match_level
+    assert comp.comparison_levels[-1].is_else_level
+    assert s.blocking_rules_to_generate_predictions[1].salting_partitions == 2
+
+    linker = Linker(persons, s)
+    pred = linker.inference.predict()
+    rows = pred.collect()
+    assert len(rows) > 0
+    # exact-surname pair (0,1 taylor/taylor) outranks the near-miss (0,2
+    # taylor/tailor, levenshtein 2) which outranks unrelated pairs
+    by_pair = {(r["unique_id_l"], r["unique_id_r"]): r["match_probability"] for r in rows}
+    assert by_pair[(0, 1)] > by_pair[(0, 2)] > by_pair[(0, 6)]
