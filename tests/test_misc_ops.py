@@ -85,3 +85,51 @@ def test_invalidate_cache(spark, trained2):
     assert trained2._concat_with_tf is None
     # still works after invalidation
     assert trained2.inference.predict().count() > 0
+
+
+def test_dataset_catalog_offline_fallback(spark, tmp_path):
+    """splink_datasets equivalent (SURVEY §2.1): with no cache and no
+    network, each dataset resolves to a deterministic synthetic stand-in
+    with the documented schema; a cached file takes precedence."""
+    from splink_spark.datasets import (
+        DATASETS,
+        SplinkDatasets,
+        list_downloadable_datasets,
+    )
+
+    assert "fake_1000" in list_downloadable_datasets()
+    cat = SplinkDatasets(spark, cache_dir=str(tmp_path / "nope"))
+    # force offline: point the downloader at nothing
+    cat._try_download = lambda meta, local: None
+    df = cat.fake_1000
+    assert df.columns == list(DATASETS["fake_1000"].columns)
+    assert df.count() > 200
+    # deterministic: second catalog generates identical data
+    cat2 = SplinkDatasets(spark, cache_dir=str(tmp_path / "nope2"))
+    cat2._try_download = lambda meta, local: None
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, cat2.fake_1000.collect()))
+    # cached file wins over synthesis
+    cache3 = tmp_path / "c3"
+    cache3.mkdir()
+    (cache3 / "fake_1000.csv").write_text(
+        "unique_id,first_name,surname,dob,city,email,cluster\n"
+        "0,a,b,2000-01-01,x,e@x,0\n"
+    )
+    cat3 = SplinkDatasets(spark, cache_dir=str(cache3))
+    assert cat3.fake_1000.count() == 1
+    # the synthetic fixture is linkable end-to-end
+    from splink_spark import Linker, SettingsCreator, block_on
+    import splink_spark.internals.comparison_library as cl
+
+    def _set(comp, mus):
+        for lv in comp.comparison_levels:
+            if not lv.is_null_level:
+                lv.m_probability, lv.u_probability = mus[lv.comparison_vector_value]
+        return comp
+
+    settings = SettingsCreator(
+        comparisons=[_set(cl.ExactMatch("surname"), {1: (0.9, 0.05), 0: (0.1, 0.95)})],
+        blocking_rules_to_generate_predictions=[block_on("dob")],
+        probability_two_random_records_match=0.01,
+    )
+    assert Linker(df, settings).inference.predict().count() > 0
