@@ -316,27 +316,80 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     block_cols: Sequence[str] = (),
+    method: str = "all_pairs",
+    num_planes: int = 24,
+    bands: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
-    """Near-dup pairs by embedding cosine similarity (HOF dot product)."""
+    """Near-dup pairs by embedding cosine similarity (HOF dot product).
+
+    ``method="all_pairs"`` joins everything within the blocks — exact, fine
+    for tight blocks, quadratic without. ``method="lsh"`` is the 100 TB path
+    (VERDICT r1): hyperplane sign signatures split into ``bands`` bands; a
+    candidate pair must share one band value (equi-join on (band, value) —
+    shuffle bounded by bucket sizes), then exact cosine verifies. Recall for
+    a pair at cosine c is 1-(1-p^r)^b with p = 1 - acos(c)/pi, r =
+    num_planes/bands — ~95% at c=0.95 with the defaults; precision is exact.
+    """
     from ..internals.functions import cosine_similarity
 
     cols = [id_col, embedding_col, *block_cols]
     df = _widen(df)
-    l = df.select(*[F.col(c).alias(f"{c}_l") for c in cols])
-    r = df.select(*[F.col(c).alias(f"{c}_r") for c in cols])
-    cond = F.col(f"{id_col}_l") < F.col(f"{id_col}_r")
-    for c in block_cols:
-        cond = cond & (F.col(f"{c}_l") == F.col(f"{c}_r"))
     sim = cosine_similarity(
         F.col(f"{embedding_col}_l").cast("array<double>"),
         F.col(f"{embedding_col}_r").cast("array<double>"),
     )
+    block_eq = [
+        F.col(f"{c}_l") == F.col(f"{c}_r") for c in block_cols
+    ]
+
+    if method == "all_pairs":
+        l = df.select(*[F.col(c).alias(f"{c}_l") for c in cols])
+        r = df.select(*[F.col(c).alias(f"{c}_r") for c in cols])
+        cond = F.col(f"{id_col}_l") < F.col(f"{id_col}_r")
+        for eq in block_eq:
+            cond = cond & eq
+        return (
+            l.join(r, on=cond)
+            .select(
+                F.col(f"{id_col}_l"),
+                F.col(f"{id_col}_r"),
+                sim.alias("cosine_sim"),
+            )
+            .where(F.col("cosine_sim") >= threshold)
+        )
+    if method != "lsh":
+        raise ValueError("method must be 'all_pairs' or 'lsh'")
+
+    from .ann import lsh_bucket_signature, random_hyperplanes
+
+    dim = len(df.select(embedding_col).first()[0])
+    planes = random_hyperplanes(dim, num_planes, seed=seed)
+    r_per_band = num_planes // bands
+    band_sigs = F.array(*[
+        lsh_bucket_signature(
+            F.col(embedding_col), planes[b * r_per_band : (b + 1) * r_per_band]
+        )
+        for b in range(bands)
+    ])
+    banded = df.select(
+        *cols, F.posexplode(band_sigs).alias("band", "band_value")
+    )
+    l = banded.select(
+        *[F.col(c).alias(f"{c}_l") for c in cols], "band", "band_value"
+    )
+    r = banded.select(
+        *[F.col(c).alias(f"{c}_r") for c in cols], "band", "band_value"
+    )
+    cand_cond = F.col(f"{id_col}_l") < F.col(f"{id_col}_r")
+    for eq in block_eq:
+        cand_cond = cand_cond & eq
     return (
-        l.join(r, on=cond)
+        l.join(r, on=["band", "band_value"])
+        .where(cand_cond)
         .select(
-            F.col(f"{id_col}_l"),
-            F.col(f"{id_col}_r"),
-            sim.alias("cosine_sim"),
+            F.col(f"{id_col}_l"), F.col(f"{id_col}_r"), sim.alias("cosine_sim")
         )
         .where(F.col("cosine_sim") >= threshold)
+        .distinct()
     )

@@ -216,3 +216,34 @@ def test_simhash_verified_recall_equals_exact_set(spark, corpus):
     assert got == exact
     # hamming column present and within bound
     assert all(r["hamming"] <= 12 for r in out)
+
+
+def test_embedding_neardup_lsh_routes_match_all_pairs(spark):
+    """The LSH-routed scale path must find (nearly) the all-pairs set:
+    precision exact by construction, recall from the banding margin."""
+    rng = random.Random(21)
+    dim = 16
+    rows = []
+    vid = 0
+    for _ in range(15):  # 15 near-dup pairs (tiny perturbation)
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        near = [x + rng.gauss(0, 0.01) for x in base]
+        rows.append((vid, base)); vid += 1
+        rows.append((vid, near)); vid += 1
+    for _ in range(70):  # fillers
+        rows.append((vid, [rng.gauss(0, 1) for _ in range(dim)])); vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = {
+        (r["vec_id_l"], r["vec_id_r"])
+        for r in dedup.embedding_near_duplicates(df, threshold=0.98).collect()
+    }
+    got = {
+        (r["vec_id_l"], r["vec_id_r"])
+        for r in dedup.embedding_near_duplicates(
+            df, threshold=0.98, method="lsh", num_planes=24, bands=6
+        ).collect()
+    }
+    assert len(exact) >= 15
+    assert got <= exact, "LSH route must not invent pairs (exact verify)"
+    assert len(got) >= 0.9 * len(exact), f"recall too low: {len(got)}/{len(exact)}"
