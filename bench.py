@@ -69,17 +69,24 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # attach the 1M direct-comparison result (BASELINE.md row 1 analogue)
+    # if tools/bench_1m.py has been run on this host — it is too slow to
+    # re-run per round, so the cached artifact is reported instead
+    bench_1m = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_1M.json")
+    if os.path.exists(bench_1m):
+        try:
+            with open(bench_1m) as f:
+                out["bench_1m"] = json.load(f)
+        except Exception:
+            pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -68,6 +68,12 @@ class MaterializationPolicy:
         """
         if self.method == "persist":
             if iterative:
+                # on a real cluster localCheckpoint blocks die with their
+                # executor mid-loop; prefer the reliable checkpoint whenever
+                # the session has a checkpoint dir configured
+                sc = df.sparkSession.sparkContext
+                if sc.getCheckpointDir():
+                    return df.checkpoint(eager=True)
                 return df.localCheckpoint(eager=True)
             out = df.persist(StorageLevel.MEMORY_AND_DISK)
             out.count()  # force

@@ -1,0 +1,436 @@
+#!/usr/bin/env python
+"""1M-record dedupe benchmark: splink_spark vs a hand-written DuckDB
+implementation of the SAME workload on the same host (BASELINE.md row 1:
+"1M records ~ 1 minute, DuckDB laptop"; pass bar = within 2x).
+
+Workload (BASELINE.md protocol):
+  concat -> TF -> block (2 rules) -> comparison vectors (5 comparisons,
+  one fuzzy jaro-winkler, one TF-adjusted) -> predict -> cluster at 0.9;
+  training: lambda from deterministic rules, u by random sampling, one EM
+  session on agreement-pattern counts.
+
+The fixture is FIXTURES.md F1 at 1M rows, generated deterministically with
+pure Spark expressions (hash-based pseudo-randomness — no Python row loop)
+and cached as parquet. Both engines read the same parquet.
+
+Usage: python tools/bench_1m.py [--rows 1000000] [--skip-duckdb]
+Writes BENCH_1M.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE = os.path.join(REPO, ".bench_cache")
+
+FIRST = ["julia", "oliver", "grace", "amir", "zoe", "noah", "theo", "freya",
+         "arthur", "isla", "leo", "maya", "rosa", "ethan", "lena", "hugo"]
+SUR = ["taylor", "smith", "jones", "khan", "li", "brown", "davies", "evans",
+       "wilson", "thomas", "clarke", "walker", "wright", "green", "hall", "wood"]
+CITY = ["london", "leeds", "manchester", "bristol", "york", "bath", "derby"]
+
+# shared Fellegi-Sunter model constants (m, u) per comparison gamma=1 level;
+# both engines run EM from the same starting point so the *computation* is
+# identical — only the engine differs
+PRIOR = 2e-6
+
+
+def generate_fixture(spark, n_rows: int, path: str) -> None:
+    from pyspark.sql import functions as F
+
+    n_entities = max(1, n_rows // 4)
+
+    def h(seed: int, m: int):
+        return F.pmod(F.xxhash64(F.col("entity"), F.lit(seed)), F.lit(m))
+
+    def hu(seed: int, m: int):
+        return F.pmod(F.xxhash64(F.col("unique_id"), F.lit(seed)), F.lit(m))
+
+    first_arr = F.array(*[F.lit(x) for x in FIRST])
+    sur_arr = F.array(*[F.lit(x) for x in SUR])
+    city_arr = F.array(*[F.lit(x) for x in CITY])
+
+    ent = spark.range(n_entities).select(F.col("id").alias("entity"))
+    rec = (
+        ent.withColumn("n_dupes", (h(1, 7) + 1).cast("int"))  # 1..7, mean 4
+        .withColumn("d", F.explode(F.sequence(F.lit(0), F.col("n_dupes") - 1)))
+        .withColumn("unique_id", F.col("entity") * 8 + F.col("d"))
+    )
+    base_first = F.element_at(first_arr, (h(2, 16) + 1).cast("int"))
+    base_sur = F.element_at(sur_arr, (h(3, 16) + 1).cast("int"))
+    # skewed city: index floor(sqrt(u*u')) concentrates mass at low indices
+    city_ix = F.least(
+        F.floor(F.sqrt(h(4, 49).cast("double"))).cast("int"), F.lit(6)
+    )
+    base_city = F.element_at(city_arr, city_ix + 1)
+    dob_date = F.date_add(F.lit("1950-01-01").cast("date"), h(5, 21000).cast("int"))
+
+    # duplicate corruption: only on d>0 rows, driven by the record hash
+    typo = hu(11, 10)  # 0..9
+    first = F.when(
+        (F.col("d") > 0) & (typo == 0),
+        # swap first two chars
+        F.concat(
+            F.substring(base_first, 2, 1),
+            F.substring(base_first, 1, 1),
+            F.substring(base_first, 3, 20),
+        ),
+    ).when((F.col("d") > 0) & (typo == 1), F.concat(base_first, F.lit(" "))).otherwise(base_first)
+    first = F.when(hu(12, 100) < 8, F.lit(None)).otherwise(first)  # ~8% null
+    sur = F.when(hu(13, 100) < 10, F.lit(None)).otherwise(base_sur)
+    dob = F.when(
+        (F.col("d") > 0) & (hu(14, 20) == 0), F.date_add(dob_date, 1)
+    ).otherwise(dob_date).cast("string")
+    city = F.when((F.col("d") > 0) & (hu(15, 20) == 0), F.lit(None)).otherwise(base_city)
+    email = F.concat(base_first, F.lit("."), base_sur, F.col("entity").cast("string"),
+                     F.lit("@mail.com"))
+    email = F.when(hu(16, 100) < 5, F.lit(None)).otherwise(email)
+
+    out = rec.select(
+        "unique_id",
+        first.alias("first_name"),
+        sur.alias("surname"),
+        dob.alias("dob"),
+        city.alias("city"),
+        email.alias("email"),
+        F.col("entity").alias("cluster"),
+    ).where(F.col("unique_id").isNotNull())
+    out = out.limit(n_rows) if n_rows < 4 * n_entities else out
+    out.repartition(16).write.mode("overwrite").parquet(path)
+
+
+def build_model():
+    import splink_spark.internals.comparison_library as cl
+    from splink_spark import SettingsCreator, block_on
+
+    return SettingsCreator(
+        comparisons=[
+            cl.JaroWinklerAtThresholds("first_name", [0.9]),
+            cl.ExactMatch("surname", term_frequency_adjustments=True),
+            cl.ExactMatch("dob"),
+            cl.ExactMatch("city", term_frequency_adjustments=True),
+            cl.ExactMatch("email"),
+        ],
+        blocking_rules_to_generate_predictions=[
+            block_on("surname", "dob"),
+            block_on("email"),
+        ],
+        probability_two_random_records_match=PRIOR,
+    )
+
+
+def run_spark(path: str, cpus: str) -> dict:
+    from pyspark.sql import SparkSession
+
+    from splink_spark import Linker, block_on
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bench_1m_spark")
+        .config("spark.sql.shuffle.partitions", str(2 * int(cpus)))
+        .config("spark.default.parallelism", str(2 * int(cpus)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(path)
+
+    stages: dict[str, float] = {}
+    t_all = time.time()
+
+    linker = Linker(df, build_model())
+
+    t = time.time()
+    linker.training.estimate_probability_two_random_records_match(
+        [block_on("email"), block_on("first_name", "surname", "dob")], recall=0.8
+    )
+    stages["train_lambda"] = time.time() - t
+
+    t = time.time()
+    linker.training.estimate_u_using_random_sampling(max_pairs=2e6, seed=1)
+    stages["train_u"] = time.time() - t
+
+    t = time.time()
+    linker.training.estimate_parameters_using_expectation_maximisation(
+        block_on("email")
+    )
+    linker.training.estimate_parameters_using_expectation_maximisation(
+        block_on("surname", "dob")
+    )
+    stages["train_em"] = time.time() - t
+
+    t = time.time()
+    pred = linker.inference.predict(threshold_match_probability=0.01)
+    n_pairs = pred.count()
+    stages["predict"] = time.time() - t
+
+    t = time.time()
+    clustered = linker.clustering.cluster_pairwise_predictions_at_threshold(pred, 0.9)
+    n_clusters = clustered.select("cluster_id").distinct().count()
+    stages["cluster"] = time.time() - t
+
+    total = time.time() - t_all
+    spark.stop()
+    return {
+        "total_sec": round(total, 2),
+        "stages": {k: round(v, 2) for k, v in stages.items()},
+        "scored_pairs": n_pairs,
+        "n_clusters": n_clusters,
+    }
+
+
+def run_duckdb(path: str) -> dict:
+    """The same workload in DuckDB SQL — the BASELINE row-1 analogue."""
+    import duckdb
+
+    con = duckdb.connect()
+    stages: dict[str, float] = {}
+    t_all = time.time()
+
+    con.execute(f"CREATE TABLE nodes AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    n = con.execute("SELECT count(*) FROM nodes").fetchone()[0]
+
+    # TF tables
+    con.execute("""CREATE TABLE tf_surname AS
+        SELECT surname, count(*)::DOUBLE / (SELECT count(surname) FROM nodes) AS tf
+        FROM nodes WHERE surname IS NOT NULL GROUP BY surname""")
+    con.execute("""CREATE TABLE tf_city AS
+        SELECT city, count(*)::DOUBLE / (SELECT count(city) FROM nodes) AS tf
+        FROM nodes WHERE city IS NOT NULL GROUP BY city""")
+
+    # lambda from deterministic rules
+    t = time.time()
+    observed = con.execute("""
+        SELECT count(*) FROM (
+          SELECT l.unique_id, r.unique_id FROM nodes l JOIN nodes r
+            ON l.email = r.email AND l.unique_id < r.unique_id
+          UNION
+          SELECT l.unique_id, r.unique_id FROM nodes l JOIN nodes r
+            ON l.first_name = r.first_name AND l.surname = r.surname
+               AND l.dob = r.dob AND l.unique_id < r.unique_id)
+    """).fetchone()[0]
+    lam = min(max(observed / 0.8 / (n * (n - 1) / 2), 1e-12), 1 - 1e-12)
+    stages["train_lambda"] = time.time() - t
+
+    gammas = """
+      CASE WHEN l.first_name IS NULL OR r.first_name IS NULL THEN -1
+           WHEN jaro_winkler_similarity(l.first_name, r.first_name) >= 0.9 THEN 1
+           ELSE 0 END AS g_first,
+      CASE WHEN l.surname IS NULL OR r.surname IS NULL THEN -1
+           WHEN l.surname = r.surname THEN 1 ELSE 0 END AS g_sur,
+      CASE WHEN l.dob IS NULL OR r.dob IS NULL THEN -1
+           WHEN l.dob = r.dob THEN 1 ELSE 0 END AS g_dob,
+      CASE WHEN l.city IS NULL OR r.city IS NULL THEN -1
+           WHEN l.city = r.city THEN 1 ELSE 0 END AS g_city,
+      CASE WHEN l.email IS NULL OR r.email IS NULL THEN -1
+           WHEN l.email = r.email THEN 1 ELSE 0 END AS g_email
+    """
+
+    # u by random sampling (hash sample so that kept^2/2 ~ max_pairs)
+    t = time.time()
+    import math as _m
+    frac = min(1.0, _m.sqrt(2e6 * 2) / n)
+    thr = int(frac * 1_000_000)
+    con.execute(f"""CREATE TABLE u_counts AS
+      WITH s AS (SELECT * FROM nodes WHERE hash(unique_id) % 1000000 < {thr})
+      SELECT {gammas}, count(*) AS cnt
+      FROM s l JOIN s r ON l.unique_id < r.unique_id
+      GROUP BY ALL""")
+    u_rows = con.execute("SELECT * FROM u_counts").fetchall()
+    stages["train_u"] = time.time() - t
+
+    def norm_counts(rows, gi):
+        tot = {}
+        for row in rows:
+            g = row[gi]
+            if g != -1:
+                tot[g] = tot.get(g, 0) + row[-1]
+        s = sum(tot.values()) or 1
+        return {g: c / s for g, c in tot.items()}
+
+    u = {i: norm_counts(u_rows, i) for i in range(5)}
+    m = {i: {1: 0.9, 0: 0.1} for i in range(5)}
+
+    # EM session on agreement-pattern counts, blocked on email (fix u)
+    t = time.time()
+    for rule, skip in (("l.email = r.email", 4), ("l.surname = r.surname AND l.dob = r.dob", None)):
+        pat = con.execute(f"""
+          SELECT {gammas}, count(*) AS cnt
+          FROM nodes l JOIN nodes r ON {rule} AND l.unique_id < r.unique_id
+          GROUP BY ALL""").fetchall()
+        session_lam = 0.5
+        active = [i for i in range(5) if i != skip and not (skip is None and i in (1, 2))]
+        for _ in range(25):
+            new_m = {i: {0: 0.0, 1: 0.0} for i in active}
+            lam_num = lam_den = 0.0
+            for row in pat:
+                bf = 1.0
+                for i in active:
+                    g = row[i]
+                    if g != -1:
+                        bf *= m[i][g] / max(u[i].get(g, 1e-9), 1e-300)
+                odds = session_lam / (1 - session_lam) * bf
+                p = odds / (1 + odds)
+                cnt = row[-1]
+                lam_num += p * cnt
+                lam_den += cnt
+                for i in active:
+                    g = row[i]
+                    if g != -1:
+                        new_m[i][g] += p * cnt
+            delta = 0.0
+            for i in active:
+                tot = sum(new_m[i].values()) or 1
+                for g in (0, 1):
+                    nm = max(new_m[i][g] / tot, 1e-12)
+                    delta = max(delta, abs(nm - m[i][g]))
+                    m[i][g] = nm
+            session_lam = lam_num / lam_den if lam_den else session_lam
+            if delta < 1e-4:
+                break
+    stages["train_em"] = time.time() - t
+
+    # predict: blocking (2 rules, marginal), gamma, match weight, TF adj
+    t = time.time()
+    import math
+
+    def log2mu(i, g):
+        return math.log2(max(m[i].get(g, 1e-9), 1e-300) / max(u[i].get(g, 1e-9), 1e-300))
+
+    mw_terms = []
+    for i, g_col in enumerate(["g_first", "g_sur", "g_dob", "g_city", "g_email"]):
+        mw_terms.append(
+            f"CASE {g_col} WHEN 1 THEN {log2mu(i,1)} WHEN 0 THEN {log2mu(i,0)} ELSE 0 END"
+        )
+    # TF adjustments on surname & city exact levels
+    tf_terms = f"""
+      + CASE WHEN g_sur = 1 THEN {math.log2(max(u[1].get(1,1e-9),1e-300))} - log2(greatest(coalesce(tfs.tf, 1e-12), 1e-12)) ELSE 0 END
+      + CASE WHEN g_city = 1 THEN {math.log2(max(u[3].get(1,1e-9),1e-300))} - log2(greatest(coalesce(tfc.tf, 1e-12), 1e-12)) ELSE 0 END
+    """
+    prior_mw = math.log2(lam / (1 - lam))
+    con.execute(f"""CREATE TABLE pred AS
+      WITH pairs AS (
+        SELECT l.unique_id AS uid_l, r.unique_id AS uid_r, l.surname AS surname_j,
+               l.city AS city_l, r.city AS city_r, {gammas}
+        FROM nodes l JOIN nodes r
+          ON l.surname = r.surname AND l.dob = r.dob AND l.unique_id < r.unique_id
+        UNION ALL
+        SELECT l.unique_id, r.unique_id, l.surname,
+               l.city, r.city, {gammas}
+        FROM nodes l JOIN nodes r
+          ON l.email = r.email AND l.unique_id < r.unique_id
+             AND NOT coalesce(l.surname = r.surname AND l.dob = r.dob, FALSE)
+      ),
+      scored AS (
+        SELECT uid_l, uid_r,
+          {prior_mw} + {' + '.join(mw_terms)} {tf_terms} AS mw
+        FROM pairs
+        LEFT JOIN tf_surname tfs ON pairs.surname_j = tfs.surname AND pairs.g_sur = 1
+        LEFT JOIN tf_city tfc ON pairs.city_l = tfc.city AND pairs.g_city = 1
+      )
+      SELECT uid_l, uid_r, pow(2, mw) / (1 + pow(2, mw)) AS p
+      FROM scored WHERE pow(2, mw) / (1 + pow(2, mw)) >= 0.01""")
+    n_pairs = con.execute("SELECT count(*) FROM pred").fetchone()[0]
+    stages["predict"] = time.time() - t
+
+    # cluster at 0.9: iterative min-label propagation
+    t = time.time()
+    con.execute("""CREATE TABLE rep AS
+      SELECT unique_id AS node, least(unique_id, coalesce(mn, unique_id)) AS rep
+      FROM nodes LEFT JOIN (
+        SELECT node, min(nbr) AS mn FROM (
+          SELECT uid_l AS node, uid_r AS nbr FROM pred WHERE p >= 0.9
+          UNION ALL
+          SELECT uid_r, uid_l FROM pred WHERE p >= 0.9) GROUP BY node
+      ) nb ON nodes.unique_id = nb.node""")
+    con.execute("""CREATE TABLE nbrs AS
+      SELECT uid_l AS node, uid_r AS nbr FROM pred WHERE p >= 0.9
+      UNION ALL SELECT uid_r, uid_l FROM pred WHERE p >= 0.9""")
+    for _ in range(50):
+        con.execute("""CREATE OR REPLACE TABLE rep2 AS
+          SELECT r.node,
+                 least(r.rep, coalesce(min(nr.rep), r.rep)) AS rep,
+                 r.rep AS old_rep
+          FROM rep r
+          LEFT JOIN nbrs nb ON r.node = nb.node
+          LEFT JOIN rep nr ON nb.nbr = nr.node
+          GROUP BY r.node, r.rep""")
+        # pointer jumping
+        con.execute("""CREATE OR REPLACE TABLE rep3 AS
+          SELECT a.node, coalesce(b.rep, a.rep) AS rep, a.old_rep
+          FROM rep2 a LEFT JOIN rep2 b ON a.rep = b.node""")
+        changed = con.execute(
+            "SELECT count(*) FROM rep3 WHERE rep != old_rep").fetchone()[0]
+        con.execute("CREATE OR REPLACE TABLE rep AS SELECT node, rep FROM rep3")
+        if changed == 0:
+            break
+    n_clusters = con.execute("SELECT count(DISTINCT rep) FROM rep").fetchone()[0]
+    stages["cluster"] = time.time() - t
+
+    total = time.time() - t_all
+    con.close()
+    return {
+        "total_sec": round(total, 2),
+        "stages": {k: round(v, 2) for k, v in stages.items()},
+        "scored_pairs": n_pairs,
+        "n_clusters": n_clusters,
+    }
+
+
+def main() -> None:
+    n_rows = 1_000_000
+    skip_duck = "--skip-duckdb" in sys.argv
+    for i, a in enumerate(sys.argv):
+        if a == "--rows":
+            n_rows = int(sys.argv[i + 1])
+
+    path = os.path.join(CACHE, f"persons_{n_rows}.parquet")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    if not os.path.exists(path):
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", "16g")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        generate_fixture(spark, n_rows, path)
+        spark.stop()
+        print(f"fixture written: {path}", file=sys.stderr)
+
+    spark_res = run_spark(path, cpus)
+    print(f"spark: {spark_res}", file=sys.stderr)
+    duck_res = None
+    if not skip_duck:
+        duck_res = run_duckdb(path)
+        print(f"duckdb: {duck_res}", file=sys.stderr)
+
+    out = {
+        "workload": "1M dedupe train+predict+cluster (BASELINE.md row 1 analogue)",
+        "rows": n_rows,
+        "spark": spark_res,
+        "duckdb": duck_res,
+        "ratio_spark_over_duckdb": (
+            round(spark_res["total_sec"] / duck_res["total_sec"], 3) if duck_res else None
+        ),
+    }
+    with open(os.path.join(REPO, "BENCH_1M.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
