@@ -127,12 +127,27 @@ def _jaccard_charset(s1: str, s2: str) -> float:
 
 
 def _apply2(s1: pd.Series, s2: pd.Series, fn, null_value=None) -> pd.Series:
+    """Pairwise kernel over an Arrow batch, memoized per batch.
+
+    Real-world name/address columns are heavily duplicated (that's what term
+    frequencies exploit), so the same (a, b) pair recurs thousands of times
+    per batch — the memo turns an O(len^2)-per-row kernel into a dict hit.
+    Bounded: the memo lives only for the batch, and is dropped if it grows
+    past 1M entries (pathological all-distinct input)."""
     out = []
+    memo: dict = {}
     for a, b in zip(s1, s2):
         if a is None or b is None or (isinstance(a, float) and math.isnan(a)):
             out.append(null_value)
-        else:
-            out.append(fn(str(a), str(b)))
+            continue
+        key = (a, b)
+        v = memo.get(key)
+        if v is None:
+            v = fn(str(a), str(b))
+            if len(memo) > 1_000_000:
+                memo.clear()
+            memo[key] = v
+        out.append(v)
     return pd.Series(out, dtype="float64")
 
 
@@ -170,6 +185,7 @@ def _apply2_arrays(s1: pd.Series, s2: pd.Series, fn, higher_is_better: bool) -> 
     inside one Arrow batch instead.
     """
     out = []
+    memo: dict = {}  # per-batch elementwise memo (see _apply2)
     for a_list, b_list in zip(s1, s2):
         if a_list is None or b_list is None or len(a_list) == 0 or len(b_list) == 0:
             out.append(None)
@@ -181,7 +197,13 @@ def _apply2_arrays(s1: pd.Series, s2: pd.Series, fn, higher_is_better: bool) -> 
             for b in b_list:
                 if b is None:
                     continue
-                v = fn(str(a), str(b))
+                key = (a, b)
+                v = memo.get(key)
+                if v is None:
+                    v = fn(str(a), str(b))
+                    if len(memo) > 1_000_000:
+                        memo.clear()
+                    memo[key] = v
                 if best is None or (v > best if higher_is_better else v < best):
                     best = v
         out.append(best)

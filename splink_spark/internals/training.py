@@ -43,7 +43,7 @@ def _cartesian_total(linker) -> float:
     s = linker.settings
     concat = linker.df_concat()
     if not s.needs_source_dataset:
-        n = concat.count()
+        n = getattr(concat, "_splink_row_count", None) or concat.count()
         return n * (n - 1) / 2
     counts = [
         r["count"]
@@ -114,7 +114,7 @@ def estimate_u_using_random_sampling(
     s = linker.settings
     uid = s.unique_id_column_name
     concat = linker.df_concat_with_tf()
-    n = concat.count()
+    n = getattr(concat, "_splink_row_count", None) or concat.count()
     target_sample = math.sqrt(max_pairs * 2)
     fraction = min(1.0, target_sample / max(n, 1))
 
@@ -123,6 +123,15 @@ def estimate_u_using_random_sampling(
     sample = concat.where(
         F.pmod(F.xxhash64(F.col(uid), F.lit(seed or 0)), F.lit(modulus)) < threshold
     )
+    # The TRUE-rule self-join plans as a CartesianProduct whose task count is
+    # |parts_l| x |parts_r| — inherited from the (wide) parent, that's a grid
+    # of thousands of micro-tasks each paying pandas-UDF invocation overhead
+    # for a table of only ~sqrt(2*max_pairs) rows. Coalesce the sample to
+    # ~sqrt(cores) partitions so the cartesian emits ~cores right-sized tasks,
+    # and cache it so both join sides scan the tiny table, not the concat.
+    side = max(2, math.isqrt(2 * sample.sparkSession.sparkContext.defaultParallelism))
+    sample = sample.coalesce(side).persist()
+    sample._splink_row_count = sample.count()  # type: ignore[attr-defined]
 
     level_keys: list[tuple[str, int]] = []
     aggs = []
@@ -189,6 +198,7 @@ def estimate_u_using_random_sampling(
                 u = count / total
                 lv.u_probability = max(u, 1e-9)
                 result[f"{comp.output_column_name}[{k}]"] = lv.u_probability
+    sample.unpersist()
     return result
 
 

@@ -63,14 +63,27 @@ class Linker:
 
     # -- shared intermediates --------------------------------------------------
     def df_concat(self) -> DataFrame:
-        """``__splink__df_concat`` (vertically_concatenate.py:84-93)."""
+        """``__splink__df_concat`` (vertically_concatenate.py:84-93).
+
+        Persisted lazily: it feeds the TF aggregations, deterministic-rule
+        blocking (lambda estimation) and the clustering node/output joins —
+        without a cache each of those re-reads and re-unions the inputs
+        (the reference materializes this stage too, pipeline stage
+        ``__splink__df_concat``).
+        """
         if self._concat is None:
-            self._concat = vertically_concatenate(
+            df = vertically_concatenate(
                 self._frames,
                 self.settings.source_dataset_column_name
                 if self.settings.needs_source_dataset
                 else None,
             )
+            df = self.materialization.materialize(df, "concat")
+            try:
+                df._splink_row_count = df.count()  # type: ignore[attr-defined]
+            except Exception:
+                pass
+            self._concat = df
         return self._concat
 
     def tf_tables(self) -> dict[str, DataFrame]:
@@ -162,6 +175,7 @@ class LinkerInference:
         threshold_match_probability: Optional[float] = None,
         threshold_match_weight: Optional[float] = None,
         num_chunks: int = 1,
+        cache_result: bool = False,
     ) -> DataFrame:
         """The flagship query (inference.py:294-444): concat → TF → block →
         comparison vectors → score [→ threshold].
@@ -170,15 +184,25 @@ class LinkerInference:
         chunks run as separate jobs and unioned (reference chunking.py:12-42 /
         inference.py:384-444) — the >memory-per-job splitting lever at scale;
         output is identical to the unchunked run.
+
+        ``cache_result=True`` persists the scored table lazily. OFF by
+        default: building the cache materializes the FULL-width row, and a
+        threshold filter duplicates the fuzzy-metric UDF below the projection
+        (Catalyst inlines the alias into the pushed filter), so the cache
+        build buffers every wide row through two ArrowEvalPython nodes —
+        measured ~3x the cost of simply re-running the column-pruned plan per
+        consumer. Opt in when >2 downstream consumers will scan the full
+        output.
         """
         if num_chunks <= 1:
             cv = self._l.comparison_vectors()
-            return predict_from_comparison_vectors(
+            out = predict_from_comparison_vectors(
                 cv,
                 self._l.settings,
                 threshold_match_probability=threshold_match_probability,
                 threshold_match_weight=threshold_match_weight,
             )
+            return self._cache(out) if cache_result else out
         s = self._l.settings
         # materialize the blocking join ONCE; each chunk filters the cached
         # pair table (reference chunking.py:45-81 caches blocked pairs
@@ -200,6 +224,13 @@ class LinkerInference:
                     threshold_match_weight=threshold_match_weight,
                 )
                 out = scored if out is None else out.unionByName(scored)
+        return self._cache(out) if cache_result else out
+
+    def _cache(self, df: DataFrame) -> DataFrame:
+        from pyspark import StorageLevel
+
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        self._l.materialization._registry.append(out)
         return out
 
     def deterministic_link(self) -> DataFrame:
