@@ -21,15 +21,27 @@ def _random_graph(n: int, p: float, seed: int):
     return list(g.nodes()), list(g.edges()), g
 
 
-@pytest.mark.parametrize("n,p,seed", [(100, 0.02, 1), (500, 0.004, 2), (300, 0.0005, 3)])
-def test_cc_matches_networkx(spark, n, p, seed):
+@pytest.mark.parametrize(
+    "n,p,seed,driver_max",
+    [
+        # driver_max=0 forces the distributed loop; default takes the
+        # driver-side union-find fast path (small edge sets)
+        (100, 0.02, 1, 0),
+        (500, 0.004, 2, 0),
+        (300, 0.0005, 3, 0),
+        (100, 0.02, 1, None),
+        (500, 0.004, 2, None),
+    ],
+)
+def test_cc_matches_networkx(spark, n, p, seed, driver_max):
     nodes, edges, g = _random_graph(n, p, seed)
     nodes_df = spark.createDataFrame([(x,) for x in nodes], ["node_id"])
     edges_df = spark.createDataFrame(
         edges or [(0, 0)], ["node_id_l", "node_id_r"]
     )
     result = solve_connected_components(
-        edges_df, nodes_df, materialization=MaterializationPolicy(method="local_checkpoint")
+        edges_df, nodes_df, materialization=MaterializationPolicy(method="local_checkpoint"),
+        driver_solve_max_edges=driver_max,
     )
     got = {r["node_id"]: r["cluster_id"] for r in result.collect()}
     assert len(got) == n
@@ -46,7 +58,8 @@ def test_cc_matches_networkx(spark, n, p, seed):
         seen_cluster_ids.add(cid)
 
 
-def test_cc_chain_graph(spark):
+@pytest.mark.parametrize("driver_max", [0, None])
+def test_cc_chain_graph(spark, driver_max):
     """Worst-case diameter: a long path must converge, not hit max_iterations."""
     n = 200
     nodes_df = spark.createDataFrame([(i,) for i in range(n)], ["node_id"])
@@ -54,9 +67,32 @@ def test_cc_chain_graph(spark):
         [(i, i + 1) for i in range(n - 1)], ["node_id_l", "node_id_r"]
     )
     result = solve_connected_components(
-        edges_df, nodes_df, materialization=MaterializationPolicy(method="local_checkpoint")
+        edges_df, nodes_df, materialization=MaterializationPolicy(method="local_checkpoint"),
+        driver_solve_max_edges=driver_max,
     )
     assert {r["cluster_id"] for r in result.collect()} == {0}
+
+
+def test_cc_driver_path_string_ids_matches_distributed(spark):
+    """Driver union-find must agree with the distributed loop on composite
+    string node ids (link jobs use 'dataset-__-uid' strings; cluster_id = the
+    lexicographic min, exactly what SQL min gives)."""
+    rng = random.Random(7)
+    names = [f"ds{rng.randrange(3)}-__-{rng.randrange(50):03d}" for _ in range(80)]
+    nodes_rows = sorted(set(names))
+    edge_rows = []
+    for _ in range(60):
+        u, v = rng.choice(nodes_rows), rng.choice(nodes_rows)
+        if u != v:
+            edge_rows.append((u, v))
+    nodes_df = spark.createDataFrame([(x,) for x in nodes_rows], ["node_id"])
+    edges_df = spark.createDataFrame(edge_rows, ["node_id_l", "node_id_r"])
+    fast = solve_connected_components(edges_df, nodes_df)
+    slow = solve_connected_components(edges_df, nodes_df, driver_solve_max_edges=0)
+    got_fast = {r["node_id"]: r["cluster_id"] for r in fast.collect()}
+    got_slow = {r["node_id"]: r["cluster_id"] for r in slow.collect()}
+    assert got_fast == got_slow
+    assert len(got_fast) == len(nodes_rows)
 
 
 def test_graph_metrics(spark):
