@@ -92,6 +92,9 @@ def truth_space_table_from_labels_column(
     *_from_label_column path): a pair is a true match iff labels agree."""
     if df_predict is None:
         df_predict = linker.inference.predict()
+    if f"{labels_column}_l" not in df_predict.columns:
+        # scores + ids suffice here — read predict's narrow core if attached
+        df_predict = getattr(df_predict, "_splink_narrow", df_predict)
     df_predict = _with_labels(linker, df_predict, labels_column)
     label = (
         F.col(f"{labels_column}_l").eqNullSafe(F.col(f"{labels_column}_r"))

@@ -244,6 +244,10 @@ def cluster_pairwise_predictions_at_threshold(
     s = linker.settings
     uid = s.unique_id_column_name
     concat = linker.df_concat()
+    # predict() attaches its persisted narrow core (ids + scores, no wide
+    # compare columns) — edge extraction reads it directly and skips the
+    # node re-join entirely
+    df_predict = getattr(df_predict, "_splink_narrow", df_predict)
 
     if s.needs_source_dataset and s.source_dataset_column_name in concat.columns:
         # composite node id (unique_id_concat.py:8-43)

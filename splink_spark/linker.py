@@ -180,28 +180,77 @@ class LinkerInference:
         """The flagship query (inference.py:294-444): concat → TF → block →
         comparison vectors → score [→ threshold].
 
+        Execution shape: the scored NARROW core (pair keys + gamma vector +
+        tf values + match weight/probability — no wide compare columns) is
+        lazily persisted, and the returned wide DataFrame re-attaches the
+        record columns by joining the node table back on. Downstream
+        consumers that only need scores + ids (clustering, truth-space,
+        threshold sweeps) read the cached core and never re-run the junction
+        join or the fuzzy-metric UDFs; consumers of the wide row pay only
+        the (broadcastable) node re-join. This is the same materialization
+        point the reference marks as ``__splink__df_predict``, kept narrow
+        because the record columns are recoverable by key.
+
         ``num_chunks`` > 1 partitions the pair space by deterministic uid-hash
         chunks run as separate jobs and unioned (reference chunking.py:12-42 /
         inference.py:384-444) — the >memory-per-job splitting lever at scale;
         output is identical to the unchunked run.
 
-        ``cache_result=True`` persists the scored table lazily. OFF by
-        default: building the cache materializes the FULL-width row, and a
-        threshold filter duplicates the fuzzy-metric UDF below the projection
-        (Catalyst inlines the alias into the pushed filter), so the cache
-        build buffers every wide row through two ArrowEvalPython nodes —
-        measured ~3x the cost of simply re-running the column-pruned plan per
-        consumer. Opt in when >2 downstream consumers will scan the full
-        output.
+        ``cache_result=True`` additionally persists the WIDE output (opt in
+        when >2 downstream consumers scan the full-width rows).
         """
         if num_chunks <= 1:
-            cv = self._l.comparison_vectors()
-            out = predict_from_comparison_vectors(
+            s = self._l.settings
+            # the narrow core below is the lineage break, so the blocking
+            # join is NOT separately materialized — blocking → junction →
+            # gamma → score run as ONE fused pipeline into the core's
+            # persist. The repartition keeps the fuzzy-UDF stage at full
+            # parallelism (AQE would otherwise coalesce the ids-only join
+            # output to very few partitions before the junction join).
+            pairs = self._l.blocked_pairs(materialize=False)
+            n_parts = self._l.materialization.repartition_count(pairs, "blocked_pairs")
+            if n_parts:
+                pairs = pairs.repartition(n_parts)
+            cv = self._l.comparison_vectors(pairs=pairs)
+            wide = predict_from_comparison_vectors(
                 cv,
-                self._l.settings,
+                s,
                 threshold_match_probability=threshold_match_probability,
                 threshold_match_weight=threshold_match_weight,
             )
+            # narrow core: project away the compare-value columns (recoverable
+            # by key), persist lazily, re-attach the record columns by node
+            # re-join for the returned wide frame
+            uid = s.unique_id_column_name
+            sd = s.source_dataset_column_name if s.needs_source_dataset else None
+            keep_prefixes = {uid} | ({sd} if sd else set())
+            drop_cols = [
+                c
+                for c in wide.columns
+                if (c.endswith("_l") or c.endswith("_r"))
+                and c[:-2] not in keep_prefixes
+                and not c.startswith("tf_")
+            ]
+            if not drop_cols:
+                return self._cache(wide) if cache_result else wide
+            from pyspark import StorageLevel
+
+            narrow = wide.drop(*drop_cols).persist(StorageLevel.MEMORY_AND_DISK)
+            self._l.materialization._registry.append(narrow)
+            rejoin_pairs = narrow.withColumnsRenamed(
+                {f"{uid}_l": "join_key_l", f"{uid}_r": "join_key_r"}
+                | ({f"{sd}_l": "source_dataset_l", f"{sd}_r": "source_dataset_r"} if sd else {})
+            )
+            rejoined = blocked_pairs_with_columns(
+                rejoin_pairs, self._l.df_concat_with_tf(), s
+            )
+            # the node re-join re-attaches tf_* columns too — drop the core's
+            # copies in favour of the node side's (identical values)
+            dup_tf = [c for c in narrow.columns if c.startswith("tf_")]
+            for c in dup_tf:
+                rejoined = rejoined.drop(rejoin_pairs[c])
+            out = rejoined.select(*wide.columns)
+            out._splink_narrow = narrow  # type: ignore[attr-defined]
             return self._cache(out) if cache_result else out
         s = self._l.settings
         # materialize the blocking join ONCE; each chunk filters the cached
@@ -401,6 +450,7 @@ class LinkerClustering:
 
         s = self._l.settings
         uid = s.unique_id_column_name
+        df_predict = getattr(df_predict, "_splink_narrow", df_predict)
         edges = df_predict.select(
             F.col(f"{uid}_l").alias("node_id_l"),
             F.col(f"{uid}_r").alias("node_id_r"),
@@ -424,6 +474,7 @@ class LinkerClustering:
         sd = s.source_dataset_column_name
         if not sd:
             raise ValueError("single-best-links clustering needs source datasets")
+        df_predict = getattr(df_predict, "_splink_narrow", df_predict)
         edges = df_predict.select(
             F.col(f"{uid}_l").alias("node_id_l"),
             F.col(f"{uid}_r").alias("node_id_r"),
@@ -471,6 +522,7 @@ class LinkerClustering:
     ) -> tuple[DataFrame, DataFrame]:
         s = self._l.settings
         uid = s.unique_id_column_name
+        df_predict = getattr(df_predict, "_splink_narrow", df_predict)
         edges = df_predict.where(
             F.col("match_probability") >= threshold_match_probability
         ).select(

@@ -91,6 +91,36 @@ def test_predict_end_to_end(spark, persons, trained_settings):
     assert len(by_pair) == len(rows)
 
 
+def test_predict_narrow_core_identical_to_direct_scoring(spark, persons, trained_settings):
+    """predict() routes through a persisted narrow core + node re-join; the
+    result must be row-for-row identical (schema AND values) to scoring the
+    comparison-vector table directly."""
+    from splink_spark.internals.predict import predict_from_comparison_vectors
+
+    linker = Linker(persons, trained_settings)
+    out = linker.inference.predict()
+    direct = predict_from_comparison_vectors(
+        linker.comparison_vectors(), linker.settings
+    )
+    assert out.columns == direct.columns
+    key = lambda r: (r["unique_id_l"], r["unique_id_r"])
+    got = {key(r): r.asDict() for r in out.collect()}
+    want = {key(r): r.asDict() for r in direct.collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        for c, v in want[k].items():
+            g = got[k][c]
+            if isinstance(v, float):
+                assert g == pytest.approx(v, rel=1e-12), (k, c)
+            else:
+                assert g == v, (k, c)
+    # the narrow core is attached and holds no wide compare columns
+    narrow = getattr(out, "_splink_narrow", None)
+    assert narrow is not None
+    assert "first_name_l" not in narrow.columns
+    assert {"unique_id_l", "unique_id_r", "match_probability"} <= set(narrow.columns)
+
+
 def test_threshold_pushdown(spark, persons, trained_settings):
     linker = Linker(persons, trained_settings)
     df_all = linker.inference.predict()
