@@ -116,6 +116,10 @@ def _damerau_levenshtein(s1: str, s2: str) -> int:
     return d[len1 + 1][len2 + 1]
 
 
+def _damerau_levenshtein_f(s1: str, s2: str) -> float:
+    return float(_damerau_levenshtein(s1, s2))
+
+
 def _jaccard_charset(s1: str, s2: str) -> float:
     """Character-set Jaccard similarity (DuckDB ``jaccard`` semantics)."""
     a, b = set(s1), set(s2)
@@ -126,16 +130,27 @@ def _jaccard_charset(s1: str, s2: str) -> float:
     return inter / union if union else 0.0
 
 
+_WORKER_MEMOS: dict[str, dict] = {}
+
+
+def _worker_memo(fn) -> dict:
+    """Memo dict for a kernel, persistent for the lifetime of the Python
+    worker process. Spark reuses workers across Arrow batches and tasks
+    (daemon mode), so a worker-level memo keeps paying off stage-wide —
+    at the default 10k-row Arrow batch a per-batch memo almost never hits
+    (a pair repeated 20x in 2M rows recurs within one batch with p≈0.1).
+    Bounded at 1M entries per kernel; cleared when full."""
+    return _WORKER_MEMOS.setdefault(fn.__name__, {})
+
+
 def _apply2(s1: pd.Series, s2: pd.Series, fn, null_value=None) -> pd.Series:
-    """Pairwise kernel over an Arrow batch, memoized per batch.
+    """Pairwise kernel over an Arrow batch, memoized per worker process.
 
     Real-world name/address columns are heavily duplicated (that's what term
     frequencies exploit), so the same (a, b) pair recurs thousands of times
-    per batch — the memo turns an O(len^2)-per-row kernel into a dict hit.
-    Bounded: the memo lives only for the batch, and is dropped if it grows
-    past 1M entries (pathological all-distinct input)."""
+    per stage — the memo turns an O(len^2)-per-row kernel into a dict hit."""
     out = []
-    memo: dict = {}
+    memo = _worker_memo(fn)
     for a, b in zip(s1, s2):
         if a is None or b is None or (isinstance(a, float) and math.isnan(a)):
             out.append(null_value)
@@ -168,7 +183,7 @@ def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
 
 @pandas_udf(DoubleType())
 def damerau_levenshtein_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
-    return _apply2(s1, s2, lambda a, b: float(_damerau_levenshtein(a, b)))
+    return _apply2(s1, s2, _damerau_levenshtein_f)
 
 
 @pandas_udf(DoubleType())
@@ -185,7 +200,7 @@ def _apply2_arrays(s1: pd.Series, s2: pd.Series, fn, higher_is_better: bool) -> 
     inside one Arrow batch instead.
     """
     out = []
-    memo: dict = {}  # per-batch elementwise memo (see _apply2)
+    memo = _worker_memo(fn)  # worker-lifetime elementwise memo (see _apply2)
     for a_list, b_list in zip(s1, s2):
         if a_list is None or b_list is None or len(a_list) == 0 or len(b_list) == 0:
             out.append(None)
@@ -227,9 +242,7 @@ def pairwise_jaccard_max_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
 
 @pandas_udf(DoubleType())
 def pairwise_damerau_levenshtein_min_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
-    return _apply2_arrays(
-        s1, s2, lambda a, b: float(_damerau_levenshtein(a, b)), higher_is_better=False
-    )
+    return _apply2_arrays(s1, s2, _damerau_levenshtein_f, higher_is_better=False)
 
 
 _REGISTERED_SESSIONS: set[int] = set()

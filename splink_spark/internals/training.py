@@ -486,6 +486,12 @@ def estimate_parameters_using_em(
         )
     else:
         pairs = linker.blocked_pairs([rule], materialize=False)
+    # keep the UDF-gamma stage at full parallelism: AQE coalesces the
+    # ids-only blocking output to very few partitions, which would run the
+    # fuzzy-metric pandas UDFs nearly single-threaded (same fix as predict)
+    n_parts = linker.materialization.repartition_count(pairs, "blocked_pairs")
+    if n_parts:
+        pairs = pairs.repartition(n_parts)
     with_cols = blocked_pairs_with_columns(pairs, nodes, s)
     cv = compute_comparison_vectors(with_cols, s)
     gamma_cols = [c.gamma_column_name for c in active]

@@ -212,12 +212,13 @@ class LinkerInference:
             if n_parts:
                 pairs = pairs.repartition(n_parts)
             cv = self._l.comparison_vectors(pairs=pairs)
-            wide = predict_from_comparison_vectors(
-                cv,
-                s,
-                threshold_match_probability=threshold_match_probability,
-                threshold_match_weight=threshold_match_weight,
-            )
+            # score WITHOUT the threshold: a threshold WHERE below the persist
+            # would be pushed under the score projection, and Catalyst's
+            # filter/project split re-evaluates the fuzzy-metric pandas UDFs
+            # once per copy (two ArrowEvalPython passes over every pair —
+            # measured ~2x the scoring cost). The unfiltered core is persisted
+            # once; the threshold is a cheap WHERE on the cached rows.
+            wide = predict_from_comparison_vectors(cv, s)
             # narrow core: project away the compare-value columns (recoverable
             # by key), persist lazily, re-attach the record columns by node
             # re-join for the returned wide frame
@@ -232,11 +233,23 @@ class LinkerInference:
                 and not c.startswith("tf_")
             ]
             if not drop_cols:
+                wide = predict_from_comparison_vectors(
+                    cv,
+                    s,
+                    threshold_match_probability=threshold_match_probability,
+                    threshold_match_weight=threshold_match_weight,
+                )
                 return self._cache(wide) if cache_result else wide
             from pyspark import StorageLevel
 
             narrow = wide.drop(*drop_cols).persist(StorageLevel.MEMORY_AND_DISK)
             self._l.materialization._registry.append(narrow)
+            if threshold_match_weight is not None:
+                narrow = narrow.where(F.col("match_weight") >= threshold_match_weight)
+            if threshold_match_probability is not None:
+                narrow = narrow.where(
+                    F.col("match_probability") >= threshold_match_probability
+                )
             rejoin_pairs = narrow.withColumnsRenamed(
                 {f"{uid}_l": "join_key_l", f"{uid}_r": "join_key_r"}
                 | ({f"{sd}_l": "source_dataset_l", f"{sd}_r": "source_dataset_r"} if sd else {})
