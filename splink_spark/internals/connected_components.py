@@ -44,10 +44,11 @@ DRIVER_SOLVE_MAX_EDGES = int(_os.environ.get("SPLINK_SPARK_CC_DRIVER_MAX_EDGES",
 
 def _solve_cc_driver(
     edges: DataFrame,
-    nodes: DataFrame,
+    nodes: Optional[DataFrame],
     node_col: str,
     edge_l_col: str,
     edge_r_col: str,
+    assignments_only: bool = False,
 ) -> DataFrame:
     """Driver-side union-find over a collected edge list.
 
@@ -100,6 +101,10 @@ def _solve_cc_driver(
         )
         assignments = spark.createDataFrame(out, schema)
 
+    if assignments_only:
+        return assignments.select(
+            F.col("node").alias(node_col), F.col("cluster_id")
+        )
     rep = (
         nodes.select(F.col(node_col).alias("node"))
         .join(assignments, on="node", how="left")
@@ -121,8 +126,15 @@ def solve_connected_components(
     max_iterations: int = 50,
     delta_broadcast_rows: int = 1_000_000,
     driver_solve_max_edges: Optional[int] = None,
+    assignments_only: bool = False,
 ) -> DataFrame:
     """Return (node_id, cluster_id) with cluster_id = min node id in component.
+
+    ``assignments_only=True`` returns rows ONLY for nodes that appear in an
+    edge (isolated nodes are absent — callers coalesce ``cluster_id`` to the
+    node id themselves). This skips the full-node-table join and the
+    ``nodes.distinct()`` shuffle entirely — the caller's own output join does
+    that work anyway, so doing it here too would pay it twice.
 
     Delta (frontier) iteration: after the first round only a shrinking
     frontier of nodes still changes representative (measured: round 2 touches
@@ -153,7 +165,10 @@ def solve_connected_components(
         else driver_solve_max_edges
     )
     if cutover and edges.count() <= cutover:
-        return _solve_cc_driver(edges, nodes, node_col, edge_l_col, edge_r_col)
+        return _solve_cc_driver(
+            edges, nodes, node_col, edge_l_col, edge_r_col,
+            assignments_only=assignments_only,
+        )
     # symmetric neighbour list (reference :169-187 reverse-union)
     fwd = edges.select(F.col(edge_l_col).alias("node"), F.col(edge_r_col).alias("nbr"))
     rev = edges.select(F.col(edge_r_col).alias("node"), F.col(edge_l_col).alias("nbr"))
@@ -161,12 +176,21 @@ def solve_connected_components(
     neighbours = mat.materialize(neighbours, "clustering")
 
     # init: rep = min(self, direct neighbours) (reference :197-220)
-    self_rep = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("rep"))
     nbr_min = neighbours.groupBy("node").agg(F.min("nbr").alias("nbr_min"))
-    rep = (
-        self_rep.join(nbr_min, on="node", how="left")
-        .select("node", F.least(F.col("rep"), F.col("nbr_min")).alias("rep"))
-    )
+    if assignments_only:
+        # every edge endpoint appears in neighbours, so nbr_min already
+        # covers the assignments-only node universe — no extra shuffle
+        rep = nbr_min.select(
+            "node", F.least(F.col("node"), F.col("nbr_min")).alias("rep")
+        )
+    else:
+        self_rep = nodes.select(
+            F.col(node_col).alias("node"), F.col(node_col).alias("rep")
+        )
+        rep = (
+            self_rep.join(nbr_min, on="node", how="left")
+            .select("node", F.least(F.col("rep"), F.col("nbr_min")).alias("rep"))
+        )
     rep = mat.materialize(rep, "clustering", iterative=True)
 
     # initial frontier: nodes whose rep moved off self — only their new reps
