@@ -2,12 +2,16 @@
 
 Reference: splink/internals/one_to_one_clustering.py:14-336 and
 linker_components/clustering.py:180-342 (``cluster_using_single_best_links``):
-each record may link to at most one record per other dataset; a link is
-accepted when it is the mutual best (highest match probability) for both
-endpoints; ties are dropped ('drop') or broken by lowest id ('lowest_id').
+clusters are merged iteratively — each round, every cluster proposes its
+single best outgoing link (rank 1 on both endpoints' clusters), and a merge
+is rejected when both clusters already contain a record from the same
+duplicate-free dataset, preserving the at-most-one-record-per-dataset
+guarantee. Ties are dropped ('drop') or broken by lowest id ('lowest_id').
 """
 
 from __future__ import annotations
+
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -22,73 +26,168 @@ def cluster_using_single_best_links(
     probability_col: str = "match_probability",
     threshold_match_probability: float = 0.5,
     ties: str = "drop",
+    duplicate_free_datasets: Optional[Sequence[str]] = None,
+    materialization=None,
+    max_iterations: int = 100,
 ) -> DataFrame:
     """edges: (node_id_l, node_id_r, source_dataset_l, source_dataset_r,
     match_probability); nodes: (node_id, source_dataset).
-    Returns (node_id, source_dataset, cluster_id)."""
+    Returns (node_id, source_dataset, cluster_id).
+
+    Faithful to the reference's iterative merge (one_to_one_clustering.py:
+    103-336): per iteration, candidate inter-cluster links are ranked per
+    endpoint cluster by (match_probability desc, other node id); an edge is
+    accepted when it is rank 1 for BOTH clusters AND the two clusters'
+    duplicate-free dataset flag sets are disjoint; accepted merges take the
+    min representative; repeat to stability. Unconstrained transitive closure
+    would let a chain A1-B1, B1-C1, C1-A2 collapse two records of a
+    duplicate-free dataset A into one cluster.
+
+    ``duplicate_free_datasets`` defaults to every dataset present in
+    ``nodes`` (the reference requires the caller to name them; all-of-them is
+    the common case this API exists for).
+    """
     if ties not in ("drop", "lowest_id"):
         raise ValueError("ties must be 'drop' or 'lowest_id'")
-    e = edges.where(F.col(probability_col) >= threshold_match_probability).select(
-        F.col(f"{node_col}_l").alias("l"),
-        F.col(f"{node_col}_r").alias("r"),
+    from .materialize import MaterializationPolicy
+
+    mat = materialization or MaterializationPolicy(method="local_checkpoint")
+
+    if duplicate_free_datasets is None:
+        duplicate_free_datasets = [
+            r[0]
+            for r in nodes.select(source_dataset_col).distinct().collect()
+            if r[0] is not None
+        ]
+    dup_free = sorted(duplicate_free_datasets)
+
+    live = edges.where(F.col(probability_col) >= threshold_match_probability)
+    fwd = live.select(
+        F.col(f"{node_col}_l").alias("nid"),
+        F.col(f"{node_col}_r").alias("nbr"),
         F.col(f"{source_dataset_col}_l").alias("sd_l"),
         F.col(f"{source_dataset_col}_r").alias("sd_r"),
         F.col(probability_col).alias("p"),
     )
+    rev = live.select(
+        F.col(f"{node_col}_r").alias("nid"),
+        F.col(f"{node_col}_l").alias("nbr"),
+        F.col(f"{source_dataset_col}_r").alias("sd_l"),
+        F.col(f"{source_dataset_col}_l").alias("sd_r"),
+        F.col(probability_col).alias("p"),
+    )
+    nbrs = fwd.unionByName(rev)
 
     if ties == "drop":
-        # a node with two equally-best links to the same other dataset links
-        # to neither (one_to_one_clustering.py:14-100 group-count tie logic)
-        w_l = Window.partitionBy("l", "sd_r")
-        w_r = Window.partitionBy("r", "sd_l")
-        e = (
-            e.withColumn("best_l", F.max("p").over(w_l))
-            .withColumn("n_best_l", F.sum((F.col("p") == F.col("best_l")).cast("int")).over(w_l))
-            .withColumn("best_r", F.max("p").over(w_r))
-            .withColumn("n_best_r", F.sum((F.col("p") == F.col("best_r")).cast("int")).over(w_r))
+        # Reference drop_ties_sqls (one_to_one_clustering.py:14-100): a link
+        # is a tie when its (node, sd_l, sd_r, probability) group reaches >1
+        # distinct counterparts in a duplicate-free dataset — on either side.
+        # Ties are dropped per probability level, so a lower-probability
+        # non-tied link can still be ranked and accepted.
+        w_l = Window.partitionBy("nid", "sd_l", "sd_r", "p")
+        w_r = Window.partitionBy("nbr", "sd_l", "sd_r", "p")
+        nbrs = (
+            nbrs.withColumn(
+                "__tie_l",
+                (F.size(F.collect_set("nbr").over(w_l)) > 1)
+                & F.col("sd_r").isin(dup_free),
+            )
+            .withColumn(
+                "__tie_r",
+                (F.size(F.collect_set("nid").over(w_r)) > 1)
+                & F.col("sd_l").isin(dup_free),
+            )
+            .where(~F.col("__tie_l") & ~F.col("__tie_r"))
+            .drop("__tie_l", "__tie_r")
         )
-        accepted = e.where(
-            (F.col("p") == F.col("best_l")) & (F.col("n_best_l") == 1)
-            & (F.col("p") == F.col("best_r")) & (F.col("n_best_r") == 1)
+    nbrs = mat.materialize(nbrs.select("nid", "nbr", "p"), "clustering")
+
+    node_sd = nodes.select(
+        F.col(node_col).alias("nid"), F.col(source_dataset_col).alias("sd")
+    )
+    rep = mat.materialize(
+        node_sd.select("nid", F.col("nid").alias("representative"), "sd"),
+        "clustering",
+    )
+
+    flag_cols = [f"__c{i}" for i in range(len(dup_free))]
+    for _ in range(max_iterations):
+        # per-cluster duplicate-free dataset membership flags
+        flags = rep.groupBy("representative").agg(
+            *[
+                F.max((F.col("sd") == F.lit(d)).cast("int")).alias(c)
+                for d, c in zip(dup_free, flag_cols)
+            ]
         )
-    else:
-        w_l = Window.partitionBy("l", "sd_r").orderBy(F.desc("p"), F.asc("r"))
-        w_r = Window.partitionBy("r", "sd_l").orderBy(F.desc("p"), F.asc("l"))
+        repf = rep.join(flags, on="representative").select(
+            "nid", "representative", *flag_cols
+        )
+        l_side = repf.select(
+            F.col("nid"),
+            F.col("representative").alias("__rep_l"),
+            *[F.col(c).alias(f"{c}_l") for c in flag_cols],
+        )
+        r_side = repf.select(
+            F.col("nid").alias("nbr"),
+            F.col("representative").alias("__rep_r"),
+            *[F.col(c).alias(f"{c}_r") for c in flag_cols],
+        )
+        cand = nbrs.join(l_side, on="nid").join(r_side, on="nbr")
+        dup_criteria = F.lit(False)
+        for c in flag_cols:
+            dup_criteria = dup_criteria | (
+                (F.col(f"{c}_l") == 1) & (F.col(f"{c}_r") == 1)
+            )
+        cand = cand.where(
+            (F.col("__rep_l") != F.col("__rep_r")) & ~dup_criteria
+        )
+        rank_l = F.rank().over(
+            Window.partitionBy("__rep_l").orderBy(F.desc("p"), F.asc("nbr"))
+        )
+        rank_r = F.rank().over(
+            Window.partitionBy("__rep_r").orderBy(F.desc("p"), F.asc("nid"))
+        )
         accepted = (
-            e.withColumn("rk_l", F.row_number().over(w_l))
-            .withColumn("rk_r", F.row_number().over(w_r))
-            .where((F.col("rk_l") == 1) & (F.col("rk_r") == 1))
+            cand.withColumn("__rk_l", rank_l)
+            .withColumn("__rk_r", rank_r)
+            .where((F.col("__rk_l") == 1) & (F.col("__rk_r") == 1))
+            .select("nid", F.col("__rep_r").alias("__nbr_rep"))
         )
+        new_rep = (
+            accepted.select("nid", F.col("__nbr_rep").alias("representative"))
+            .unionByName(rep.select("nid", "representative"))
+            .groupBy("nid")
+            .agg(F.min("representative").alias("representative"))
+        )
+        stepped = (
+            new_rep.join(
+                rep.select(
+                    "nid",
+                    F.col("representative").alias("__old_rep"),
+                    "sd",
+                ),
+                on="nid",
+            )
+            .select(
+                "nid",
+                "representative",
+                "sd",
+                (F.col("representative") != F.col("__old_rep")).alias(
+                    "__needs_updating"
+                ),
+            )
+        )
+        stepped = mat.materialize(stepped, "clustering", iterative=True)
+        changed = stepped.where(F.col("__needs_updating")).count()
+        rep = stepped.select("nid", "representative", "sd")
+        if changed == 0:
+            break
 
-    # Transitive closure over the accepted edges (reference
-    # one_to_one_clustering.py:103-336 iterates min-label propagation to
-    # stability). A one-shot min(endpoint) assignment splits chains that span
-    # >= 3 datasets (A-B, B-C: B->min(A,B)=A but C->min(B,C)=B). The accepted
-    # edge set is degree-bounded (<= one link per node per other dataset), so
-    # connected components converges in ~log(chain length) rounds.
-    from .connected_components import solve_connected_components
-
-    accepted_edges = accepted.select("l", "r")
-    members = (
-        accepted_edges.select(F.col("l").alias("member"))
-        .unionByName(accepted_edges.select(F.col("r").alias("member")))
-        .distinct()
+    return rep.select(
+        F.col("nid").alias(node_col),
+        F.col("sd").alias(source_dataset_col),
+        F.col("representative").alias("cluster_id"),
     )
-    assigned = solve_connected_components(
-        accepted_edges,
-        members,
-        node_col="member",
-        edge_l_col="l",
-        edge_r_col="r",
-    ).select(F.col("member").alias("n"), "cluster_id")
-    out = nodes.join(
-        assigned, nodes[node_col] == assigned["n"], "left"
-    ).select(
-        nodes[node_col],
-        nodes[source_dataset_col],
-        F.coalesce(assigned["cluster_id"], nodes[node_col]).alias("cluster_id"),
-    )
-    return out
 
 
 def cluster_at_multiple_thresholds(

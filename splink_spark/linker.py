@@ -479,6 +479,7 @@ class LinkerClustering:
         df_predict: DataFrame,
         threshold_match_probability: float = 0.5,
         ties: str = "drop",
+        duplicate_free_datasets=None,
     ) -> DataFrame:
         from .internals.one_to_one import cluster_using_single_best_links
 
@@ -503,6 +504,8 @@ class LinkerClustering:
             nodes,
             threshold_match_probability=threshold_match_probability,
             ties=ties,
+            duplicate_free_datasets=duplicate_free_datasets,
+            materialization=self._l.materialization,
         )
 
     def compute_graph_metrics(

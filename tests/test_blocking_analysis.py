@@ -153,6 +153,35 @@ def test_single_best_links_three_dataset_chain(spark):
     assert out[9] == 9  # isolated node keeps its own id
 
 
+def test_single_best_links_duplicate_free_guard(spark):
+    """A chain A1-B1, B1-C1, C1-A2 must NOT merge A2 into the cluster that
+    already holds A1 (ADVICE r2: unconstrained transitive closure collapsed
+    two records of a duplicate-free dataset into one cluster)."""
+    nodes = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C"), (4, "A")],
+        ["node_id", "source_dataset"],
+    )
+    edges = spark.createDataFrame(
+        [
+            (1, 2, "A", "B", 0.95),  # A1-B1
+            (2, 3, "B", "C", 0.90),  # B1-C1
+            (3, 4, "C", "A", 0.85),  # C1-A2
+        ],
+        ["node_id_l", "node_id_r", "source_dataset_l", "source_dataset_r", "match_probability"],
+    )
+    out = {r["node_id"]: r["cluster_id"] for r in
+           cluster_using_single_best_links(edges, nodes).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == 4, "second dataset-A record must stay out of the cluster"
+    # per-cluster dataset uniqueness holds globally
+    from collections import Counter
+    sd = {1: "A", 2: "B", 3: "C", 4: "A"}
+    for cid in set(out.values()):
+        members = [n for n, c in out.items() if c == cid]
+        counts = Counter(sd[m] for m in members)
+        assert all(v == 1 for v in counts.values())
+
+
 def test_single_best_links_longer_chain(spark):
     """5-dataset chain with descending ids — worst case for one-shot labels."""
     nodes = spark.createDataFrame(
