@@ -101,10 +101,39 @@ def block_on(*col_specs: ColSpec, salting_partitions: int = 1) -> BlockingRule:
     return rule
 
 
+def _equality_columns_from_sql(sql: str) -> list:
+    """Base column names when ``sql`` is a pure conjunction of same-column
+    equality conditions (``first_name_l = first_name_r`` or the reference's
+    ``l.first_name = r.first_name``), else ``[]`` — the safe answer: EM then
+    deactivates nothing and applies no blocking adjustment (reference parses
+    equi-join conditions out of rule SQL, blocking_analysis.py:78-120)."""
+    import re
+
+    pat_suffix = re.compile(r"^\s*`?(\w+)`?_l\s*(?:=|<=>)\s*`?(\w+)`?_r\s*$")
+    pat_alias = re.compile(r"^\s*l\.`?(\w+)`?\s*(?:=|<=>)\s*r\.`?(\w+)`?\s*$")
+    cols = []
+    for part in re.split(r"(?i)\s+and\s+", sql.strip()):
+        part = part.strip()
+        if part.startswith("(") and part.endswith(")"):
+            part = part[1:-1].strip()
+        m = pat_suffix.match(part) or pat_alias.match(part)
+        if not m or m.group(1) != m.group(2):
+            return []
+        cols.append(m.group(1))
+    return cols
+
+
 def CustomRule(sql_condition: str) -> BlockingRule:
     """Arbitrary SQL fragment over ``*_l`` / ``*_r`` columns (blocking_rule_library CustomRule)."""
-    rule = BlockingRule(lambda: F.expr(sql_condition), sql_condition)
+    eq_cols = _equality_columns_from_sql(sql_condition)
+    rule = BlockingRule(
+        lambda: F.expr(sql_condition), sql_condition, columns=eq_cols
+    )
     rule.spec = {"builder": "CustomRule", "args": [sql_condition], "kwargs": {}}
+    if eq_cols:
+        # pure equality blocking: expose the keys so the pre-filter
+        # cardinality estimator works for string rules too
+        rule.key_expressions = [ColumnExpression.instantiate(c) for c in eq_cols]
     return rule
 
 

@@ -62,6 +62,10 @@ def _solve_cc_driver(
 
     spark = edges.sparkSession
     pdf = edges.toPandas()
+    # null endpoints would factorize to code -1 and silently index the last
+    # element of the rank array, corrupting assignments; the distributed
+    # join path drops such edges — match it
+    pdf = pdf.dropna(subset=[edge_l_col, edge_r_col])
     id_type = edges.schema[edge_l_col].dataType
 
     from pyspark.sql.types import StructField, StructType

@@ -13,6 +13,7 @@ damerau_levenshtein) so the DuckDB oracle agrees bit-for-bit on literals.
 from __future__ import annotations
 
 import math
+from itertools import islice
 
 import pandas as pd
 from pyspark.sql import Column, SparkSession
@@ -130,7 +131,8 @@ def _jaccard_charset(s1: str, s2: str) -> float:
     return inter / union if union else 0.0
 
 
-_WORKER_MEMOS: dict[str, dict] = {}
+_WORKER_MEMOS: dict = {}
+_MEMO_MAX_ENTRIES = 262_144
 
 
 def _worker_memo(fn) -> dict:
@@ -139,8 +141,12 @@ def _worker_memo(fn) -> dict:
     (daemon mode), so a worker-level memo keeps paying off stage-wide —
     at the default 10k-row Arrow batch a per-batch memo almost never hits
     (a pair repeated 20x in 2M rows recurs within one batch with p≈0.1).
-    Bounded at 1M entries per kernel; cleared when full."""
-    return _WORKER_MEMOS.setdefault(fn.__name__, {})
+
+    Keyed by the callable itself, not its ``__name__``: two distinct
+    callables sharing a name (lambdas, partials with different bound
+    parameters) must not share cached values, and holding the callable as
+    the key also rules out CPython id-reuse aliasing."""
+    return _WORKER_MEMOS.setdefault(fn, {})
 
 
 def _apply2(s1: pd.Series, s2: pd.Series, fn, null_value=None) -> pd.Series:
@@ -159,8 +165,12 @@ def _apply2(s1: pd.Series, s2: pd.Series, fn, null_value=None) -> pd.Series:
         v = memo.get(key)
         if v is None:
             v = fn(str(a), str(b))
-            if len(memo) > 1_000_000:
-                memo.clear()
+            if len(memo) >= _MEMO_MAX_ENTRIES:
+                # evict the oldest quarter (dict preserves insertion order)
+                # instead of clearing — keeps the hot head of a skewed key
+                # distribution while bounding resident memory per kernel
+                for k in list(islice(iter(memo), _MEMO_MAX_ENTRIES // 4)):
+                    del memo[k]
             memo[key] = v
         out.append(v)
     return pd.Series(out, dtype="float64")

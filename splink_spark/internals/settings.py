@@ -136,13 +136,29 @@ def _normalise_rule_sql(sql: str) -> str:
     convention: the reference writes ``l.first_name = r.first_name`` (table
     aliases over two scans); here the pair table carries suffixed columns, so
     it becomes ``first_name_l = first_name_r``. Double-quoted identifiers are
-    rewritten to backticks for Spark's parser."""
+    rewritten to backticks for Spark's parser.
+
+    Rewrites are applied only outside single-quoted string literals (a
+    literal ``'l.com'`` must survive untouched), and only when the SQL
+    actually uses the reference's ``l.`` / ``r.`` alias convention — SQL
+    already written for this engine (suffixed columns, double quotes as
+    Spark string literals) passes through verbatim."""
     import re
 
-    sql = re.sub(r'"([A-Za-z_][A-Za-z0-9_]*)"', r"`\1`", sql)
-    sql = re.sub(r"\bl\.(\w+)", r"\1_l", sql)
-    sql = re.sub(r"\br\.(\w+)", r"\1_r", sql)
-    return sql
+    # odd indexes are single-quoted literal spans ('' is the SQL escape)
+    spans = re.split(r"('(?:[^']|'')*')", sql)
+    if not any(
+        re.search(r"\b[lr]\.\w", s) for i, s in enumerate(spans) if i % 2 == 0
+    ):
+        return sql
+    out = []
+    for i, s in enumerate(spans):
+        if i % 2 == 0:
+            s = re.sub(r'"([A-Za-z_][A-Za-z0-9_]*)"', r"`\1`", s)
+            s = re.sub(r"\bl\.(\w+)", r"\1_l", s)
+            s = re.sub(r"\br\.(\w+)", r"\1_r", s)
+        out.append(s)
+    return "".join(out)
 
 
 def _to_rule(rule: Union[str, BlockingRule]) -> BlockingRule:

@@ -424,6 +424,15 @@ def estimate_parameters_using_em(
     em_convergence = em_convergence or s.em_convergence
 
     rule_cols = set(rule.columns)
+    if not rule_cols:
+        logger.warning(
+            "EM training rule %r has no recognized equality columns: no "
+            "comparisons will be deactivated and the session prior will not "
+            "be blocking-adjusted, which biases m estimates if the rule "
+            "conditions on a compared column. Write equality rules as "
+            "'col_l = col_r' conjunctions or use block_on().",
+            rule.description,
+        )
     active = [
         c
         for c in s.comparisons

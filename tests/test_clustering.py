@@ -190,3 +190,18 @@ def test_bridges_parallel_edge_not_bridge(spark):
     assert _find_bridges([(0, 1), (0, 1), (1, 2)]) == {2}
     # triangle has no bridges; pendant edge is one
     assert _find_bridges([(0, 1), (1, 2), (2, 0), (2, 3)]) == {3}
+
+
+def test_cc_driver_null_edge_ids_dropped(spark):
+    """Null edge endpoints must be dropped (matching the distributed join
+    path), not factorized to -1 and silently mis-indexed."""
+    nodes_df = spark.createDataFrame([(i,) for i in range(5)], ["node_id"])
+    edges_df = spark.createDataFrame(
+        [(0, 1), (None, 2), (3, None), (None, None)],
+        "node_id_l: bigint, node_id_r: bigint",
+    )
+    got = {
+        r["node_id"]: r["cluster_id"]
+        for r in solve_connected_components(edges_df, nodes_df).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 4}

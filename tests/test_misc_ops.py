@@ -133,3 +133,68 @@ def test_dataset_catalog_offline_fallback(spark, tmp_path):
         probability_two_random_records_match=0.01,
     )
     assert Linker(df, settings).inference.predict().count() > 0
+
+
+def test_custom_rule_equality_column_parsing():
+    """CustomRule populates .columns (EM deactivation / blocking adjustment)
+    for pure-equality SQL, in either column convention."""
+    from splink_spark.internals.blocking import CustomRule
+
+    assert CustomRule("first_name_l = first_name_r").columns == ["first_name"]
+    assert CustomRule(
+        "surname_l = surname_r AND dob_l = dob_r"
+    ).columns == ["surname", "dob"]
+    assert CustomRule("l.city = r.city").columns == ["city"]
+    assert CustomRule("`email`_l <=> `email`_r").columns == ["email"]
+    # non-equality or cross-column conditions must NOT claim columns
+    assert CustomRule("levenshtein(first_name_l, first_name_r) <= 1").columns == []
+    assert CustomRule("first_name_l = surname_r").columns == []
+    assert CustomRule("first_name_l = first_name_r OR dob_l = dob_r").columns == []
+    # pure equality rules also gain pre-filter estimator keys
+    assert [
+        ce.name for ce in CustomRule("surname_l = surname_r").key_expressions
+    ] == ["surname"]
+
+
+def test_normalise_rule_sql_preserves_quoted_literals():
+    from splink_spark.internals.settings import _normalise_rule_sql
+
+    # reference alias convention is rewritten...
+    assert (
+        _normalise_rule_sql("l.first_name = r.first_name")
+        == "first_name_l = first_name_r"
+    )
+    # ...but not inside single-quoted literals
+    assert (
+        _normalise_rule_sql("l.email = r.email AND l.domain = 'l.com'")
+        == "email_l = email_r AND domain_l = 'l.com'"
+    )
+    # double-quoted identifiers become backticks only in alias-convention SQL
+    assert (
+        _normalise_rule_sql('l.city = r.city AND "Postcode_l" = "Postcode_r"')
+        == "city_l = city_r AND `Postcode_l` = `Postcode_r`"
+    )
+    # SQL already in this engine's convention passes through verbatim,
+    # including double-quoted Spark string literals
+    sql = 'first_name_l = first_name_r AND city_l = "London"'
+    assert _normalise_rule_sql(sql) == sql
+
+
+def test_worker_memo_distinct_callables_same_name():
+    """Two distinct callables sharing __name__ must not share cached values."""
+    import pandas as pd
+
+    from splink_spark.internals.functions import _apply2, _worker_memo
+
+    def make(k):
+        def kernel(a, b):
+            return float(k)
+
+        kernel.__name__ = "kernel"
+        return kernel
+
+    k1, k2 = make(1.0), make(2.0)
+    assert _worker_memo(k1) is not _worker_memo(k2)
+    s = pd.Series(["x"]), pd.Series(["y"])
+    assert _apply2(s[0], s[1], k1).iloc[0] == 1.0
+    assert _apply2(s[0], s[1], k2).iloc[0] == 2.0
