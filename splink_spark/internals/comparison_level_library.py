@@ -19,11 +19,11 @@ from .column_expression import ColumnExpression
 from .comparison_level import ComparisonLevel
 from .functions import (
     cosine_similarity,
-    damerau_levenshtein_udf,
+    damerau_levenshtein_call,
     haversine_km,
-    jaccard_udf,
-    jaro_sim_udf,
-    jaro_winkler_udf,
+    jaccard_call,
+    jaro_sim_call,
+    jaro_winkler_call,
 )
 
 ColSpec = Union[str, ColumnExpression]
@@ -118,7 +118,7 @@ def DamerauLevenshteinLevel(col: ColSpec, distance_threshold: int) -> Comparison
     """comparison_level_library.py:431 — pandas UDF (no native Spark fn)."""
     ce = _ce(col)
     return ComparisonLevel(
-        lambda: damerau_levenshtein_udf(ce.l(), ce.r()) <= float(distance_threshold),
+        lambda: damerau_levenshtein_call(ce.l(), ce.r()) <= float(distance_threshold),
         f"Damerau-Levenshtein distance of {ce.name} <= {distance_threshold}",
     )
 
@@ -127,7 +127,7 @@ def JaroWinklerLevel(col: ColSpec, distance_threshold: float) -> ComparisonLevel
     """comparison_level_library.py:458."""
     ce = _ce(col)
     return ComparisonLevel(
-        lambda: jaro_winkler_udf(ce.l(), ce.r()) >= float(distance_threshold),
+        lambda: jaro_winkler_call(ce.l(), ce.r()) >= float(distance_threshold),
         f"Jaro-Winkler distance of {ce.name} >= {distance_threshold}",
     )
 
@@ -136,7 +136,7 @@ def JaroLevel(col: ColSpec, distance_threshold: float) -> ComparisonLevel:
     """comparison_level_library.py:493."""
     ce = _ce(col)
     return ComparisonLevel(
-        lambda: jaro_sim_udf(ce.l(), ce.r()) >= float(distance_threshold),
+        lambda: jaro_sim_call(ce.l(), ce.r()) >= float(distance_threshold),
         f"Jaro distance of {ce.name} >= {distance_threshold}",
     )
 
@@ -145,7 +145,7 @@ def JaccardLevel(col: ColSpec, distance_threshold: float) -> ComparisonLevel:
     """comparison_level_library.py:528 — char-set Jaccard."""
     ce = _ce(col)
     return ComparisonLevel(
-        lambda: jaccard_udf(ce.l(), ce.r()) >= float(distance_threshold),
+        lambda: jaccard_call(ce.l(), ce.r()) >= float(distance_threshold),
         f"Jaccard distance of {ce.name} >= {distance_threshold}",
     )
 

@@ -337,3 +337,46 @@ def test_composite_templates_run(spark):
         ("SE1P 0NY", "NW1 8YL", 0),
         ("bad", "SE1P 0NY", -1),       # invalid postcode → null
     ])
+
+
+def test_jvm_similarity_pack_matches_python_kernels(spark):
+    """The compiled Similarity jar must agree bit-for-bit with the pandas
+    kernels (both pinned to DuckDB's definitions) — otherwise gate-query
+    hashes would depend on whether javac was available."""
+    import random
+    import string
+
+    from splink_spark.internals.functions import (
+        _damerau_levenshtein,
+        _jaccard_charset,
+        _jaro,
+        _jaro_winkler,
+        _jvm_active,
+        register_udfs,
+    )
+
+    register_udfs(spark)
+    if not _jvm_active():
+        import pytest
+
+        pytest.skip("JVM similarity pack unavailable on this host")
+    rng = random.Random(99)
+    alphabet = string.ascii_lowercase + "éü '-"
+    pairs = [
+        (
+            "".join(rng.choices(alphabet, k=rng.randrange(0, 12))),
+            "".join(rng.choices(alphabet, k=rng.randrange(0, 12))),
+        )
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    got = spark.sql(
+        "SELECT a, b, jaro_winkler(a,b) jw, jaro_sim(a,b) j, jaccard(a,b) jc, "
+        "damerau_levenshtein(a,b) dl FROM {df}",
+        df=df,
+    ).collect()
+    for r in got:
+        assert r["jw"] == _jaro_winkler(r["a"], r["b"])
+        assert r["j"] == _jaro(r["a"], r["b"])
+        assert r["jc"] == _jaccard_charset(r["a"], r["b"])
+        assert r["dl"] == float(_damerau_levenshtein(r["a"], r["b"]))
