@@ -369,6 +369,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pyspark.sql.window import Window
 
         ev = _session(spark).read.parquet(f"{sf_dir}/events.parquet")
+        # ts arrives as nanos-since-epoch long when the parquet stores
+        # TIMESTAMP(NANOS) (nanosAsLong conf) or as timestamp[_ntz] when it
+        # stores micros — normalize to epoch-nanos so the 30-min gap math
+        # matches DuckDB's epoch_ns() either way
+        if dict(ev.dtypes).get("ts") != "bigint":
+            ev = ev.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+            )
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         prev_ts = F.lag("ts").over(w)
         new_session = (
