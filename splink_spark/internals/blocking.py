@@ -218,30 +218,48 @@ def block_using_rules(
     unique_id_column_name: str = "unique_id",
     source_dataset_column_name: Optional[str] = None,
     nodes_right: Optional[DataFrame] = None,
+    output_columns: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Candidate pairs ``(match_key, join_key_l, join_key_r)``.
 
     ``nodes_right`` enables the two-dataset link_only split (blocking.py:
     637-659): join left table to right table directly instead of self-joining
     the union and filtering src_l != src_r.
+
+    ``output_columns`` switches to carry-through output: instead of the
+    ids-only pair table (junction re-join shape), the named base columns are
+    emitted suffixed ``_l``/``_r`` directly from the join — one join, no
+    junction, no node broadcast. The right plan when the node table is too
+    large to broadcast cheaply but the retained column set is narrow. Not
+    valid with exploding rules (their pair-level dedup must run on ids).
     """
     uid = unique_id_column_name
     left_raw = nodes
     right_raw = nodes_right if nodes_right is not None else nodes
 
-    out_cols = [
-        F.col("match_key"),
-        F.col(f"{uid}_l").alias("join_key_l"),
-        F.col(f"{uid}_r").alias("join_key_r"),
-    ]
-    # carry source datasets whenever they exist — uids are only unique per
-    # dataset, so the downstream junction join needs (source, uid) keys
-    if source_dataset_column_name and source_dataset_column_name in left_raw.columns:
+    if output_columns is not None:
+        if any(rule.exploded_columns for rule in rules):
+            raise ValueError(
+                "carry-through blocking output is not supported with "
+                "exploding rules (pair dedup must run on ids)"
+            )
+        out_cols = [F.col("match_key")] + [
+            F.col(f"{c}_{side}") for c in output_columns for side in ("l", "r")
+        ]
+    else:
         out_cols = [
             F.col("match_key"),
-            F.col(f"{source_dataset_column_name}_l").alias("source_dataset_l"),
-            F.col(f"{source_dataset_column_name}_r").alias("source_dataset_r"),
-        ] + out_cols[1:]
+            F.col(f"{uid}_l").alias("join_key_l"),
+            F.col(f"{uid}_r").alias("join_key_r"),
+        ]
+        # carry source datasets whenever they exist — uids are only unique per
+        # dataset, so the downstream junction join needs (source, uid) keys
+        if source_dataset_column_name and source_dataset_column_name in left_raw.columns:
+            out_cols = [
+                F.col("match_key"),
+                F.col(f"{source_dataset_column_name}_l").alias("source_dataset_l"),
+                F.col(f"{source_dataset_column_name}_r").alias("source_dataset_r"),
+            ] + out_cols[1:]
 
     results: list[DataFrame] = []
     for k, rule in enumerate(rules):

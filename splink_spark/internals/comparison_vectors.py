@@ -43,12 +43,22 @@ def _needed_columns(settings: Settings, concat_with_tf: DataFrame) -> list[str]:
     return cols
 
 
+# node tables at or below this row count are broadcast into the junction
+# join; larger tables either carry columns through the blocking join
+# (build_pairs_with_columns) or sort-merge-join the junction. 200k rows of a
+# narrow projection is ~10-30 MB serialized — comfortably broadcastable;
+# beyond that the per-task hash-build cost of a forced broadcast exceeds the
+# shuffle it saves (measured: a 1M-row forced broadcast junction ran ~3x
+# slower than carry-through on the 1M-row dedupe bench).
+BROADCAST_NODES_MAX_ROWS = 200_000
+
+
 def blocked_pairs_with_columns(
     blocked_pairs: DataFrame,
     concat_with_tf: DataFrame,
     settings: Settings,
     concat_with_tf_right: Optional[DataFrame] = None,
-    broadcast_nodes_max_rows: Optional[int] = 5_000_000,
+    broadcast_nodes_max_rows: Optional[int] = BROADCAST_NODES_MAX_ROWS,
 ) -> DataFrame:
     """The junction re-join (comparison_vector_values.py:98-115).
 
@@ -94,6 +104,68 @@ def blocked_pairs_with_columns(
             blocked_pairs["source_dataset_r"]
         )
     return out
+
+
+def build_pairs_with_columns(
+    nodes: DataFrame,
+    rules,
+    settings: Settings,
+    nodes_right: Optional[DataFrame] = None,
+    repartition_count: Optional[int] = None,
+) -> DataFrame:
+    """Blocked pairs WITH their compared columns, by whichever join shape is
+    right for the node-table size:
+
+    - small node table (<= BROADCAST_NODES_MAX_ROWS) or exploding rules:
+      ids-only blocking join + broadcast junction re-join (narrow shuffle,
+      two broadcast hash joins — the 100 TB shape when records are wide);
+    - large node table, no exploding rules: carry the needed columns through
+      the blocking join directly (one shuffle of the narrow node projection
+      on the blocking keys, no junction, no mega-broadcast — the shape a
+      single-node engine's planner picks, and the right one when the
+      retained column set is narrow).
+
+    ``repartition_count`` (small-table path only) spreads the ids-only join
+    output before the junction so a fuzzy-metric stage keeps full
+    parallelism under AQE coalescing.
+    """
+    from .blocking import block_using_rules
+
+    s = settings
+    sd = s.source_dataset_column_name if s.needs_source_dataset else None
+    can_carry = not any(r.exploded_columns for r in rules)
+    n_nodes = getattr(nodes, "_splink_row_count", None)
+    if can_carry:
+        if n_nodes is None:
+            n_nodes = nodes.count()
+            try:
+                nodes._splink_row_count = n_nodes  # type: ignore[attr-defined]
+            except Exception:
+                pass
+        if n_nodes > BROADCAST_NODES_MAX_ROWS:
+            cols = _needed_columns(s, nodes)
+            return block_using_rules(
+                nodes,
+                rules,
+                link_type=s.link_type,
+                unique_id_column_name=s.unique_id_column_name,
+                source_dataset_column_name=sd,
+                nodes_right=nodes_right,
+                output_columns=cols,
+            )
+    pairs = block_using_rules(
+        nodes,
+        rules,
+        link_type=s.link_type,
+        unique_id_column_name=s.unique_id_column_name,
+        source_dataset_column_name=sd,
+        nodes_right=nodes_right,
+    )
+    if repartition_count:
+        pairs = pairs.repartition(repartition_count)
+    return blocked_pairs_with_columns(
+        pairs, nodes, s, concat_with_tf_right=nodes_right
+    )
 
 
 def compute_comparison_vectors(

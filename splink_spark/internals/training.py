@@ -485,23 +485,18 @@ def estimate_parameters_using_em(
             )
 
     # blocked pairs → comparison vectors, materialized ONCE, then the
-    # loop-invariant agreement-pattern aggregation
-    if sample_info["sampling_applied"]:
-        pairs = block_using_rules(
-            nodes, [rule], link_type=s.link_type,
-            unique_id_column_name=uid,
-            source_dataset_column_name=s.source_dataset_column_name
-            if s.needs_source_dataset else None,
-        )
-    else:
-        pairs = linker.blocked_pairs([rule], materialize=False)
-    # keep the UDF-gamma stage at full parallelism: AQE coalesces the
-    # ids-only blocking output to very few partitions, which would run the
-    # fuzzy-metric pandas UDFs nearly single-threaded (same fix as predict)
-    n_parts = linker.materialization.repartition_count(pairs, "blocked_pairs")
-    if n_parts:
-        pairs = pairs.repartition(n_parts)
-    with_cols = blocked_pairs_with_columns(pairs, nodes, s)
+    # loop-invariant agreement-pattern aggregation. build_pairs_with_columns
+    # picks ids+broadcast-junction (small node tables, repartitioned so a
+    # fuzzy-gamma stage keeps full parallelism under AQE coalescing) or
+    # carry-through blocking (large node tables — no mega-broadcast).
+    from .comparison_vectors import build_pairs_with_columns
+
+    with_cols = build_pairs_with_columns(
+        nodes, [rule], s,
+        repartition_count=linker.materialization.repartition_count(
+            nodes, "blocked_pairs"
+        ),
+    )
     cv = compute_comparison_vectors(with_cols, s)
     gamma_cols = [c.gamma_column_name for c in active]
     if estimate_without_term_frequencies:

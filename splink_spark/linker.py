@@ -155,12 +155,48 @@ class Linker:
             pairs = self.materialization.materialize(pairs, "blocked_pairs")
         return pairs
 
+    def pairs_with_columns(
+        self,
+        rules: Optional[Sequence[BlockingRule]] = None,
+        repartition_for_udfs: bool = True,
+    ) -> DataFrame:
+        """Blocked pairs with compared columns attached, choosing between
+        ids+broadcast-junction (small node tables / exploding rules) and
+        carry-through blocking (large node tables) — see
+        comparison_vectors.build_pairs_with_columns."""
+        from .internals.comparison_vectors import build_pairs_with_columns
+
+        s = self.settings
+        rules = list(rules or s.blocking_rules_to_generate_predictions)
+        concat = self.df_concat_with_tf()
+        nodes, nodes_right = concat, None
+        if s.link_type == "link_only" and s.source_dataset_column_name:
+            split = split_link_only_two_datasets(concat, s.source_dataset_column_name)
+            if split is not None:
+                nodes, nodes_right = split
+                # the split frames are filters of the persisted concat — the
+                # broadcast/carry decision can reuse the parent's row count
+                # as an upper bound
+                parent_n = getattr(concat, "_splink_row_count", None)
+                if parent_n is not None:
+                    try:
+                        nodes._splink_row_count = parent_n  # type: ignore[attr-defined]
+                    except Exception:
+                        pass
+        n_parts = None
+        if repartition_for_udfs:
+            n_parts = self.materialization.repartition_count(concat, "blocked_pairs")
+        return build_pairs_with_columns(
+            nodes, rules, s, nodes_right=nodes_right, repartition_count=n_parts
+        )
+
     def comparison_vectors(self, pairs: Optional[DataFrame] = None) -> DataFrame:
         if pairs is None:
-            pairs = self.blocked_pairs()
-        with_cols = blocked_pairs_with_columns(
-            pairs, self.df_concat_with_tf(), self.settings
-        )
+            with_cols = self.pairs_with_columns()
+        else:
+            with_cols = blocked_pairs_with_columns(
+                pairs, self.df_concat_with_tf(), self.settings
+            )
         return compute_comparison_vectors(with_cols, self.settings)
 
 
@@ -202,16 +238,14 @@ class LinkerInference:
         if num_chunks <= 1:
             s = self._l.settings
             # the narrow core below is the lineage break, so the blocking
-            # join is NOT separately materialized — blocking → junction →
+            # join is NOT separately materialized — blocking → [junction →]
             # gamma → score run as ONE fused pipeline into the core's
-            # persist. The repartition keeps the fuzzy-UDF stage at full
-            # parallelism (AQE would otherwise coalesce the ids-only join
-            # output to very few partitions before the junction join).
-            pairs = self._l.blocked_pairs(materialize=False)
-            n_parts = self._l.materialization.repartition_count(pairs, "blocked_pairs")
-            if n_parts:
-                pairs = pairs.repartition(n_parts)
-            cv = self._l.comparison_vectors(pairs=pairs)
+            # persist. pairs_with_columns picks ids+broadcast-junction or
+            # carry-through by node-table size, and repartitions the
+            # small-table path so a fuzzy-UDF stage keeps full parallelism.
+            cv = compute_comparison_vectors(
+                self._l.pairs_with_columns(), s
+            )
             # score WITHOUT the threshold: a threshold WHERE below the persist
             # would be pushed under the score projection, and Catalyst's
             # filter/project split re-evaluates the fuzzy-metric pandas UDFs

@@ -106,3 +106,41 @@ def test_whole_stage_codegen_covers_scoring(spark, parquet_persons):
     assert "WholeStageCodegen" in plan or re.search(r"\*\(\d+\)", plan), (
         "scoring math must stay inside codegen"
     )
+
+
+def test_carry_through_blocking_matches_junction(spark, monkeypatch):
+    """Above the broadcast threshold the blocking join carries columns
+    through directly; output must be identical to the ids+junction path."""
+    import splink_spark.internals.comparison_vectors as cvmod
+    from splink_spark import Linker
+
+    rows = [
+        (i, f"name{i % 7}", i % 3, f"seg{i % 2}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["unique_id", "name", "grp", "seg"])
+
+    def settings():
+        import splink_spark.internals.comparison_library as cl
+        from splink_spark import SettingsCreator, block_on
+
+        return SettingsCreator(
+            comparisons=[
+                cl.ExactMatch("name"),
+                cl.ExactMatch("seg", term_frequency_adjustments=True),
+            ],
+            blocking_rules_to_generate_predictions=[block_on("grp")],
+            probability_two_random_records_match=0.1,
+        )
+
+    def cv_rows(linker):
+        out = linker.comparison_vectors().collect()
+        cols = sorted(out[0].asDict().keys()) if out else []
+        return sorted(tuple(r[c] for c in cols) for r in out), cols
+
+    junction, cols_j = cv_rows(Linker(df, settings()))
+    monkeypatch.setattr(cvmod, "BROADCAST_NODES_MAX_ROWS", 10)
+    carry, cols_c = cv_rows(Linker(df, settings()))
+    assert cols_j == cols_c
+    assert junction == carry
+    assert len(junction) > 0
