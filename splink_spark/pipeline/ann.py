@@ -93,6 +93,52 @@ def lsh_bucket_signature(embedding_col, planes: Sequence[Sequence[float]]):
     return sig.cast("bigint")
 
 
+def _kmeans_centroids(
+    corpus: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    num_cells: int,
+    iterations: int = 8,
+    sample_rows: int = 50_000,
+):
+    """Spherical k-means centroids, trained driver-side on a deterministic
+    hash-sample (numpy Lloyd iterations — the standard IVF index build:
+    training on a bounded sample is how FAISS-style IVF indexes scale, the
+    full corpus is only ASSIGNED to cells, never collected).
+
+    Init = the ``num_cells`` sample rows with the smallest xxhash64(id)
+    (stable across partitionings); assignment by max cosine; update = mean
+    of members renormalized; empty cells keep their previous centroid.
+    """
+    import numpy as np
+
+    sample = (
+        corpus.select(id_col, embedding_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col)))
+        .orderBy("__h")
+        .limit(max(sample_rows, num_cells))
+        .collect()
+    )
+    mat = np.array([list(r[embedding_col]) for r in sample], dtype="float64")
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    cm = mat[:num_cells].copy()
+    cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+    for _ in range(max(0, iterations)):
+        assign = np.argmax(mat @ cm.T, axis=1)
+        new = np.zeros_like(cm)
+        np.add.at(new, assign, mat)
+        counts = np.bincount(assign, minlength=num_cells)
+        empty = counts == 0
+        norms = np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        new = new / norms
+        new[empty] = cm[empty]
+        if np.allclose(new, cm, atol=1e-9):
+            cm = new
+            break
+        cm = new
+    return cm
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -101,30 +147,26 @@ def ivf_topk(
     id_col: str = "vec_id",
     num_cells: int = 16,
     nprobe: int = 4,
+    kmeans_iterations: int = 8,
 ) -> DataFrame:
     """IVF-style approximate top-k.
 
-    Index: ``num_cells`` centroids chosen deterministically (corpus rows with
-    the smallest xxhash64(id) — a seedless reservoir stand-in for k-means);
-    every corpus vector is assigned to its nearest centroid by a
-    numpy-vectorized pandas UDF (one matmul per Arrow batch). Probe: each
-    query searches its ``nprobe`` nearest cells only — candidate generation
-    is an equi-join on cell id, O(corpus/num_cells * nprobe) per query.
+    Index: ``num_cells`` spherical-k-means centroids trained on a bounded
+    deterministic sample (``kmeans_iterations=0`` falls back to the raw
+    hash-min seed rows); every corpus vector is assigned to its nearest
+    centroid by a numpy-vectorized pandas UDF (one matmul per Arrow batch).
+    Probe: each query searches its ``nprobe`` nearest cells only — candidate
+    generation is an equi-join on cell id, O(corpus/num_cells * nprobe) per
+    query.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, IntegerType
 
-    centroid_rows = (
-        corpus.select(id_col, embedding_col)
-        .withColumn("__h", F.xxhash64(F.col(id_col)))
-        .orderBy("__h")
-        .limit(num_cells)
-        .collect()
+    cm_norm = _kmeans_centroids(
+        corpus, embedding_col, id_col, num_cells, iterations=kmeans_iterations
     )
-    cm = np.array([list(r[embedding_col]) for r in centroid_rows], dtype="float64")
-    cm_norm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
 
     def _cells(n: int):
         @pandas_udf(ArrayType(IntegerType()))
