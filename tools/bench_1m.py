@@ -443,25 +443,35 @@ def main() -> None:
         spark.stop()
         print(f"fixture written: {path}", file=sys.stderr)
 
+    # INTERLEAVE the engines: the host's noisy-neighbor throttling drifts on
+    # a minutes scale (observed: 70%+ system time + steal for whole
+    # invocations), so back-to-back per-engine loops let one engine absorb a
+    # quiet window the other never sees. Alternating spark/duck runs exposes
+    # both engines to roughly the same noise distribution.
     spark_runs = []
+    duck_runs = []
     for i in range(repeat):
         res, stat = _timed(run_spark, path, cpus)
         res["cpu_pct"] = stat
         spark_runs.append(res)
         print(f"spark run {i}: {res}", file=sys.stderr)
-    spark_res = min(spark_runs, key=lambda r: r["total_sec"])
-
-    duck_runs = []
-    if not skip_duck:
-        for i in range(max(2, repeat - 1)):
+        if not skip_duck:
             res, stat = _timed(run_duckdb, path)
             res["cpu_pct"] = stat
             duck_runs.append(res)
             print(f"duckdb run {i}: {res}", file=sys.stderr)
+    spark_res = min(spark_runs, key=lambda r: r["total_sec"])
     duck_res = min(duck_runs, key=lambda r: r["total_sec"]) if duck_runs else None
 
     out = {
         "workload": "1M dedupe train+predict+cluster (BASELINE.md row 1 analogue)",
+        "comparator_note": (
+            "the duckdb column is a hand-tuned minimal SQL analogue of the "
+            "same workload (raw SQL, no engine/orchestration overhead) — a "
+            "stricter bar than the published reference implementation; the "
+            "published anchor for this workload is BASELINE.md row 1: "
+            "'1M records ~ 1 minute' (splink+DuckDB, laptop)"
+        ),
         "rows": n_rows,
         "measurement": (
             f"best of {repeat} (host shows 2-4x run-to-run variance; "
@@ -471,6 +481,9 @@ def main() -> None:
         "duckdb": duck_res,
         "ratio_spark_over_duckdb": (
             round(spark_res["total_sec"] / duck_res["total_sec"], 3) if duck_res else None
+        ),
+        "spark_vs_published_anchor_60s": (
+            round(spark_res["total_sec"] / 60.0, 3) if n_rows == 1_000_000 else None
         ),
         "runs": {
             "spark": [
