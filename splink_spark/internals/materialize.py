@@ -33,6 +33,19 @@ _STAGE_PARTITION_FRACTIONS = {
 }
 
 
+# every Nth iterative materialization per stage round-trips through parquet
+# instead of checkpointing. Spark 3.4+ checkpoint/localCheckpoint snapshot the
+# ORIGIN plan's statistics into the resulting LogicalRDD (SPARK-39748); an
+# iterative loop whose step joins k checkpointed tables therefore multiplies
+# those snapshot sizeInBytes every round — the BigInteger grows ~k x in BITS
+# per iteration, and after ~12 rounds stats estimation itself takes minutes
+# and OOMs the driver (reproduced on a 500-node CC graph). A parquet
+# round-trip resets stats to real file statistics, so the compounding restarts
+# from a constant. 4 rounds of compounding keeps the BigInt under ~100k bits,
+# where stats math is microseconds.
+_STATS_RESET_EVERY = 4
+
+
 @dataclass
 class MaterializationPolicy:
     """How to break lineage per pipeline stage."""
@@ -40,6 +53,7 @@ class MaterializationPolicy:
     method: str = "persist"  # persist | local_checkpoint | checkpoint | parquet
     parquet_dir: str | None = None
     _registry: list[DataFrame] = field(default_factory=list)
+    _iterative_counts: dict = field(default_factory=dict)
 
     def repartition_count(self, df: DataFrame, stage: str) -> int | None:
         frac = _STAGE_PARTITION_FRACTIONS.get(stage)
@@ -66,6 +80,11 @@ class MaterializationPolicy:
         spark/database_api.py:289-349). persist therefore upgrades to
         localCheckpoint inside loops; the reliable methods already truncate.
         """
+        if iterative and self.method != "parquet":
+            n = self._iterative_counts.get(stage, 0) + 1
+            self._iterative_counts[stage] = n
+            if n % _STATS_RESET_EVERY == 0:
+                return self._parquet_roundtrip(df, stage)
         if self.method == "persist":
             if iterative:
                 # on a real cluster localCheckpoint blocks die with their
@@ -84,13 +103,18 @@ class MaterializationPolicy:
         if self.method == "checkpoint":
             return df.checkpoint(eager=True)
         if self.method == "parquet":
-            base = self.parquet_dir or os.path.join(
-                tempfile.gettempdir(), "splink_spark_materialize"
-            )
-            path = os.path.join(base, f"{stage}_{uuid.uuid4().hex}")
-            df.write.mode("overwrite").parquet(path)
-            return df.sparkSession.read.parquet(path)
+            return self._parquet_roundtrip(df, stage)
         raise ValueError(f"unknown materialization method {self.method!r}")
+
+    def _parquet_roundtrip(self, df: DataFrame, stage: str) -> DataFrame:
+        """True lineage break with REAL statistics (files are kept for the
+        session lifetime — downstream plans read them lazily)."""
+        base = self.parquet_dir or os.path.join(
+            tempfile.gettempdir(), "splink_spark_materialize"
+        )
+        path = os.path.join(base, f"{stage}_{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
 
     def unpersist_all(self) -> None:
         for df in self._registry:
