@@ -109,8 +109,12 @@ def _equality_columns_from_sql(sql: str) -> list:
     equi-join conditions out of rule SQL, blocking_analysis.py:78-120)."""
     import re
 
-    pat_suffix = re.compile(r"^\s*`?(\w+)`?_l\s*(?:=|<=>)\s*`?(\w+)`?_r\s*$")
-    pat_alias = re.compile(r"^\s*l\.`?(\w+)`?\s*(?:=|<=>)\s*r\.`?(\w+)`?\s*$")
+    # plain '=' ONLY: '<=>' (null-safe equality) also joins every NULL row
+    # to every other NULL row, a block the per-key cardinality estimator and
+    # EM's exact-match blocking adjustment cannot see — claiming its columns
+    # would silently mis-estimate, so it parses as "no recognized columns"
+    pat_suffix = re.compile(r"^\s*`?(\w+)`?_l\s*=\s*`?(\w+)`?_r\s*$")
+    pat_alias = re.compile(r"^\s*l\.`?(\w+)`?\s*=\s*r\.`?(\w+)`?\s*$")
     cols = []
     for part in re.split(r"(?i)\s+and\s+", sql.strip()):
         part = part.strip()

@@ -166,10 +166,11 @@ def _apply2(s1: pd.Series, s2: pd.Series, fn, null_value=None) -> pd.Series:
         if v is None:
             v = fn(str(a), str(b))
             if len(memo) >= _MEMO_MAX_ENTRIES:
-                # evict the oldest quarter (dict preserves insertion order)
-                # instead of clearing — keeps the hot head of a skewed key
-                # distribution while bounding resident memory per kernel
-                for k in list(islice(iter(memo), _MEMO_MAX_ENTRIES // 4)):
+                # evict the NEWEST quarter: keys insert on first miss, so the
+                # hot head of a skewed distribution sits at the FRONT of the
+                # insertion-ordered dict — evicting from the back drops the
+                # long tail of one-off pairs while keeping the frequent ones
+                for k in list(islice(reversed(memo), _MEMO_MAX_ENTRIES // 4)):
                     del memo[k]
             memo[key] = v
         out.append(v)
@@ -281,15 +282,21 @@ def _ensure_similarity_jar() -> "str | None":
     if os.path.exists(jar):
         return jar
     src = os.path.join(pkg_dir, "java", "Similarity.java")
-    built = os.path.join(tempfile.gettempdir(), "splink-similarity.jar")
-    if os.path.exists(built):
-        return built
     if not os.path.exists(src):
         return None
+    # build into a private, freshly-created directory — a fixed world-shared
+    # /tmp path could serve a stale jar from an older version, or let another
+    # local user pre-create the predictable path and have THEIR classes
+    # ADD-JAR'd into our JVM
+    built_dir = getattr(_ensure_similarity_jar, "_built_dir", None)
+    if built_dir and os.path.exists(os.path.join(built_dir, "splink-similarity.jar")):
+        return os.path.join(built_dir, "splink-similarity.jar")
     try:
         import pyspark
 
         pyjars = os.path.join(os.path.dirname(pyspark.__file__), "jars", "*")
+        out_dir = tempfile.mkdtemp(prefix="splink-simjar-")
+        built = os.path.join(out_dir, "splink-similarity.jar")
         with tempfile.TemporaryDirectory() as td:
             subprocess.run(
                 ["javac", "-encoding", "UTF-8", "-cp", pyjars, "-d", td, src],
@@ -299,6 +306,7 @@ def _ensure_similarity_jar() -> "str | None":
                 ["jar", "cf", built, "-C", td, "."],
                 check=True, capture_output=True, timeout=120,
             )
+        _ensure_similarity_jar._built_dir = out_dir  # type: ignore[attr-defined]
         return built
     except Exception:
         return None

@@ -141,23 +141,50 @@ def cluster_using_single_best_links(
         cand = cand.where(
             (F.col("__rep_l") != F.col("__rep_r")) & ~dup_criteria
         )
-        rank_l = F.rank().over(
-            Window.partitionBy("__rep_l").orderBy(F.desc("p"), F.asc("nbr"))
+        # mutual-best MATCHING over clusters: symmetrize the candidate edges
+        # to (cluster, other_cluster) and keep an edge only when it is the
+        # best incident edge for BOTH clusters (probability desc, lowest
+        # other-rep tiebreak). A matching guarantees each cluster joins at
+        # most one merge per round, so the per-edge duplicate-free check
+        # implies the invariant for the merged result — chains (A-B accepted
+        # AND B-C accepted) cannot combine three clusters in one round, which
+        # could smuggle two records of a duplicate-free dataset into one
+        # cluster even though each edge individually passed the check.
+        edges_cl = cand.select(
+            F.col("__rep_l").alias("__ca"), F.col("__rep_r").alias("__cb"), "p"
+        ).groupBy("__ca", "__cb").agg(F.max("p").alias("p"))
+        sym = edges_cl.select(
+            F.col("__ca").alias("__c"), F.col("__cb").alias("__other"), "p"
+        ).unionByName(
+            edges_cl.select(
+                F.col("__cb").alias("__c"), F.col("__ca").alias("__other"), "p"
+            )
         )
-        rank_r = F.rank().over(
-            Window.partitionBy("__rep_r").orderBy(F.desc("p"), F.asc("nid"))
-        )
-        accepted = (
-            cand.withColumn("__rk_l", rank_l)
-            .withColumn("__rk_r", rank_r)
-            .where((F.col("__rk_l") == 1) & (F.col("__rk_r") == 1))
-            .select("nid", F.col("__rep_r").alias("__nbr_rep"))
+        best = sym.withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("__c").orderBy(F.desc("p"), F.asc("__other"))
+            ),
+        ).where(F.col("__rk") == 1).select("__c", "__other")
+        mutual = best.alias("a").join(
+            best.alias("b"),
+            (F.col("a.__c") == F.col("b.__other"))
+            & (F.col("a.__other") == F.col("b.__c")),
+        ).select(F.col("a.__c").alias("__c"), F.col("a.__other").alias("__other"))
+        # apply the merge to EVERY member of both clusters (atomic
+        # cluster-level merge — updating only the edge's endpoint nodes
+        # would split multi-node clusters across representatives mid-run)
+        mapping = mutual.select(
+            "__c", F.least(F.col("__c"), F.col("__other")).alias("__new_rep")
         )
         new_rep = (
-            accepted.select("nid", F.col("__nbr_rep").alias("representative"))
-            .unionByName(rep.select("nid", "representative"))
-            .groupBy("nid")
-            .agg(F.min("representative").alias("representative"))
+            rep.join(mapping, rep["representative"] == mapping["__c"], "left")
+            .select(
+                "nid",
+                F.coalesce(F.col("__new_rep"), F.col("representative")).alias(
+                    "representative"
+                ),
+            )
         )
         stepped = (
             new_rep.join(

@@ -145,8 +145,11 @@ def _normalise_rule_sql(sql: str) -> str:
     Spark string literals) passes through verbatim."""
     import re
 
-    # odd indexes are single-quoted literal spans ('' is the SQL escape)
-    spans = re.split(r"('(?:[^']|'')*')", sql)
+    # odd indexes are single-quoted literal spans ('' is the SQL escape;
+    # Spark's parser also accepts backslash escapes, so \' must not close
+    # the span — otherwise the remainder of the literal lands in a code
+    # span and gets rewritten)
+    spans = re.split(r"('(?:[^'\\]|\\.|'')*')", sql)
     if not any(
         re.search(r"\b[lr]\.\w", s) for i, s in enumerate(spans) if i % 2 == 0
     ):

@@ -22,12 +22,24 @@ public final class Similarity {
 
     private Similarity() {}
 
+    /**
+     * All kernels operate on Unicode CODE POINTS, not UTF-16 code units —
+     * Python's len()/indexing is code-point based, and the advertised
+     * bit-for-bit parity with the pandas fallback must hold for non-BMP
+     * characters (emoji, rare CJK) too.
+     */
+    private static int[] cps(String s) {
+        return s.codePoints().toArray();
+    }
+
     public static double jaro(String s1, String s2) {
         if (s1.equals(s2)) {
             return 1.0;
         }
-        int len1 = s1.length();
-        int len2 = s2.length();
+        int[] a = cps(s1);
+        int[] b = cps(s2);
+        int len1 = a.length;
+        int len2 = b.length;
         if (len1 == 0 || len2 == 0) {
             return 0.0;
         }
@@ -39,11 +51,11 @@ public final class Similarity {
         boolean[] flags2 = new boolean[len2];
         int matches = 0;
         for (int i = 0; i < len1; i++) {
-            char ch = s1.charAt(i);
+            int ch = a[i];
             int lo = Math.max(0, i - matchWindow);
             int hi = Math.min(len2, i + matchWindow + 1);
             for (int j = lo; j < hi; j++) {
-                if (!flags2[j] && s2.charAt(j) == ch) {
+                if (!flags2[j] && b[j] == ch) {
                     flags1[i] = true;
                     flags2[j] = true;
                     matches++;
@@ -61,7 +73,7 @@ public final class Similarity {
                 while (!flags2[j]) {
                     j++;
                 }
-                if (s1.charAt(i) != s2.charAt(j)) {
+                if (a[i] != b[j]) {
                     transpositions++;
                 }
                 j++;
@@ -78,10 +90,12 @@ public final class Similarity {
         if (jaro <= 0.7) {
             return jaro;
         }
+        int[] a = cps(s1);
+        int[] b = cps(s2);
         int prefix = 0;
-        int bound = Math.min(4, Math.min(s1.length(), s2.length()));
+        int bound = Math.min(4, Math.min(a.length, b.length));
         for (int i = 0; i < bound; i++) {
-            if (s1.charAt(i) == s2.charAt(i)) {
+            if (a[i] == b[i]) {
                 prefix++;
             } else {
                 break;
@@ -92,19 +106,19 @@ public final class Similarity {
 
     /** Character-set Jaccard similarity (DuckDB jaccard semantics). */
     public static double jaccardChars(String s1, String s2) {
-        HashSet<Character> a = new HashSet<>();
-        HashSet<Character> b = new HashSet<>();
-        for (int i = 0; i < s1.length(); i++) {
-            a.add(s1.charAt(i));
+        HashSet<Integer> a = new HashSet<>();
+        HashSet<Integer> b = new HashSet<>();
+        for (int cp : cps(s1)) {
+            a.add(cp);
         }
-        for (int i = 0; i < s2.length(); i++) {
-            b.add(s2.charAt(i));
+        for (int cp : cps(s2)) {
+            b.add(cp);
         }
         if (a.isEmpty() && b.isEmpty()) {
             return 1.0;
         }
         int inter = 0;
-        for (Character c : a) {
+        for (Integer c : a) {
             if (b.contains(c)) {
                 inter++;
             }
@@ -118,8 +132,10 @@ public final class Similarity {
         if (s1.equals(s2)) {
             return 0;
         }
-        int len1 = s1.length();
-        int len2 = s2.length();
+        int[] a = cps(s1);
+        int[] b = cps(s2);
+        int len1 = a.length;
+        int len2 = b.length;
         if (len1 == 0) {
             return len2;
         }
@@ -127,7 +143,7 @@ public final class Similarity {
             return len1;
         }
         int maxdist = len1 + len2;
-        HashMap<Character, Integer> da = new HashMap<>();
+        HashMap<Integer, Integer> da = new HashMap<>();
         int[][] d = new int[len1 + 2][len2 + 2];
         d[0][0] = maxdist;
         for (int i = 0; i <= len1; i++) {
@@ -141,10 +157,10 @@ public final class Similarity {
         for (int i = 1; i <= len1; i++) {
             int db = 0;
             for (int j = 1; j <= len2; j++) {
-                int k = da.getOrDefault(s2.charAt(j - 1), 0);
+                int k = da.getOrDefault(b[j - 1], 0);
                 int l = db;
                 int cost;
-                if (s1.charAt(i - 1) == s2.charAt(j - 1)) {
+                if (a[i - 1] == b[j - 1]) {
                     cost = 0;
                     db = j;
                 } else {
@@ -155,7 +171,7 @@ public final class Similarity {
                     Math.min(d[i][j + 1] + 1,
                              d[k][l] + (i - k - 1) + 1 + (j - l - 1)));
             }
-            da.put(s1.charAt(i - 1), i);
+            da.put(a[i - 1], i);
         }
         return d[len1 + 1][len2 + 1];
     }

@@ -523,15 +523,28 @@ class LinkerClustering:
         if not sd:
             raise ValueError("single-best-links clustering needs source datasets")
         df_predict = getattr(df_predict, "_splink_narrow", df_predict)
+        # composite node ids: uids are only unique PER DATASET (same reason
+        # cluster_pairwise_predictions_at_threshold builds them) — bare uids
+        # would conflate colliding records across datasets into one graph
+        # node and corrupt the per-cluster dataset flags
+        node_expr = F.concat_ws(
+            "-__-", F.col(sd).cast("string"), F.col(uid).cast("string")
+        )
+        edge_l = F.concat_ws(
+            "-__-", F.col(f"{sd}_l").cast("string"), F.col(f"{uid}_l").cast("string")
+        )
+        edge_r = F.concat_ws(
+            "-__-", F.col(f"{sd}_r").cast("string"), F.col(f"{uid}_r").cast("string")
+        )
         edges = df_predict.select(
-            F.col(f"{uid}_l").alias("node_id_l"),
-            F.col(f"{uid}_r").alias("node_id_r"),
+            edge_l.alias("node_id_l"),
+            edge_r.alias("node_id_r"),
             F.col(f"{sd}_l").alias("source_dataset_l"),
             F.col(f"{sd}_r").alias("source_dataset_r"),
             "match_probability",
         )
         nodes = self._l.df_concat().select(
-            F.col(uid).alias("node_id"), F.col(sd).alias("source_dataset")
+            node_expr.alias("node_id"), F.col(sd).alias("source_dataset")
         )
         return cluster_using_single_best_links(
             edges,

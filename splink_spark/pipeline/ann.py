@@ -121,6 +121,8 @@ def _kmeans_centroids(
     )
     mat = np.array([list(r[embedding_col]) for r in sample], dtype="float64")
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    # a corpus smaller than num_cells simply gets fewer cells
+    num_cells = min(num_cells, len(mat))
     cm = mat[:num_cells].copy()
     cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
     for _ in range(max(0, iterations)):

@@ -230,3 +230,62 @@ def test_chunked_predict_runs_blocking_join_once(spark, persons, monkeypatch):
     result = linker.inference.predict(num_chunks=3)
     assert result.count() > 0
     assert calls["n"] == 1  # 3 chunks → 9 sub-jobs, ONE blocking join
+
+
+def test_single_best_links_merges_whole_clusters(spark):
+    """A merge must move EVERY member of both clusters, not just the edge
+    endpoints (review r3: endpoint-only updates split multi-node clusters
+    mid-run), and per-round merges form a matching so the one-per-dataset
+    invariant survives chains of accepted edges."""
+    from collections import Counter, defaultdict
+
+    nodes = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C"), (4, "D"), (5, "E"), (6, "F")],
+        ["node_id", "source_dataset"],
+    )
+    # round 1 forms {1,2} (0.95) and {3,4} (0.94) and {5,6} (0.93);
+    # round 2 must merge {1,2}+{3,4} via the 2-3 edge (0.90) moving ALL
+    # four members; 4-5 (0.80) merges the rest in round 3
+    edges = spark.createDataFrame(
+        [
+            (1, 2, "A", "B", 0.95),
+            (3, 4, "C", "D", 0.94),
+            (5, 6, "E", "F", 0.93),
+            (2, 3, "B", "C", 0.90),
+            (4, 5, "D", "E", 0.80),
+        ],
+        ["node_id_l", "node_id_r", "source_dataset_l", "source_dataset_r", "match_probability"],
+    )
+    out = {r["node_id"]: r["cluster_id"] for r in
+           cluster_using_single_best_links(edges, nodes).collect()}
+    assert len(set(out.values())) == 1, f"all six should merge: {out}"
+
+    # randomized invariant check: never two records of one dataset per cluster
+    import random
+
+    rng = random.Random(5)
+    sds = ["A", "B", "C", "D"]
+    node_rows = [(i, sds[i % 4]) for i in range(24)]
+    edge_rows = []
+    seen = set()
+    for _ in range(40):
+        a, b = rng.sample(range(24), 2)
+        if a > b:
+            a, b = b, a
+        if (a, b) in seen or node_rows[a][1] == node_rows[b][1]:
+            continue
+        seen.add((a, b))
+        edge_rows.append(
+            (a, b, node_rows[a][1], node_rows[b][1], round(rng.uniform(0.5, 1.0), 3))
+        )
+    nodes2 = spark.createDataFrame(node_rows, ["node_id", "source_dataset"])
+    edges2 = spark.createDataFrame(
+        edge_rows,
+        ["node_id_l", "node_id_r", "source_dataset_l", "source_dataset_r", "match_probability"],
+    )
+    out2 = cluster_using_single_best_links(edges2, nodes2).collect()
+    bycl = defaultdict(list)
+    for r in out2:
+        bycl[r["cluster_id"]].append(r["source_dataset"])
+    for cid, ds in bycl.items():
+        assert all(v == 1 for v in Counter(ds).values()), (cid, ds)

@@ -361,7 +361,9 @@ def test_jvm_similarity_pack_matches_python_kernels(spark):
 
         pytest.skip("JVM similarity pack unavailable on this host")
     rng = random.Random(99)
-    alphabet = string.ascii_lowercase + "éü '-"
+    # include non-BMP characters (surrogate pairs in UTF-16): the JVM
+    # kernels must count CODE POINTS like Python, not UTF-16 code units
+    alphabet = string.ascii_lowercase + "éü '-" + "\U0001d538\U0001f600"
     pairs = [
         (
             "".join(rng.choices(alphabet, k=rng.randrange(0, 12))),

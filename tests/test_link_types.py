@@ -138,3 +138,25 @@ def test_full_example_train_predict_cluster_eval(spark, persons):
     rows = ts.collect()
     assert rows, "truth space must be non-empty"
     assert all(r["tp"] + r["fn"] >= 0 for r in rows)
+
+
+def test_single_best_links_wrapper_uid_collision(spark, two_tables):
+    """Linker-level single-best-links must use composite (dataset, uid) node
+    ids: left and right both contain uid 0, which must remain two distinct
+    graph nodes (review r3: bare uids conflated them)."""
+    left, right = two_tables
+    linker = Linker({"l_tbl": left, "r_tbl": right}, _settings("link_only"))
+    pred = linker.inference.predict()
+    out = linker.clustering.cluster_using_single_best_links(
+        pred, threshold_match_probability=0.5
+    ).collect()
+    # every input record appears exactly once
+    assert len(out) == 6
+    ids = {(r["source_dataset"], r["node_id"]) for r in out}
+    assert ("l_tbl", "l_tbl-__-0") in ids and ("r_tbl", "r_tbl-__-0") in ids
+    # the two uid-0 records (same name+dob) cluster together, but as two rows
+    bycl = {}
+    for r in out:
+        bycl.setdefault(r["cluster_id"], []).append(r["source_dataset"])
+    merged = [v for v in bycl.values() if len(v) > 1]
+    assert any(sorted(v) == ["l_tbl", "r_tbl"] for v in merged)

@@ -145,7 +145,9 @@ def test_custom_rule_equality_column_parsing():
         "surname_l = surname_r AND dob_l = dob_r"
     ).columns == ["surname", "dob"]
     assert CustomRule("l.city = r.city").columns == ["city"]
-    assert CustomRule("`email`_l <=> `email`_r").columns == ["email"]
+    # null-safe equality joins the NULL block too — the estimator and EM
+    # adjustment cannot model that, so it must NOT claim columns
+    assert CustomRule("`email`_l <=> `email`_r").columns == []
     # non-equality or cross-column conditions must NOT claim columns
     assert CustomRule("levenshtein(first_name_l, first_name_r) <= 1").columns == []
     assert CustomRule("first_name_l = surname_r").columns == []
@@ -178,6 +180,11 @@ def test_normalise_rule_sql_preserves_quoted_literals():
     # including double-quoted Spark string literals
     sql = 'first_name_l = first_name_r AND city_l = "London"'
     assert _normalise_rule_sql(sql) == sql
+    # backslash-escaped quotes must not desynchronize the literal spans
+    assert (
+        _normalise_rule_sql(r"l.email = r.email AND l.note = 'it\'s l.x'")
+        == r"email_l = email_r AND note_l = 'it\'s l.x'"
+    )
 
 
 def test_worker_memo_distinct_callables_same_name():

@@ -247,3 +247,15 @@ def test_embedding_neardup_lsh_routes_match_all_pairs(spark):
     assert len(exact) >= 15
     assert got <= exact, "LSH route must not invent pairs (exact verify)"
     assert len(got) >= 0.9 * len(exact), f"recall too low: {len(got)}/{len(exact)}"
+
+
+def test_ivf_topk_small_corpus(spark):
+    """Corpus smaller than num_cells must not crash (review r3: boolean-mask
+    IndexError in the k-means empty-cell handling)."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(10)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = ann.ivf_topk(df, df.limit(3), k=2, num_cells=16, nprobe=4).collect()
+    assert len(out) > 0
