@@ -68,20 +68,38 @@ def truth_space_table(
 
 
 def _with_labels(linker, df_predict: DataFrame, labels_column: str) -> DataFrame:
-    """Join the ground-truth column onto scored pairs by uid (the junction
-    join only carries comparison columns, so labels re-join here)."""
-    uid = linker.settings.unique_id_column_name
+    """Join the ground-truth column onto scored pairs (the junction join only
+    carries comparison columns, so labels re-join here).
+
+    Keys are (source_dataset, uid) when the job has source datasets — uids
+    are only unique per dataset, so a bare-uid join would fan out and attach
+    wrong labels on cross-dataset uid collisions. The label slices broadcast
+    only below the same node-count ceiling the junction join uses."""
+    from .comparison_vectors import BROADCAST_NODES_MAX_ROWS
+
+    s = linker.settings
+    uid = s.unique_id_column_name
     if f"{labels_column}_l" in df_predict.columns:
         return df_predict
     concat = linker.df_concat()
+    sd = s.source_dataset_column_name if s.needs_source_dataset else None
+    use_sd = bool(
+        sd and sd in concat.columns and f"{sd}_l" in df_predict.columns
+    )
+    keys_l = [uid] + ([sd] if use_sd else [])
     lab_l = concat.select(
-        F.col(uid).alias(f"{uid}_l"), F.col(labels_column).alias(f"{labels_column}_l")
+        *[F.col(k).alias(f"{k}_l") for k in keys_l],
+        F.col(labels_column).alias(f"{labels_column}_l"),
     )
     lab_r = concat.select(
-        F.col(uid).alias(f"{uid}_r"), F.col(labels_column).alias(f"{labels_column}_r")
+        *[F.col(k).alias(f"{k}_r") for k in keys_l],
+        F.col(labels_column).alias(f"{labels_column}_r"),
     )
-    return df_predict.join(F.broadcast(lab_l), on=f"{uid}_l").join(
-        F.broadcast(lab_r), on=f"{uid}_r"
+    n = getattr(concat, "_splink_row_count", None)
+    if n is not None and n <= BROADCAST_NODES_MAX_ROWS:
+        lab_l, lab_r = F.broadcast(lab_l), F.broadcast(lab_r)
+    return df_predict.join(lab_l, on=[f"{k}_l" for k in keys_l]).join(
+        lab_r, on=[f"{k}_r" for k in keys_l]
     )
 
 
@@ -96,9 +114,12 @@ def truth_space_table_from_labels_column(
         # scores + ids suffice here — read predict's narrow core if attached
         df_predict = getattr(df_predict, "_splink_narrow", df_predict)
     df_predict = _with_labels(linker, df_predict, labels_column)
-    label = (
-        F.col(f"{labels_column}_l").eqNullSafe(F.col(f"{labels_column}_r"))
-    ).cast("int")
+    # null labels mean UNKNOWN, not "matches other unknowns": plain equality
+    # (null -> no match), the reference's label-column semantics
+    label = F.coalesce(
+        (F.col(f"{labels_column}_l") == F.col(f"{labels_column}_r")).cast("int"),
+        F.lit(0),
+    )
     return truth_space_table(
         df_predict.withColumn("__clerical", label),
         score_col="match_weight",
@@ -117,8 +138,15 @@ def prediction_errors_from_labels_column(
     """FP/FN pair lists at a threshold (accuracy.py:442-520)."""
     if df_predict is None:
         df_predict = linker.inference.predict()
+    if not include_false_positives and not include_false_negatives:
+        raise ValueError(
+            "at least one of include_false_positives / include_false_negatives "
+            "must be True"
+        )
     df_predict = _with_labels(linker, df_predict, labels_column)
-    truth = F.col(f"{labels_column}_l").eqNullSafe(F.col(f"{labels_column}_r"))
+    truth = F.coalesce(
+        F.col(f"{labels_column}_l") == F.col(f"{labels_column}_r"), F.lit(False)
+    )
     pred = F.col("match_probability") >= threshold_match_probability
     conds = []
     if include_false_positives:
@@ -141,8 +169,18 @@ def unlinkables_table(linker) -> DataFrame:
     s = linker.settings
     uid = s.unique_id_column_name
     concat = linker.df_concat_with_tf()
+    sd = s.source_dataset_column_name if s.needs_source_dataset else None
+    sd_cols = (
+        [
+            F.col(sd).alias("source_dataset_l"),
+            F.col(sd).alias("source_dataset_r"),
+        ]
+        if sd and sd in concat.columns
+        else []
+    )
     pairs = concat.select(
         F.lit("self").alias("match_key"),
+        *sd_cols,
         F.col(uid).alias("join_key_l"),
         F.col(uid).alias("join_key_r"),
     )

@@ -147,20 +147,46 @@ def estimate_u_using_random_sampling(
             )
         aggs.append(F.sum(F.when(F.col(g) != -1, 1).otherwise(0)).alias(f"{g}__total"))
 
+    # pairs must span the SAME space predict scores: link_only must not count
+    # within-dataset pairs, and with per-dataset-unique uids the pair keys
+    # (and the junction join) need the source dataset carried through —
+    # a bare-uid join fans out on cross-dataset uid collisions
+    sd = s.source_dataset_column_name if s.needs_source_dataset else None
+
+    def _ordered_once(pairs):
+        """Keep each unordered pair exactly once (drops self-pairs) —
+        (source_dataset, uid) lexicographic when datasets exist, mirroring
+        blocking._pair_filter."""
+        if sd and "source_dataset_l" in pairs.columns:
+            ordered = (F.col("source_dataset_l") < F.col("source_dataset_r")) | (
+                (F.col("source_dataset_l") == F.col("source_dataset_r"))
+                & (F.col("join_key_l") < F.col("join_key_r"))
+            )
+            if s.link_type == "link_only":
+                ordered = ordered & (
+                    F.col("source_dataset_l") != F.col("source_dataset_r")
+                )
+            return pairs.where(ordered)
+        return pairs.where(F.col("join_key_l") < F.col("join_key_r"))
+
     def count_chunk(rhs) -> dict:
         if rhs is sample:
             pairs = block_using_rules(
-                sample, [CustomRule("TRUE")], link_type="dedupe_only",
-                unique_id_column_name=uid,
+                sample, [CustomRule("TRUE")], link_type=s.link_type,
+                unique_id_column_name=uid, source_dataset_column_name=sd,
             )
         else:
-            # full-sample x chunk; uid_l < uid_r keeps each unordered pair in
-            # exactly one chunk (the one containing its larger id) and drops
-            # self-pairs — no double counting across chunks
-            pairs = block_using_rules(
-                sample, [CustomRule("TRUE")], link_type="dedupe_only",
-                unique_id_column_name=uid, nodes_right=rhs,
-            ).where(F.col("join_key_l") < F.col("join_key_r"))
+            # full-sample x chunk: block_using_rules' nodes_right branch
+            # assumes disjoint tables, so the once-per-unordered-pair filter
+            # is applied manually — each pair lands in exactly one chunk
+            # (the one containing its greater endpoint)
+            pairs = _ordered_once(
+                block_using_rules(
+                    sample, [CustomRule("TRUE")], link_type=s.link_type,
+                    unique_id_column_name=uid, source_dataset_column_name=sd,
+                    nodes_right=rhs,
+                )
+            )
         with_cols = blocked_pairs_with_columns(
             pairs, sample, s, concat_with_tf_right=rhs if rhs is not sample else None
         )
@@ -216,14 +242,33 @@ def estimate_m_from_pairwise_labels(linker, labels: "DataFrame") -> dict:
     s = linker.settings
     if "clerical_match_score" in labels.columns:
         labels = labels.where(F.col("clerical_match_score") >= 1.0)
-    # lower id on lhs (reference lower_id_on_lhs.py)
-    lo = F.least(F.col("unique_id_l"), F.col("unique_id_r"))
-    hi = F.greatest(F.col("unique_id_l"), F.col("unique_id_r"))
-    pairs = labels.select(
-        F.lit("labels").alias("match_key"),
-        lo.alias("join_key_l"),
-        hi.alias("join_key_r"),
-    ).distinct()
+    # lower id on lhs (reference lower_id_on_lhs.py); with source datasets
+    # the ordering key and the join keys are (source_dataset, uid) — uids
+    # are only unique per dataset
+    if s.needs_source_dataset and "source_dataset_l" in labels.columns:
+        swap = (F.col("source_dataset_l") > F.col("source_dataset_r")) | (
+            (F.col("source_dataset_l") == F.col("source_dataset_r"))
+            & (F.col("unique_id_l") > F.col("unique_id_r"))
+        )
+
+        def pick(a, b):
+            return F.when(swap, F.col(b)).otherwise(F.col(a))
+
+        pairs = labels.select(
+            F.lit("labels").alias("match_key"),
+            pick("source_dataset_l", "source_dataset_r").alias("source_dataset_l"),
+            pick("source_dataset_r", "source_dataset_l").alias("source_dataset_r"),
+            pick("unique_id_l", "unique_id_r").alias("join_key_l"),
+            pick("unique_id_r", "unique_id_l").alias("join_key_r"),
+        ).distinct()
+    else:
+        lo = F.least(F.col("unique_id_l"), F.col("unique_id_r"))
+        hi = F.greatest(F.col("unique_id_l"), F.col("unique_id_r"))
+        pairs = labels.select(
+            F.lit("labels").alias("match_key"),
+            lo.alias("join_key_l"),
+            hi.alias("join_key_r"),
+        ).distinct()
     with_cols = blocked_pairs_with_columns(pairs, linker.df_concat_with_tf(), s)
     cv = compute_comparison_vectors(with_cols, s)
     return _m_from_cv(s, cv)
@@ -604,6 +649,10 @@ def estimate_parameters_using_em(
                 u[key] = max(nu, 1e-12)
         if not fix_probability_two_random_records_match:
             new_lam = lam_num / lam_den if lam_den else session_lam
+            # clamp: p rounds to exactly 1.0 in float64 once a pattern's
+            # odds exceed ~2^53 (a few strong comparisons suffice); an
+            # unclamped lambda of 1.0 divides by zero in the next E-step
+            new_lam = min(max(new_lam, 1e-12), 1 - 1e-12)
             max_delta = max(max_delta, abs(new_lam - session_lam))
             session_lam = new_lam
         history.append({"iteration": it, "max_delta": max_delta, "lambda": session_lam})

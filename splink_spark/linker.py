@@ -585,16 +585,29 @@ class LinkerClustering:
     ) -> tuple[DataFrame, DataFrame]:
         s = self._l.settings
         uid = s.unique_id_column_name
+        sd = s.source_dataset_column_name if s.needs_source_dataset else None
         df_predict = getattr(df_predict, "_splink_narrow", df_predict)
+        # composite node ids for link jobs — clustering keyed nodes on
+        # (dataset, uid), so graph/edge metrics must too, or colliding uids
+        # conflate records and duplicate edge-join matches
+        if sd and f"{sd}_l" in df_predict.columns and sd in df_clustered.columns:
+            edge_l = F.concat_ws(
+                "-__-", F.col(f"{sd}_l").cast("string"), F.col(f"{uid}_l").cast("string")
+            )
+            edge_r = F.concat_ws(
+                "-__-", F.col(f"{sd}_r").cast("string"), F.col(f"{uid}_r").cast("string")
+            )
+            node = F.concat_ws(
+                "-__-", F.col(sd).cast("string"), F.col(uid).cast("string")
+            )
+        else:
+            edge_l, edge_r, node = (
+                F.col(f"{uid}_l"), F.col(f"{uid}_r"), F.col(uid),
+            )
         edges = df_predict.where(
             F.col("match_probability") >= threshold_match_probability
-        ).select(
-            F.col(f"{uid}_l").alias("node_id_l"),
-            F.col(f"{uid}_r").alias("node_id_r"),
-        )
-        assignments = df_clustered.select(
-            F.col(uid).alias("node_id"), "cluster_id"
-        )
+        ).select(edge_l.alias("node_id_l"), edge_r.alias("node_id_r"))
+        assignments = df_clustered.select(node.alias("node_id"), "cluster_id")
         return edges, assignments
 
 

@@ -33,13 +33,22 @@ def stream_dedupe_exact(
 ) -> DataFrame:
     """Keep the first record per exact content fingerprint, with state bounded
     by the watermark (late duplicates beyond it are not deduped — the standard
-    streaming-dedup contract)."""
-    return (
+    streaming-dedup contract).
+
+    ``dropDuplicatesWithinWatermark`` is required for the state bound: plain
+    ``dropDuplicates`` on a subset that EXCLUDES the event-time column never
+    evicts its state (Spark only cleans dedup state when the watermark column
+    is part of the key), so a long-running stream would accumulate every
+    fingerprint ever seen until executors OOM."""
+    deduped = (
         stream.withColumn("__fingerprint", F.md5(F.col(text_col)))
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["__fingerprint"])
-        .drop("__fingerprint")
     )
+    if hasattr(deduped, "dropDuplicatesWithinWatermark"):
+        deduped = deduped.dropDuplicatesWithinWatermark(["__fingerprint"])
+    else:  # pragma: no cover - Spark < 3.5
+        deduped = deduped.dropDuplicates(["__fingerprint", ts_col])
+    return deduped.drop("__fingerprint")
 
 
 def stream_windowed_counts(

@@ -160,3 +160,38 @@ def test_single_best_links_wrapper_uid_collision(spark, two_tables):
         bycl.setdefault(r["cluster_id"], []).append(r["source_dataset"])
     merged = [v for v in bycl.values() if len(v) > 1]
     assert any(sorted(v) == ["l_tbl", "r_tbl"] for v in merged)
+
+
+def test_link_only_u_sampling_counts_cross_dataset_only(spark, two_tables):
+    """u-sampling must span the same pair space predict scores: for
+    link_only, cross-dataset pairs only, keyed by (dataset, uid) so the
+    colliding uid 0 in both tables does not fan out (review r3)."""
+    left, right = two_tables
+    linker = Linker({"l_tbl": left, "r_tbl": right}, _settings("link_only"))
+    out = linker.training.estimate_u_using_random_sampling(max_pairs=1e6, seed=7)
+    assert out  # u probabilities were set
+    # 3 x 3 records -> exactly 9 cross-dataset pairs; 'name' agrees for
+    # (alice,alice) and (bob,bob) only -> u[1] = 2/9 under full sampling
+    comp = linker.settings.comparisons[0]
+    u1 = {lv.comparison_vector_value: lv.u_probability
+          for lv in comp.comparison_levels if not lv.is_null_level}[1]
+    assert abs(u1 - 2 / 9) < 1e-9
+
+
+def test_link_job_pairwise_labels_with_source_datasets(spark, two_tables):
+    """m from pairwise labels keyed by (dataset, uid): the uid-0 collision
+    must not explode one labelled pair into cross-dataset combinations."""
+    left, right = two_tables
+    linker = Linker({"l_tbl": left, "r_tbl": right}, _settings("link_only"))
+    labels = spark.createDataFrame(
+        [(0, "l_tbl", 0, "r_tbl", 1.0), (1, "l_tbl", 10, "r_tbl", 1.0)],
+        ["unique_id_l", "source_dataset_l", "unique_id_r", "source_dataset_r",
+         "clerical_match_score"],
+    )
+    out = linker.training.estimate_m_from_pairwise_labels(labels)
+    comp = linker.settings.comparisons[0]
+    m1 = {lv.comparison_vector_value: lv.m_probability
+          for lv in comp.comparison_levels if not lv.is_null_level}[1]
+    # both labelled pairs agree on name -> m[1] == 1.0 over exactly 2 pairs
+    assert abs(m1 - 1.0) < 1e-9
+    assert out
