@@ -104,11 +104,22 @@ def _solve_cc_driver(
             {"node": sorted_ids, "cluster_id": sorted_ids[parent]}
         )
         assignments = spark.createDataFrame(out, schema)
+        try:
+            assignments._splink_row_count = len(out)  # type: ignore[attr-defined]
+        except Exception:
+            pass
 
     if assignments_only:
-        return assignments.select(
+        out_df = assignments.select(
             F.col("node").alias(node_col), F.col("cluster_id")
         )
+        try:
+            out_df._splink_row_count = getattr(  # type: ignore[attr-defined]
+                assignments, "_splink_row_count", None
+            )
+        except Exception:
+            pass
+        return out_df
     rep = (
         nodes.select(F.col(node_col).alias("node"))
         .join(assignments, on="node", how="left")
@@ -122,7 +133,7 @@ def _solve_cc_driver(
 
 def solve_connected_components(
     edges: DataFrame,
-    nodes: DataFrame,
+    nodes: Optional[DataFrame],
     node_col: str = "node_id",
     edge_l_col: str = "node_id_l",
     edge_r_col: str = "node_id_r",
@@ -296,13 +307,28 @@ def cluster_pairwise_predictions_at_threshold(
         df_predict.where(F.col("match_probability") >= threshold_match_probability)
         .select(edge_l.alias("node_id_l"), edge_r.alias("node_id_r"))
     )
-    nodes = concat.select(node_expr.alias("node_id")).distinct()
 
+    # assignments_only: the solver returns rows only for edge-endpoint nodes
+    # and this caller coalesces cluster_id to the node id anyway — solving
+    # over the full node table would pay a concat.distinct() shuffle plus a
+    # second full-width join for nothing
     assignments = solve_connected_components(
-        edges, nodes, materialization=linker.materialization
+        edges,
+        nodes=None,
+        materialization=linker.materialization,
+        assignments_only=True,
+    )
+    # edge-endpoint count <= 2x edge count, known exactly on the driver path;
+    # a few million narrow (id, id) rows broadcast far cheaper than shuffling
+    # the full-width concat into a sort-merge join
+    n_assign = getattr(assignments, "_splink_row_count", None)
+    join_side = (
+        F.broadcast(assignments)
+        if n_assign is not None and n_assign <= 4_000_000
+        else assignments
     )
     out = concat.withColumn("node_id", node_expr).join(
-        assignments, on="node_id", how="left"
+        join_side, on="node_id", how="left"
     )
     # isolated nodes cluster with themselves
     out = out.withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("node_id")))
