@@ -397,6 +397,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q_cv_distribution(spark, sf_dir):
+        """Comparison-viewer backbone: count per distinct gamma pattern
+        (reference comparison_vector_distribution.py:10-30)."""
+        linker = _linker(spark, sf_dir)
+        pred = linker.inference.predict()
+        dist = linker.visualisations.comparison_vector_distribution(pred)
+        return dist.select(
+            "gam_concat",
+            "sum_gam",
+            F.col("count_rows_in_comparison_vector_group").alias("cv_count"),
+            F.round("proportion_of_comparisons", 9).alias("proportion"),
+            "gamma_c_name",
+            "gamma_c_mktsegment",
+            "gamma_c_acctbal",
+        )
+
+    def q_mw_histogram(spark, sf_dir):
+        """Match-weight histogram with snapped bin width (reference
+        match_weights_histogram.py). Weights rounded to 6dp on both engines
+        so bin assignment can't flip on 1e-16 noise."""
+        from splink_spark.internals.chart_data import match_weights_histogram_data
+
+        linker = _linker(spark, sf_dir)
+        pred = linker.inference.predict()
+        narrow = getattr(pred, "_splink_narrow", pred)
+        rounded = narrow.select(F.round("match_weight", 6).alias("match_weight"))
+        return match_weights_histogram_data(rounded, num_bins=20)
+
     return {
         "concat_union": q_concat_union,
         "tf_mktsegment": q_tf_mktsegment,
@@ -426,6 +454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "events_window": q_events_window,
         "events_sessions": q_events_sessions,
+        "cv_distribution": q_cv_distribution,
+        "mw_histogram": q_mw_histogram,
     }
 
 
@@ -858,4 +888,52 @@ def oracle_sql() -> dict[str, str]:
     """
     sqls["minhash_lsh"] = exact_j5
     sqls["simhash"] = exact_j5
+    sqls["cv_distribution"] = f"""
+      {_pairs_sql()},
+      grouped AS (
+        SELECT gamma_c_name, gamma_c_mktsegment, gamma_c_acctbal,
+               count(*) AS cv_count
+        FROM gammas GROUP BY 1, 2, 3
+      )
+      SELECT
+        gamma_c_name::VARCHAR || ',' || gamma_c_mktsegment::VARCHAR || ','
+          || gamma_c_acctbal::VARCHAR AS gam_concat,
+        (CASE WHEN gamma_c_name = -1 THEN 0 WHEN gamma_c_name = 0 THEN -1
+              ELSE gamma_c_name END)
+        + (CASE WHEN gamma_c_mktsegment = -1 THEN 0 WHEN gamma_c_mktsegment = 0
+                THEN -1 ELSE gamma_c_mktsegment END)
+        + (CASE WHEN gamma_c_acctbal = -1 THEN 0 WHEN gamma_c_acctbal = 0
+                THEN -1 ELSE gamma_c_acctbal END) AS sum_gam,
+        cv_count,
+        round(CAST(cv_count AS DOUBLE) / sum(cv_count) OVER (), 9) AS proportion,
+        gamma_c_name, gamma_c_mktsegment, gamma_c_acctbal
+      FROM grouped
+    """
+
+    # mw_histogram: bin width snapped to the reference's human-friendly set
+    # (match_weights_histogram.py _bins) — nearest width to (max-min)/20,
+    # ties resolved to the smaller width exactly like Python min()
+    mw_expr = _predict_sql()
+    sqls["mw_histogram"] = f"""
+      WITH pred AS ({mw_expr}),
+      mm AS (SELECT min(match_weight) AS mn, max(match_weight) AS mx FROM pred),
+      wpick AS (
+        SELECT CAST(width AS DOUBLE) AS width
+        FROM (VALUES (0.01), (0.1), (0.2), (0.25), (0.5),
+                     (1.0), (2.0), (5.0)) AS t(width), mm
+        ORDER BY abs(width - CASE WHEN mx > mn THEN (mx - mn) / 20.0
+                                  ELSE 0.01 END), width
+        LIMIT 1
+      ),
+      binned AS (
+        SELECT CAST(width * floor(match_weight / width) AS DOUBLE) AS lo, width
+        FROM pred, wpick
+      )
+      SELECT lo AS splink_score_bin_low,
+             width AS binwidth,
+             count(*) AS count_rows,
+             CAST(lo + width AS DOUBLE) AS splink_score_bin_high
+      FROM binned GROUP BY lo, width
+    """
+
     return sqls

@@ -70,7 +70,11 @@ class MaterializationPolicy:
         return max(1, int(base * frac))
 
     def materialize(
-        self, df: DataFrame, stage: str = "generic", iterative: bool = False
+        self,
+        df: DataFrame,
+        stage: str = "generic",
+        iterative: bool = False,
+        eager: bool = True,
     ) -> DataFrame:
         """``iterative=True`` marks a loop-carried table (CC / multi-threshold
         clustering): those MUST truncate lineage, not just cache — with plain
@@ -95,7 +99,10 @@ class MaterializationPolicy:
                     return df.checkpoint(eager=True)
                 return df.localCheckpoint(eager=True)
             out = df.persist(StorageLevel.MEMORY_AND_DISK)
-            out.count()  # force
+            if eager:
+                out.count()  # force
+            # eager=False: stay lazy — the first consumer's job populates the
+            # cache as a side effect, saving one full pass over the input
             self._registry.append(out)
             return out
         if self.method == "local_checkpoint":

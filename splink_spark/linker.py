@@ -60,6 +60,7 @@ class Linker:
         self.evaluation = LinkerEvaluation(self)
         self.blocking_analysis = LinkerBlockingAnalysis(self)
         self.misc = LinkerMisc(self)
+        self.visualisations = LinkerVisualisations(self)
 
     # -- shared intermediates --------------------------------------------------
     def df_concat(self) -> DataFrame:
@@ -78,13 +79,24 @@ class Linker:
                 if self.settings.needs_source_dataset
                 else None,
             )
-            df = self.materialization.materialize(df, "concat")
-            try:
-                df._splink_row_count = df.count()  # type: ignore[attr-defined]
-            except Exception:
-                pass
+            # lazy persist: the first consumer's job (usually a TF aggregate
+            # or a broadcast build) populates the cache in passing — an eager
+            # count here would add a full extra pass over the inputs
+            df = self.materialization.materialize(df, "concat", eager=False)
             self._concat = df
         return self._concat
+
+    def concat_row_count(self) -> int:
+        """Row count of df_concat, computed once and cached."""
+        concat = self.df_concat()
+        n = getattr(concat, "_splink_row_count", None)
+        if n is None:
+            n = concat.count()
+            try:
+                concat._splink_row_count = n  # type: ignore[attr-defined]
+            except Exception:
+                pass
+        return n
 
     def tf_tables(self) -> dict[str, DataFrame]:
         if self._tf_tables is None:
@@ -109,11 +121,12 @@ class Linker:
             target = self.spark.sparkContext.defaultParallelism
             if df.rdd.getNumPartitions() < target:
                 df = df.repartition(target)
-            df = self.materialization.materialize(df, "concat_with_tf")
-            try:
-                df._splink_row_count = df.count()  # type: ignore[attr-defined]
-            except Exception:
-                pass
+            # lazy persist — the first consumer (a blocking join's broadcast
+            # build or a count in build_pairs_with_columns) populates the
+            # cache; those callers set _splink_row_count themselves
+            df = self.materialization.materialize(
+                df, "concat_with_tf", eager=False
+            )
             self._concat_with_tf = df
         return self._concat_with_tf
 
@@ -276,6 +289,11 @@ class LinkerInference:
                 return self._cache(wide) if cache_result else wide
             from pyspark import StorageLevel
 
+            # the threshold stays ABOVE the persist: pushing it below trades
+            # caching fewer rows for re-evaluating the full scoring
+            # expression tree inside the merged filter+project — measured 2x
+            # slower even with the JVM similarity pack (and far worse with
+            # the ArrowEvalPython fallback)
             narrow = wide.drop(*drop_cols).persist(StorageLevel.MEMORY_AND_DISK)
             self._l.materialization._registry.append(narrow)
             if threshold_match_weight is not None:
@@ -661,6 +679,85 @@ class LinkerMisc:
         self._l._concat = None
         self._l._concat_with_tf = None
         self._l._tf_tables = None
+
+
+class LinkerVisualisations:
+    """linker_components/visualisations.py — DATA layer only. The reference
+    renders Altair/Vega; chart rendering is out of engine scope (SURVEY §0),
+    so each method returns the DataFrame / record list the chart consumes."""
+
+    def __init__(self, linker: Linker):
+        self._l = linker
+
+    def match_weights_chart_data(self) -> list[dict]:
+        from .internals.chart_data import match_weights_chart_data
+
+        return match_weights_chart_data(self._l.settings)
+
+    def m_u_parameters_chart_data(self) -> list[dict]:
+        from .internals.chart_data import m_u_parameters_chart_data
+
+        return m_u_parameters_chart_data(self._l.settings)
+
+    def match_weights_histogram_data(
+        self, df_predict: DataFrame, num_bins: int = 100
+    ) -> DataFrame:
+        from .internals.chart_data import match_weights_histogram_data
+
+        df_predict = getattr(df_predict, "_splink_narrow", df_predict)
+        return match_weights_histogram_data(df_predict, num_bins=num_bins)
+
+    def comparison_vector_distribution(self, df_predict: DataFrame) -> DataFrame:
+        from .internals.chart_data import comparison_vector_distribution
+
+        df_predict = getattr(df_predict, "_splink_narrow", df_predict)
+        return comparison_vector_distribution(df_predict, self._l.settings)
+
+    def tf_adjustment_chart_data(
+        self,
+        output_column_name: str,
+        n_most_freq: Optional[int] = 10,
+        n_least_freq: Optional[int] = 10,
+        vals_to_include=None,
+    ) -> DataFrame:
+        from .internals.chart_data import tf_adjustment_chart_data
+
+        return tf_adjustment_chart_data(
+            self._l,
+            output_column_name,
+            n_most_freq=n_most_freq,
+            n_least_freq=n_least_freq,
+            vals_to_include=vals_to_include,
+        )
+
+    def waterfall_data(self, scored_records) -> list[dict]:
+        from .internals.chart_data import waterfall_data
+
+        if isinstance(scored_records, DataFrame):
+            scored_records = [r.asDict() for r in scored_records.collect()]
+        return waterfall_data(self._l.settings, scored_records)
+
+    def cluster_studio_sample(
+        self,
+        df_clustered: DataFrame,
+        df_predict: DataFrame,
+        sampling_method: str = "random",
+        sample_size: int = 10,
+        cluster_ids=None,
+        threshold_match_probability: float = 0.5,
+    ):
+        from .internals.chart_data import cluster_studio_sample
+
+        df_predict = getattr(df_predict, "_splink_narrow", df_predict)
+        return cluster_studio_sample(
+            df_clustered,
+            df_predict,
+            self._l.settings,
+            sampling_method=sampling_method,
+            sample_size=sample_size,
+            cluster_ids=cluster_ids,
+            threshold_match_probability=threshold_match_probability,
+        )
 
 
 class LinkerBlockingAnalysis:
