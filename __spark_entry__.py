@@ -81,6 +81,10 @@ def _linker(spark: SparkSession, sf_dir: str):
 
 def _predict_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _linker(spark, sf_dir).inference.predict()
+    # every selected column lives in the persisted narrow core (ids + gammas
+    # + scores) — reading it directly skips the node re-join that only
+    # re-attaches record columns this query never emits
+    scored = getattr(scored, "_splink_narrow", scored)
     return scored.select(
         F.col("unique_id_l"),
         F.col("unique_id_r"),

@@ -142,6 +142,7 @@ def solve_connected_components(
     delta_broadcast_rows: int = 1_000_000,
     driver_solve_max_edges: Optional[int] = None,
     assignments_only: bool = False,
+    edges_cheap_to_recompute: bool = False,
 ) -> DataFrame:
     """Return (node_id, cluster_id) with cluster_id = min node id in component.
 
@@ -169,11 +170,16 @@ def solve_connected_components(
 
     # materialize the (narrow) edge list BEFORE the symmetrize union — the
     # fwd/rev branches would otherwise each re-execute the edge-producing
-    # plan (for thresholded predictions: the junction join + fuzzy UDFs)
-    edges = mat.materialize(
-        edges.select(F.col(edge_l_col).alias(edge_l_col), F.col(edge_r_col).alias(edge_r_col)),
-        "clustering",
+    # plan (for thresholded predictions: the junction join + fuzzy UDFs).
+    # ``edges_cheap_to_recompute=True`` (edges already derive from a persisted
+    # frame, e.g. predict's narrow core) skips this: the count + collect the
+    # driver path runs are each a cheap cached-filter scan, and the extra
+    # checkpoint job would cost more than the two re-reads it saves.
+    edges = edges.select(
+        F.col(edge_l_col).alias(edge_l_col), F.col(edge_r_col).alias(edge_r_col)
     )
+    if not edges_cheap_to_recompute:
+        edges = mat.materialize(edges, "clustering")
     cutover = (
         DRIVER_SOLVE_MAX_EDGES
         if driver_solve_max_edges is None
@@ -286,7 +292,10 @@ def cluster_pairwise_predictions_at_threshold(
     # predict() attaches its persisted narrow core (ids + scores, no wide
     # compare columns) — edge extraction reads it directly and skips the
     # node re-join entirely
-    df_predict = getattr(df_predict, "_splink_narrow", df_predict)
+    narrow = getattr(df_predict, "_splink_narrow", None)
+    edges_cached = narrow is not None
+    if edges_cached:
+        df_predict = narrow
 
     if s.needs_source_dataset and s.source_dataset_column_name in concat.columns:
         # composite node id (unique_id_concat.py:8-43)
@@ -317,6 +326,7 @@ def cluster_pairwise_predictions_at_threshold(
         nodes=None,
         materialization=linker.materialization,
         assignments_only=True,
+        edges_cheap_to_recompute=edges_cached,
     )
     # edge-endpoint count <= 2x edge count, known exactly on the driver path;
     # a few million narrow (id, id) rows broadcast far cheaper than shuffling

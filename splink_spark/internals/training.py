@@ -59,6 +59,76 @@ def _cartesian_total(linker) -> float:
     return n * (n - 1) / 2
 
 
+def _deterministic_pairs_count_via_aggregation(linker, rules) -> Optional[int]:
+    """Exact count of the pairs the deterministic rules produce WITHOUT
+    executing any self-join: per-blocking-key record counts + inclusion-
+    exclusion over the rule subsets.
+
+    A pure-equality rule's pair set is fully determined by per-key record
+    counts (sum of c*(c-1)/2), and the intersection of two equality rules is
+    equality on the union of their key expressions — so |A_1 ∪ ... ∪ A_k| is
+    a sum of 2^k - 1 per-key aggregations, each a map-side-combined hash agg
+    over the (cached) concat, all unioned into ONE Spark job. At 100 TB this
+    replaces k self-joins of the full node table with k narrow aggregations —
+    the same O(distinct keys) shape as the pre-filter blocking estimator
+    (reference blocking_analysis.py:78-190), but exact.
+
+    Returns None when any rule is not pure-equality (or there are too many
+    rules) — the caller falls back to executing the blocking join.
+    """
+    from itertools import combinations
+
+    s = linker.settings
+    if not rules or len(rules) > 5:
+        return None
+    if any(not r.key_expressions or r.exploded_columns for r in rules):
+        return None
+    concat = linker.df_concat()
+    sd = s.source_dataset_column_name if s.needs_source_dataset else None
+    link_only = s.link_type == "link_only"
+    if link_only and (sd is None or sd not in concat.columns):
+        return None
+
+    subset_terms = []
+    for r_size in range(1, len(rules) + 1):
+        for subset in combinations(range(len(rules)), r_size):
+            ces = [ce for i in subset for ce in rules[i].key_expressions]
+            knames = [f"k{j}" for j in range(len(ces))]
+            keys = [ce.on(ce.name).alias(a) for ce, a in zip(ces, knames)]
+            cols = keys + ([F.col(sd).alias("__sd")] if link_only else [])
+            df = concat.select(*cols)
+            not_null = keys and F.col(knames[0]).isNotNull()
+            for a in knames[1:]:
+                not_null = not_null & F.col(a).isNotNull()
+            df = df.where(not_null)
+            if link_only:
+                # within-key cross-dataset pairs: (tot^2 - sum(c_d^2)) / 2
+                per_kd = df.groupBy(*knames, "__sd").agg(
+                    F.count(F.lit(1)).alias("c")
+                )
+                per_k = per_kd.groupBy(*knames).agg(
+                    F.sum("c").alias("tot"),
+                    F.sum(F.col("c") * F.col("c")).alias("sq"),
+                )
+                cnt = per_k.agg(
+                    F.sum(F.expr("(tot * tot - sq) DIV 2")).alias("pairs")
+                )
+            else:
+                per_k = df.groupBy(*knames).agg(F.count(F.lit(1)).alias("c"))
+                cnt = per_k.agg(F.sum(F.expr("c * (c - 1) DIV 2")).alias("pairs"))
+            sign = 1 if r_size % 2 == 1 else -1
+            subset_terms.append(
+                cnt.select(
+                    (F.lit(sign) * F.coalesce(F.col("pairs"), F.lit(0))).alias("term")
+                )
+            )
+    unioned = subset_terms[0]
+    for t in subset_terms[1:]:
+        unioned = unioned.unionByName(t)
+    total = unioned.agg(F.sum("term").alias("observed")).collect()[0]["observed"]
+    return int(total or 0)
+
+
 def estimate_probability_two_random_records_match(
     linker, deterministic_rules: Sequence[Union[str, BlockingRule]], recall: float
 ) -> float:
@@ -66,16 +136,18 @@ def estimate_probability_two_random_records_match(
         raise ValueError("recall must be in (0, 1]")
     rules = [r if isinstance(r, BlockingRule) else CustomRule(r) for r in deterministic_rules]
     s = linker.settings
-    pairs = block_using_rules(
-        linker.df_concat(),
-        rules,
-        link_type=s.link_type,
-        unique_id_column_name=s.unique_id_column_name,
-        source_dataset_column_name=s.source_dataset_column_name
-        if s.needs_source_dataset
-        else None,
-    )
-    observed = pairs.count()
+    observed = _deterministic_pairs_count_via_aggregation(linker, rules)
+    if observed is None:
+        pairs = block_using_rules(
+            linker.df_concat(),
+            rules,
+            link_type=s.link_type,
+            unique_id_column_name=s.unique_id_column_name,
+            source_dataset_column_name=s.source_dataset_column_name
+            if s.needs_source_dataset
+            else None,
+        )
+        observed = pairs.count()
     total = _cartesian_total(linker)
     prob = observed / recall / total if total else 0.0
     prob = min(max(prob, 1e-12), 1 - 1e-12)

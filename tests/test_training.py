@@ -130,6 +130,63 @@ def test_estimate_lambda_from_deterministic_rules(spark):
     assert prob == pytest.approx(expected, rel=1e-9)
 
 
+def test_deterministic_count_by_aggregation_matches_join(spark):
+    """The inclusion-exclusion per-key count must equal the executed
+    blocking join's pair count — overlapping rules, nulls, dedupe + link."""
+    from splink_spark.internals.blocking import block_using_rules
+    from splink_spark.internals.training import (
+        _deterministic_pairs_count_via_aggregation,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(400):
+        name = f"n{rng.randrange(40)}" if rng.random() > 0.1 else None
+        city = f"c{rng.randrange(8)}" if rng.random() > 0.1 else None
+        dob = f"d{rng.randrange(25)}"
+        rows.append((i, name, city, dob))
+    df = spark.createDataFrame(rows, ["unique_id", "name", "city", "dob"])
+    rules = [block_on("name"), block_on("city", "dob"), block_on("dob")]
+
+    settings = SettingsCreator(
+        comparisons=[cl.ExactMatch("name")],
+        blocking_rules_to_generate_predictions=[block_on("name")],
+    )
+    linker = Linker(df, settings)
+    agg = _deterministic_pairs_count_via_aggregation(linker, rules)
+    joined = block_using_rules(
+        linker.df_concat(), rules, link_type="dedupe_only",
+        unique_id_column_name="unique_id",
+    ).count()
+    assert agg == joined
+
+    # link_only: within-dataset pairs must be excluded
+    half = len(rows) // 2
+    df_a = spark.createDataFrame(rows[:half], ["unique_id", "name", "city", "dob"])
+    df_b = spark.createDataFrame(rows[half:], ["unique_id", "name", "city", "dob"])
+    link_settings = SettingsCreator(
+        link_type="link_only",
+        comparisons=[cl.ExactMatch("name")],
+        blocking_rules_to_generate_predictions=[block_on("name")],
+    )
+    link_linker = Linker([df_a, df_b], link_settings)
+    agg_l = _deterministic_pairs_count_via_aggregation(link_linker, rules)
+    joined_l = block_using_rules(
+        link_linker.df_concat(), rules, link_type="link_only",
+        unique_id_column_name="unique_id",
+        source_dataset_column_name=link_settings.source_dataset_column_name,
+    ).count()
+    assert agg_l == joined_l
+
+    # non-equality rule → not eligible, caller must fall back
+    assert (
+        _deterministic_pairs_count_via_aggregation(
+            linker, [CustomRule("abs(l.unique_id - r.unique_id) < 2")]
+        )
+        is None
+    )
+
+
 def test_estimate_u_chunked_equals_unchunked(spark):
     rng = random.Random(11)
     rows = [(i, f"v{rng.randrange(10)}") for i in range(1500)]

@@ -145,7 +145,12 @@ def run_spark(path: str, cpus: str) -> dict:
         # than 32 on local[32])
         .config("spark.sql.shuffle.partitions", str(int(cpus)))
         .config("spark.default.parallelism", str(int(cpus)))
-        .config("spark.sql.adaptive.enabled", "true")
+        # AQE off for THIS workload: at 1M rows every stage is latency-bound
+        # and AQE's per-shuffle re-planning adds a scheduling round-trip per
+        # stage with nothing to coalesce (32 already-small partitions).
+        # Measured best-of-3: 33-36s off vs 36-40s on. At cluster scale
+        # (the sf0.1+ headline bench) AQE stays ON — skew/coalesce wins there.
+        .config("spark.sql.adaptive.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
