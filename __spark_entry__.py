@@ -254,6 +254,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
         return text.fingerprint(docs)
 
+    def q_rolling_fingerprint(spark, sf_dir):
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        return text.rolling_hash_fingerprint(docs)
+
     def q_ngram_jaccard(spark, sf_dir):
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
@@ -446,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unlinkables": q_unlinkables,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
+        "rolling_fingerprint": q_rolling_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -740,6 +745,23 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id,
              md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
                                      '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    """
+
+    # same Horner-form polynomial rolling hash, exact int64 arithmetic in
+    # both engines (max value 127 * 31^8 / 30 << 2^53); DuckDB's range() is
+    # end-EXCLUSIVE and list_reduce left-folds from the first element —
+    # (((c1)*31+c2)*31+...) equals Spark's aggregate from 0L
+    sqls["rolling_fingerprint"] = """
+      SELECT doc_id,
+        coalesce(
+          CASE WHEN length(text) >= 8 THEN
+            list_min(list_transform(range(1, length(text) - 6), p ->
+              list_reduce(
+                list_transform(range(p, p + 8),
+                               j -> CAST(ascii(substring(text, j, 1)) AS BIGINT)),
+                (acc, x) -> acc * 31 + x)))
+          END, 852891037441) AS fingerprint_hash
       FROM documents
     """
 

@@ -89,6 +89,47 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def rolling_hash_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_len: int = 8,
+    base: int = 31,
+) -> DataFrame:
+    """Winnowing-style document fingerprint from a polynomial rolling hash.
+
+    Every ``shingle_len``-char shingle gets the Horner-form hash
+    ``fold(acc, ch -> acc * base + ascii(ch))`` (the Rabin-Karp rolling
+    hash family); the document fingerprint is the MINIMUM shingle hash —
+    stable under content reordering at shingle granularity, cheap to
+    compare (one int64 per document). Max value ~ 127 * base^shingle_len
+    stays far inside int64 for the defaults (31^8 ≈ 2.8e12), so the
+    arithmetic is exact and reproducible in any engine.
+
+    Pure higher-order-function Column expressions (transform + aggregate):
+    JVM-side, no shuffle, linear in document length — the per-document map
+    shape that scales to billions of rows.
+    """
+    max_h = base ** shingle_len  # sentinel: document shorter than one shingle
+    # NB Spark's sequence(1, n) DESCENDS when n < 1, so the short-document
+    # case must be excluded before building the position sequence
+    expr = f"""
+      coalesce(
+        CASE WHEN length({text_col}) >= {shingle_len} THEN
+          array_min(transform(
+            sequence(1, length({text_col}) - {shingle_len - 1}),
+            p -> aggregate(
+                   sequence(p, p + {shingle_len - 1}),
+                   0L,
+                   (acc, j) -> acc * {base} + ascii(substring({text_col}, j, 1))
+                 )
+          ))
+        END,
+        {max_h}L)
+    """
+    return df.select(F.col(id_col), F.expr(expr).alias("fingerprint_hash"))
+
+
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """N-gram/stopword language-ID heuristic: English stopword density above a
     threshold → 'en', else 'other'. (A real model is out of scope; the operator

@@ -37,6 +37,31 @@ def test_fingerprint_normalises(spark, docs):
     assert out[0] != out[2]
 
 
+def test_rolling_hash_fingerprint(spark, docs):
+    out = {
+        r["doc_id"]: r["fingerprint_hash"]
+        for r in text.rolling_hash_fingerprint(docs).collect()
+    }
+    assert out[0] == out[1]  # identical text, identical fingerprint
+    assert out[0] != out[3]
+
+    # exact python cross-check of the Horner hash on one document
+    t = "the quick brown fox jumps over the lazy dog"
+    def h(s):
+        acc = 0
+        for ch in s:
+            acc = acc * 31 + ord(ch)
+        return acc
+    expected = min(h(t[p : p + 8]) for p in range(len(t) - 7))
+    assert out[0] == expected
+
+    # short / null documents fall to the sentinel (> any real 8-shingle hash)
+    extra = spark.createDataFrame([(10, "short"), (11, None)], ["doc_id", "text"])
+    sent = {r["doc_id"]: r["fingerprint_hash"]
+            for r in text.rolling_hash_fingerprint(extra).collect()}
+    assert sent[10] == sent[11] == 31 ** 8
+
+
 def test_ngram_jaccard(spark, docs):
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, block_cols=["lang"]).collect()
     d = {(r["doc_id_l"], r["doc_id_r"]): r["jaccard"] for r in pairs}
