@@ -103,6 +103,11 @@ def _solve_cc_driver(
         out = pd.DataFrame(
             {"node": sorted_ids, "cluster_id": sorted_ids[parent]}
         )
+        # self-rooted rows (node == its component minimum) are redundant:
+        # every consumer coalesces a missing assignment to the node id, so
+        # dropping them here shrinks the broadcast/join side by the number
+        # of components for free
+        out = out[out["node"] != out["cluster_id"]]
         assignments = spark.createDataFrame(out, schema)
         try:
             assignments._splink_row_count = len(out)  # type: ignore[attr-defined]
@@ -147,10 +152,12 @@ def solve_connected_components(
     """Return (node_id, cluster_id) with cluster_id = min node id in component.
 
     ``assignments_only=True`` returns rows ONLY for nodes that appear in an
-    edge (isolated nodes are absent — callers coalesce ``cluster_id`` to the
-    node id themselves). This skips the full-node-table join and the
-    ``nodes.distinct()`` shuffle entirely — the caller's own output join does
-    that work anyway, so doing it here too would pay it twice.
+    edge — and, on the driver-solve path, only those whose cluster_id
+    differs from the node id (isolated and self-rooted nodes are absent —
+    callers MUST coalesce ``cluster_id`` to the node id themselves). This
+    skips the full-node-table join and the ``nodes.distinct()`` shuffle
+    entirely — the caller's own output join does that work anyway, so doing
+    it here too would pay it twice.
 
     Delta (frontier) iteration: after the first round only a shrinking
     frontier of nodes still changes representative (measured: round 2 touches
