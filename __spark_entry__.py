@@ -179,8 +179,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return block_using_rules(arr, [rule])
 
     def q_comparison_vectors(spark, sf_dir):
-        cv = _linker(spark, sf_dir).comparison_vectors()
-        return cv.select(
+        # the gamma columns live in predict's persisted narrow core — reading
+        # them from the SAME plan lets Spark's cache substitution share one
+        # materialization across the predict/cv/truth-space query family
+        # (linker.comparison_vectors() stays the pre-scoring API for
+        # untrained models; em_patterns still drives it)
+        scored = _linker(spark, sf_dir).inference.predict()
+        scored = getattr(scored, "_splink_narrow", scored)
+        return scored.select(
             "unique_id_l", "unique_id_r",
             "gamma_c_name", "gamma_c_mktsegment", "gamma_c_acctbal",
         )
