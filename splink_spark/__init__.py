@@ -7,8 +7,12 @@ functions in the hot path, Arrow-batched pandas UDFs only where Spark lacks a
 primitive, explicit lineage-break points for the iterative algorithms.
 """
 
-from .internals import comparison_level_library  # noqa: F401
-from .internals import comparison_library  # noqa: F401
+from . import blocking_analysis  # noqa: F401
+from . import blocking_rule_library  # noqa: F401
+from . import clustering  # noqa: F401
+from . import comparison_level_library  # noqa: F401
+from . import comparison_library  # noqa: F401
+from . import exploratory  # noqa: F401
 from .internals.blocking import (  # noqa: F401
     BlockingRule,
     CustomRule,

@@ -295,3 +295,19 @@ class SplinkDatasets:
     @property
     def febrl4b(self) -> DataFrame:
         return self._load("febrl4b")
+
+
+def splink_datasets(
+    spark: Optional[SparkSession] = None, cache_dir: Optional[str] = None
+) -> SplinkDatasets:
+    """Name-parity factory for the reference's ``splink_datasets`` singleton
+    (splink/datasets.py). The reference's is import-time global; Spark
+    DataFrames need a session, so this takes one (defaulting to the active
+    session)."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "splink_datasets needs a SparkSession (none active): "
+            "splink_datasets(spark)"
+        )
+    return SplinkDatasets(spark, cache_dir=cache_dir)

@@ -1,0 +1,95 @@
+"""Top-level façade-module parity: the reference exposes
+splink.blocking_analysis / clustering / exploratory / blocking_rule_library /
+comparison_library / comparison_level_library / datasets as importable
+modules — a reference user's imports must work verbatim (modulo db_api)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    return spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "b", "y"), (4, None, "y")],
+        "unique_id long, name string, city string",
+    )
+
+
+def test_blocking_analysis_facade(spark, small):
+    import splink_spark.blocking_analysis as ba
+    import splink_spark.blocking_rule_library as brl
+
+    recs = ba.count_comparisons_from_blocking_rules(
+        small,
+        blocking_rules=[brl.block_on("name"), "l.city = r.city"],
+        record_sample_proportion=1.0,
+    )
+    # name 'a' -> pair (1,2); city rule adds only (3,4) — (1,2) already blocked
+    assert [r["marginal_comparison_count"] for r in recs] == [1, 1]
+    assert recs[1]["cumulative_comparison_count"] == 2
+
+    top = ba.n_largest_blocks(
+        small, blocking_rule=brl.block_on("name"), n_largest=1
+    ).collect()
+    assert top[0]["key_0"] == "a" and top[0]["block_count"] == 4
+
+    est = ba.estimate_comparisons_from_blocking_rule_pre_filter(
+        small, blocking_rule=brl.block_on("city")
+    ).collect()
+    assert {r["key_0"]: r["block_count"] for r in est} == {"x": 4, "y": 4}
+
+
+def test_clustering_facade(spark, small):
+    from splink_spark.clustering import cluster_pairwise_predictions_at_threshold
+
+    edges = spark.createDataFrame(
+        [(1, 2, 0.95), (3, 4, 0.2)],
+        "unique_id_l long, unique_id_r long, match_probability double",
+    )
+    got = sorted(
+        (r["unique_id"], r["cluster_id"])
+        for r in cluster_pairwise_predictions_at_threshold(
+            small, edges, threshold_match_probability=0.5
+        ).collect()
+    )
+    assert got == [(1, 1), (2, 1), (3, 3), (4, 4)]
+
+    # no threshold → every edge is a match (reference contract)
+    got_all = sorted(
+        (r["unique_id"], r["cluster_id"])
+        for r in cluster_pairwise_predictions_at_threshold(small, edges).collect()
+    )
+    assert got_all == [(1, 1), (2, 1), (3, 3), (4, 3)]
+
+
+def test_exploratory_facade(spark, small):
+    import splink_spark.exploratory as ex
+
+    comp = {r["column"]: r["completeness"] for r in ex.completeness_chart(small).collect()}
+    assert comp["name"] == 0.75 and comp["city"] == 1.0
+
+    # multi-table completeness carries the table name
+    two = ex.completeness_chart(
+        [small, small.where("unique_id <= 2")], table_names_for_chart=["a", "b"]
+    ).collect()
+    assert {r["source_dataset"] for r in two} == {"a", "b"}
+
+    prof = ex.profile_columns(small, ["name"], top_n=1)
+    summary = {r["column"]: r for r in prof["summary"].collect()}
+    assert summary["name"]["n_nonnull"] == 3
+    assert prof["top_n"]["name"].collect()[0]["value"] == "a"
+
+
+def test_library_facades_importable(spark):
+    import splink_spark.blocking_rule_library as brl
+    import splink_spark.comparison_level_library as cll
+    import splink_spark.comparison_library as cl
+
+    assert brl.block_on("name").description == "l.name = r.name"
+    assert hasattr(cl, "ExactMatch") and hasattr(cl, "JaroWinklerAtThresholds")
+    assert hasattr(cll, "ExactMatchLevel") or hasattr(cll, "NullLevel")
+
+    from splink_spark.datasets import splink_datasets
+
+    assert splink_datasets(spark).__class__.__name__ == "SplinkDatasets"
