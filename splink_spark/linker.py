@@ -60,6 +60,7 @@ class Linker:
         self.evaluation = LinkerEvaluation(self)
         self.blocking_analysis = LinkerBlockingAnalysis(self)
         self.misc = LinkerMisc(self)
+        self.table_management = LinkerTableManagement(self)
         self.visualisations = LinkerVisualisations(self)
 
     # -- shared intermediates --------------------------------------------------
@@ -679,6 +680,71 @@ class LinkerMisc:
         self._l._concat = None
         self._l._concat_with_tf = None
         self._l._tf_tables = None
+
+
+class LinkerTableManagement:
+    """linker_components/table_management.py equivalents. Spark-native
+    mapping: 'registering a table' = handing the Linker a DataFrame to use in
+    place of a computed intermediate; deletion = dropping the cache."""
+
+    def __init__(self, linker: Linker):
+        self._l = linker
+
+    def compute_tf_table(self, column_name: str) -> DataFrame:
+        """Term-frequency table for one column (reference
+        table_management.py:37-93). Computed from the concat and memoised in
+        the linker's TF dict so predict reuses it."""
+        from .internals.term_frequencies import compute_term_frequencies
+
+        tfs = self._l.tf_tables()
+        if column_name not in tfs:
+            tfs[column_name] = compute_term_frequencies(
+                self._l.df_concat(), column_name
+            )
+            self._l._concat_with_tf = None  # rebuild with the new column
+        return tfs[column_name]
+
+    def register_term_frequency_lookup(
+        self, df: DataFrame, column_name: str
+    ) -> None:
+        """Override the TF lookup for a column with a precomputed table —
+        e.g. global frequencies estimated from a much larger corpus than the
+        input (reference table_management.py:204-252). Expected columns:
+        (``column_name``, tf_``column_name``)."""
+        expected = {column_name, f"tf_{column_name}"}
+        if not expected.issubset(set(df.columns)):
+            raise ValueError(
+                f"TF lookup for {column_name!r} needs columns {sorted(expected)}, "
+                f"got {df.columns}"
+            )
+        self._l.tf_tables()[column_name] = df
+        self._l._concat_with_tf = None
+
+    def register_table_predict(self, df: DataFrame) -> DataFrame:
+        """Use a previously saved predict output (e.g. read back from
+        parquet) for downstream clustering/evaluation without re-scoring
+        (reference table_management.py:168-202). The frame is persisted and
+        tagged the same way a fresh predict's narrow core is."""
+        from pyspark import StorageLevel
+
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        self._l.materialization._registry.append(cached)
+        cached._splink_narrow = cached  # type: ignore[attr-defined]
+        return cached
+
+    def register_table(self, df: DataFrame, name: str) -> DataFrame:
+        """Register a DataFrame as a temp view usable from
+        ``linker.misc.query_sql`` (reference table_management.py:266-330)."""
+        df.createOrReplaceTempView(name)
+        return df
+
+    def invalidate_cache(self) -> None:
+        self._l.misc.invalidate_cache()
+
+    def delete_tables_created_by_splink_from_db(self) -> None:
+        """Spark-native equivalent: unpersist every intermediate this linker
+        materialized (reference table_management.py:263-264)."""
+        self._l.misc.invalidate_cache()
 
 
 class LinkerVisualisations:

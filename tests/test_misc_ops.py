@@ -205,3 +205,50 @@ def test_worker_memo_distinct_callables_same_name():
     s = pd.Series(["x"]), pd.Series(["y"])
     assert _apply2(s[0], s[1], k1).iloc[0] == 1.0
     assert _apply2(s[0], s[1], k2).iloc[0] == 2.0
+
+
+def test_table_management_namespace(spark, persons, tmp_path):
+    settings = SettingsCreator(
+        comparisons=[
+            _set(cl.ExactMatch("surname", term_frequency_adjustments=True),
+                 {1: (0.9, 0.02), 0: (0.1, 0.98)}),
+            _set(cl.ExactMatch("dob"), {1: (0.85, 0.01), 0: (0.15, 0.99)}),
+        ],
+        blocking_rules_to_generate_predictions=[block_on("dob")],
+        probability_two_random_records_match=0.05,
+    )
+    linker = Linker(persons, settings)
+    tm = linker.table_management
+
+    # compute_tf_table returns (col, tf_col) summing to 1 over rows weighted
+    tf = tm.compute_tf_table("surname")
+    assert set(tf.columns) == {"surname", "tf_surname"}
+    assert tf.count() > 0
+
+    # register a custom TF lookup: a constant overrides the computed one
+    base = linker.inference.predict().collect()
+    const = tf.select("surname", F.lit(0.5).alias("tf_surname"))
+    tm.register_term_frequency_lookup(const, "surname")
+    with_override = linker.inference.predict().collect()
+    tf_l = {r["unique_id_l"]: r for r in with_override}
+    assert any(r["tf_surname_l"] == 0.5 for r in with_override)
+
+    # register_table + query_sql
+    tm.register_table(persons.select("unique_id", "surname"), "my_table")
+    n = linker.misc.query_sql("select count(*) as n from my_table").collect()[0]["n"]
+    assert n == persons.count()
+
+    # register_table_predict: saved scores drive clustering w/o re-scoring
+    linker2 = Linker(persons, settings)
+    pred_path = str(tmp_path / "pred.parquet")
+    narrow = getattr(linker.inference.predict(), "_splink_narrow")
+    narrow.write.mode("overwrite").parquet(pred_path)
+    restored = linker2.table_management.register_table_predict(
+        spark.read.parquet(pred_path)
+    )
+    clustered = linker2.clustering.cluster_pairwise_predictions_at_threshold(
+        restored, 0.9
+    )
+    assert clustered.select("cluster_id").distinct().count() > 0
+
+    tm.delete_tables_created_by_splink_from_db()  # must not raise
