@@ -755,9 +755,10 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # same Horner-form polynomial rolling hash, exact int64 arithmetic in
-    # both engines (max value 127 * 31^8 / 30 << 2^53); DuckDB's range() is
-    # end-EXCLUSIVE and list_reduce left-folds from the first element —
-    # (((c1)*31+c2)*31+...) equals Spark's aggregate from 0L
+    # both engines (max 127*(31^8-1)/30 ~ 5.4e12 << 2^53); DuckDB's range()
+    # is end-EXCLUSIVE and list_reduce left-folds from the first element —
+    # (((c1)*31+c2)*31+...) equals Spark's aggregate from 0L. Sentinel -1
+    # for short/null docs (real hashes are always >= 0).
     sqls["rolling_fingerprint"] = """
       SELECT doc_id,
         coalesce(
@@ -767,7 +768,7 @@ def oracle_sql() -> dict[str, str]:
                 list_transform(range(p, p + 8),
                                j -> CAST(ascii(substring(text, j, 1)) AS BIGINT)),
                 (acc, x) -> acc * 31 + x)))
-          END, 852891037441) AS fingerprint_hash
+          END, -1) AS fingerprint_hash
       FROM documents
     """
 

@@ -19,7 +19,7 @@ from .internals.blocking import (
     estimate_comparisons_pre_filter,
 )
 from .internals.blocking import n_largest_blocks as _n_largest_blocks
-from .internals.vertically_concatenate import vertically_concatenate
+from .internals.vertically_concatenate import concat_input_frames
 
 __all__ = [
     "count_comparisons_from_blocking_rules",
@@ -51,12 +51,11 @@ def _concat_inputs(
 ) -> tuple[DataFrame, Optional[str]]:
     if isinstance(df_or_dfs, DataFrame):
         return df_or_dfs, source_dataset_column_name
-    frames = list(df_or_dfs)
-    if len(frames) == 1:
-        return frames[0], source_dataset_column_name
-    sd = source_dataset_column_name or "source_dataset"
-    names = [f"table_{i}" for i in range(len(frames))]
-    return vertically_concatenate(dict(zip(names, frames)), sd), sd
+    frame, sd = concat_input_frames(
+        df_or_dfs,
+        source_dataset_column_name=source_dataset_column_name or "source_dataset",
+    )
+    return frame, sd or source_dataset_column_name
 
 
 def count_comparisons_from_blocking_rules(

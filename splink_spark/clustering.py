@@ -12,7 +12,10 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .internals.connected_components import solve_connected_components
+from .internals.connected_components import (
+    join_assignments_onto_nodes,
+    solve_connected_components,
+)
 
 __all__ = ["cluster_pairwise_predictions_at_threshold"]
 
@@ -49,15 +52,8 @@ def cluster_pairwise_predictions_at_threshold(
         edge_r_col=r_col,
         assignments_only=True,
     )
-    n_assign = getattr(assignments, "_splink_row_count", None)
-    join_side = (
-        F.broadcast(assignments)
-        if n_assign is not None and n_assign <= 4_000_000
-        else assignments
-    )
-    out = nodes.join(join_side, on=node_id_column_name, how="left")
-    out = out.withColumn(
-        "cluster_id",
-        F.coalesce(F.col("cluster_id"), F.col(node_id_column_name)),
-    )
+    # a pre-existing cluster_id (re-clustering a previous output at a new
+    # threshold) is replaced by the new assignment, not joined ambiguously
+    nodes = nodes.drop("cluster_id")
+    out = join_assignments_onto_nodes(nodes, assignments, node_id_column_name)
     return out.select("cluster_id", *nodes.columns)

@@ -16,28 +16,9 @@ from .internals.profile_data import (
     profile_columns as _profile_summary,
     top_n_values,
 )
-from .internals.vertically_concatenate import vertically_concatenate
+from .internals.vertically_concatenate import concat_input_frames as _concat
 
 __all__ = ["completeness_chart", "profile_columns"]
-
-
-def _concat(
-    df_or_dfs: Union[DataFrame, Sequence[DataFrame]],
-    table_names: Optional[List[str]] = None,
-    source_dataset_column_name: str = "source_dataset",
-) -> tuple[DataFrame, Optional[str]]:
-    if isinstance(df_or_dfs, DataFrame):
-        return df_or_dfs, None
-    frames = list(df_or_dfs)
-    if len(frames) == 1:
-        return frames[0], None
-    names = table_names or [f"table_{i}" for i in range(len(frames))]
-    if len(names) != len(frames):
-        raise ValueError("table_names must match the number of input frames")
-    return (
-        vertically_concatenate(dict(zip(names, frames)), source_dataset_column_name),
-        source_dataset_column_name,
-    )
 
 
 def completeness_chart(

@@ -286,6 +286,30 @@ def solve_connected_components(
     return rep.select(F.col("node").alias(node_col), F.col("rep").alias("cluster_id"))
 
 
+def join_assignments_onto_nodes(
+    nodes: DataFrame,
+    assignments: DataFrame,
+    node_col: str = "node_id",
+    broadcast_max_rows: int = 4_000_000,
+) -> DataFrame:
+    """Left-join CC assignments onto a node table, coalescing a missing
+    assignment to the node id itself (the assignments contract omits
+    isolated — and on the driver path self-rooted — nodes). A few million
+    narrow (id, id) rows broadcast far cheaper than shuffling the full-width
+    node table into a sort-merge join, so broadcast when the solver reported
+    an exact row count under the cap."""
+    n_assign = getattr(assignments, "_splink_row_count", None)
+    join_side = (
+        F.broadcast(assignments)
+        if n_assign is not None and n_assign <= broadcast_max_rows
+        else assignments
+    )
+    out = nodes.join(join_side, on=node_col, how="left")
+    return out.withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(node_col))
+    )
+
+
 def cluster_pairwise_predictions_at_threshold(
     linker,
     df_predict: DataFrame,
@@ -335,20 +359,9 @@ def cluster_pairwise_predictions_at_threshold(
         assignments_only=True,
         edges_cheap_to_recompute=edges_cached,
     )
-    # edge-endpoint count <= 2x edge count, known exactly on the driver path;
-    # a few million narrow (id, id) rows broadcast far cheaper than shuffling
-    # the full-width concat into a sort-merge join
-    n_assign = getattr(assignments, "_splink_row_count", None)
-    join_side = (
-        F.broadcast(assignments)
-        if n_assign is not None and n_assign <= 4_000_000
-        else assignments
+    out = join_assignments_onto_nodes(
+        concat.withColumn("node_id", node_expr), assignments, "node_id"
     )
-    out = concat.withColumn("node_id", node_expr).join(
-        join_side, on="node_id", how="left"
-    )
-    # isolated nodes cluster with themselves
-    out = out.withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("node_id")))
     return out.drop("node_id").select("cluster_id", *concat.columns)
 
 
@@ -416,12 +429,19 @@ def compute_edge_metrics(
     import pandas as pd
 
     l_col, r_col = f"{node_col}_l", f"{node_col}_r"
-    with_cluster = edges.join(
-        assignments.select(
-            F.col(node_col).alias(l_col), F.col("cluster_id")
-        ),
-        on=l_col,
-    ).select("cluster_id", l_col, r_col)
+    # LEFT join + coalesce: assignments from an assignments_only solve omit
+    # self-rooted nodes, and an inner join would silently drop their edges
+    with_cluster = (
+        edges.join(
+            assignments.select(
+                F.col(node_col).alias(l_col), F.col("cluster_id")
+            ),
+            on=l_col,
+            how="left",
+        )
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(l_col)))
+        .select("cluster_id", l_col, r_col)
+    )
 
     def bridges_per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         edge_list = list(zip(pdf[l_col], pdf[r_col]))

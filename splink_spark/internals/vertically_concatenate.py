@@ -54,3 +54,27 @@ def split_link_only_two_datasets(
     lo, hi = sorted(names)
     c = F.col(source_dataset_column_name)
     return concat.where(c == lo), concat.where(c == hi)
+
+
+def concat_input_frames(
+    df_or_dfs,
+    table_names=None,
+    source_dataset_column_name: str = "source_dataset",
+):
+    """Shared facade-input handling: a single DataFrame passes through
+    unchanged; a sequence is vertically concatenated with a source-dataset
+    column naming each input. Returns (frame, source_dataset_col_or_None)."""
+    from pyspark.sql import DataFrame
+
+    if isinstance(df_or_dfs, DataFrame):
+        return df_or_dfs, None
+    frames = list(df_or_dfs)
+    if len(frames) == 1 and table_names is None:
+        return frames[0], None
+    names = table_names or [f"table_{i}" for i in range(len(frames))]
+    if len(names) != len(frames):
+        raise ValueError("table_names must match the number of input frames")
+    return (
+        vertically_concatenate(dict(zip(names, frames)), source_dataset_column_name),
+        source_dataset_column_name,
+    )

@@ -690,6 +690,21 @@ class LinkerTableManagement:
     def __init__(self, linker: Linker):
         self._l = linker
 
+    def _drop_concat_with_tf_cache(self) -> None:
+        """Release the cached concat_with_tf so the next consumer rebuilds it
+        — unpersisting the old frame, not just dropping the reference (a
+        silent leak of a full-width cached copy of the node table)."""
+        old = self._l._concat_with_tf
+        if old is not None:
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+            reg = self._l.materialization._registry
+            if old in reg:
+                reg.remove(old)
+        self._l._concat_with_tf = None
+
     def compute_tf_table(self, column_name: str) -> DataFrame:
         """Term-frequency table for one column (reference
         table_management.py:37-93). Computed from the concat and memoised in
@@ -701,7 +716,7 @@ class LinkerTableManagement:
             tfs[column_name] = compute_term_frequencies(
                 self._l.df_concat(), column_name
             )
-            self._l._concat_with_tf = None  # rebuild with the new column
+            self._drop_concat_with_tf_cache()  # rebuild with the new column
         return tfs[column_name]
 
     def register_term_frequency_lookup(
@@ -718,7 +733,7 @@ class LinkerTableManagement:
                 f"got {df.columns}"
             )
         self._l.tf_tables()[column_name] = df
-        self._l._concat_with_tf = None
+        self._drop_concat_with_tf_cache()
 
     def register_table_predict(self, df: DataFrame) -> DataFrame:
         """Use a previously saved predict output (e.g. read back from
@@ -727,6 +742,16 @@ class LinkerTableManagement:
         tagged the same way a fresh predict's narrow core is."""
         from pyspark import StorageLevel
 
+        uid = self._l.settings.unique_id_column_name
+        required = {f"{uid}_l", f"{uid}_r", "match_probability"}
+        missing = required - set(df.columns)
+        if missing:
+            raise ValueError(
+                f"register_table_predict: input is missing predict-output "
+                f"columns {sorted(missing)} (got {df.columns}) — save and "
+                "re-register predict's output (the narrow core or the wide "
+                "frame both qualify)"
+            )
         cached = df.persist(StorageLevel.MEMORY_AND_DISK)
         self._l.materialization._registry.append(cached)
         cached._splink_narrow = cached  # type: ignore[attr-defined]

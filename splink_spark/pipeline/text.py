@@ -102,15 +102,17 @@ def rolling_hash_fingerprint(
     ``fold(acc, ch -> acc * base + ascii(ch))`` (the Rabin-Karp rolling
     hash family); the document fingerprint is the MINIMUM shingle hash —
     stable under content reordering at shingle granularity, cheap to
-    compare (one int64 per document). Max value ~ 127 * base^shingle_len
-    stays far inside int64 for the defaults (31^8 ≈ 2.8e12), so the
-    arithmetic is exact and reproducible in any engine.
+    compare (one int64 per document). Max value is bounded by
+    ``max_codepoint * (base^shingle_len - 1) / (base - 1)`` — for ASCII
+    defaults ~5.4e12, far inside int64/2^53, so the arithmetic is exact and
+    reproducible in any engine. Documents shorter than one shingle (and
+    null) get the sentinel ``-1``, which no real shingle can hash to
+    (codepoints are non-negative, so every real hash is >= 0).
 
     Pure higher-order-function Column expressions (transform + aggregate):
     JVM-side, no shuffle, linear in document length — the per-document map
     shape that scales to billions of rows.
     """
-    max_h = base ** shingle_len  # sentinel: document shorter than one shingle
     # NB Spark's sequence(1, n) DESCENDS when n < 1, so the short-document
     # case must be excluded before building the position sequence
     expr = f"""
@@ -125,7 +127,7 @@ def rolling_hash_fingerprint(
                  )
           ))
         END,
-        {max_h}L)
+        -1L)
     """
     return df.select(F.col(id_col), F.expr(expr).alias("fingerprint_hash"))
 

@@ -56,11 +56,21 @@ def test_clustering_facade(spark, small):
     assert got == [(1, 1), (2, 1), (3, 3), (4, 4)]
 
     # no threshold → every edge is a match (reference contract)
+    clustered_all = cluster_pairwise_predictions_at_threshold(small, edges)
     got_all = sorted(
-        (r["unique_id"], r["cluster_id"])
-        for r in cluster_pairwise_predictions_at_threshold(small, edges).collect()
+        (r["unique_id"], r["cluster_id"]) for r in clustered_all.collect()
     )
     assert got_all == [(1, 1), (2, 1), (3, 3), (4, 3)]
+
+    # re-clustering a previous output at a higher threshold replaces the
+    # old cluster_id instead of raising an ambiguous-column error
+    re = sorted(
+        (r["unique_id"], r["cluster_id"])
+        for r in cluster_pairwise_predictions_at_threshold(
+            clustered_all, edges, threshold_match_probability=0.5
+        ).collect()
+    )
+    assert re == [(1, 1), (2, 1), (3, 3), (4, 4)]
 
 
 def test_exploratory_facade(spark, small):

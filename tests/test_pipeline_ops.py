@@ -55,11 +55,12 @@ def test_rolling_hash_fingerprint(spark, docs):
     expected = min(h(t[p : p + 8]) for p in range(len(t) - 7))
     assert out[0] == expected
 
-    # short / null documents fall to the sentinel (> any real 8-shingle hash)
+    # short / null documents fall to the -1 sentinel (real hashes are >= 0)
     extra = spark.createDataFrame([(10, "short"), (11, None)], ["doc_id", "text"])
     sent = {r["doc_id"]: r["fingerprint_hash"]
             for r in text.rolling_hash_fingerprint(extra).collect()}
-    assert sent[10] == sent[11] == 31 ** 8
+    assert sent[10] == sent[11] == -1
+    assert all(v >= 0 for k, v in out.items())
 
 
 def test_ngram_jaccard(spark, docs):
