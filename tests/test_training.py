@@ -187,6 +187,49 @@ def test_deterministic_count_by_aggregation_matches_join(spark):
     )
 
 
+def test_trained_model_predict_matches_driver_recompute(spark, em_fixture):
+    """Cross-path consistency (reference test_train_vs_predict.py): the
+    probabilities predict() computes JVM-side from the TRAINED parameters
+    must equal a driver-side recomputation of the Fellegi-Sunter formula
+    from the same written-back m/u/lambda — catches write-back (median
+    fold, deactivation) and scoring-expression divergence in one shot."""
+    import math
+
+    settings = SettingsCreator(
+        link_type="dedupe_only",
+        comparisons=[cl.ExactMatch("col_1"), cl.ExactMatch("col_2"), cl.ExactMatch("col_3")],
+        blocking_rules_to_generate_predictions=[block_on("pair_id")],
+        probability_two_random_records_match=0.2,
+    )
+    linker = Linker(em_fixture, settings)
+    estimate_parameters_using_em(linker, block_on("pair_id"), fix_u_probabilities=False)
+    assert settings.all_probabilities_set
+
+    mu = {}
+    for comp in settings.comparisons:
+        for lv in comp.comparison_levels:
+            if lv.is_null_level:
+                continue
+            mu[(comp.output_column_name, lv.comparison_vector_value)] = (
+                lv.m_probability, lv.u_probability,
+            )
+    lam = settings.probability_two_random_records_match
+    prior_mw = math.log2(lam / (1 - lam))
+
+    rows = linker.inference.predict().collect()
+    assert len(rows) == 4000
+    for r in rows[::97]:  # sample every 97th pair
+        mw = prior_mw
+        for c in ("col_1", "col_2", "col_3"):
+            g = r[f"gamma_{c}"]
+            if g != -1:
+                m, u = mu[(c, g)]
+                mw += math.log2(m / u)
+        expected = 2**mw / (1 + 2**mw)
+        assert r["match_weight"] == pytest.approx(mw, rel=1e-9)
+        assert r["match_probability"] == pytest.approx(expected, rel=1e-9)
+
+
 def test_estimate_u_chunked_equals_unchunked(spark):
     rng = random.Random(11)
     rows = [(i, f"v{rng.randrange(10)}") for i in range(1500)]
