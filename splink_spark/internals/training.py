@@ -129,6 +129,19 @@ def _deterministic_pairs_count_via_aggregation(linker, rules) -> Optional[int]:
     return int(total or 0)
 
 
+def _concat_for_gammas(linker):
+    """The node table for stages that compute GAMMAS but never score
+    (u-sampling, pattern-path EM): tf_* columns are dead weight there, so
+    prefer the plain concat. Falls back to concat_with_tf when any
+    comparison has undeclared (custom-SQL) inputs — those conditions could
+    in principle reference tf_* columns directly."""
+    s = linker.settings
+    all_declared = all(
+        getattr(comp, "input_columns", None) for comp in s.comparisons
+    )
+    return linker.df_concat() if all_declared else linker.df_concat_with_tf()
+
+
 def estimate_probability_two_random_records_match(
     linker, deterministic_rules: Sequence[Union[str, BlockingRule]], recall: float
 ) -> float:
@@ -185,7 +198,10 @@ def estimate_u_using_random_sampling(
     """
     s = linker.settings
     uid = s.unique_id_column_name
-    concat = linker.df_concat_with_tf()
+    # gammas never read tf_* columns, so sample from the PLAIN concat — the
+    # TF join would only widen every row this stage touches (the TF build
+    # itself still happens exactly once, at the first consumer that scores)
+    concat = _concat_for_gammas(linker)
     n = getattr(concat, "_splink_row_count", None) or concat.count()
     target_sample = math.sqrt(max_pairs * 2)
     fraction = min(1.0, target_sample / max(n, 1))
@@ -567,7 +583,13 @@ def estimate_parameters_using_em(
 
     # -- optional max_pairs record sampling (em_sampling.py:143-249) ----------
     uid = s.unique_id_column_name
-    nodes = linker.df_concat_with_tf()
+    # the agreement-pattern fast path never scores, so tf_* columns would
+    # only widen the blocking join; the with-TF E-step reads them
+    nodes = (
+        _concat_for_gammas(linker)
+        if estimate_without_term_frequencies
+        else linker.df_concat_with_tf()
+    )
     sample_info: dict = {"sampling_applied": False, "max_pairs": max_pairs}
     if max_pairs is not None:
         probe_threshold = min(
