@@ -41,6 +41,12 @@ class Linker:
         settings: Settings,
         materialization: Optional[MaterializationPolicy] = None,
     ):
+        # reference parity (linker.py Linker.__init__): settings may be the
+        # Settings object, a settings dict, or a path to a settings JSON
+        if isinstance(settings, str):
+            settings = Settings.from_json(settings)  # path or JSON string
+        elif isinstance(settings, dict):
+            settings = Settings.from_dict(settings)
         self.settings = settings
         self._frames = _normalise_frames(input_table_or_tables)
         first = next(iter(self._frames.values()))

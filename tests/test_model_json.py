@@ -160,3 +160,25 @@ def test_load_reference_format_settings_json(spark, persons):
     # taylor/tailor, levenshtein 2) which outranks unrelated pairs
     by_pair = {(r["unique_id_l"], r["unique_id_r"]): r["match_probability"] for r in rows}
     assert by_pair[(0, 1)] > by_pair[(0, 2)] > by_pair[(0, 6)]
+
+
+def test_linker_accepts_dict_and_json_path(spark, persons, tmp_path):
+    """Reference parity: Linker(settings=...) takes a Settings object, a
+    settings dict, or a path to a settings JSON."""
+    settings = SettingsCreator(
+        comparisons=[
+            _set(cl.ExactMatch("surname"), {1: (0.9, 0.02), 0: (0.1, 0.98)}),
+            _set(cl.ExactMatch("dob"), {1: (0.85, 0.01), 0: (0.15, 0.99)}),
+        ],
+        blocking_rules_to_generate_predictions=[block_on("dob")],
+        probability_two_random_records_match=0.05,
+    )
+    path = str(tmp_path / "model.json")
+    settings.to_json(path)
+
+    base = Linker(persons, settings).inference.predict().count()
+    from_path = Linker(persons, path).inference.predict().count()
+    import json
+    with open(path) as f:
+        from_dict = Linker(persons, json.load(f)).inference.predict().count()
+    assert base == from_path == from_dict
