@@ -1,16 +1,21 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
 
-The decode/feature-extract kernels are STUBBED (image/audio libraries are not
-in this container — see the NotImplementedError / deterministic-fake paths,
-clearly marked) but the Spark-side plumbing is real and tested: schemas,
-Arrow batch shape via ``mapInPandas``, partition-preserving transforms — the
-parts that matter for running this over 100 TB of media.
+Decode is REAL for self-describing formats that need no codec library:
+PPM/PGM images (P6/P5 headers + raw samples, parsed with numpy) and WAV
+audio (stdlib ``wave`` + numpy PCM). Codec formats (JPEG/PNG/MP3/video)
+would need libraries absent from this container: feature extraction falls
+back to a clearly-labeled byte-statistics vector, and ``resize_images``
+fails loudly for them. The Spark-side shape is the part designed for
+100 TB: Arrow-batched ``mapInPandas``, fixed feature schema, partition-
+parallel, no row-wise Python dispatch.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import io
+from typing import Iterator, Optional
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -36,42 +41,166 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
+#: fixed-width feature vector; kind says which kernel produced it
 FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), True),  # pnm | wav | bytes
         StructField("feature", ArrayType(DoubleType()), True),
         StructField("n_bytes", LongType(), True),
     ]
 )
 
+_FEATURE_LEN = 8
 
-def _decode_image(content: bytes) -> list[float]:
-    """STUB: real implementation needs an image library (PIL/cv2), absent in
-    this container. Deterministic fake: 4 moments of the byte histogram."""
-    if content is None:
+
+# ---------------------------------------------------------------------------
+# real decoders (no codec library needed)
+# ---------------------------------------------------------------------------
+
+
+def _parse_pnm_header(content: bytes):
+    """(magic, width, height, maxval, data_offset) for P5/P6, else None.
+    Handles '#' comments and arbitrary whitespace per the netpbm spec."""
+    if not content or len(content) < 2 or content[:1] != b"P" or content[1:2] not in (b"5", b"6"):
         return None
+    vals: list[int] = []
+    i = 2
+    n = len(content)
+    while len(vals) < 3 and i < n:
+        c = content[i : i + 1]
+        if c.isspace():
+            i += 1
+            continue
+        if c == b"#":
+            j = content.find(b"\n", i)
+            if j == -1:
+                return None
+            i = j + 1
+            continue
+        j = i
+        while j < n and not content[j : j + 1].isspace():
+            j += 1
+        tok = content[i:j]
+        if not tok.isdigit():
+            return None
+        vals.append(int(tok))
+        i = j
+    if len(vals) < 3 or i >= n:
+        return None
+    i += 1  # exactly one whitespace byte after maxval, then raw samples
+    return content[1:2].decode(), vals[0], vals[1], vals[2], i
+
+
+def decode_pnm(content: bytes) -> Optional[np.ndarray]:
+    """PPM (P6) / PGM (P5) → uint8 array of shape (h, w, channels)."""
+    hdr = _parse_pnm_header(content)
+    if hdr is None:
+        return None
+    magic, w, h, maxval, off = hdr
+    if maxval > 255:  # 16-bit samples: out of scope for the fixture formats
+        return None
+    ch = 3 if magic == "6" else 1
+    need = w * h * ch
+    buf = np.frombuffer(content, dtype=np.uint8, count=-1, offset=off)
+    if buf.size < need:
+        return None
+    return buf[:need].reshape(h, w, ch)
+
+
+def encode_pnm(arr: np.ndarray) -> bytes:
+    """uint8 (h, w, channels) → P6/P5 bytes (inverse of decode_pnm)."""
+    h, w, ch = arr.shape
+    magic = b"P6" if ch == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def decode_wav(content: bytes) -> Optional[tuple[np.ndarray, int]]:
+    """WAV (PCM 8/16-bit) → (mono float64 samples in [-1, 1], sample_rate)."""
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(content)) as wf:
+            n_ch = wf.getnchannels()
+            width = wf.getsampwidth()
+            rate = wf.getframerate()
+            raw = wf.readframes(wf.getnframes())
+    except Exception:
+        return None
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        return None
+    if n_ch > 1:
+        samples = samples[: len(samples) - len(samples) % n_ch]
+        samples = samples.reshape(-1, n_ch).mean(axis=1)
+    return samples, rate
+
+
+# ---------------------------------------------------------------------------
+# feature kernels (each returns a _FEATURE_LEN vector)
+# ---------------------------------------------------------------------------
+
+
+def _image_features(arr: np.ndarray) -> list[float]:
+    h, w, ch = arr.shape
+    flat = arr.astype(np.float64)
+    chan_means = [float(flat[:, :, c].mean()) for c in range(ch)] + [0.0] * (3 - ch)
+    return [float(w), float(h), float(ch), float(flat.mean()), float(flat.std())] + chan_means
+
+
+def _audio_features(samples: np.ndarray, rate: int) -> list[float]:
+    n = len(samples)
+    dur = n / rate if rate else 0.0
+    rms = float(np.sqrt((samples**2).mean())) if n else 0.0
+    zcr = float((np.diff(np.sign(samples)) != 0).mean()) if n > 1 else 0.0
+    peak = float(np.abs(samples).max()) if n else 0.0
+    return [float(rate), float(n), dur, rms, zcr, peak, float(samples.mean()) if n else 0.0, 0.0]
+
+
+def _byte_features(content: bytes) -> list[float]:
+    """FALLBACK for codec formats this container cannot decode (JPEG/PNG/
+    MP3/video): deterministic byte statistics, labeled kind='bytes'."""
     n = len(content)
     if n == 0:
-        return [0.0, 0.0, 0.0, 0.0]
-    s = sum(content)
-    mean = s / n
-    var = sum((b - mean) ** 2 for b in content[:4096]) / min(n, 4096)
-    return [float(n), mean, var, float(content[0])]
+        return [0.0] * _FEATURE_LEN
+    head = np.frombuffer(content, dtype=np.uint8, count=min(n, 65536))
+    return [
+        float(n), float(head.mean()), float(head.std()), float(content[0]),
+        float(content[-1]), float(np.count_nonzero(head == 0)) / len(head), 0.0, 0.0,
+    ]
+
+
+def _extract_one(content: Optional[bytes]) -> tuple[Optional[str], Optional[list[float]]]:
+    if content is None:
+        return None, None
+    img = decode_pnm(content)
+    if img is not None:
+        return "pnm", _image_features(img)
+    wav = decode_wav(content)
+    if wav is not None:
+        return "wav", _audio_features(*wav)
+    return "bytes", _byte_features(content)
 
 
 def extract_features(media: DataFrame) -> DataFrame:
     """Feature-extract each media blob via Arrow-batched ``mapInPandas`` —
-    the real 100 TB shape: batch-at-a-time, no row-wise Python dispatch,
-    partition-parallel."""
+    batch-at-a-time, partition-parallel, fixed output schema. PPM/PGM and
+    WAV decode for real; anything else gets the labeled byte-stats fallback."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _decode_image(c) if c is not None else None for c in pdf["content"]
-            ]
+            kinds, feats = [], []
+            for c in pdf["content"]:
+                k, f_ = _extract_one(bytes(c) if c is not None else None)
+                kinds.append(k)
+                feats.append(f_)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
+                    "kind": kinds,
                     "feature": feats,
                     "n_bytes": [len(c) if c is not None else 0 for c in pdf["content"]],
                 }
@@ -81,16 +210,51 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB: decode→resize→re-encode needs an image library; fails loudly."""
-    raise NotImplementedError(
-        "image resize requires an image decode library not present in this "
-        "container; the mapInPandas plumbing pattern is extract_features()"
-    )
+    """Nearest-neighbour resize for PPM/PGM images (pure numpy index
+    sampling), re-encoded in the same format with updated metadata. Codec
+    formats fail loudly per-row — decoding them needs libraries this
+    container does not have."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_content, out_w, out_h = [], [], []
+            for c in pdf["content"]:
+                if c is None:
+                    out_content.append(None)
+                    out_w.append(None)
+                    out_h.append(None)
+                    continue
+                arr = decode_pnm(bytes(c))
+                if arr is None:
+                    raise NotImplementedError(
+                        "resize_images decodes PPM/PGM only; other image "
+                        "formats need a codec library not present here"
+                    )
+                h0, w0, _ch = arr.shape
+                rows = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+                cols = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+                resized = arr[rows][:, cols]
+                out_content.append(encode_pnm(resized))
+                out_w.append(width)
+                out_h.append(height)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "content": out_content,
+                    "width": pd.array(out_w, dtype="Int32"),
+                    "height": pd.array(out_h, dtype="Int32"),
+                    "duration_ms": pdf["duration_ms"],
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame sampling for video: one row per sampled frame. Decode is STUBBED
-    (deterministic frame offsets from duration metadata only)."""
+    """Frame sampling for video: one row per sampled frame offset. Offsets
+    come from duration metadata only — actual frame DECODE would need video
+    codecs this container does not have."""
     frames = F.sequence(
         F.lit(0), F.coalesce(F.col("duration_ms"), F.lit(0)), F.lit(every_ms)
     )

@@ -156,14 +156,83 @@ def test_multimodal_plumbing(spark, docs):
     feats = multimodal.extract_features(media).collect()
     by_id = {r["media_id"]: r for r in feats}
     assert by_id[0]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
-    assert len(by_id[0]["feature"]) == 4
-    # deterministic fake must be stable
+    assert by_id[0]["kind"] == "bytes"  # text bytes → labeled fallback kernel
+    assert len(by_id[0]["feature"]) == 8
+    # deterministic: identical input → identical features
     feats2 = multimodal.extract_features(media).collect()
     assert {r["media_id"]: r["feature"] for r in feats2} == {
         r["media_id"]: r["feature"] for r in feats
     }
-    with pytest.raises(NotImplementedError):
-        multimodal.resize_images(media, 100, 100)
+    # codec formats (non-PNM) fail loudly on resize
+    with pytest.raises(Exception):
+        multimodal.resize_images(media, 100, 100).collect()
+
+
+def _make_ppm(w, h):
+    import numpy as np
+
+    arr = (np.arange(w * h * 3, dtype=np.uint64) % 251).astype(np.uint8).reshape(h, w, 3)
+    return multimodal.encode_pnm(arr), arr
+
+
+def _make_wav(freq=440, rate=8000, secs=0.25):
+    import io as _io
+    import math
+    import wave
+
+    import numpy as np
+
+    n = int(rate * secs)
+    samples = (np.sin(2 * math.pi * freq * np.arange(n) / rate) * 20000).astype("<i2")
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue(), samples
+
+
+def test_multimodal_real_decode(spark):
+    """PPM images and WAV audio decode FOR REAL (no codec libs needed)."""
+    import numpy as np
+
+    ppm, arr = _make_ppm(10, 6)
+    wav, samples = _make_wav()
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(ppm), 10, 6, None),
+            (2, "audio", bytearray(wav), None, None, 250),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+
+    img = feats[1]
+    assert img["kind"] == "pnm"
+    w, h, ch, mean, std = img["feature"][:5]
+    assert (w, h, ch) == (10.0, 6.0, 3.0)
+    assert mean == pytest.approx(float(arr.mean()), rel=1e-9)
+    assert std == pytest.approx(float(arr.std()), rel=1e-9)
+
+    aud = feats[2]
+    assert aud["kind"] == "wav"
+    rate, n, dur, rms = aud["feature"][:4]
+    assert rate == 8000.0 and n == 2000.0
+    assert dur == pytest.approx(0.25)
+    # sine RMS = amplitude / sqrt(2)
+    assert rms == pytest.approx((20000 / 32768.0) / np.sqrt(2), rel=0.01)
+
+    # real nearest-neighbour resize round-trips through encode_pnm
+    resized = multimodal.resize_images(
+        media.where("media_id = 1"), 5, 3
+    ).collect()[0]
+    assert (resized["width"], resized["height"]) == (5, 3)
+    back = multimodal.decode_pnm(bytes(resized["content"]))
+    assert back.shape == (3, 5, 3)
+    rows = (np.arange(3) * 6 // 3).clip(0, 5)
+    cols = (np.arange(5) * 10 // 5).clip(0, 9)
+    assert np.array_equal(back, arr[rows][:, cols])
 
 
 def test_frame_sampling(spark):
