@@ -49,6 +49,7 @@ def _solve_cc_driver(
     edge_l_col: str,
     edge_r_col: str,
     assignments_only: bool = False,
+    pdf=None,
 ) -> DataFrame:
     """Driver-side union-find over a collected edge list.
 
@@ -56,12 +57,16 @@ def _solve_cc_driver(
     factorized then ranked by their natural ordering, so the converged root
     (min rank in component) maps back to the min node id — identical
     semantics to the distributed loop and to the reference's SQL loop.
+
+    ``pdf``: the already-collected edge pandas frame, when the caller's
+    cutover probe fetched it (avoids a second collect of the same rows).
     """
     import numpy as np
     import pandas as pd
 
     spark = edges.sparkSession
-    pdf = edges.toPandas()
+    if pdf is None:
+        pdf = edges.toPandas()
     # null endpoints would factorize to code -1 and silently index the last
     # element of the rank array, corrupting assignments; the distributed
     # join path drops such edges — match it
@@ -192,11 +197,17 @@ def solve_connected_components(
         if driver_solve_max_edges is None
         else driver_solve_max_edges
     )
-    if cutover and edges.count() <= cutover:
-        return _solve_cc_driver(
-            edges, nodes, node_col, edge_l_col, edge_r_col,
-            assignments_only=assignments_only,
-        )
+    if cutover:
+        # single bounded probe instead of count-then-collect: fetch at most
+        # cutover+1 rows — under the cutover this IS the full edge list (one
+        # action saved per solve); over it, the wasted work is bounded by
+        # the cutover and the distributed loop takes over
+        probe = edges.limit(cutover + 1).toPandas()
+        if len(probe) <= cutover:
+            return _solve_cc_driver(
+                edges, nodes, node_col, edge_l_col, edge_r_col,
+                assignments_only=assignments_only, pdf=probe,
+            )
     # symmetric neighbour list (reference :169-187 reverse-union)
     fwd = edges.select(F.col(edge_l_col).alias("node"), F.col(edge_r_col).alias("nbr"))
     rev = edges.select(F.col(edge_r_col).alias("node"), F.col(edge_l_col).alias("nbr"))

@@ -58,8 +58,10 @@ def test_cc_matches_networkx(spark, n, p, seed, driver_max):
         seen_cluster_ids.add(cid)
 
 
-@pytest.mark.parametrize("driver_max", [0, None])
+@pytest.mark.parametrize("driver_max", [0, 3, None])
 def test_cc_chain_graph(spark, driver_max):
+    # driver_max=3: the cutover probe overflows (fetches 4 of 199 edges)
+    # and must fall through to the distributed loop correctly
     """Worst-case diameter: a long path must converge, not hit max_iterations."""
     n = 200
     nodes_df = spark.createDataFrame([(i,) for i in range(n)], ["node_id"])
