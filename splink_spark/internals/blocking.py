@@ -74,9 +74,27 @@ class BlockingRule:
 # -- user-facing DSL (reference blocking_rule_library.py:22-204) --------------
 
 
-def block_on(*col_specs: ColSpec, salting_partitions: int = 1) -> BlockingRule:
-    """Equality blocking on one or more (possibly transformed) columns."""
-    ces = [ColumnExpression.instantiate(c) for c in col_specs]
+def block_on(
+    *col_specs: ColSpec,
+    salting_partitions: int = 1,
+    arrays_to_explode: Optional[Sequence[str]] = None,
+) -> BlockingRule:
+    """Equality blocking on one or more (possibly transformed) columns.
+
+    Reference parity (blocking_rule_library.py:162-210): a string spec that
+    is not a bare column name is treated as a SQL snippet over base column
+    names (``block_on("substr(surname,1,2)")``); ``arrays_to_explode``
+    unnests the named array columns on both sides before joining."""
+    import re as _re
+
+    def _instantiate(c):
+        if isinstance(c, str) and not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c):
+            from .column_expression import SqlColumnExpression
+
+            return SqlColumnExpression(c)
+        return ColumnExpression.instantiate(c)
+
+    ces = [_instantiate(c) for c in col_specs]
 
     def cond() -> Column:
         parts = [ce.l().eqNullSafe(ce.r()) & ce.l().isNotNull() for ce in ces]
@@ -91,11 +109,15 @@ def block_on(*col_specs: ColSpec, salting_partitions: int = 1) -> BlockingRule:
         desc,
         salting_partitions=salting_partitions,
         columns=[ce.name for ce in ces if ce.is_pure_column_reference],
+        exploded_columns=list(arrays_to_explode or ()),
     )
     rule.spec = {
         "builder": "block_on",
         "args": [ce.name if ce.is_pure_column_reference else {"__ce__": ce.as_dict()} for ce in ces],
-        "kwargs": {"salting_partitions": salting_partitions},
+        "kwargs": {
+            "salting_partitions": salting_partitions,
+            **({"arrays_to_explode": list(arrays_to_explode)} if arrays_to_explode else {}),
+        },
     }
     rule.key_expressions = ces
     return rule

@@ -51,6 +51,8 @@ class ColumnExpression:
     def from_dict(d: Union[str, dict]) -> "ColumnExpression":
         if isinstance(d, str):
             return ColumnExpression(d)
+        if "sql" in d:
+            return SqlColumnExpression(d["sql"])
         ce = ColumnExpression(d["name"])
         for method, *args in d.get("transforms", []):
             args = args[0] if len(args) == 1 and isinstance(args[0], list) else args
@@ -129,3 +131,79 @@ class ColumnExpression:
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"ColumnExpression({self.name!r}, {len(self.transforms)} transforms)"
+
+
+# -- SQL-snippet keys (reference block_on("substr(surname,1,2)")) -------------
+
+_SQL_IDENT = __import__("re").compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_SQL_KEYWORDS = {
+    "AND", "OR", "NOT", "NULL", "IS", "CASE", "WHEN", "THEN", "ELSE", "END",
+    "LIKE", "IN", "TRUE", "FALSE", "CAST", "AS", "BETWEEN", "DISTINCT",
+    "INT", "BIGINT", "DOUBLE", "FLOAT", "STRING", "DATE", "TIMESTAMP",
+    "BOOLEAN", "DECIMAL", "INTERVAL", "DIV",
+}
+
+
+def suffix_sql_identifiers(sql: str, suffix: str) -> str:
+    """Append ``suffix`` to every bare column identifier in a SQL snippet,
+    leaving function names (identifier followed by '('), SQL keywords,
+    numeric literals, and single-quoted string literals untouched —
+    ``substr(surname, 1, 2)`` + ``_l`` → ``substr(surname_l, 1, 2)``.
+    The reference gets the same effect by prefixing a table alias via
+    sqlglot; this lexical rewrite covers the function-call/arithmetic
+    snippets block_on documents."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":  # string literal (with '' escape)
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and not (j + 1 < n and sql[j + 1] == "'"):
+                    break
+                j += 2 if sql[j] == "'" else 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        m = _SQL_IDENT.match(sql, i)
+        if m:
+            tok = m.group(0)
+            rest = sql[m.end():].lstrip()
+            prev = sql[:i].rstrip()
+            is_func = rest.startswith("(")
+            is_kw = tok.upper() in _SQL_KEYWORDS
+            is_qualified = prev.endswith(".")  # alias.col — leave alone
+            out.append(tok if (is_func or is_kw or is_qualified) else tok + suffix)
+            i = m.end()
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+class SqlColumnExpression(ColumnExpression):
+    """A blocking key defined by a SQL snippet over BASE column names
+    (reference blocking_rule_library.py:162-210 ``block_on("substr(s,1,2)")``).
+    ``l()``/``r()`` rewrite the snippet's identifiers with the side suffix;
+    ``on(name)`` returns the raw expression (the shape the pre-filter
+    key-count estimator groups by)."""
+
+    def __init__(self, sql: str):
+        super().__init__(sql)
+        self.sql = sql
+
+    def on(self, column_name: str) -> Column:
+        for suffix in ("_l", "_r"):
+            if column_name == f"{self.name}{suffix}":
+                return F.expr(suffix_sql_identifiers(self.sql, suffix))
+        return F.expr(self.sql)
+
+    @property
+    def is_pure_column_reference(self) -> bool:
+        return False
+
+    def as_dict(self) -> dict:
+        return {"name": self.sql, "sql": self.sql}
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"SqlColumnExpression({self.sql!r})"

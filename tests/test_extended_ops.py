@@ -134,3 +134,46 @@ def test_estimate_m_from_pairwise_labels(spark, persons):
     # labelled matches: (0,1) same surname, (0,2) different, (3,4) same
     assert result["surname[1]"] == pytest.approx(2 / 3)
     assert result["surname[0]"] == pytest.approx(1 / 3)
+
+
+def test_block_on_sql_snippet_key(spark, persons):
+    """Reference parity: block_on("substr(surname,1,2)") — a SQL snippet as
+    the blocking key, equal to the ColumnExpression transform chain."""
+    from splink_spark import ColumnExpression
+    from splink_spark.internals.blocking import rule_from_spec
+
+    snippet = block_on("substr(surname, 1, 2)")
+    chained = block_on(ColumnExpression("surname").substr(1, 2))
+    p1 = {(r["join_key_l"], r["join_key_r"])
+          for r in block_using_rules(persons, [snippet]).collect()}
+    p2 = {(r["join_key_l"], r["join_key_r"])
+          for r in block_using_rules(persons, [chained]).collect()}
+    assert p1 == p2 and len(p1) > 0
+
+    # snippet keys power the pre-filter estimator too
+    from splink_spark.internals.blocking import estimate_comparisons_pre_filter
+    est = estimate_comparisons_pre_filter(persons, snippet).collect()
+    assert sum(r["block_count"] - r["count_l"] for r in est) >= 0
+
+    # spec round-trip preserves the snippet
+    again = rule_from_spec(snippet.spec)
+    p3 = {(r["join_key_l"], r["join_key_r"])
+          for r in block_using_rules(persons, [again]).collect()}
+    assert p3 == p1
+
+    # literals and keywords survive the suffix rewrite
+    mixed = block_on("case when surname = 'taylor' then 'T' else surname end")
+    pm = block_using_rules(persons, [mixed]).collect()
+    assert len(pm) > 0
+
+
+def test_block_on_arrays_to_explode(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["b", "c"]), (3, ["c", "d"])],
+        "unique_id long, tags array<string>",
+    )
+    pairs = block_using_rules(
+        df, [block_on("tags", arrays_to_explode=["tags"])]
+    ).collect()
+    got = {(r["join_key_l"], r["join_key_r"]) for r in pairs}
+    assert got == {(1, 2), (2, 3)}
