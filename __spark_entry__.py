@@ -260,6 +260,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
         return text.fingerprint(docs)
 
+    def q_corpus_dedup(spark, sf_dir):
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        return dedup.deduplicate_corpus(
+            docs, n=3, threshold=0.62, block_cols=["lang"]
+        )
+
     def q_rolling_fingerprint(spark, sf_dir):
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
         return text.rolling_hash_fingerprint(docs)
@@ -457,6 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "rolling_fingerprint": q_rolling_fingerprint,
+        "corpus_dedup": q_corpus_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -773,6 +781,56 @@ def oracle_sql() -> dict[str, str]:
     """
 
     g3 = _ngrams_sql("text", 3)
+    # corpus dedup: 3-gram Jaccard pairs (same as ngram_jaccard) → recursive
+    # min-label CC → canonical per cluster = max rounded quality_score,
+    # lowest doc_id tie-break (the quality expression is the quality_score
+    # oracle's, so the ranking keys are bit-identical doubles)
+    sqls["corpus_dedup"] = f"""
+      WITH RECURSIVE g AS (SELECT doc_id, lang, {g3} AS grams FROM documents),
+      e AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM g l JOIN g r ON l.lang = r.lang AND l.doc_id < r.doc_id
+        WHERE CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+              / len(list_distinct(list_concat(l.grams, r.grams))) >= 0.62
+      ),
+      und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      walk(node, reach) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT w.node, u.b FROM walk w JOIN und u ON w.reach = u.a
+      ),
+      cc AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node),
+      t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+               CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1) AS punct_ratio,
+               CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    t2 -> t2 IN ('the','and','of','to','a','in','is','it','for','on','with','as'))) AS DOUBLE)
+                 / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                                 ELSE len(string_split_regex(trim(text), '\\s+')) END, 1) AS stopword_ratio
+        FROM documents
+      ),
+      q AS (
+        SELECT doc_id,
+          round((least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+                 + (1.0 - least(punct_ratio * 5.0, 1.0))
+                 + least(stopword_ratio * 4.0, 1.0)) / 3.0, 6) AS qs
+        FROM t
+      ),
+      ranked AS (
+        SELECT cc.doc_id, cc.cluster_id,
+               first_value(cc.doc_id) OVER (
+                 PARTITION BY cc.cluster_id ORDER BY q.qs DESC, cc.doc_id ASC
+               ) AS canonical_id
+        FROM cc JOIN q ON cc.doc_id = q.doc_id
+      )
+      SELECT doc_id, cluster_id, canonical_id,
+             doc_id = canonical_id AS is_canonical
+      FROM ranked
+    """
+
     sqls["ngram_jaccard"] = f"""
       WITH g AS (SELECT doc_id, lang, {g3} AS grams FROM documents)
       SELECT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r,

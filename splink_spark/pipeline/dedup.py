@@ -393,3 +393,62 @@ def embedding_near_duplicates(
         .where(F.col("cosine_sim") >= threshold)
         .distinct()
     )
+
+
+def deduplicate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.62,
+    block_cols: Sequence[str] = ("lang",),
+    pairs: Optional[DataFrame] = None,
+) -> DataFrame:
+    """End-to-end corpus deduplication: near-dup pairs → connected
+    components → quality-ranked canonical per duplicate cluster.
+
+    The canonical document of each cluster is the highest ``quality_score``
+    (6-dp rounded; lowest id tie-break) — the keep-best-document policy a
+    training-data pipeline applies after near-dup detection. Pass ``pairs``
+    to reuse an existing candidate table (e.g. ``minhash_lsh_pairs`` output
+    — the 100 TB path); the default generates exact n-gram Jaccard pairs
+    within ``block_cols`` blocks.
+
+    Output: (``id_col``, cluster_id, canonical_id, is_canonical).
+    """
+    from ..internals.connected_components import solve_connected_components
+    from .text import quality_score
+
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(
+            docs, text_col=text_col, id_col=id_col, n=n,
+            threshold=threshold, block_cols=list(block_cols),
+        )
+    assignments = solve_connected_components(
+        pairs,
+        nodes=None,
+        node_col=id_col,
+        edge_l_col=f"{id_col}_l",
+        edge_r_col=f"{id_col}_r",
+        assignments_only=True,
+    )
+    q = quality_score(docs, text_col=text_col, id_col=id_col)
+    out = (
+        docs.select(id_col)
+        .join(assignments, on=id_col, how="left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+        .join(q, on=id_col)
+        .withColumn("__q", F.round(F.col("quality_score"), 6))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("__q"), F.asc(id_col)
+    )
+    return (
+        out.withColumn("canonical_id", F.first(F.col(id_col)).over(w))
+        .select(
+            id_col,
+            "cluster_id",
+            "canonical_id",
+            (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )

@@ -354,3 +354,25 @@ def test_ivf_topk_small_corpus(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     out = ann.ivf_topk(df, df.limit(3), k=2, num_cells=16, nprobe=4).collect()
     assert len(out) > 0
+
+
+def test_deduplicate_corpus(spark, docs):
+    out = {r["doc_id"]: r for r in dedup.deduplicate_corpus(
+        docs, n=3, threshold=0.5, block_cols=["lang"]
+    ).collect()}
+    # 0, 1, 2 near-dup cluster (0-1 exact, 0-2 one word changed)
+    assert out[0]["cluster_id"] == out[1]["cluster_id"] == out[2]["cluster_id"]
+    canon = {out[i]["canonical_id"] for i in (0, 1, 2)}
+    assert len(canon) == 1  # one canonical per cluster
+    assert sum(out[i]["is_canonical"] for i in (0, 1, 2)) == 1
+    # singletons are their own canonical
+    assert out[3]["is_canonical"] and out[3]["canonical_id"] == 3
+
+    # pre-computed pairs (the minhash scale path) slot straight in
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, shingle_size=4, jaccard_threshold=0.5
+    )
+    out2 = {r["doc_id"]: r for r in dedup.deduplicate_corpus(
+        docs, pairs=pairs
+    ).collect()}
+    assert out2[0]["cluster_id"] == out2[1]["cluster_id"]
