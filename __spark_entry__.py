@@ -260,6 +260,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
         return text.fingerprint(docs)
 
+    def q_token_counts(spark, sf_dir):
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        return docs.select(
+            "doc_id",
+            text.token_count(F.col("text")).alias("ws_tokens"),
+            text.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+        )
+
     def q_corpus_dedup(spark, sf_dir):
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
@@ -465,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "rolling_fingerprint": q_rolling_fingerprint,
         "corpus_dedup": q_corpus_dedup,
+        "token_counts": q_token_counts,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -777,6 +786,14 @@ def oracle_sql() -> dict[str, str]:
                                j -> CAST(ascii(substring(text, j, 1)) AS BIGINT)),
                 (acc, x) -> acc * 31 + x)))
           END, -1) AS fingerprint_hash
+      FROM documents
+    """
+
+    sqls["token_counts"] = r"""
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens
       FROM documents
     """
 
