@@ -165,6 +165,14 @@ def suffix_sql_identifiers(sql: str, suffix: str) -> str:
             out.append(sql[i : j + 1])
             i = j + 1
             continue
+        if c == "`":  # backtick-quoted identifier: suffix INSIDE the quotes
+            j = sql.find("`", i + 1)
+            if j == -1:
+                out.append(sql[i:])
+                break
+            out.append(f"`{sql[i + 1 : j]}{suffix}`")
+            i = j + 1
+            continue
         m = _SQL_IDENT.match(sql, i)
         if m:
             tok = m.group(0)
@@ -172,7 +180,8 @@ def suffix_sql_identifiers(sql: str, suffix: str) -> str:
             prev = sql[:i].rstrip()
             is_func = rest.startswith("(")
             is_kw = tok.upper() in _SQL_KEYWORDS
-            is_qualified = prev.endswith(".")  # alias.col — leave alone
+            # alias.col: leave both the qualifier and the field untouched
+            is_qualified = prev.endswith(".") or rest.startswith(".")
             out.append(tok if (is_func or is_kw or is_qualified) else tok + suffix)
             i = m.end()
             continue
