@@ -85,10 +85,10 @@ def block_on(
     is not a bare column name is treated as a SQL snippet over base column
     names (``block_on("substr(surname,1,2)")``); ``arrays_to_explode``
     unnests the named array columns on both sides before joining."""
-    import re as _re
-
     def _instantiate(c):
-        if isinstance(c, str) and not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c):
+        # SQL-snippet detection: only strings with actual SQL structure —
+        # a bare name with spaces/dots is still a column reference
+        if isinstance(c, str) and any(ch in c for ch in "()+-*/=<>'\","):
             from .column_expression import SqlColumnExpression
 
             return SqlColumnExpression(c)
@@ -119,7 +119,10 @@ def block_on(
             **({"arrays_to_explode": list(arrays_to_explode)} if arrays_to_explode else {}),
         },
     }
-    rule.key_expressions = ces
+    # exploding rules block on array ELEMENTS — grouping nodes by the raw
+    # array value would make the pre-filter estimator report near-zero
+    # counts, so expose no key expressions (estimator falls back safely)
+    rule.key_expressions = [] if arrays_to_explode else ces
     return rule
 
 

@@ -156,14 +156,23 @@ def suffix_sql_identifiers(sql: str, suffix: str) -> str:
     i, n = 0, len(sql)
     while i < n:
         c = sql[i]
-        if c == "'":  # string literal (with '' escape)
+        if c in ("'", '"'):  # string literal (Spark treats "..." as a string
+            # literal too, with doubled-quote escapes)
+            q = c
             j = i + 1
             while j < n:
-                if sql[j] == "'" and not (j + 1 < n and sql[j + 1] == "'"):
+                if sql[j] == q and not (j + 1 < n and sql[j + 1] == q):
                     break
-                j += 2 if sql[j] == "'" else 1
+                j += 2 if sql[j] == q else 1
             out.append(sql[i : j + 1])
             i = j + 1
+            continue
+        if c.isdigit():  # numeric literal: consume 1e2 / 0xFF / 1.5 verbatim
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] in "._"):
+                j += 1
+            out.append(sql[i:j])
+            i = j
             continue
         if c == "`":  # backtick-quoted identifier: suffix INSIDE the quotes
             j = sql.find("`", i + 1)

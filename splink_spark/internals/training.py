@@ -133,13 +133,19 @@ def _concat_for_gammas(linker):
     """The node table for stages that compute GAMMAS but never score
     (u-sampling, pattern-path EM): tf_* columns are dead weight there, so
     prefer the plain concat. Falls back to concat_with_tf when any
-    comparison has undeclared (custom-SQL) inputs — those conditions could
-    in principle reference tf_* columns directly."""
+    comparison has undeclared (custom-SQL) inputs, or any level's recorded
+    SQL/label mentions a tf_ column — those conditions read tf_* directly."""
     s = linker.settings
-    all_declared = all(
-        getattr(comp, "input_columns", None) for comp in s.comparisons
-    )
-    return linker.df_concat() if all_declared else linker.df_concat_with_tf()
+    for comp in s.comparisons:
+        if not getattr(comp, "input_columns", None):
+            return linker.df_concat_with_tf()
+        for lv in comp.comparison_levels:
+            texts = [lv.label_for_charts or ""]
+            if lv.spec:
+                texts.append(repr(lv.spec))
+            if any("tf_" in t for t in texts):
+                return linker.df_concat_with_tf()
+    return linker.df_concat()
 
 
 def estimate_probability_two_random_records_match(

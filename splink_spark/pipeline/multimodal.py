@@ -218,11 +218,15 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_content, out_w, out_h = [], [], []
-            for c in pdf["content"]:
-                if c is None:
-                    out_content.append(None)
-                    out_w.append(None)
-                    out_h.append(None)
+            for c, mtype, w0_, h0_ in zip(
+                pdf["content"], pdf["media_type"], pdf["width"], pdf["height"]
+            ):
+                # non-image rows pass through unchanged — a media table
+                # legitimately mixes modalities
+                if c is None or mtype != "image":
+                    out_content.append(c)
+                    out_w.append(None if pd.isna(w0_) else int(w0_))
+                    out_h.append(None if pd.isna(h0_) else int(h0_))
                     continue
                 arr = decode_pnm(bytes(c))
                 if arr is None:

@@ -223,10 +223,11 @@ def test_multimodal_real_decode(spark):
     # sine RMS = amplitude / sqrt(2)
     assert rms == pytest.approx((20000 / 32768.0) / np.sqrt(2), rel=0.01)
 
-    # real nearest-neighbour resize round-trips through encode_pnm
-    resized = multimodal.resize_images(
-        media.where("media_id = 1"), 5, 3
-    ).collect()[0]
+    # real nearest-neighbour resize round-trips through encode_pnm; the
+    # audio row passes through a mixed table unchanged
+    mixed = {r["media_id"]: r for r in multimodal.resize_images(media, 5, 3).collect()}
+    assert bytes(mixed[2]["content"]) == wav and mixed[2]["width"] is None
+    resized = mixed[1]
     assert (resized["width"], resized["height"]) == (5, 3)
     back = multimodal.decode_pnm(bytes(resized["content"]))
     assert back.shape == (3, 5, 3)
