@@ -475,7 +475,12 @@ def compute_graph_metrics(
     node_col: str = "node_id",
 ) -> DataFrame:
     """Cluster size, density, degree centralisation
-    (reference graph_metrics.py:257-330). Bridges: ``compute_edge_metrics``."""
+    (reference graph_metrics.py:257-330). Bridges: ``compute_edge_metrics``.
+
+    ``assignments`` must be the FULL per-node cluster table (the
+    cluster_pairwise_predictions_at_threshold output shape) — an
+    assignments_only solver result omits isolated/self-rooted nodes and
+    would undercount ``n_nodes``."""
     fwd = edges.select(F.col(f"{node_col}_l").alias("node"))
     rev = edges.select(F.col(f"{node_col}_r").alias("node"))
     degrees = fwd.unionByName(rev).groupBy("node").agg(F.count("*").alias("degree"))
