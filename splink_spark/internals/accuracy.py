@@ -136,13 +136,14 @@ def prediction_errors_from_labels_column(
     include_false_negatives: bool = True,
 ) -> DataFrame:
     """FP/FN pair lists at a threshold (accuracy.py:442-520)."""
-    if df_predict is None:
-        df_predict = linker.inference.predict()
+    # validate BEFORE the (expensive, cache-populating) predict() call
     if not include_false_positives and not include_false_negatives:
         raise ValueError(
             "at least one of include_false_positives / include_false_negatives "
             "must be True"
         )
+    if df_predict is None:
+        df_predict = linker.inference.predict()
     df_predict = _with_labels(linker, df_predict, labels_column)
     truth = F.coalesce(
         F.col(f"{labels_column}_l") == F.col(f"{labels_column}_r"), F.lit(False)

@@ -40,6 +40,17 @@ class Comparison:
     # -- gamma assignment ------------------------------------------------------
     def _assign_gamma_values(self) -> None:
         non_null = [lv for lv in self.comparison_levels if not lv.is_null_level]
+        # gamma_column() compiles the else arm as the CASE's otherwise(0), so
+        # an else level anywhere but last would be keyed to a non-zero gamma
+        # its pairs can never receive — probabilities silently land on the
+        # wrong level. Reject the misordering instead.
+        for lv in self.comparison_levels[:-1]:
+            if lv.is_else_level:
+                raise ValueError(
+                    f"comparison {self.output_column_name!r}: the else level "
+                    "must be the last level (it compiles to the CASE "
+                    "ladder's ELSE arm)"
+                )
         n = len(non_null)
         next_gamma = n - 1
         for lv in self.comparison_levels:
@@ -177,7 +188,11 @@ class Comparison:
                 F.coalesce(tf_r, tf_l),
                 F.lit(float(lv.tf_minimum_u_value)),
             )
-            u_exact = F.lit(float(self._u_probability_for_exact_match(lv)))
+            # same 1e-300 clamp as log2_tf_adjustment_column — without it a
+            # trained u of exactly 0 makes this audit column 0 (log2 = -inf)
+            # while the match weight uses log2(1e-300), and the bf_* columns
+            # stop reconciling with match_weight
+            u_exact = F.lit(max(float(self._u_probability_for_exact_match(lv)), 1e-300))
             mult = F.pow(u_exact / tf_term, F.lit(float(lv.tf_adjustment_weight)))
             cond = gamma == F.lit(lv.comparison_vector_value)
             arm = F.when(tf_term.isNotNull() & (tf_term > 0), mult).otherwise(F.lit(1.0))
@@ -186,12 +201,23 @@ class Comparison:
         return expr.otherwise(F.lit(1.0)).alias(f"bf_tf_adj_{self.gamma_column_name}")
 
     def _u_probability_for_exact_match(self, level: ComparisonLevel) -> float:
-        """u of the exact-match level on the same column; fallback: level's own u.
+        """u of the exact-match level for the SAME TF column as ``level``;
+        fallback: any exact level, then the level's own u.
 
         Replaces the reference's sqlglot-signature autodetection
         (comparison_level.py:587-662) with the structural
-        ``is_exact_match_level`` flag set by the level builders.
+        ``is_exact_match_level`` flag set by the level builders. Matching on
+        ``tf_adjustment_column`` matters for multi-column comparisons with
+        two TF-adjusted exact levels — the first exact level's u would
+        otherwise scale the wrong column's adjustment.
         """
+        for lv in self.comparison_levels:
+            if (
+                lv.is_exact_match_level
+                and lv.u_probability is not None
+                and lv.tf_adjustment_column == level.tf_adjustment_column
+            ):
+                return lv.u_probability
         for lv in self.comparison_levels:
             if lv.is_exact_match_level and lv.u_probability is not None:
                 return lv.u_probability

@@ -86,16 +86,18 @@ def cluster_using_single_best_links(
         # non-tied link can still be ranked and accepted.
         w_l = Window.partitionBy("nid", "sd_l", "sd_r", "p")
         w_r = Window.partitionBy("nbr", "sd_l", "sd_r", "p")
+        # coalesce: a NULL source_dataset makes isin() NULL, which would
+        # poison the conjunction and silently drop non-tied links
         nbrs = (
             nbrs.withColumn(
                 "__tie_l",
                 (F.size(F.collect_set("nbr").over(w_l)) > 1)
-                & F.col("sd_r").isin(dup_free),
+                & F.coalesce(F.col("sd_r").isin(dup_free), F.lit(False)),
             )
             .withColumn(
                 "__tie_r",
                 (F.size(F.collect_set("nid").over(w_r)) > 1)
-                & F.col("sd_l").isin(dup_free),
+                & F.coalesce(F.col("sd_l").isin(dup_free), F.lit(False)),
             )
             .where(~F.col("__tie_l") & ~F.col("__tie_r"))
             .drop("__tie_l", "__tie_r")
@@ -113,9 +115,12 @@ def cluster_using_single_best_links(
     flag_cols = [f"__c{i}" for i in range(len(dup_free))]
     for _ in range(max_iterations):
         # per-cluster duplicate-free dataset membership flags
+        # null-safe flags: (NULL == d) is NULL, and max(NULL) would leave the
+        # flag NULL, making dup_criteria NULL and silently rejecting every
+        # merge that touches an all-null-sd cluster
         flags = rep.groupBy("representative").agg(
             *[
-                F.max((F.col("sd") == F.lit(d)).cast("int")).alias(c)
+                F.max(F.coalesce((F.col("sd") == F.lit(d)).cast("int"), F.lit(0))).alias(c)
                 for d, c in zip(dup_free, flag_cols)
             ]
         )
@@ -241,11 +246,18 @@ def cluster_at_multiple_thresholds(
     from .connected_components import solve_connected_components
     from .materialize import MaterializationPolicy
 
+    if not thresholds:
+        raise ValueError("cluster_at_multiple_thresholds needs >= 1 threshold")
+    ts = sorted(set(thresholds))  # duplicates would duplicate output rows
     mat = materialization or MaterializationPolicy(method="local_checkpoint")
+    # edges below the lowest threshold are never read by any step (every
+    # read filters >= t with t >= min(ts)) — drop them before materializing
     edges = mat.materialize(
-        edges.select(edge_l_col, edge_r_col, probability_col), "clustering"
+        edges.select(edge_l_col, edge_r_col, probability_col).where(
+            F.col(probability_col) >= ts[0]
+        ),
+        "clustering",
     )
-    ts = sorted(thresholds)
     out = None
     assign = None
     prev_t = None

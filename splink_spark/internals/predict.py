@@ -78,8 +78,13 @@ def predict_from_comparison_vectors(
         scored = scored.where(F.col("match_probability") >= threshold_match_probability)
 
     if not settings.retain_intermediate_calculation_columns:
-        drop = [c for c in scored.columns if c.startswith("bf_")]
-        scored = scored.drop(*drop)
+        # drop ONLY the internal audit aliases — a prefix match would also
+        # delete user input columns that happen to start with "bf_"
+        internal = set()
+        for comp in settings.comparisons:
+            internal.add(f"bf_{comp.gamma_column_name}")
+            internal.add(f"bf_tf_adj_{comp.gamma_column_name}")
+        scored = scored.drop(*[c for c in scored.columns if c in internal])
 
     front = ["match_weight", "match_probability"]
     rest = [c for c in scored.columns if c not in front]

@@ -523,12 +523,30 @@ class LinkerClustering:
         s = self._l.settings
         uid = s.unique_id_column_name
         df_predict = getattr(df_predict, "_splink_narrow", df_predict)
+        concat = self._l.df_concat()
+        # composite node ids for link jobs: uids are only unique PER DATASET
+        # (same reason cluster_pairwise_predictions_at_threshold builds them)
+        sd = s.source_dataset_column_name if s.needs_source_dataset else None
+        if sd and sd in concat.columns:
+            node_expr = F.concat_ws(
+                "-__-", F.col(sd).cast("string"), F.col(uid).cast("string")
+            )
+            edge_l = F.concat_ws(
+                "-__-", F.col(f"{sd}_l").cast("string"), F.col(f"{uid}_l").cast("string")
+            )
+            edge_r = F.concat_ws(
+                "-__-", F.col(f"{sd}_r").cast("string"), F.col(f"{uid}_r").cast("string")
+            )
+        else:
+            node_expr = F.col(uid)
+            edge_l = F.col(f"{uid}_l")
+            edge_r = F.col(f"{uid}_r")
         edges = df_predict.select(
-            F.col(f"{uid}_l").alias("node_id_l"),
-            F.col(f"{uid}_r").alias("node_id_r"),
+            edge_l.alias("node_id_l"),
+            edge_r.alias("node_id_r"),
             "match_probability",
         )
-        nodes = self._l.df_concat().select(F.col(uid).alias("node_id"))
+        nodes = concat.select(node_expr.alias("node_id"))
         return cluster_at_multiple_thresholds(
             edges, nodes, list(thresholds), materialization=self._l.materialization
         )

@@ -382,3 +382,37 @@ def test_jvm_similarity_pack_matches_python_kernels(spark):
         assert r["j"] == _jaro(r["a"], r["b"])
         assert r["jc"] == _jaccard_charset(r["a"], r["b"])
         assert r["dl"] == float(_damerau_levenshtein(r["a"], r["b"]))
+
+
+def test_else_level_must_be_last():
+    from splink_spark import Comparison
+    import splink_spark.internals.comparison_level_library as cll_
+
+    with pytest.raises(ValueError, match="else level"):
+        Comparison(
+            "c",
+            [
+                cll_.NullLevel("x"),
+                cll_.ExactMatchLevel("x"),
+                cll_.ElseLevel(),
+                cll_.LevenshteinLevel("x", 2),
+            ],
+        )
+
+
+def test_tf_u_exact_matches_level_column():
+    """Multi-column comparison with two TF-adjusted exact levels: each TF
+    adjustment must use the exact-match u of ITS OWN column."""
+    from splink_spark import Comparison
+    import splink_spark.internals.comparison_level_library as cll_
+
+    fore = cll_.ExactMatchLevel("forename", term_frequency_adjustments=True)
+    sur = cll_.ExactMatchLevel("surname", term_frequency_adjustments=True)
+    comp = Comparison("name", [cll_.NullLevel("forename"), fore, sur, cll_.ElseLevel()])
+    fore.m_probability, fore.u_probability = 0.9, 0.02
+    sur.m_probability, sur.u_probability = 0.8, 0.05
+    for lv in comp.comparison_levels:
+        if not lv.is_null_level and lv.m_probability is None:
+            lv.m_probability, lv.u_probability = 0.1, 0.9
+    assert comp._u_probability_for_exact_match(fore) == 0.02
+    assert comp._u_probability_for_exact_match(sur) == 0.05

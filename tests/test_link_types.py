@@ -195,3 +195,24 @@ def test_link_job_pairwise_labels_with_source_datasets(spark, two_tables):
     # both labelled pairs agree on name -> m[1] == 1.0 over exactly 2 pairs
     assert abs(m1 - 1.0) < 1e-9
     assert out
+
+
+def test_multi_threshold_clustering_composite_ids(spark, two_tables):
+    """Link job with colliding uids across datasets: multi-threshold
+    clustering must key nodes by (dataset, uid), not bare uid."""
+    left, right = two_tables
+    linker = Linker({"l_tbl": left, "r_tbl": right}, _settings("link_only"))
+    pred = linker.inference.predict()
+    out = linker.clustering.cluster_pairwise_predictions_at_multiple_thresholds(
+        pred, [0.4, 0.99]
+    ).collect()
+    by_t = {}
+    for r in out:
+        by_t.setdefault(r["threshold"], {})[r["node_id"]] = r["cluster_id"]
+    low = by_t[0.4]
+    # six distinct composite nodes (bare uids would merge l.0 and r.0)
+    assert len(low) == 6
+    assert low["l_tbl-__-0"] == low["r_tbl-__-0"]  # alice pair clusters
+    assert low["l_tbl-__-1"] == low["r_tbl-__-10"]
+    # at 0.99 nothing links; every node is its own cluster
+    assert len(set(by_t[0.99].values())) == 6
