@@ -1,0 +1,58 @@
+"""Property-based tests (hypothesis) for the pure-python kernels — no Spark
+session needed, so these run in milliseconds and cover the long tail of
+inputs the example-based tests cannot."""
+
+from __future__ import annotations
+
+import networkx as nx
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from splink_spark.internals.column_expression import suffix_sql_identifiers
+from splink_spark.internals.connected_components import _find_bridges
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_bridges_match_networkx(edges):
+    g = nx.MultiGraph()
+    for u, v in edges:
+        g.add_edge(u, v)
+    expected = set()
+    for u, v in nx.bridges(nx.Graph(g)):
+        # a simple-graph bridge is a multigraph bridge only when the edge
+        # is not duplicated
+        if g.number_of_edges(u, v) == 1:
+            expected.add(frozenset((u, v)))
+    got_idx = _find_bridges(edges)
+    got = {frozenset(edges[i]) for i in got_idx}
+    assert got == expected
+
+
+_ident = st.from_regex(r"[a-z_][a-z0-9_]{0,6}", fullmatch=True)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_ident, min_size=1, max_size=4), st.sampled_from(["_l", "_r"]))
+def test_rewriter_suffixes_every_bare_identifier(cols, suffix):
+    from splink_spark.internals.column_expression import _SQL_KEYWORDS
+
+    cols = [c for c in cols if c.upper() not in _SQL_KEYWORDS] or ["col_a"]
+    sql = " + ".join(cols)
+    out = suffix_sql_identifiers(sql, suffix)
+    assert out == " + ".join(f"{c}{suffix}" for c in cols)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=30))
+def test_rewriter_leaves_string_literals_alone(s):
+    lit = "'" + s.replace("'", "''") + "'"
+    sql = f"name = {lit}"
+    out = suffix_sql_identifiers(sql, "_l")
+    assert out == f"name_l = {lit}"
