@@ -196,3 +196,109 @@ def unlinkables_table(linker) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy("match_weight")
     )
+
+
+def _orient_labels_pairs(linker, labels: DataFrame) -> DataFrame:
+    """Labels-table pairs oriented lower-id-first with the clerical score
+    carried (reference block_from_labels.py / lower_id_on_lhs conventions,
+    shared with training.estimate_m_from_pairwise_labels)."""
+    s = linker.settings
+    score = (
+        F.col("clerical_match_score")
+        if "clerical_match_score" in labels.columns
+        else F.lit(1.0)
+    ).cast("double")
+    if s.needs_source_dataset and "source_dataset_l" in labels.columns:
+        swap = (F.col("source_dataset_l") > F.col("source_dataset_r")) | (
+            (F.col("source_dataset_l") == F.col("source_dataset_r"))
+            & (F.col("unique_id_l") > F.col("unique_id_r"))
+        )
+
+        def pick(a, b):
+            return F.when(swap, F.col(b)).otherwise(F.col(a))
+
+        return labels.select(
+            F.lit("labels").alias("match_key"),
+            pick("source_dataset_l", "source_dataset_r").alias("source_dataset_l"),
+            pick("source_dataset_r", "source_dataset_l").alias("source_dataset_r"),
+            pick("unique_id_l", "unique_id_r").alias("join_key_l"),
+            pick("unique_id_r", "unique_id_l").alias("join_key_r"),
+            score.alias("__clerical_score"),
+        ).dropDuplicates(["join_key_l", "join_key_r"])
+    lo = F.least(F.col("unique_id_l"), F.col("unique_id_r"))
+    hi = F.greatest(F.col("unique_id_l"), F.col("unique_id_r"))
+    return labels.select(
+        F.lit("labels").alias("match_key"),
+        lo.alias("join_key_l"),
+        hi.alias("join_key_r"),
+        score.alias("__clerical_score"),
+    ).dropDuplicates(["join_key_l", "join_key_r"])
+
+
+def _score_labels_table(linker, labels: DataFrame) -> DataFrame:
+    """Score EVERY labelled pair with the trained model — whether or not the
+    blocking rules would have found it (the reference's labels-table
+    evaluation contract, accuracy.py:40-120)."""
+    from .predict import predict_from_comparison_vectors
+
+    pairs = _orient_labels_pairs(linker, labels)
+    scored = predict_from_comparison_vectors(
+        linker.comparison_vectors(pairs=pairs.drop("__clerical_score")),
+        linker.settings,
+    )
+    uid = linker.settings.unique_id_column_name
+    key_cols = [f"{uid}_l", f"{uid}_r"]
+    sel = [
+        F.col("join_key_l").alias(f"{uid}_l"),
+        F.col("join_key_r").alias(f"{uid}_r"),
+        F.col("__clerical_score"),
+    ]
+    # with source datasets, uids are only unique per dataset — join on the
+    # composite keys the pair table carries
+    if "source_dataset_l" in pairs.columns and "source_dataset_l" in scored.columns:
+        key_cols += ["source_dataset_l", "source_dataset_r"]
+        sel += [F.col("source_dataset_l"), F.col("source_dataset_r")]
+    keys = pairs.select(*sel)
+    return scored.join(F.broadcast(keys), on=key_cols)
+
+
+def truth_space_table_from_labels_table(
+    linker, labels: DataFrame, threshold_actual: float = 0.5
+) -> DataFrame:
+    """Truth space from a clerical pairwise labels table
+    (unique_id_l, unique_id_r [, source_dataset_l/_r, clerical_match_score]);
+    a pair is a true match iff clerical_match_score >= ``threshold_actual``
+    (reference accuracy_analysis_from_labels_table, accuracy.py:40-120)."""
+    scored = _score_labels_table(linker, labels).withColumn(
+        "__truth", (F.col("__clerical_score") >= threshold_actual).cast("int")
+    )
+    return truth_space_table(scored, "match_weight", "__truth")
+
+
+def prediction_errors_from_labels_table(
+    linker,
+    labels: DataFrame,
+    threshold_match_probability: float = 0.5,
+    threshold_actual: float = 0.5,
+    include_false_positives: bool = True,
+    include_false_negatives: bool = True,
+) -> DataFrame:
+    """FP/FN pair lists judged against a clerical labels table
+    (reference prediction_errors_from_labels_table, accuracy.py:442-520)."""
+    if not include_false_positives and not include_false_negatives:
+        raise ValueError(
+            "at least one of include_false_positives / include_false_negatives "
+            "must be True"
+        )
+    scored = _score_labels_table(linker, labels)
+    truth = F.col("__clerical_score") >= threshold_actual
+    pred = F.col("match_probability") >= threshold_match_probability
+    conds = []
+    if include_false_positives:
+        conds.append(pred & ~truth)
+    if include_false_negatives:
+        conds.append(~pred & truth)
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond | c
+    return scored.where(cond)

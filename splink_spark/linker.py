@@ -56,6 +56,9 @@ class Linker:
         self._concat: Optional[DataFrame] = None
         self._concat_with_tf: Optional[DataFrame] = None
         self._tf_tables: Optional[dict[str, DataFrame]] = None
+        # user-registered blocked pairs (table_management): when set,
+        # predict() scores these instead of running the blocking join
+        self._registered_blocked_pairs: Optional[DataFrame] = None
 
         if settings.needs_source_dataset and len(self._frames) < 2:
             raise ValueError(f"{settings.link_type} requires >= 2 input tables")
@@ -263,9 +266,16 @@ class LinkerInference:
             # persist. pairs_with_columns picks ids+broadcast-junction or
             # carry-through by node-table size, and repartitions the
             # small-table path so a fuzzy-UDF stage keeps full parallelism.
-            cv = compute_comparison_vectors(
-                self._l.pairs_with_columns(), s
-            )
+            if self._l._registered_blocked_pairs is not None:
+                # user-registered pair table replaces the blocking join
+                # (reference table_management.py:95-140)
+                cv = self._l.comparison_vectors(
+                    pairs=self._l._registered_blocked_pairs
+                )
+            else:
+                cv = compute_comparison_vectors(
+                    self._l.pairs_with_columns(), s
+                )
             # score WITHOUT the threshold: a threshold WHERE below the persist
             # would be pushed under the score projection, and Catalyst's
             # filter/project split re-evaluates the fuzzy-metric pandas UDFs
@@ -665,6 +675,37 @@ class LinkerEvaluation:
 
         return truth_space_table_from_labels_column(self._l, labels_column, df_predict)
 
+    def accuracy_analysis_from_labels_table(
+        self, labels: DataFrame, threshold_actual: float = 0.5
+    ) -> DataFrame:
+        """Truth space judged against a clerical pairwise labels table
+        (unique_id_l, unique_id_r [, source_dataset_l/_r,
+        clerical_match_score]) — every labelled pair is scored with the
+        model whether or not blocking found it (reference
+        evaluation.py accuracy_analysis_from_labels_table)."""
+        from .internals.accuracy import truth_space_table_from_labels_table
+
+        return truth_space_table_from_labels_table(self._l, labels, threshold_actual)
+
+    def prediction_errors_from_labels_table(
+        self,
+        labels: DataFrame,
+        threshold_match_probability: float = 0.5,
+        threshold_actual: float = 0.5,
+        include_false_positives: bool = True,
+        include_false_negatives: bool = True,
+    ) -> DataFrame:
+        from .internals.accuracy import prediction_errors_from_labels_table
+
+        return prediction_errors_from_labels_table(
+            self._l,
+            labels,
+            threshold_match_probability=threshold_match_probability,
+            threshold_actual=threshold_actual,
+            include_false_positives=include_false_positives,
+            include_false_negatives=include_false_negatives,
+        )
+
     def prediction_errors_from_labels_column(
         self, labels_column: str, df_predict: Optional[DataFrame] = None,
         threshold_match_probability: float = 0.5, **kw,
@@ -704,6 +745,7 @@ class LinkerMisc:
         self._l._concat = None
         self._l._concat_with_tf = None
         self._l._tf_tables = None
+        self._l._registered_blocked_pairs = None
 
 
 class LinkerTableManagement:
@@ -787,6 +829,42 @@ class LinkerTableManagement:
         df.createOrReplaceTempView(name)
         return df
 
+    def register_blocked_pairs_for_predict(self, df: DataFrame) -> DataFrame:
+        """Use a precomputed candidate-pair table for predict() instead of
+        running the blocking join (reference table_management.py:95-140).
+        Expected columns: join_key_l / join_key_r (unique ids), optional
+        match_key and source_dataset_l/_r."""
+        missing = {"join_key_l", "join_key_r"} - set(df.columns)
+        if missing:
+            raise ValueError(
+                f"register_blocked_pairs_for_predict: missing {sorted(missing)} "
+                f"(got {df.columns})"
+            )
+        if "match_key" not in df.columns:
+            df = df.withColumn("match_key", F.lit("registered"))
+        from pyspark import StorageLevel
+
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        self._l.materialization._registry.append(cached)
+        self._l._registered_blocked_pairs = cached
+        return cached
+
+    def register_labels_table(self, df: DataFrame) -> DataFrame:
+        """Persist a clerical pairwise labels table for the labels-table
+        evaluation/training APIs (reference table_management.py:254-261).
+        Expected columns: unique_id_l, unique_id_r
+        [, source_dataset_l/_r, clerical_match_score]."""
+        missing = {"unique_id_l", "unique_id_r"} - set(df.columns)
+        if missing:
+            raise ValueError(
+                f"register_labels_table: missing {sorted(missing)} (got {df.columns})"
+            )
+        from pyspark import StorageLevel
+
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        self._l.materialization._registry.append(cached)
+        return cached
+
     def invalidate_cache(self) -> None:
         self._l.misc.invalidate_cache()
 
@@ -808,6 +886,30 @@ class LinkerVisualisations:
         from .internals.chart_data import match_weights_chart_data
 
         return match_weights_chart_data(self._l.settings)
+
+    def parameter_estimate_comparisons_data(self) -> list[dict]:
+        """Per-session m/u estimates per comparison level — the data behind
+        the reference's parameter_estimate_comparisons_chart
+        (visualisations.py): one record per (comparison, gamma, session,
+        parameter) so divergent training sessions are visible."""
+        out: list[dict] = []
+        for comp in self._l.settings.comparisons:
+            for lv in comp.comparison_levels:
+                if lv.is_null_level:
+                    continue
+                for kind, ests in (("m", lv._m_estimates), ("u", lv._u_estimates)):
+                    for i, v in enumerate(ests):
+                        out.append(
+                            {
+                                "comparison": comp.output_column_name,
+                                "comparison_vector_value": lv.comparison_vector_value,
+                                "label": lv.label_for_charts,
+                                "estimate_number": i,
+                                "parameter": f"{kind}_probability",
+                                "estimated_value": v,
+                            }
+                        )
+        return out
 
     def m_u_parameters_chart_data(self) -> list[dict]:
         from .internals.chart_data import m_u_parameters_chart_data

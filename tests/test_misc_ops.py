@@ -252,3 +252,61 @@ def test_table_management_namespace(spark, persons, tmp_path):
     assert clustered.select("cluster_id").distinct().count() > 0
 
     tm.delete_tables_created_by_splink_from_db()  # must not raise
+
+
+def test_labels_table_evaluation(spark, persons, trained2):
+    """accuracy_analysis / prediction_errors judged against a clerical
+    pairwise labels table — every labelled pair scored, found-by-blocking
+    or not."""
+    labels = spark.createDataFrame(
+        [
+            (0, 1, 1.0),    # true match (same surname+dob in fixture)
+            (0, 6, 0.0),    # true non-match
+            (2, 0, 1.0),    # reversed ids — orientation must normalise
+        ],
+        "unique_id_l long, unique_id_r long, clerical_match_score double",
+    )
+    ts = trained2.evaluation.accuracy_analysis_from_labels_table(labels).collect()
+    assert len(ts) >= 1
+    total_pairs = ts[0]["tp"] + ts[0]["fp"] + ts[0]["fn"] + ts[0]["tn"]
+    assert total_pairs == 3
+
+    errs = trained2.evaluation.prediction_errors_from_labels_table(
+        labels, threshold_match_probability=0.5
+    ).collect()
+    err_pairs = {(r["unique_id_l"], r["unique_id_r"]) for r in errs}
+    # pair (0,6) shares dob but not surname in the persons fixture: whether
+    # it is an FP depends on the model; the labelled match (0,1) must NOT be
+    # an error under the strong trained model
+    assert (0, 1) not in err_pairs
+
+    # invalid flag combination rejected before any work
+    with pytest.raises(ValueError):
+        trained2.evaluation.prediction_errors_from_labels_table(
+            labels, include_false_positives=False, include_false_negatives=False
+        )
+
+
+def test_register_blocked_pairs_for_predict(spark, persons):
+    settings = SettingsCreator(
+        comparisons=[
+            _set(cl.ExactMatch("surname"), {1: (0.9, 0.02), 0: (0.1, 0.98)}),
+            _set(cl.ExactMatch("dob"), {1: (0.85, 0.01), 0: (0.15, 0.99)}),
+        ],
+        blocking_rules_to_generate_predictions=[block_on("dob")],
+        probability_two_random_records_match=0.05,
+    )
+    linker = Linker(persons, settings)
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 6)], "join_key_l long, join_key_r long"
+    )
+    linker.table_management.register_blocked_pairs_for_predict(pairs)
+    scored = linker.inference.predict().collect()
+    assert {(r["unique_id_l"], r["unique_id_r"]) for r in scored} == {(0, 1), (0, 6)}
+    # invalidate → back to the blocking join
+    linker.misc.invalidate_cache()
+    assert len(linker.inference.predict().collect()) > 2
+
+    # session-estimate chart data shape
+    recs = linker.visualisations.parameter_estimate_comparisons_data()
+    assert isinstance(recs, list)
