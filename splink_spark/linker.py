@@ -380,6 +380,69 @@ class LinkerInference:
         cv = self._l.comparison_vectors(pairs=id_pairs)
         return predict_from_comparison_vectors(cv, self._l.settings)
 
+    def predict_between(
+        self,
+        left: DataFrame,
+        right: DataFrame,
+        blocking_rules: Optional[Sequence[Union[str, BlockingRule]]] = None,
+        threshold_match_probability: Optional[float] = None,
+        threshold_match_weight: Optional[float] = None,
+    ) -> DataFrame:
+        """Blocked, scored predictions BETWEEN two record collections using
+        the trained model — pairs across left/right only, never within
+        (reference inference.py predict_between; left/right are roles, e.g.
+        existing vs new, the incremental-linkage shape). TF values for both
+        sides come from the linker's base TF tables."""
+        from .internals.blocking import CustomRule
+
+        s = self._l.settings
+        rules = [
+            r if isinstance(r, BlockingRule) else CustomRule(r)
+            for r in (blocking_rules or s.blocking_rules_to_generate_predictions)
+        ]
+        left_tf = join_term_frequencies(left, self._l.tf_tables())
+        right_tf = join_term_frequencies(right, self._l.tf_tables())
+        pairs = block_using_rules(
+            left_tf,
+            rules,
+            link_type=s.link_type,
+            unique_id_column_name=s.unique_id_column_name,
+            nodes_right=right_tf,
+        )
+        with_cols = blocked_pairs_with_columns(
+            pairs, left_tf, s, concat_with_tf_right=right_tf
+        )
+        cv = compute_comparison_vectors(with_cols, s)
+        return predict_from_comparison_vectors(
+            cv,
+            s,
+            threshold_match_probability=threshold_match_probability,
+            threshold_match_weight=threshold_match_weight,
+        )
+
+    def compute_blocked_pairs_for_predict(self) -> DataFrame:
+        """Materialise the candidate pairs predict() would score (reference
+        inference.py:124-160) — write them out and re-register via
+        ``table_management.register_blocked_pairs_for_predict`` to split
+        blocking from scoring across jobs."""
+        return self._l.blocked_pairs(materialize=True)
+
+    def score_pair(
+        self, record_left: Union[dict, DataFrame], record_right: Union[dict, DataFrame]
+    ) -> DataFrame:
+        """Score one pairwise comparison (reference inference.py:746-820);
+        dict inputs route through compare_two_records, single-row frames are
+        converted."""
+        def _as_dict(x):
+            if isinstance(x, DataFrame):
+                rows = x.limit(2).collect()
+                if len(rows) != 1:
+                    raise ValueError("score_pair frames must contain exactly one row")
+                return rows[0].asDict()
+            return x
+
+        return self.compare_two_records(_as_dict(record_left), _as_dict(record_right))
+
     def find_matches_to_new_records(self, new_records: DataFrame) -> DataFrame:
         """Link a new batch against the indexed base (inference.py:1156-1511
         predict_between + find_matches_to_new_records.py:14-60). TF values for

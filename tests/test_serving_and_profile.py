@@ -131,3 +131,25 @@ def test_graph_metrics_via_linker(spark, trained):
     assert {"cluster_id", "n_nodes", "n_edges", "density", "centralisation"} <= set(
         metrics.columns
     )
+
+
+def test_predict_between_and_score_pair(spark, persons, trained):
+    """predict_between scores cross-collection pairs only; score_pair is the
+    single-pair entry accepting dicts or one-row frames."""
+    left = persons.where("unique_id in (0, 1)")
+    right = persons.where("unique_id in (2, 6)")
+    scored = trained.inference.predict_between(left, right).collect()
+    pairs = {(r["unique_id_l"], r["unique_id_r"]) for r in scored}
+    # all pairs cross left x right; none within a side
+    for l_id, r_id in pairs:
+        assert l_id in (0, 1) and r_id in (2, 6)
+
+    one = trained.inference.score_pair(
+        {"unique_id": 900, "first_name": "julia", "surname": "taylor",
+         "dob": "2015-10-29", "city": "london", "email": None, "cluster": -1},
+        persons.where("unique_id = 0"),
+    ).collect()
+    assert len(one) == 1 and one[0]["match_probability"] > 0
+
+    blocked = trained.inference.compute_blocked_pairs_for_predict()
+    assert {"join_key_l", "join_key_r"}.issubset(set(blocked.columns))
