@@ -427,6 +427,28 @@ class LinkerInference:
         blocking from scoring across jobs."""
         return self._l.blocked_pairs(materialize=True)
 
+    def compute_blocked_pairs_for_predict_chunk(
+        self,
+        left_chunk: Optional[tuple] = None,
+        right_chunk: Optional[tuple] = None,
+    ) -> DataFrame:
+        """One uid-hash chunk of the candidate pairs (reference
+        inference.py:161-230): ``left_chunk``/``right_chunk`` are
+        (index, num_chunks) tuples partitioning each pair endpoint — the
+        same deterministic pmod(xxhash64) split chunked predict uses, so
+        the union over all (i, j) chunks is exactly the full pair table."""
+        pairs = self._l.blocked_pairs(materialize=False)
+        for chunk, key in ((left_chunk, "join_key_l"), (right_chunk, "join_key_r")):
+            if chunk is None:
+                continue
+            idx, total = chunk
+            if not 0 <= idx < total:
+                raise ValueError(f"chunk index {idx} not in [0, {total})")
+            pairs = pairs.where(
+                F.pmod(F.xxhash64(F.col(key)), F.lit(total)) == idx
+            )
+        return pairs
+
     def score_pair(
         self, record_left: Union[dict, DataFrame], record_right: Union[dict, DataFrame]
     ) -> DataFrame:

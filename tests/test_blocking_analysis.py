@@ -289,3 +289,28 @@ def test_single_best_links_merges_whole_clusters(spark):
         bycl[r["cluster_id"]].append(r["source_dataset"])
     for cid, ds in bycl.items():
         assert all(v == 1 for v in Counter(ds).values()), (cid, ds)
+
+
+def test_blocked_pairs_chunks_partition_exactly(spark, persons):
+    """The (i, j) chunk grid unions to exactly the unchunked pair table."""
+    import splink_spark.internals.comparison_library as cl
+    from splink_spark import Linker, SettingsCreator, block_on
+
+    settings = SettingsCreator(
+        comparisons=[cl.ExactMatch("city")],
+        blocking_rules_to_generate_predictions=[block_on("city")],
+    )
+    linker = Linker(persons, settings)
+    full = {(r["join_key_l"], r["join_key_r"])
+            for r in linker.inference.compute_blocked_pairs_for_predict().collect()}
+    parts = []
+    for i in range(2):
+        for j in range(2):
+            parts.append({
+                (r["join_key_l"], r["join_key_r"])
+                for r in linker.inference.compute_blocked_pairs_for_predict_chunk(
+                    (i, 2), (j, 2)
+                ).collect()
+            })
+    assert set().union(*parts) == full
+    assert sum(len(p) for p in parts) == len(full)  # disjoint

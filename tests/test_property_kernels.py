@@ -56,3 +56,22 @@ def test_rewriter_leaves_string_literals_alone(s):
     sql = f"name = {lit}"
     out = suffix_sql_identifiers(sql, "_l")
     assert out == f"name_l = {lit}"
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.sampled_from([1, 3]),
+    st.integers(0, 2**32 - 1),
+)
+def test_pnm_encode_decode_round_trip(w, h, ch, seed):
+    import numpy as np
+
+    from splink_spark.pipeline.multimodal import decode_pnm, encode_pnm
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    back = decode_pnm(encode_pnm(arr))
+    assert back is not None and back.shape == arr.shape
+    assert (back == arr).all()
