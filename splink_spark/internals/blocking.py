@@ -121,8 +121,12 @@ def block_on(
     }
     # exploding rules block on array ELEMENTS — grouping nodes by the raw
     # array value would make the pre-filter estimator report near-zero
-    # counts, so expose no key expressions (estimator falls back safely)
-    rule.key_expressions = [] if arrays_to_explode else ces
+    # counts, so expose the keys separately: the estimator explodes first
+    if arrays_to_explode:
+        rule.key_expressions = []
+        rule.exploded_key_expressions = ces
+    else:
+        rule.key_expressions = ces
     return rule
 
 
@@ -466,6 +470,20 @@ def estimate_comparisons_pre_filter(
     ces = rule.key_expressions
     left = nodes
     right = nodes_right if nodes_right is not None else nodes
+    exploded_ces = getattr(rule, "exploded_key_expressions", None)
+    if not ces and exploded_ces and rule.exploded_columns:
+        # exploding rule: per-ELEMENT counts after unnesting. An
+        # OVER-estimate (a pair sharing k elements is counted k times) —
+        # exactly what a blow-up guard-rail wants, and the per-key rows
+        # still name the skewed element values for n_largest_blocks
+        def unnest(df: DataFrame) -> DataFrame:
+            for c in rule.exploded_columns:
+                df = df.withColumn(c, F.explode(c))
+            return df
+
+        left = unnest(left)
+        right = unnest(right) if nodes_right is not None else left
+        ces = exploded_ces
     if not ces:
         # no equi-join conditions: the estimate is the full cartesian
         spark = nodes.sparkSession

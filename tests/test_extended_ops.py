@@ -177,3 +177,23 @@ def test_block_on_arrays_to_explode(spark):
     ).collect()
     got = {(r["join_key_l"], r["join_key_r"]) for r in pairs}
     assert got == {(1, 2), (2, 3)}
+
+
+def test_pre_filter_estimate_for_exploding_rule(spark):
+    """Exploding rules estimate per exploded ELEMENT (an over-estimate),
+    not per raw array value (which would report near-zero)."""
+    from splink_spark.internals.blocking import (
+        estimate_comparisons_pre_filter,
+        n_largest_blocks,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["b", "c"]), (3, ["c", "d"])],
+        "unique_id long, tags array<string>",
+    )
+    rule = block_on("tags", arrays_to_explode=["tags"])
+    est = {r["key_0"]: r["block_count"]
+           for r in estimate_comparisons_pre_filter(df, rule).collect()}
+    assert est == {"a": 1, "b": 4, "c": 4, "d": 1}
+    top = n_largest_blocks(df, rule, n_largest=2).collect()
+    assert {r["key_0"] for r in top} == {"b", "c"}
