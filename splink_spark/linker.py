@@ -234,6 +234,8 @@ class LinkerInference:
         threshold_match_probability: Optional[float] = None,
         threshold_match_weight: Optional[float] = None,
         num_chunks: int = 1,
+        num_chunks_l: Optional[int] = None,
+        num_chunks_r: Optional[int] = None,
         cache_result: bool = False,
     ) -> DataFrame:
         """The flagship query (inference.py:294-444): concat → TF → block →
@@ -253,12 +255,20 @@ class LinkerInference:
         ``num_chunks`` > 1 partitions the pair space by deterministic uid-hash
         chunks run as separate jobs and unioned (reference chunking.py:12-42 /
         inference.py:384-444) — the >memory-per-job splitting lever at scale;
-        output is identical to the unchunked run.
+        output is identical to the unchunked run. ``num_chunks_l`` /
+        ``num_chunks_r`` set the split of each pair endpoint independently
+        (reference inference.py:294-444 asymmetric chunking — useful when the
+        two sides differ in size, e.g. link_only with a small rhs); either
+        defaults to ``num_chunks`` when omitted.
 
         ``cache_result=True`` additionally persists the WIDE output (opt in
         when >2 downstream consumers scan the full-width rows).
         """
-        if num_chunks <= 1:
+        chunks_l = num_chunks_l if num_chunks_l is not None else num_chunks
+        chunks_r = num_chunks_r if num_chunks_r is not None else num_chunks
+        if chunks_l < 1 or chunks_r < 1:
+            raise ValueError("num_chunks values must be >= 1")
+        if chunks_l <= 1 and chunks_r <= 1:
             s = self._l.settings
             # the narrow core below is the lineage break, so the blocking
             # join is NOT separately materialized — blocking → [junction →]
@@ -341,11 +351,11 @@ class LinkerInference:
         # lever this API exists for)
         all_pairs = self._l.blocked_pairs(materialize=True)
         out: Optional[DataFrame] = None
-        for ci in range(num_chunks):
-            for cj in range(num_chunks):
+        for ci in range(chunks_l):
+            for cj in range(chunks_r):
                 pairs = all_pairs.where(
-                    (F.pmod(F.xxhash64(F.col("join_key_l")), F.lit(num_chunks)) == ci)
-                    & (F.pmod(F.xxhash64(F.col("join_key_r")), F.lit(num_chunks)) == cj)
+                    (F.pmod(F.xxhash64(F.col("join_key_l")), F.lit(chunks_l)) == ci)
+                    & (F.pmod(F.xxhash64(F.col("join_key_r")), F.lit(chunks_r)) == cj)
                 )
                 cv = self._l.comparison_vectors(pairs=pairs)
                 scored = predict_from_comparison_vectors(

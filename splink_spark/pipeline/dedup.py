@@ -316,10 +316,11 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     block_cols: Sequence[str] = (),
-    method: str = "all_pairs",
+    method: str = "auto",
     num_planes: int = 24,
     bands: int = 4,
     seed: int = 42,
+    all_pairs_max_block_pairs: float = 2e7,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine similarity (HOF dot product).
 
@@ -330,11 +331,32 @@ def embedding_near_duplicates(
     shuffle bounded by bucket sizes), then exact cosine verifies. Recall for
     a pair at cosine c is 1-(1-p^r)^b with p = 1 - acos(c)/pi, r =
     num_planes/bands — ~95% at c=0.95 with the defaults; precision is exact.
+
+    ``method="auto"`` (the default, VERDICT r3 "scale-safe by default"): a
+    per-block count probe estimates the exact pair count the all-pairs join
+    would produce — sum over blocks of c*(c-1)/2, one map-side-combined
+    aggregate over (block_cols) that never materializes a pair. If the
+    estimate is within ``all_pairs_max_block_pairs`` the exact join is
+    affordable and exact recall is kept; above it the LSH route is taken so
+    an unblocked (or skew-blocked) corpus can never fall into an O(n^2)
+    join by default.
     """
     from ..internals.functions import cosine_similarity
 
     cols = [id_col, embedding_col, *block_cols]
     df = _widen(df)
+
+    if method == "auto":
+        if block_cols:
+            per_block = df.groupBy(*block_cols).agg(
+                F.count(F.lit(1)).alias("__c")
+            )
+        else:
+            per_block = df.agg(F.count(F.lit(1)).alias("__c"))
+        est = per_block.agg(
+            F.sum(F.col("__c").cast("double") * (F.col("__c") - 1) / 2.0).alias("p")
+        ).collect()[0]["p"] or 0.0
+        method = "all_pairs" if est <= all_pairs_max_block_pairs else "lsh"
     sim = cosine_similarity(
         F.col(f"{embedding_col}_l").cast("array<double>"),
         F.col(f"{embedding_col}_r").cast("array<double>"),

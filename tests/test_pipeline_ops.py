@@ -377,3 +377,38 @@ def test_deduplicate_corpus(spark, docs):
         docs, pairs=pairs
     ).collect()}
     assert out2[0]["cluster_id"] == out2[1]["cluster_id"]
+
+
+def test_embedding_neardup_auto_routes_scale_safe(spark):
+    """VERDICT r3 #3: the default method must be scale-safe. 'auto' probes
+    the per-block pair count: below the bound it equals all_pairs exactly;
+    above it the plan must be the LSH banded equi-join — no cartesian /
+    broadcast-nested-loop node anywhere."""
+    import random
+
+    rng = random.Random(7)
+    dim = 12
+    rows = []
+    for vid in range(60):
+        rows.append((vid, [rng.gauss(0, 1) for _ in range(dim)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = {
+        (r["vec_id_l"], r["vec_id_r"], round(r["cosine_sim"], 9))
+        for r in dedup.embedding_near_duplicates(
+            df, threshold=0.3, method="all_pairs"
+        ).collect()
+    }
+    auto_small = {
+        (r["vec_id_l"], r["vec_id_r"], round(r["cosine_sim"], 9))
+        for r in dedup.embedding_near_duplicates(df, threshold=0.3).collect()
+    }
+    assert auto_small == exact  # under the bound: exact path, exact result
+
+    routed = dedup.embedding_near_duplicates(
+        df, threshold=0.9, all_pairs_max_block_pairs=10
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    routed.collect()  # and it runs
