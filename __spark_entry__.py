@@ -426,6 +426,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    # -- training family (VERDICT r3 #1: oracle-gate the math) -----------------
+
+    def q_prior_estimate(spark, sf_dir):
+        """estimate_probability_two_random_records_match via the exact
+        aggregation-count path (inclusion-exclusion over equality rules, no
+        self-join executed) — reference training.py:35-161."""
+        lk = _linker(spark, sf_dir)
+        p = lk.training.estimate_probability_two_random_records_match(
+            [block_on("c_mktsegment"), block_on("c_nationkey", "c_mktsegment")],
+            recall=0.7,
+        )
+        return spark.createDataFrame([(float(p),)], "prob double").select(
+            F.round("prob", 12).alias("prob")
+        )
+
+    def q_estimate_u(spark, sf_dir):
+        """estimate_u_using_random_sampling with the MINSTD portable sampler
+        (same deterministic pmod(hash(uid), M) < k design as the xxhash64
+        default — reference estimate_u.py:40-560 / dialects.py:170-206 — but
+        reproducible bit-for-bit in DuckDB SQL, which xxhash64 is not)."""
+        lk = _linker(spark, sf_dir)
+        res = lk.training.estimate_u_using_random_sampling(
+            max_pairs=2e5, sampling_method="minstd"
+        )
+        rows = []
+        for name, u in sorted(res.items()):
+            comp, k = name[:-1].split("[")
+            rows.append((comp, int(k), float(u)))
+        return spark.createDataFrame(
+            rows, "comparison string, gamma_value bigint, u double"
+        ).select("comparison", "gamma_value", F.round("u", 12).alias("u"))
+
+    def q_em_train(spark, sf_dir):
+        """EM-trained m/u/lambda after exactly 2 iterations on the flagship
+        block (reference expectation_maximisation.py:225-311): one row per
+        (param, comparison, gamma), rounded 1e-9 — the DuckDB oracle unrolls
+        the same 2 E/M iterations over the agreement-pattern table."""
+        lk = _linker(spark, sf_dir)
+        res = lk.training.estimate_parameters_using_expectation_maximisation(
+            block_on("c_nationkey"),
+            fix_u_probabilities=False,
+            fix_m_probabilities=False,
+            max_iterations=2,
+            em_convergence=1e-300,  # never converges early: exactly 2 iters
+            estimate_without_term_frequencies=True,
+        )
+        rows = []
+        for pname in ("m", "u"):
+            for name, v in sorted(res[pname].items()):
+                comp, k = name[:-1].split("[")
+                rows.append((pname, comp, int(k), float(v)))
+        rows.append(("lambda", "", -1, float(res["lambda"])))
+        return spark.createDataFrame(
+            rows, "param string, comparison string, gamma_value bigint, value double"
+        ).select(
+            "param", "comparison", "gamma_value", F.round("value", 9).alias("value")
+        )
+
     def q_cv_distribution(spark, sf_dir):
         """Comparison-viewer backbone: count per distinct gamma pattern
         (reference comparison_vector_distribution.py:10-30)."""
@@ -488,6 +546,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "cv_distribution": q_cv_distribution,
         "mw_histogram": q_mw_histogram,
+        "prior_estimate": q_prior_estimate,
+        "estimate_u": q_estimate_u,
+        "em_train": q_em_train,
     }
 
 
@@ -570,6 +631,100 @@ def _predict_sql() -> str:
            round(CASE WHEN mw >= 0 THEN 1.0 / (1.0 + pow(2.0, -mw))
                       ELSE pow(2.0, mw) / (1.0 + pow(2.0, mw)) END, 6) AS match_probability
     FROM weights"""
+
+
+def _em_oracle_sql(iters: int = 2) -> str:
+    """Unrolled N-iteration EM over the agreement-pattern table, mirroring
+    internals/training.py estimate_parameters_using_em arithmetic exactly:
+    odds = prior_odds * (((1.0 * f0) * f1) * f2) with f = m/max(u, 1e-300)
+    (multiplication association matches the Python loop), M-step normalises
+    within comparison with a 1e-12 floor, lambda clamped to [1e-12, 1-1e-12].
+    Iteration-1 factors and the session prior are Python-precomputed literals
+    — the same doubles the engine starts from."""
+    comps = list(MODEL.keys())
+    gcols = [f"gamma_{c}" for c in comps]
+    # session prior: prob -> bayes factor -> prob roundtrip (training.py
+    # _prob_to_bayes_factor / _bayes_factor_to_prob; no blocking adjustment —
+    # c_nationkey is not a compared column)
+    bf0 = PRIOR / (1 - PRIOR)
+    lam0 = bf0 / (1 + bf0)
+    prior_odds1 = lam0 / (1 - lam0)
+
+    sql = f"""
+    {_pairs_sql()},
+    pat AS (
+      SELECT {', '.join(f'{g} AS g{i}' for i, g in enumerate(gcols))},
+             CAST(count(*) AS DOUBLE) AS cnt
+      FROM gammas GROUP BY {', '.join(str(i + 1) for i in range(len(gcols)))}
+    )"""
+    for it in range(1, iters + 1):
+        if it == 1:
+            # literals cast to DOUBLE: DuckDB types bare decimal literals as
+            # DECIMAL and overflows the scale when chain-multiplying them
+            factors = []
+            for ci, comp in enumerate(comps):
+                arms = " ".join(
+                    f"WHEN {k} THEN CAST({repr(m / max(u, 1e-300))} AS DOUBLE)"
+                    for k, (m, u) in sorted(MODEL[comp].items())
+                )
+                factors.append(f"(CASE g{ci} {arms} ELSE CAST(1.0 AS DOUBLE) END)")
+            odds_src = "pat"
+            prior = f"CAST({repr(prior_odds1)} AS DOUBLE)"
+            joins = ""
+        else:
+            factors = [
+                f"coalesce(a{ci}.m / greatest(a{ci}.u, 1e-300), 1.0)"
+                for ci in range(len(comps))
+            ]
+            odds_src = "pat pt"
+            prior = f"((SELECT lam FROM lam{it - 1}) / (1.0 - (SELECT lam FROM lam{it - 1})))"
+            joins = " ".join(
+                f"LEFT JOIN prm{it - 1}_{ci} a{ci} ON pt.g{ci} = a{ci}.k"
+                for ci in range(len(comps))
+            )
+        chain = "CAST(1.0 AS DOUBLE)"
+        for f in factors:
+            chain = f"({chain} * {f})"
+        gsel = ", ".join(
+            (f"pt.g{ci}" if it > 1 else f"g{ci}") for ci in range(len(comps))
+        )
+        cnt = "pt.cnt" if it > 1 else "cnt"
+        sql += f""",
+    o{it} AS (SELECT {gsel}, {cnt} AS cnt, {prior} * {chain} AS odds
+              FROM {odds_src} {joins}),
+    p{it} AS (SELECT *, odds / (1.0 + odds) AS p FROM o{it})"""
+        for ci, comp in enumerate(comps):
+            # explicit level domain: a gamma value never observed in the
+            # block still gets a row (engine floors it to 1e-12)
+            vals = ", ".join(f"({k})" for k in sorted(MODEL[comp]))
+            sql += f""",
+    agg{it}_{ci} AS (
+      SELECT g{ci} AS k, sum(p * cnt) AS mn, sum((1.0 - p) * cnt) AS un
+      FROM p{it} WHERE g{ci} != -1 GROUP BY g{ci}),
+    prm{it}_{ci} AS (
+      SELECT lv.k,
+             greatest(coalesce(a.mn, 0.0) / (SELECT sum(mn) FROM agg{it}_{ci}),
+                      1e-12) AS m,
+             greatest(coalesce(a.un, 0.0) / (SELECT sum(un) FROM agg{it}_{ci}),
+                      1e-12) AS u
+      FROM (VALUES {vals}) AS lv(k) LEFT JOIN agg{it}_{ci} a ON lv.k = a.k)"""
+        sql += f""",
+    lam{it} AS (SELECT least(greatest(sum(p * cnt) / sum(cnt), 1e-12),
+                             1.0 - 1e-12) AS lam FROM p{it})"""
+
+    selects = []
+    for ci, comp in enumerate(comps):
+        selects.append(
+            f"SELECT 'm' AS param, '{comp}' AS comparison, CAST(k AS BIGINT) AS "
+            f"gamma_value, round(m, 9) AS value FROM prm{iters}_{ci}"
+        )
+        selects.append(
+            f"SELECT 'u', '{comp}', CAST(k AS BIGINT), round(u, 9) FROM prm{iters}_{ci}"
+        )
+    selects.append(
+        f"SELECT 'lambda', '', CAST(-1 AS BIGINT), round(lam, 9) FROM lam{iters}"
+    )
+    return sql + "\n" + "\nUNION ALL\n".join(selects)
 
 
 def _ngrams_sql(col: str, n: int) -> str:
@@ -1017,6 +1172,59 @@ def oracle_sql() -> dict[str, str]:
         gamma_c_name, gamma_c_mktsegment, gamma_c_acctbal
       FROM grouped
     """
+
+    sqls["prior_estimate"] = f"""
+      WITH cust AS ({_CUST}),
+      uni AS (
+        SELECT l.unique_id AS a, r.unique_id AS b
+        FROM cust l JOIN cust r
+          ON l.c_mktsegment = r.c_mktsegment AND l.unique_id < r.unique_id
+        UNION
+        SELECT l.unique_id, r.unique_id
+        FROM cust l JOIN cust r
+          ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
+             AND l.unique_id < r.unique_id
+      ),
+      obs AS (SELECT CAST(count(*) AS DOUBLE) AS observed FROM uni),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cust)
+      SELECT round(least(greatest((observed / 0.7) / (CAST(n AS DOUBLE) * (n - 1) / 2),
+                                  1e-12), 1.0 - 1e-12), 12) AS prob
+      FROM obs, tot
+    """
+
+    # estimate_u: MINSTD-sampled records (portable pmod hash — identical
+    # int64 arithmetic both engines), TRUE-rule pairs, per-level gamma shares
+    u_levels = []
+    for comp, gs in MODEL.items():
+        for k in sorted(gs):
+            u_levels.append(
+                f"SELECT '{comp}' AS comparison, CAST({k} AS BIGINT) AS gamma_value, "
+                f"round(greatest(CAST(sum(CASE WHEN gamma_{comp} = {k} THEN 1 ELSE 0 END) AS DOUBLE)"
+                f" / sum(CASE WHEN gamma_{comp} != -1 THEN 1 ELSE 0 END), 1e-9), 12) AS u "
+                f"FROM gammas"
+            )
+    sqls["estimate_u"] = f"""
+      WITH cust AS ({_CUST}),
+      par AS (
+        SELECT CAST(floor(least(1.0, sqrt(400000.0) / greatest(count(*), 1))
+                    * 1000000) AS BIGINT) AS thr
+        FROM cust
+      ),
+      samp AS (
+        SELECT c.* FROM cust c, par
+        WHERE ((c.unique_id * 48271) % 2147483647) % 1000000 < par.thr
+      ),
+      pairs AS (
+        SELECT l.c_name AS name_l, r.c_name AS name_r,
+               l.c_mktsegment AS seg_l, r.c_mktsegment AS seg_r,
+               l.c_acctbal AS bal_l, r.c_acctbal AS bal_r
+        FROM samp l JOIN samp r ON l.unique_id < r.unique_id
+      ),
+      gammas AS (SELECT *, {_gamma_sql()} FROM pairs)
+      {' UNION ALL '.join(u_levels)}
+    """
+
+    sqls["em_train"] = _em_oracle_sql(iters=2)
 
     # mw_histogram: bin width snapped to the reference's human-friendly set
     # (match_weights_histogram.py _bins) — nearest width to (max-min)/20,

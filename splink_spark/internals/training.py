@@ -190,11 +190,18 @@ def estimate_u_using_random_sampling(
     seed: Optional[int] = None,
     min_count_per_level: Optional[int] = None,
     num_chunks: int = 1,
+    sampling_method: str = "xxhash64",
 ) -> dict:
     """All sampled pairs assumed non-matches → gamma distribution estimates u.
 
     Deterministic sampling filter: pmod(xxhash64(uid, seed), M) < k with
     M chosen so the kept fraction f satisfies (f*n)^2/2 ~= max_pairs.
+
+    ``sampling_method="minstd"`` swaps xxhash64 for the MINSTD multiplicative
+    hash ``(uid * 48271) % 2147483647`` — a weaker scramble, but plain int64
+    arithmetic that ANY SQL engine reproduces bit-for-bit, which is what the
+    cross-engine correctness gate needs (xxhash64 exists only in Spark).
+    Production default stays xxhash64.
 
     ``num_chunks`` > 1 enables the reference's chunked early-stop
     (estimate_u.py:122-160): the rhs sample is hash-split into chunks,
@@ -214,9 +221,16 @@ def estimate_u_using_random_sampling(
 
     modulus = 1_000_000
     threshold = int(fraction * modulus)
-    sample = concat.where(
-        F.pmod(F.xxhash64(F.col(uid), F.lit(seed or 0)), F.lit(modulus)) < threshold
-    )
+    if sampling_method == "minstd":
+        bucket = F.pmod(
+            F.pmod(F.col(uid).cast("bigint") * F.lit(48271), F.lit(2147483647)),
+            F.lit(modulus),
+        )
+    elif sampling_method == "xxhash64":
+        bucket = F.pmod(F.xxhash64(F.col(uid), F.lit(seed or 0)), F.lit(modulus))
+    else:
+        raise ValueError("sampling_method must be 'xxhash64' or 'minstd'")
+    sample = concat.where(bucket < threshold)
     # The TRUE-rule self-join plans as a CartesianProduct whose task count is
     # |parts_l| x |parts_r| — inherited from the (wide) parent, that's a grid
     # of thousands of micro-tasks each paying pandas-UDF invocation overhead

@@ -600,6 +600,7 @@ class LinkerTraining:
         seed: Optional[int] = None,
         min_count_per_level: Optional[int] = None,
         num_chunks: int = 1,
+        sampling_method: str = "xxhash64",
     ):
         from .internals.training import estimate_u_using_random_sampling
 
@@ -609,6 +610,7 @@ class LinkerTraining:
             seed=seed,
             min_count_per_level=min_count_per_level,
             num_chunks=num_chunks,
+            sampling_method=sampling_method,
         )
 
     def estimate_parameters_using_expectation_maximisation(self, blocking_rule, **kw):
