@@ -426,6 +426,112 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    # -- clustering extras (VERDICT r3 #2: oracle-gate them) --------------------
+
+    def q_cluster_multi(spark, sf_dir):
+        """cluster_pairwise_predictions_at_multiple_thresholds with
+        stable-cluster reuse (reference clustering.py:158-601) — verified
+        against a per-threshold recursive-CTE CC oracle."""
+        from splink_spark.internals.one_to_one import cluster_at_multiple_thresholds
+
+        lk = _linker(spark, sf_dir)
+        pred = lk.inference.predict()
+        narrow = getattr(pred, "_splink_narrow", pred)
+        edges = narrow.select(
+            F.col("unique_id_l").alias("node_id_l"),
+            F.col("unique_id_r").alias("node_id_r"),
+            F.round("match_weight", 6).alias("mw"),
+        )
+        nodes = _customer(spark, sf_dir).select(F.col("unique_id").alias("node_id"))
+        out = cluster_at_multiple_thresholds(
+            edges, nodes, thresholds=[-5.0, 3.0, 9.0], probability_col="mw"
+        )
+        return out.select(
+            "threshold", F.col("node_id").alias("unique_id"), "cluster_id"
+        )
+
+    def q_graph_metrics(spark, sf_dir):
+        """compute_graph_metrics: per-cluster size / density / degree
+        centralisation (reference graph_metrics.py:257-330) over the same
+        fixed-parameter component graph as cluster_components."""
+        from splink_spark.internals.connected_components import (
+            compute_graph_metrics,
+        )
+
+        cust = _customer(_session(spark), sf_dir)
+        l = cust.select(
+            F.col("unique_id").alias("id_l"),
+            F.col("c_nationkey").alias("nk_l"),
+            F.col("c_mktsegment").alias("seg_l"),
+            F.col("c_acctbal").alias("bal_l"),
+        )
+        r = cust.select(
+            F.col("unique_id").alias("id_r"),
+            F.col("c_nationkey").alias("nk_r"),
+            F.col("c_mktsegment").alias("seg_r"),
+            F.col("c_acctbal").alias("bal_r"),
+        )
+        edges = l.join(
+            r,
+            (F.col("nk_l") == F.col("nk_r"))
+            & (F.col("seg_l") == F.col("seg_r"))
+            & (F.abs(F.col("bal_l") - F.col("bal_r")) <= 50.0)
+            & (F.col("id_l") < F.col("id_r")),
+        ).select(F.col("id_l").alias("node_id_l"), F.col("id_r").alias("node_id_r"))
+        nodes = cust.select(F.col("unique_id").alias("node_id"))
+        assign = solve_connected_components(edges, nodes)
+        gm = compute_graph_metrics(edges, assign)
+        return gm.select(
+            "cluster_id",
+            "n_nodes",
+            "n_edges",
+            F.round("density", 9).alias("density"),
+            F.round("centralisation", 9).alias("centralisation"),
+        )
+
+    def q_single_best_links(spark, sf_dir):
+        """cluster_using_single_best_links on a 3-dataset split (reference
+        one_to_one_clustering.py:103-336): iterative mutual-best constrained
+        merge — the oracle unrolls the same rounds in plain SQL (extra rounds
+        past convergence are no-ops, so a fixed unroll is exact)."""
+        from splink_spark.internals.one_to_one import cluster_using_single_best_links
+
+        cust = _customer(_session(spark), sf_dir)
+        sd = F.concat(F.lit("d"), (F.col("unique_id") % 3).cast("string"))
+        nodes = cust.select(
+            F.col("unique_id").alias("node_id"), sd.alias("source_dataset")
+        )
+        side = cust.select(
+            F.col("unique_id").alias("id"),
+            sd.alias("sd"),
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_acctbal").cast("double").alias("bal"),
+        )
+        l = side.select(*[F.col(c).alias(f"{c}_l") for c in side.columns])
+        r = side.select(*[F.col(c).alias(f"{c}_r") for c in side.columns])
+        edges = (
+            l.join(
+                r,
+                (F.col("nk_l") == F.col("nk_r"))
+                & (F.col("id_l") < F.col("id_r"))
+                & (F.col("sd_l") != F.col("sd_r")),
+            )
+            .select(
+                F.col("id_l").alias("node_id_l"),
+                F.col("id_r").alias("node_id_r"),
+                F.col("sd_l").alias("source_dataset_l"),
+                F.col("sd_r").alias("source_dataset_r"),
+                (F.lit(1.0) / (F.lit(1.0) + F.abs(F.col("bal_l") - F.col("bal_r"))))
+                .alias("match_probability"),
+            )
+        )
+        out = cluster_using_single_best_links(
+            edges, nodes, threshold_match_probability=0.01
+        )
+        return out.select(
+            F.col("node_id").alias("unique_id"), "source_dataset", "cluster_id"
+        )
+
     # -- training family (VERDICT r3 #1: oracle-gate the math) -----------------
 
     def q_prior_estimate(spark, sf_dir):
@@ -549,6 +655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prior_estimate": q_prior_estimate,
         "estimate_u": q_estimate_u,
         "em_train": q_em_train,
+        "cluster_multi_thresholds": q_cluster_multi,
+        "graph_metrics": q_graph_metrics,
+        "single_best_links": q_single_best_links,
     }
 
 
@@ -631,6 +740,93 @@ def _predict_sql() -> str:
            round(CASE WHEN mw >= 0 THEN 1.0 / (1.0 + pow(2.0, -mw))
                       ELSE pow(2.0, mw) / (1.0 + pow(2.0, mw)) END, 6) AS match_probability
     FROM weights"""
+
+
+def _sbl_oracle_sql(rounds: int = 8) -> str:
+    """Unrolled single-best-links oracle mirroring internals/one_to_one.py
+    cluster_using_single_best_links round-for-round: symmetrized neighbours,
+    drop-ties filter (distinct-counterpart count per (node, sd_l, sd_r, p)),
+    per-round cluster flags → candidate inter-cluster links obeying the
+    duplicate-free constraint → per-cluster-pair max p → mutual rank-1
+    matching → least-representative merge. Converged state is a fixed point,
+    so unrolling past convergence is exact."""
+    sql = f"""
+    WITH cust AS ({_CUST}),
+    nodes AS (SELECT unique_id AS nid, 'd' || CAST(unique_id % 3 AS VARCHAR) AS sd
+              FROM cust),
+    e AS (
+      SELECT l.unique_id AS a, r.unique_id AS b,
+             'd' || CAST(l.unique_id % 3 AS VARCHAR) AS sd_a,
+             'd' || CAST(r.unique_id % 3 AS VARCHAR) AS sd_b,
+             1.0 / (1.0 + abs(CAST(l.c_acctbal AS DOUBLE)
+                              - CAST(r.c_acctbal AS DOUBLE))) AS p
+      FROM cust l JOIN cust r
+        ON l.c_nationkey = r.c_nationkey AND l.unique_id < r.unique_id
+           AND (l.unique_id % 3) != (r.unique_id % 3)
+      WHERE 1.0 / (1.0 + abs(CAST(l.c_acctbal AS DOUBLE)
+                             - CAST(r.c_acctbal AS DOUBLE))) >= 0.01
+    ),
+    nbrs0 AS (
+      SELECT a AS nid, b AS nbr, sd_a AS sd_l, sd_b AS sd_r, p FROM e
+      UNION ALL
+      SELECT b, a, sd_b, sd_a, p FROM e
+    ),
+    tl AS (SELECT nid, sd_l, sd_r, p, count(DISTINCT nbr) AS c
+           FROM nbrs0 GROUP BY 1, 2, 3, 4),
+    tr AS (SELECT nbr, sd_l, sd_r, p, count(DISTINCT nid) AS c
+           FROM nbrs0 GROUP BY 1, 2, 3, 4),
+    nbrs AS MATERIALIZED (
+      SELECT n.nid, n.nbr, n.p
+      FROM nbrs0 n
+      JOIN tl ON n.nid = tl.nid AND n.sd_l = tl.sd_l AND n.sd_r = tl.sd_r
+             AND n.p = tl.p
+      JOIN tr ON n.nbr = tr.nbr AND n.sd_l = tr.sd_l AND n.sd_r = tr.sd_r
+             AND n.p = tr.p
+      WHERE tl.c = 1 AND tr.c = 1
+    ),
+    rep0 AS MATERIALIZED (SELECT nid, nid AS representative, sd FROM nodes)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    flags{r} AS (
+      SELECT representative,
+             max(CASE WHEN sd = 'd0' THEN 1 ELSE 0 END) AS c0,
+             max(CASE WHEN sd = 'd1' THEN 1 ELSE 0 END) AS c1,
+             max(CASE WHEN sd = 'd2' THEN 1 ELSE 0 END) AS c2
+      FROM rep{r - 1} GROUP BY representative),
+    repf{r} AS (SELECT rp.nid, rp.representative, f.c0, f.c1, f.c2
+                FROM rep{r - 1} rp
+                JOIN flags{r} f ON rp.representative = f.representative),
+    cand{r} AS (
+      SELECT lf.representative AS ca, rf.representative AS cb, n.p
+      FROM nbrs n
+      JOIN repf{r} lf ON n.nid = lf.nid
+      JOIN repf{r} rf ON n.nbr = rf.nid
+      WHERE lf.representative != rf.representative
+        AND NOT ((lf.c0 = 1 AND rf.c0 = 1) OR (lf.c1 = 1 AND rf.c1 = 1)
+                 OR (lf.c2 = 1 AND rf.c2 = 1))
+    ),
+    ecl{r} AS (SELECT ca, cb, max(p) AS p FROM cand{r} GROUP BY ca, cb),
+    sym{r} AS (SELECT ca AS c, cb AS o, p FROM ecl{r}
+               UNION ALL SELECT cb, ca, p FROM ecl{r}),
+    best{r} AS (
+      SELECT c, o FROM (
+        SELECT c, o, row_number() OVER (PARTITION BY c ORDER BY p DESC, o ASC)
+               AS rk
+        FROM sym{r}) t WHERE rk = 1
+    ),
+    mut{r} AS (SELECT x.c, x.o FROM best{r} x
+               JOIN best{r} y ON x.c = y.o AND x.o = y.c),
+    map{r} AS (SELECT c, least(c, o) AS newrep FROM mut{r}),
+    rep{r} AS MATERIALIZED (
+      SELECT rp.nid, coalesce(m.newrep, rp.representative) AS representative,
+             rp.sd
+      FROM rep{r - 1} rp LEFT JOIN map{r} m ON rp.representative = m.c
+    )"""
+    sql += f"""
+    SELECT nid AS unique_id, sd AS source_dataset,
+           representative AS cluster_id
+    FROM rep{rounds}"""
+    return sql
 
 
 def _em_oracle_sql(iters: int = 2) -> str:
@@ -1172,6 +1368,91 @@ def oracle_sql() -> dict[str, str]:
         gamma_c_name, gamma_c_mktsegment, gamma_c_acctbal
       FROM grouped
     """
+
+    # cluster_multi_thresholds: rounded predict match weights as edges, one
+    # recursive-CTE CC per threshold, unioned with the threshold column
+    mt_thresholds = [-5.0, 3.0, 9.0]
+    mt_weights = f"""
+    {_pairs_sql(with_tf=True)},
+    weights AS (
+      SELECT unique_id_l, unique_id_r,
+        round({repr(PRIOR_L2)} + {_mw_case('c_name', 'gamma_c_name')}
+          + {_mw_case('c_mktsegment', 'gamma_c_mktsegment')}
+          + (CASE WHEN gamma_c_mktsegment = 1 THEN
+               CASE WHEN greatest(coalesce(tf_l, tf_r), coalesce(tf_r, tf_l), 0.0) > 0
+                    THEN 1.0 * ({repr(L2_U_EXACT_SEG)} - log2(greatest(coalesce(tf_l, tf_r), coalesce(tf_r, tf_l), 0.0)))
+                    ELSE 0.0 END
+             ELSE 0.0 END)
+          + {_mw_case('c_acctbal', 'gamma_c_acctbal')}, 6) AS mw
+      FROM gammas
+    )"""
+    mt_ccs = ""
+    mt_sel = []
+    for ti, t in enumerate(mt_thresholds):
+        mt_ccs += f""",
+    e{ti} AS (SELECT unique_id_l AS a, unique_id_r AS b FROM weights
+              WHERE mw >= {repr(t)}),
+    und{ti} AS (SELECT a, b FROM e{ti} UNION SELECT b, a FROM e{ti}),
+    walk{ti}(node, reach) AS (
+      SELECT unique_id, unique_id FROM cust
+      UNION
+      SELECT w.node, u.b FROM walk{ti} w JOIN und{ti} u ON w.reach = u.a
+    ),
+    cc{ti} AS (SELECT node, min(reach) AS cluster_id FROM walk{ti} GROUP BY node)"""
+        mt_sel.append(
+            f"SELECT CAST({repr(t)} AS DOUBLE) AS threshold, node AS unique_id, "
+            f"cluster_id FROM cc{ti}"
+        )
+    sqls["cluster_multi_thresholds"] = (
+        mt_weights.replace("WITH cust", "WITH RECURSIVE cust", 1)
+        + mt_ccs
+        + "\n"
+        + "\nUNION ALL\n".join(mt_sel)
+    )
+
+    sqls["graph_metrics"] = f"""
+      WITH RECURSIVE cust AS ({_CUST}),
+      e AS (
+        SELECT l.unique_id AS a, r.unique_id AS b
+        FROM cust l JOIN cust r
+          ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
+             AND abs(CAST(l.c_acctbal AS DOUBLE) - CAST(r.c_acctbal AS DOUBLE)) <= 50.0
+             AND l.unique_id < r.unique_id
+      ),
+      und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      walk(node, reach) AS (
+        SELECT unique_id, unique_id FROM cust
+        UNION
+        SELECT w.node, u.b FROM walk w JOIN und u ON w.reach = u.a
+      ),
+      cc AS (SELECT node, min(reach) AS cluster_id FROM walk GROUP BY node),
+      deg AS (
+        SELECT node, count(*) AS degree
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node
+      ),
+      j AS (
+        SELECT cc.cluster_id, cc.node, coalesce(deg.degree, 0) AS degree
+        FROM cc LEFT JOIN deg ON cc.node = deg.node
+      ),
+      pc AS (
+        SELECT cluster_id, count(*) AS n_nodes,
+               sum(degree) / 2.0 AS n_edges,
+               max(degree) AS max_degree
+        FROM j GROUP BY cluster_id
+      )
+      SELECT cluster_id, n_nodes, CAST(n_edges AS DOUBLE) AS n_edges,
+        CASE WHEN n_nodes > 1
+             THEN round(n_edges * 2.0 / (CAST(n_nodes AS DOUBLE) * (CAST(n_nodes AS DOUBLE) - 1)), 9)
+        END AS density,
+        CASE WHEN n_nodes > 2
+             THEN round((CAST(n_nodes AS DOUBLE) * max_degree - 2 * n_edges)
+                        / ((CAST(n_nodes AS DOUBLE) - 1) * (CAST(n_nodes AS DOUBLE) - 2)), 9)
+        END AS centralisation
+      FROM pc
+    """
+
+    sqls["single_best_links"] = _sbl_oracle_sql(rounds=8)
 
     sqls["prior_estimate"] = f"""
       WITH cust AS ({_CUST}),

@@ -237,10 +237,12 @@ def solve_connected_components(
     delta = rep.where(F.col("rep") != F.col("node"))
     n_delta = delta.count()
     since_rep_checkpoint = 0
+    rounds_run = 0
 
     for it in range(max_iterations):
         if n_delta == 0:
             break
+        rounds_run = it + 1
         t_iter = time.time()
         small = n_delta <= delta_broadcast_rows
 
@@ -294,7 +296,14 @@ def solve_connected_components(
             since_rep_checkpoint = 0
         delta = improved
 
-    return rep.select(F.col("node").alias(node_col), F.col("rep").alias("cluster_id"))
+    out = rep.select(F.col("node").alias(node_col), F.col("rep").alias("cluster_id"))
+    try:
+        # observability for benches/tests: how many delta rounds the
+        # distributed loop ran (the loop is eager, so this is final)
+        out._splink_cc_rounds = rounds_run  # type: ignore[attr-defined]
+    except Exception:
+        pass
+    return out
 
 
 def join_assignments_onto_nodes(
