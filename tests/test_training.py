@@ -397,3 +397,28 @@ def test_em_max_pairs_bounds_cv_and_stays_close(spark, em_fixture):
     assert info["expected_pairs_after_sampling"] == pytest.approx(1000, rel=0.25)
     # parameters still in the right neighbourhood despite 4x fewer pairs
     assert out["m"]["col_2[1]"] == pytest.approx(TRUE_M["col_2"], abs=0.12)
+
+
+def test_estimate_u_minstd_sampler_matches_xxhash_statistically(spark):
+    """sampling_method='minstd' (the oracle-portable hash) estimates the same
+    u as the xxhash64 default on a uniform column, and rejects unknowns."""
+    rng = random.Random(5)
+    rows = [(i, f"v{rng.randrange(10)}") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["unique_id", "col"])
+    settings = SettingsCreator(
+        comparisons=[cl.ExactMatch("col")],
+        blocking_rules_to_generate_predictions=[block_on("col")],
+    )
+    linker = Linker(df, settings)
+    res = linker.training.estimate_u_using_random_sampling(
+        max_pairs=2e5, sampling_method="minstd"
+    )
+    assert res["col[1]"] == pytest.approx(0.1, abs=0.02)
+    # deterministic: a second run returns the identical estimate
+    linker2 = Linker(df, settings)
+    res2 = linker2.training.estimate_u_using_random_sampling(
+        max_pairs=2e5, sampling_method="minstd"
+    )
+    assert res2["col[1]"] == res["col[1]"]
+    with pytest.raises(ValueError):
+        linker.training.estimate_u_using_random_sampling(sampling_method="bogus")
