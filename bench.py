@@ -137,13 +137,30 @@ def main() -> None:
     # attach the 1M direct-comparison result (BASELINE.md row 1 analogue)
     # if tools/bench_1m.py has been run on this host — it is too slow to
     # re-run per round, so the cached artifact is reported instead
-    bench_1m = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_1M.json")
-    if os.path.exists(bench_1m):
-        try:
-            with open(bench_1m) as f:
-                out["bench_1m"] = json.load(f)
-        except Exception:
-            pass
+    # attach SLIM summaries only — r3's captured bench line was truncated by
+    # the full artifact payload; the complete JSONs live at the repo root
+    here = os.path.dirname(os.path.abspath(__file__))
+    for artifact, key in (("BENCH_1M.json", "bench_1m"), ("BENCH_10M.json", "bench_10m")):
+        p = os.path.join(here, artifact)
+        if os.path.exists(p):
+            try:
+                with open(p) as f:
+                    full = json.load(f)
+                out[key] = {
+                    "rows": full.get("rows"),
+                    "spark": full.get("spark"),
+                    "duckdb_total_sec": (full.get("duckdb") or {}).get("total_sec"),
+                    "ratio_spark_over_duckdb": full.get("ratio_spark_over_duckdb"),
+                    "spark_vs_published_anchor_60s": full.get(
+                        "spark_vs_published_anchor_60s"
+                    ),
+                    "cluster_parity_fixed_edges": full.get(
+                        "cluster_parity_fixed_edges"
+                    ),
+                    "full_artifact": artifact,
+                }
+            except Exception:
+                pass
     print(json.dumps(out))
 
 

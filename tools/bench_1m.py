@@ -620,7 +620,10 @@ def main() -> None:
             ],
         },
     }
-    with open(os.path.join(REPO, "BENCH_1M.json"), "w") as f:
+    artifact = (
+        "BENCH_1M.json" if n_rows == 1_000_000 else f"BENCH_{n_rows // 1_000_000}M.json"
+    )
+    with open(os.path.join(REPO, artifact), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 
