@@ -207,3 +207,24 @@ def test_cc_driver_null_edge_ids_dropped(spark):
         for r in solve_connected_components(edges_df, nodes_df).collect()
     }
     assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 4}
+
+
+def test_distributed_cc_chain_logarithmic_rounds(spark):
+    """Pointer jumping must converge a chain graph in O(log diameter) delta
+    rounds (the 100 TB worst case) — and the solver reports the round count
+    for benches (_splink_cc_rounds)."""
+    from pyspark.sql import functions as F
+
+    n = 4096  # one chain, diameter 4096
+    ids = spark.range(n)
+    edges = ids.where(F.col("id") + 1 < n).select(
+        F.col("id").alias("node_id_l"), (F.col("id") + 1).alias("node_id_r")
+    )
+    nodes = ids.select(F.col("id").alias("node_id"))
+    out = solve_connected_components(edges, nodes, driver_solve_max_edges=0)
+    rows = out.collect()
+    assert all(r["cluster_id"] == 0 for r in rows) and len(rows) == n
+    rounds = getattr(out, "_splink_cc_rounds", None)
+    assert rounds is not None and rounds <= 16, (
+        f"chain of {n} should converge in ~log2(n) rounds, took {rounds}"
+    )
