@@ -590,6 +590,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "param", "comparison", "gamma_value", F.round("value", 9).alias("value")
         )
 
+    def q_m_from_label(spark, sf_dir):
+        """estimate_m_from_label_column: pairs sharing the label column are
+        true matches; their gamma distribution estimates m directly
+        (reference m_training.py via block_from_labels)."""
+        lk = _linker(spark, sf_dir)
+        res = lk.training.estimate_m_from_label_column("c_mktsegment")
+        rows = []
+        for name, m in sorted(res.items()):
+            comp, k = name[:-1].split("[")
+            rows.append((comp, int(k), float(m)))
+        return spark.createDataFrame(
+            rows, "comparison string, gamma_value bigint, m double"
+        ).select("comparison", "gamma_value", F.round("m", 12).alias("m"))
+
+    def q_prediction_errors(spark, sf_dir):
+        """prediction_errors_from_labels_column: FP/FN pair lists at a
+        probability threshold against a ground-truth label column
+        (reference accuracy.py:442-520)."""
+        from splink_spark.internals.accuracy import (
+            prediction_errors_from_labels_column,
+        )
+
+        lk = _linker(spark, sf_dir)
+        errs = prediction_errors_from_labels_column(
+            lk, "c_mktsegment", threshold_match_probability=0.5
+        )
+        truth = F.coalesce(
+            F.col("c_mktsegment_l") == F.col("c_mktsegment_r"), F.lit(False)
+        )
+        return errs.select(
+            "unique_id_l",
+            "unique_id_r",
+            "gamma_c_name",
+            "gamma_c_mktsegment",
+            "gamma_c_acctbal",
+            F.round("match_weight", 6).alias("match_weight"),
+            F.when(truth, F.lit("FN")).otherwise(F.lit("FP")).alias("error_type"),
+        )
+
     def q_cv_distribution(spark, sf_dir):
         """Comparison-viewer backbone: count per distinct gamma pattern
         (reference comparison_vector_distribution.py:10-30)."""
@@ -656,6 +695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "estimate_u": q_estimate_u,
         "em_train": q_em_train,
         "cluster_multi_thresholds": q_cluster_multi,
+        "m_from_label": q_m_from_label,
+        "prediction_errors": q_prediction_errors,
         "graph_metrics": q_graph_metrics,
         "single_best_links": q_single_best_links,
     }
@@ -1506,6 +1547,62 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sqls["em_train"] = _em_oracle_sql(iters=2)
+
+    # m_from_label: within-label pairs are true matches; per-level gamma share
+    m_levels = []
+    for comp, gs in MODEL.items():
+        for k in sorted(gs):
+            m_levels.append(
+                f"SELECT '{comp}' AS comparison, CAST({k} AS BIGINT) AS gamma_value, "
+                f"round(greatest(CAST(sum(CASE WHEN gamma_{comp} = {k} THEN 1 ELSE 0 END) AS DOUBLE)"
+                f" / sum(CASE WHEN gamma_{comp} != -1 THEN 1 ELSE 0 END), 1e-9), 12) AS m "
+                f"FROM gammas"
+            )
+    sqls["m_from_label"] = f"""
+      WITH cust AS ({_CUST}),
+      pairs AS (
+        SELECT l.c_name AS name_l, r.c_name AS name_r,
+               l.c_mktsegment AS seg_l, r.c_mktsegment AS seg_r,
+               l.c_acctbal AS bal_l, r.c_acctbal AS bal_r
+        FROM cust l JOIN cust r
+          ON l.c_mktsegment = r.c_mktsegment AND l.unique_id < r.unique_id
+      ),
+      gammas AS (SELECT *, {_gamma_sql()} FROM pairs)
+      {' UNION ALL '.join(m_levels)}
+    """
+
+    pe_tf_term = f"""CASE WHEN gamma_c_mktsegment = 1 THEN
+        CASE WHEN greatest(coalesce(tf_l, tf_r), coalesce(tf_r, tf_l), 0.0) > 0
+             THEN 1.0 * ({repr(L2_U_EXACT_SEG)} - log2(greatest(coalesce(tf_l, tf_r), coalesce(tf_r, tf_l), 0.0)))
+             ELSE 0.0 END
+        ELSE 0.0 END"""
+    pe_mw = (
+        f"{repr(PRIOR_L2)} + {_mw_case('c_name', 'gamma_c_name')} "
+        f"+ {_mw_case('c_mktsegment', 'gamma_c_mktsegment')} + ({pe_tf_term}) "
+        f"+ {_mw_case('c_acctbal', 'gamma_c_acctbal')}"
+    )
+    sqls["prediction_errors"] = f"""
+      {_pairs_sql(with_tf=True)},
+      weights AS (
+        SELECT unique_id_l, unique_id_r,
+               gamma_c_name, gamma_c_mktsegment, gamma_c_acctbal,
+               seg_l, seg_r, ({pe_mw}) AS mw
+        FROM gammas
+      ),
+      scored AS (
+        SELECT *, CASE WHEN mw >= 0 THEN 1.0 / (1.0 + pow(2.0, -mw))
+                       ELSE pow(2.0, mw) / (1.0 + pow(2.0, mw)) END AS mp
+        FROM weights
+      )
+      SELECT unique_id_l, unique_id_r,
+             gamma_c_name, gamma_c_mktsegment, gamma_c_acctbal,
+             round(mw, 6) AS match_weight,
+             CASE WHEN coalesce(seg_l = seg_r, FALSE) THEN 'FN' ELSE 'FP' END
+               AS error_type
+      FROM scored
+      WHERE (mp >= 0.5 AND NOT coalesce(seg_l = seg_r, FALSE))
+         OR (mp < 0.5 AND coalesce(seg_l = seg_r, FALSE))
+    """
 
     # mw_histogram: bin width snapped to the reference's human-friendly set
     # (match_weights_histogram.py _bins) — nearest width to (max-min)/20,
