@@ -590,6 +590,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "param", "comparison", "gamma_value", F.round("value", 9).alias("value")
         )
 
+    def q_score_pairs(spark, sf_dir):
+        """score_pairs: caller-supplied id pairs scored with the trained
+        model, no blocking join (reference inference.py:746-1021)."""
+        lk = _linker(spark, sf_dir)
+        cust = _customer(spark, sf_dir)
+        ids = cust.select("unique_id")
+        pairs = (
+            ids.select(
+                F.col("unique_id").alias("join_key_l"),
+                (F.col("unique_id") + 7).alias("join_key_r"),
+            )
+            .join(
+                ids.select(F.col("unique_id").alias("join_key_r")),
+                on="join_key_r",
+                how="left_semi",
+            )
+        )
+        out = lk.inference.score_pairs(pairs)
+        return out.select(
+            "unique_id_l",
+            "unique_id_r",
+            "gamma_c_name",
+            "gamma_c_mktsegment",
+            "gamma_c_acctbal",
+            F.round("match_weight", 6).alias("match_weight"),
+            F.round("match_probability", 6).alias("match_probability"),
+        )
+
+    def q_predict_between(spark, sf_dir):
+        """predict_between: blocked scored predictions BETWEEN two record
+        collections (cross pairs only), TF from the base linker's tables
+        (reference inference.py predict_between)."""
+        lk = _linker(spark, sf_dir)
+        cust = _customer(spark, sf_dir)
+        left = cust.where(F.col("unique_id") % 2 == 0)
+        right = cust.where(F.col("unique_id") % 2 == 1)
+        out = lk.inference.predict_between(left, right)
+        return out.select(
+            "unique_id_l",
+            "unique_id_r",
+            "gamma_c_name",
+            "gamma_c_mktsegment",
+            "gamma_c_acctbal",
+            F.round("match_weight", 6).alias("match_weight"),
+            F.round("match_probability", 6).alias("match_probability"),
+        )
+
     def q_m_from_label(spark, sf_dir):
         """estimate_m_from_label_column: pairs sharing the label column are
         true matches; their gamma distribution estimates m directly
@@ -696,6 +743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "em_train": q_em_train,
         "cluster_multi_thresholds": q_cluster_multi,
         "m_from_label": q_m_from_label,
+        "score_pairs": q_score_pairs,
+        "predict_between": q_predict_between,
         "prediction_errors": q_prediction_errors,
         "graph_metrics": q_graph_metrics,
         "single_best_links": q_single_best_links,
@@ -1581,6 +1630,45 @@ def oracle_sql() -> dict[str, str]:
         f"+ {_mw_case('c_mktsegment', 'gamma_c_mktsegment')} + ({pe_tf_term}) "
         f"+ {_mw_case('c_acctbal', 'gamma_c_acctbal')}"
     )
+    pe_prob = """CASE WHEN mw >= 0 THEN 1.0 / (1.0 + pow(2.0, -mw))
+                      ELSE pow(2.0, mw) / (1.0 + pow(2.0, mw)) END"""
+    score_tf_cte = """
+      tf AS (
+        SELECT c_mktsegment AS seg, CAST(count(*) AS DOUBLE) /
+               (SELECT CAST(count(c_mktsegment) AS DOUBLE) FROM cust) AS tf
+        FROM cust WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment
+      )"""
+
+    def _scored_oracle(pairs_from: str) -> str:
+        return f"""
+      WITH cust AS ({_CUST}),{score_tf_cte},
+      pairs AS (
+        SELECT l.unique_id AS unique_id_l, r.unique_id AS unique_id_r,
+               l.c_name AS name_l, r.c_name AS name_r,
+               l.c_mktsegment AS seg_l, r.c_mktsegment AS seg_r,
+               l.c_acctbal AS bal_l, r.c_acctbal AS bal_r,
+               tfl.tf AS tf_l, tfr.tf AS tf_r
+        FROM {pairs_from}
+        LEFT JOIN tf tfl ON l.c_mktsegment = tfl.seg
+        LEFT JOIN tf tfr ON r.c_mktsegment = tfr.seg
+      ),
+      gammas AS (SELECT *, {_gamma_sql()} FROM pairs),
+      weights AS (SELECT *, ({pe_mw}) AS mw FROM gammas)
+      SELECT unique_id_l, unique_id_r,
+             gamma_c_name, gamma_c_mktsegment, gamma_c_acctbal,
+             round(mw, 6) AS match_weight,
+             round({pe_prob}, 6) AS match_probability
+      FROM weights"""
+
+    sqls["score_pairs"] = _scored_oracle(
+        "cust l JOIN cust r ON r.unique_id = l.unique_id + 7"
+    )
+    sqls["predict_between"] = _scored_oracle(
+        "(SELECT * FROM cust WHERE unique_id % 2 = 0) l "
+        "JOIN (SELECT * FROM cust WHERE unique_id % 2 = 1) r "
+        "ON l.c_nationkey = r.c_nationkey"
+    )
+
     sqls["prediction_errors"] = f"""
       {_pairs_sql(with_tf=True)},
       weights AS (
