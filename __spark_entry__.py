@@ -489,6 +489,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("centralisation", 9).alias("centralisation"),
         )
 
+    def q_edge_bridges(spark, sf_dir):
+        """compute_edge_metrics is_bridge (per-cluster Tarjan in
+        applyInPandas; reference edge_metrics.py:75-160) — verified against a
+        per-edge reachability-without-that-edge recursive-CTE oracle on a
+        sparse fixed-parameter graph."""
+        from splink_spark.internals.connected_components import (
+            compute_edge_metrics,
+        )
+
+        cust = _customer(_session(spark), sf_dir)
+        l = cust.select(
+            F.col("unique_id").alias("id_l"),
+            F.col("c_nationkey").alias("nk_l"),
+            F.col("c_mktsegment").alias("seg_l"),
+            F.col("c_acctbal").cast("double").alias("bal_l"),
+        )
+        r = cust.select(
+            F.col("unique_id").alias("id_r"),
+            F.col("c_nationkey").alias("nk_r"),
+            F.col("c_mktsegment").alias("seg_r"),
+            F.col("c_acctbal").cast("double").alias("bal_r"),
+        )
+        edges = l.join(
+            r,
+            (F.col("nk_l") == F.col("nk_r"))
+            & (F.col("seg_l") == F.col("seg_r"))
+            & (F.abs(F.col("bal_l") - F.col("bal_r")) <= 300.0)
+            & (F.col("id_l") < F.col("id_r")),
+        ).select(F.col("id_l").alias("node_id_l"), F.col("id_r").alias("node_id_r"))
+        nodes = cust.select(F.col("unique_id").alias("node_id"))
+        assign = solve_connected_components(edges, nodes)
+        em = compute_edge_metrics(edges, assign)
+        return em.select("cluster_id", "node_id_l", "node_id_r", "is_bridge")
+
     def q_single_best_links(spark, sf_dir):
         """cluster_using_single_best_links on a 3-dataset split (reference
         one_to_one_clustering.py:103-336): iterative mutual-best constrained
@@ -747,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predict_between": q_predict_between,
         "prediction_errors": q_prediction_errors,
         "graph_metrics": q_graph_metrics,
+        "edge_bridges": q_edge_bridges,
         "single_best_links": q_single_best_links,
     }
 
@@ -1543,6 +1578,42 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sqls["single_best_links"] = _sbl_oracle_sql(rounds=8)
+
+    # edge_bridges: an edge is a bridge iff its r endpoint is unreachable
+    # from its l endpoint when traversal skips that edge — one recursive walk
+    # parameterized by edge id (state space = sum over edges of their
+    # component size; the fixture's tight bal bound keeps components small)
+    sqls["edge_bridges"] = f"""
+      WITH RECURSIVE cust AS ({_CUST}),
+      e AS (
+        SELECT row_number() OVER (ORDER BY l.unique_id, r.unique_id) AS eid,
+               l.unique_id AS a, r.unique_id AS b
+        FROM cust l JOIN cust r
+          ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
+             AND abs(CAST(l.c_acctbal AS DOUBLE) - CAST(r.c_acctbal AS DOUBLE)) <= 300.0
+             AND l.unique_id < r.unique_id
+      ),
+      und AS (
+        SELECT eid, a, b FROM e UNION ALL SELECT eid, b, a FROM e
+      ),
+      walk(eid, node) AS (
+        SELECT eid, a FROM e
+        UNION
+        SELECT w.eid, u.b FROM walk w
+        JOIN und u ON w.node = u.a AND u.eid != w.eid
+      ),
+      undall AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      cwalk(node, reach) AS (
+        SELECT unique_id, unique_id FROM cust
+        UNION
+        SELECT w.node, u.b FROM cwalk w JOIN undall u ON w.reach = u.a
+      ),
+      cc AS (SELECT node, min(reach) AS cluster_id FROM cwalk GROUP BY node)
+      SELECT cc.cluster_id, e.a AS node_id_l, e.b AS node_id_r,
+             NOT EXISTS (SELECT 1 FROM walk w WHERE w.eid = e.eid AND w.node = e.b)
+               AS is_bridge
+      FROM e JOIN cc ON e.a = cc.node
+    """
 
     sqls["prior_estimate"] = f"""
       WITH cust AS ({_CUST}),
