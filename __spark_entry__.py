@@ -566,6 +566,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("node_id").alias("unique_id"), "source_dataset", "cluster_id"
         )
 
+    # -- comparison-level kernels (§2.7) over the library level objects --------
+
+    def q_pairwise_levenshtein(spark, sf_dir):
+        """PairwiseStringDistanceFunctionLevel('levenshtein'): best score over
+        the cross-product of two string arrays via native HOFs (reference
+        comparison_level_library.py:613-687)."""
+        from splink_spark.internals.comparison_level_library import (
+            PairwiseStringDistanceFunctionLevel,
+        )
+
+        cust = _customer(_session(spark), sf_dir)
+        groups = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+            F.sort_array(F.collect_list("c_name")).alias("names")
+        )
+        l = groups.select(
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_mktsegment").alias("seg_l"),
+            F.col("names").alias("names_l"),
+        )
+        r = groups.select(
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_mktsegment").alias("seg_r"),
+            F.col("names").alias("names_r"),
+        )
+        lv = PairwiseStringDistanceFunctionLevel("names", "levenshtein", 4)
+        return (
+            l.join(r, on="nk")
+            .where(F.col("seg_l") < F.col("seg_r"))
+            .select("nk", "seg_l", "seg_r", lv.condition().alias("is_close"))
+        )
+
+    def q_distance_in_km(spark, sf_dir):
+        """DistanceInKMLevel: haversine great-circle distance as pure Column
+        trig (reference comparison_level_library.py:849); lat/lon synthesized
+        deterministically from customer columns."""
+        from splink_spark.internals.functions import haversine_km
+
+        cust = _customer(_session(spark), sf_dir)
+        pts = cust.select(
+            "unique_id",
+            "c_nationkey",
+            "c_mktsegment",
+            (F.pmod(F.col("c_acctbal").cast("double"), F.lit(180.0)) - 90.0).alias("lat"),
+            (F.pmod(F.col("unique_id").cast("double") * 7.0, F.lit(360.0)) - 180.0).alias("lon"),
+        )
+        l = pts.select(*[F.col(c).alias(f"{c}_l") for c in pts.columns])
+        r = pts.select(*[F.col(c).alias(f"{c}_r") for c in pts.columns])
+        pairs = l.join(
+            r,
+            (F.col("c_nationkey_l") == F.col("c_nationkey_r"))
+            & (F.col("c_mktsegment_l") == F.col("c_mktsegment_r"))
+            & (F.col("unique_id_l") < F.col("unique_id_r")),
+        )
+        d = haversine_km(
+            F.col("lat_l"), F.col("lon_l"), F.col("lat_r"), F.col("lon_r")
+        )
+        return pairs.select(
+            "unique_id_l",
+            "unique_id_r",
+            F.round(d, 6).alias("km"),
+            (d <= 1000.0).alias("within_1000km"),
+        )
+
+    def q_date_difference(spark, sf_dir):
+        """AbsoluteDateDifferenceLevel: exact epoch-seconds difference (not
+        the reference Spark dialect's lossy datediff-days shortcut) over
+        order-date pairs per customer."""
+        from splink_spark.internals.comparison_level_library import (
+            AbsoluteDateDifferenceLevel,
+        )
+
+        orders = _session(spark).read.parquet(f"{sf_dir}/orders.parquet")
+        o = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+        l = o.select(*[F.col(c).alias(f"{c}_l") for c in o.columns])
+        r = o.select(*[F.col(c).alias(f"{c}_r") for c in o.columns])
+        pairs = l.join(
+            r,
+            (F.col("o_custkey_l") == F.col("o_custkey_r"))
+            & (F.col("o_orderkey_l") < F.col("o_orderkey_r")),
+        )
+        lv = AbsoluteDateDifferenceLevel("o_orderdate", 90, metric="day")
+        return pairs.select(
+            "o_orderkey_l",
+            "o_orderkey_r",
+            lv.condition().alias("within_90_days"),
+        )
+
     # -- training family (VERDICT r3 #1: oracle-gate the math) -----------------
 
     def q_prior_estimate(spark, sf_dir):
@@ -782,6 +869,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prediction_errors": q_prediction_errors,
         "graph_metrics": q_graph_metrics,
         "edge_bridges": q_edge_bridges,
+        "pairwise_levenshtein": q_pairwise_levenshtein,
+        "distance_in_km": q_distance_in_km,
+        "date_difference": q_date_difference,
         "single_best_links": q_single_best_links,
     }
 
@@ -1613,6 +1703,56 @@ def oracle_sql() -> dict[str, str]:
              NOT EXISTS (SELECT 1 FROM walk w WHERE w.eid = e.eid AND w.node = e.b)
                AS is_bridge
       FROM e JOIN cc ON e.a = cc.node
+    """
+
+    sqls["pairwise_levenshtein"] = f"""
+      WITH cust AS ({_CUST}),
+      groups AS (
+        SELECT c_nationkey AS nk, c_mktsegment AS seg,
+               list_sort(list(c_name)) AS names
+        FROM cust GROUP BY c_nationkey, c_mktsegment
+      )
+      SELECT l.nk, l.seg AS seg_l, r.seg AS seg_r,
+             list_min(flatten(list_transform(l.names,
+               x -> list_transform(r.names, y -> levenshtein(x, y))))) <= 4
+               AS is_close
+      FROM groups l JOIN groups r ON l.nk = r.nk AND l.seg < r.seg
+    """
+
+    hav = """2.0 * 6371.0 * asin(sqrt(
+        sin(radians(lat_r - lat_l) / 2) * sin(radians(lat_r - lat_l) / 2)
+        + cos(radians(lat_l)) * cos(radians(lat_r))
+          * sin(radians(lon_r - lon_l) / 2) * sin(radians(lon_r - lon_l) / 2)))"""
+    sqls["distance_in_km"] = f"""
+      WITH cust AS ({_CUST}),
+      pts AS (
+        SELECT unique_id, c_nationkey, c_mktsegment,
+          ((CAST(c_acctbal AS DOUBLE) % 180.0 + 180.0) % 180.0) - 90.0 AS lat,
+          ((CAST(unique_id AS DOUBLE) * 7.0 % 360.0 + 360.0) % 360.0) - 180.0 AS lon
+        FROM cust
+      ),
+      pairs AS (
+        SELECT l.unique_id AS unique_id_l, r.unique_id AS unique_id_r,
+               l.lat AS lat_l, l.lon AS lon_l, r.lat AS lat_r, r.lon AS lon_r
+        FROM pts l JOIN pts r
+          ON l.c_nationkey = r.c_nationkey
+             AND l.c_mktsegment = r.c_mktsegment
+             AND l.unique_id < r.unique_id
+      )
+      SELECT unique_id_l, unique_id_r,
+             round({hav}, 6) AS km,
+             ({hav}) <= 1000.0 AS within_1000km
+      FROM pairs
+    """
+
+    sqls["date_difference"] = """
+      WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate FROM orders)
+      SELECT l.o_orderkey AS o_orderkey_l, r.o_orderkey AS o_orderkey_r,
+             abs(epoch(CAST(l.o_orderdate AS TIMESTAMP))
+                 - epoch(CAST(r.o_orderdate AS TIMESTAMP))) <= 90 * 86400.0
+               AS within_90_days
+      FROM o l JOIN o r
+        ON l.o_custkey = r.o_custkey AND l.o_orderkey < r.o_orderkey
     """
 
     sqls["prior_estimate"] = f"""
