@@ -566,6 +566,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("node_id").alias("unique_id"), "source_dataset", "cluster_id"
         )
 
+    def q_predict_chunked(spark, sf_dir):
+        """Asymmetric chunked predict (num_chunks_l=2, num_chunks_r=3) —
+        must equal the unchunked predict oracle exactly (reference
+        chunking.py:12-42 / inference.py:294-444)."""
+        lk = _linker(spark, sf_dir)
+        scored = lk.inference.predict(num_chunks_l=2, num_chunks_r=3)
+        return scored.select(
+            F.col("unique_id_l"),
+            F.col("unique_id_r"),
+            F.col("gamma_c_name"),
+            F.col("gamma_c_mktsegment"),
+            F.col("gamma_c_acctbal"),
+            F.round("match_weight", 6).alias("match_weight"),
+            F.round("match_probability", 6).alias("match_probability"),
+        )
+
+    def q_column_expression(spark, sf_dir):
+        """ColumnExpression transform chain (lower → substr → nullif;
+        regex_extract) — the pre-comparison expression layer (reference
+        column_expression.py)."""
+        from splink_spark.internals.column_expression import ColumnExpression
+
+        cust = _customer(_session(spark), sf_dir)
+        ce1 = ColumnExpression("c_name").lower().substr(1, 10)
+        ce2 = ColumnExpression("c_name").regex_extract(r"([0-9]+)", 1)
+        ce3 = ColumnExpression("c_mktsegment").lower().nullif("building")
+        return cust.select(
+            "unique_id",
+            ce1.on("c_name").alias("name_prefix"),
+            ce2.on("c_name").alias("name_digits"),
+            ce3.on("c_mktsegment").alias("seg_nullable"),
+        )
+
     # -- comparison-level kernels (§2.7) over the library level objects --------
 
     def q_pairwise_levenshtein(spark, sf_dir):
@@ -870,6 +903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_metrics": q_graph_metrics,
         "edge_bridges": q_edge_bridges,
         "pairwise_levenshtein": q_pairwise_levenshtein,
+        "predict_chunked": q_predict_chunked,
+        "column_expression": q_column_expression,
         "distance_in_km": q_distance_in_km,
         "date_difference": q_date_difference,
         "single_best_links": q_single_best_links,
@@ -1237,6 +1272,19 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sqls["predict_customer"] = _predict_sql()
+    # chunked predict must equal the unchunked oracle exactly
+    sqls["predict_chunked"] = _predict_sql()
+
+    sqls["column_expression"] = f"""
+      WITH cust AS ({_CUST})
+      SELECT unique_id,
+             substring(lower(c_name), 1, 10) AS name_prefix,
+             CASE WHEN regexp_extract(c_name, '([0-9]+)', 1) = ''
+                  THEN NULL ELSE regexp_extract(c_name, '([0-9]+)', 1) END
+               AS name_digits,
+             nullif(lower(c_mktsegment), 'building') AS seg_nullable
+      FROM cust
+    """
 
     sqls["em_patterns"] = f"""
       {_pairs_sql()}
