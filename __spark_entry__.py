@@ -830,6 +830,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.when(truth, F.lit("FN")).otherwise(F.lit("FP")).alias("error_type"),
         )
 
+    def q_em_train_tf(spark, sf_dir):
+        """EM with the WITH-TF E-step (estimate_without_term_frequencies=
+        False — the reference's default path): every pair re-scored per
+        iteration including TF adjustments. Same 2-iteration protocol as
+        em_train; the oracle unrolls the per-pair scoring in SQL."""
+        lk = _linker(spark, sf_dir)
+        res = lk.training.estimate_parameters_using_expectation_maximisation(
+            block_on("c_nationkey"),
+            fix_u_probabilities=False,
+            fix_m_probabilities=False,
+            max_iterations=2,
+            em_convergence=1e-300,
+            estimate_without_term_frequencies=False,
+        )
+        rows = []
+        for pname in ("m", "u"):
+            for name, v in sorted(res[pname].items()):
+                comp, k = name[:-1].split("[")
+                rows.append((pname, comp, int(k), float(v)))
+        rows.append(("lambda", "", -1, float(res["lambda"])))
+        return spark.createDataFrame(
+            rows, "param string, comparison string, gamma_value bigint, value double"
+        ).select(
+            "param", "comparison", "gamma_value", F.round("value", 9).alias("value")
+        )
+
     def q_cv_distribution(spark, sf_dir):
         """Comparison-viewer backbone: count per distinct gamma pattern
         (reference comparison_vector_distribution.py:10-30)."""
@@ -895,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prior_estimate": q_prior_estimate,
         "estimate_u": q_estimate_u,
         "em_train": q_em_train,
+        "em_train_tf": q_em_train_tf,
         "cluster_multi_thresholds": q_cluster_multi,
         "m_from_label": q_m_from_label,
         "score_pairs": q_score_pairs,
@@ -1077,6 +1104,108 @@ def _sbl_oracle_sql(rounds: int = 8) -> str:
            representative AS cluster_id
     FROM rep{rounds}"""
     return sql
+
+
+def _em_tf_oracle_sql(iters: int = 2) -> str:
+    """Unrolled N-iteration EM for the WITH-TF E-step path
+    (estimate_without_term_frequencies=False — the reference's default):
+    every pair is scored per iteration with the current params' match weight
+    INCLUDING the TF adjustment (internals/training.py _em_tf_aggs), p =
+    stable sigmoid, expected counts summed per level. Addition order inside
+    the match weight and the per-comparison denominators mirrors the engine's
+    loop order (levels descending); 1-ulp libm differences are absorbed by
+    the 9-dp rounding."""
+    import math as _math
+
+    comps = list(MODEL.keys())
+    gcols = [f"gamma_{c}" for c in comps]
+    bf0 = PRIOR / (1 - PRIOR)
+    lam0 = bf0 / (1 + bf0)
+
+    def sig(mw: str) -> str:
+        return (f"CASE WHEN ({mw}) >= 0 THEN 1.0 / (1.0 + pow(2.0, -({mw}))) "
+                f"ELSE pow(2.0, ({mw})) / (1.0 + pow(2.0, ({mw}))) END")
+
+    sql = f"""
+    {_pairs_sql(with_tf=True)},
+    base AS (
+      SELECT {', '.join(f'{g} AS g{i}' for i, g in enumerate(gcols))},
+             greatest(coalesce(tf_l, tf_r), coalesce(tf_r, tf_l), 0.0) AS tft
+      FROM gammas
+    )"""
+    for it in range(1, iters + 1):
+        if it == 1:
+            # iteration-1 constants are Python-precomputed literals — the
+            # same doubles the engine starts from
+            prior = repr(_math.log2(lam0 / (1 - lam0)))
+            consts = []
+            for ci, comp in enumerate(comps):
+                arms = " ".join(
+                    f"WHEN {k} THEN CAST({repr(_math.log2(max(m, 1e-300) / max(u, 1e-300)))} AS DOUBLE)"
+                    for k, (m, u) in sorted(MODEL[comp].items(), reverse=True)
+                )
+                consts.append(f"(CASE g{ci} {arms} ELSE CAST(0.0 AS DOUBLE) END)")
+            u_exact = f"CAST({repr(_math.log2(max(MODEL['c_mktsegment'][1][1], 1e-300)))} AS DOUBLE)"
+            src, joins = "base", ""
+        else:
+            prev = it - 1
+            prior = (f"(SELECT log2(lam / (1.0 - lam)) FROM lam{prev}w)")
+            consts = [
+                f"coalesce(log2(greatest(a{ci}.m, 1e-300) / greatest(a{ci}.u, 1e-300)), 0.0)"
+                for ci in range(len(comps))
+            ]
+            u_exact = (f"(SELECT log2(greatest(u, 1e-300)) FROM prm{prev}w_1 WHERE k = 1)")
+            src = "base b"
+            joins = " ".join(
+                f"LEFT JOIN prm{prev}w_{ci} a{ci} ON b.g{ci} = a{ci}.k"
+                for ci in range(len(comps))
+            )
+        g = (lambda ci: f"b.g{ci}") if it > 1 else (lambda ci: f"g{ci}")
+        tft = "b.tft" if it > 1 else "tft"
+        tf_arm = (f"CASE WHEN {g(1)} = 1 THEN "
+                  f"CASE WHEN {tft} IS NOT NULL AND {tft} > 0 "
+                  f"THEN 1.0 * ({u_exact} - log2({tft})) ELSE 0.0 END "
+                  f"ELSE 0.0 END")
+        # engine addition order: prior + c0 + c1 + tf_arm(c1) + c2
+        mw = f"{prior} + {consts[0]} + {consts[1]} + ({tf_arm}) + {consts[2]}"
+        sql += f""",
+    p{it}w AS (SELECT {', '.join(g(ci) + f' AS g{ci}' for ci in range(len(comps)))},
+                      {sig(mw)} AS p
+               FROM {src} {joins})"""
+        for ci, comp in enumerate(comps):
+            ks = sorted(MODEL[comp], reverse=True)
+            mden = " + ".join(
+                f"sum(CASE WHEN g{ci} = {k} THEN p ELSE 0.0 END)" for k in ks
+            )
+            uden = " + ".join(
+                f"sum(CASE WHEN g{ci} = {k} THEN 1.0 - p ELSE 0.0 END)" for k in ks
+            )
+            rows = " UNION ALL ".join(
+                f"SELECT {k} AS k, "
+                f"greatest(sum(CASE WHEN g{ci} = {k} THEN p ELSE 0.0 END) / ({mden}), 1e-12) AS m, "
+                f"greatest(sum(CASE WHEN g{ci} = {k} THEN 1.0 - p ELSE 0.0 END) / ({uden}), 1e-12) AS u "
+                f"FROM p{it}w"
+                for k in ks
+            )
+            sql += f""",
+    prm{it}w_{ci} AS ({rows})"""
+        sql += f""",
+    lam{it}w AS (SELECT least(greatest(sum(p) / count(*), 1e-12),
+                              1.0 - 1e-12) AS lam FROM p{it}w)"""
+
+    selects = []
+    for ci, comp in enumerate(comps):
+        selects.append(
+            f"SELECT 'm' AS param, '{comp}' AS comparison, CAST(k AS BIGINT) AS "
+            f"gamma_value, round(m, 9) AS value FROM prm{iters}w_{ci}"
+        )
+        selects.append(
+            f"SELECT 'u', '{comp}', CAST(k AS BIGINT), round(u, 9) FROM prm{iters}w_{ci}"
+        )
+    selects.append(
+        f"SELECT 'lambda', '', CAST(-1 AS BIGINT), round(lam, 9) FROM lam{iters}w"
+    )
+    return sql + "\n" + "\nUNION ALL\n".join(selects)
 
 
 def _em_oracle_sql(iters: int = 2) -> str:
@@ -1855,6 +1984,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sqls["em_train"] = _em_oracle_sql(iters=2)
+    sqls["em_train_tf"] = _em_tf_oracle_sql(iters=2)
 
     # m_from_label: within-label pairs are true matches; per-level gamma share
     m_levels = []
