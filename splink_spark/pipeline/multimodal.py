@@ -281,3 +281,101 @@ def documents_as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("bigint").alias("duration_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# header-only metadata extraction (no codec library — pure byte parsing)
+# ---------------------------------------------------------------------------
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), True),  # png|jpeg|gif|ppm|pgm|bmp
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+
+def _parse_image_header(b: Optional[bytes]):
+    """(format, width, height) from container headers alone — PNG IHDR,
+    JPEG SOFn scan, GIF logical screen descriptor, BMP info header, PNM.
+    Works without any image library: the dimensions live in fixed,
+    documented header offsets of each format."""
+    if not b or len(b) < 10:
+        return (None, None, None)
+    # PNG: 8-byte signature, IHDR payload at offset 16 (width, height BE u32)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        return ("png", w, h)
+    # JPEG: walk markers to the first SOF0-SOF15 (except DHT/DAC/restarts)
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        n = len(b)
+        while i + 9 < n:
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(b[i + 5 : i + 7], "big")
+                w = int.from_bytes(b[i + 7 : i + 9], "big")
+                return ("jpeg", w, h)
+            i += 2 + seg_len
+        return ("jpeg", None, None)
+    # GIF: 6-byte signature then logical screen w/h (LE u16)
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        return ("gif", w, h)
+    # BMP: 'BM', BITMAPINFOHEADER width/height at offsets 18/22 (LE i32)
+    if b[:2] == b"BM" and len(b) >= 26:
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = abs(int.from_bytes(b[22:26], "little", signed=True))
+        return ("bmp", w, h)
+    # PNM (P5/P6): reuse the full header parser
+    if b[:2] in (b"P5", b"P6"):
+        parsed = _parse_pnm_header(b)
+        if parsed:
+            _, w, h, _, _ = parsed
+            return ("pgm" if b[:2] == b"P5" else "ppm", w, h)
+    return (None, None, None)
+
+
+def image_metadata(media: DataFrame) -> DataFrame:
+    """Per-image (format, width, height) parsed from container headers in an
+    Arrow-batched ``mapInPandas`` — REAL metadata for PNG/JPEG/GIF/BMP/PNM
+    without any codec library. At 100 TB this is the cheap pre-filter pass
+    (drop tiny/huge images, route by format) that runs before any expensive
+    decode, reading only the binary column."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, nb = [], [], [], []
+            for content in pdf["content"]:
+                f, w, h = _parse_image_header(
+                    bytes(content) if content is not None else None
+                )
+                fmts.append(f)
+                ws.append(w)
+                hs.append(h)
+                nb.append(len(content) if content is not None else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": pd.array(fmts, dtype="string"),
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "n_bytes": pd.array(nb, dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=IMAGE_META_SCHEMA
+    )

@@ -412,3 +412,31 @@ def test_embedding_neardup_auto_routes_scale_safe(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     routed.collect()  # and it runs
+
+
+def test_image_metadata_header_parsing(spark):
+    """PNG/JPEG/GIF/BMP/PNM dimensions parsed from raw container headers —
+    no codec library involved."""
+    from splink_spark.pipeline import multimodal as mm
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+           + (640).to_bytes(4, "big") + (480).to_bytes(4, "big") + b"\x08\x02" + b"\x00" * 20)
+    # JPEG: SOI, APP0 stub, SOF0 with h=300 w=200
+    jpeg = (b"\xff\xd8" + b"\xff\xe0\x00\x04\x4a\x46"
+            + b"\xff\xc0\x00\x11\x08" + (300).to_bytes(2, "big") + (200).to_bytes(2, "big")
+            + b"\x03" + b"\x00" * 10 + b"\xff\xd9")
+    gif = b"GIF89a" + (12).to_bytes(2, "little") + (34).to_bytes(2, "little") + b"\x00" * 10
+    bmp = (b"BM" + b"\x00" * 16 + (77).to_bytes(4, "little")
+           + (55).to_bytes(4, "little") + b"\x00" * 10)
+    ppm = b"P6\n2 3\n255\n" + b"\x00" * 18
+    rows = [(1, png), (2, jpeg), (3, gif), (4, bmp), (5, ppm), (6, b"garbage!!")]
+    media = spark.createDataFrame(
+        [(i, "image", c, None, None, None) for i, c in rows], schema=mm.MEDIA_SCHEMA
+    )
+    out = {r["media_id"]: r for r in mm.image_metadata(media).collect()}
+    assert (out[1]["format"], out[1]["width"], out[1]["height"]) == ("png", 640, 480)
+    assert (out[2]["format"], out[2]["width"], out[2]["height"]) == ("jpeg", 200, 300)
+    assert (out[3]["format"], out[3]["width"], out[3]["height"]) == ("gif", 12, 34)
+    assert (out[4]["format"], out[4]["width"], out[4]["height"]) == ("bmp", 77, 55)
+    assert (out[5]["format"], out[5]["width"], out[5]["height"]) == ("ppm", 2, 3)
+    assert out[6]["format"] is None and out[6]["n_bytes"] == 9
