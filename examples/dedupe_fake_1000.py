@@ -12,6 +12,7 @@ from __future__ import annotations
 import sys
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 sys.path.insert(0, ".")
 
@@ -82,6 +83,30 @@ def main() -> None:
     )
     n_clusters = clusters.select("cluster_id").distinct().count()
     print(f"== {n_clusters} clusters at threshold 0.9 ==")
+
+    # -- sweep several thresholds in one call (stable-cluster reuse) ----------
+    multi = linker.clustering.cluster_pairwise_predictions_at_multiple_thresholds(
+        scored, [0.5, 0.9, 0.99]
+    )
+    multi.groupBy("threshold").agg(
+        F.countDistinct("cluster_id").alias("n_clusters")
+    ).orderBy("threshold").show()
+
+    # -- standalone realtime scoring: no Linker needed -------------------------
+    from splink_spark import realtime
+
+    saved_json = linker.settings.to_json()  # a trained model travels as JSON
+    pair = realtime.compare_records(
+        {"unique_id": 0, "first_name": "julia", "surname": "taylor",
+         "dob": "2015-10-29", "city": "london", "email": None},
+        {"unique_id": 1, "first_name": "julia ", "surname": "taylor",
+         "dob": "2015-10-29", "city": "london", "email": None},
+        saved_json,
+        spark=spark,
+        sql_cache_key="example-model",
+    )
+    print("== realtime compare_records ==")
+    pair.select("match_weight", "match_probability").show()
 
     # -- evaluate against the ground-truth cluster column --------------------
     if "cluster" in df.columns:

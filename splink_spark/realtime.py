@@ -68,6 +68,13 @@ def _as_frame(
             dict(r) | ({uid: uid_start + i} if uid not in r else {})
             for i, r in enumerate(rows)
         ]
+        # a key that is None in EVERY record defeats type inference — drop it
+        # here; the caller's column union re-adds it as a typed null
+        all_none = {
+            k for k in {k for r in rows for k in r}
+            if all(r.get(k) is None for r in rows)
+        }
+        rows = [{k: v for k, v in r.items() if k not in all_none} for r in rows]
         df = spark.createDataFrame(rows)
     if uid not in df.columns:
         raise ValueError(f"records need a {uid!r} column (or dict key)")
@@ -101,8 +108,14 @@ def compare_records(
     register_udfs(left.sparkSession)
 
     # union of both sides' columns, so a key present on one side only still
-    # scores (null on the other side → null level)
+    # scores (null on the other side → null level); plus every column the
+    # model's comparisons read — a column absent from (or None in) both
+    # records must still exist as a typed null so its levels resolve to -1
     all_cols = list(dict.fromkeys([*left.columns, *right.columns]))
+    for comp in s.comparisons:
+        for c in getattr(comp, "input_columns", None) or []:
+            if c not in all_cols:
+                all_cols.append(c)
     tf_cols = [f"tf_{c}" for c in s.tf_columns]
     for c in tf_cols:
         if c not in all_cols:

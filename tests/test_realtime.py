@@ -132,3 +132,23 @@ def test_predict_asymmetric_chunking_equals_unchunked(spark, rt_records, rt_sett
     assert chunked == base
     with pytest.raises(ValueError):
         linker2.inference.predict(num_chunks_l=0)
+
+
+def test_compare_records_all_none_and_missing_model_columns(spark, rt_settings):
+    """A key that is None in every record (schema inference would fail) and a
+    model column absent from both records must both score as null levels."""
+    out = realtime.compare_records(
+        {"unique_id": 0, "first_name": "ada", "city": None},
+        {"unique_id": 1, "first_name": "ada", "city": None},
+        rt_settings,
+        spark=spark,
+    ).collect()[0]
+    assert out["gamma_city"] == -1 and out["gamma_first_name"] == 3
+
+    out2 = realtime.compare_records(
+        {"unique_id": 0, "first_name": "ada"},
+        {"unique_id": 1, "first_name": "ada"},
+        rt_settings,
+        spark=spark,
+    ).collect()[0]
+    assert out2["gamma_city"] == -1
