@@ -523,7 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         em = compute_edge_metrics(edges, assign)
         return em.select("cluster_id", "node_id_l", "node_id_r", "is_bridge")
 
-    def q_single_best_links(spark, sf_dir):
+    def q_single_best_links(spark, sf_dir, ties="drop"):
         """cluster_using_single_best_links on a 3-dataset split (reference
         one_to_one_clustering.py:103-336): iterative mutual-best constrained
         merge — the oracle unrolls the same rounds in plain SQL (extra rounds
@@ -560,7 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
         out = cluster_using_single_best_links(
-            edges, nodes, threshold_match_probability=0.01
+            edges, nodes, threshold_match_probability=0.01, ties=ties
         )
         return out.select(
             F.col("node_id").alias("unique_id"), "source_dataset", "cluster_id"
@@ -935,6 +935,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_in_km": q_distance_in_km,
         "date_difference": q_date_difference,
         "single_best_links": q_single_best_links,
+        "single_best_links_lowest_id": (
+            lambda spark, sf_dir: q_single_best_links(spark, sf_dir, ties="lowest_id")
+        ),
     }
 
 
@@ -1019,7 +1022,7 @@ def _predict_sql() -> str:
     FROM weights"""
 
 
-def _sbl_oracle_sql(rounds: int = 8) -> str:
+def _sbl_oracle_sql(rounds: int = 8, ties: str = 'drop') -> str:
     """Unrolled single-best-links oracle mirroring internals/one_to_one.py
     cluster_using_single_best_links round-for-round: symmetrized neighbours,
     drop-ties filter (distinct-counterpart count per (node, sd_l, sd_r, p)),
@@ -1047,7 +1050,7 @@ def _sbl_oracle_sql(rounds: int = 8) -> str:
       SELECT a AS nid, b AS nbr, sd_a AS sd_l, sd_b AS sd_r, p FROM e
       UNION ALL
       SELECT b, a, sd_b, sd_a, p FROM e
-    ),
+    ),{'''
     tl AS (SELECT nid, sd_l, sd_r, p, count(DISTINCT nbr) AS c
            FROM nbrs0 GROUP BY 1, 2, 3, 4),
     tr AS (SELECT nbr, sd_l, sd_r, p, count(DISTINCT nid) AS c
@@ -1060,7 +1063,8 @@ def _sbl_oracle_sql(rounds: int = 8) -> str:
       JOIN tr ON n.nbr = tr.nbr AND n.sd_l = tr.sd_l AND n.sd_r = tr.sd_r
              AND n.p = tr.p
       WHERE tl.c = 1 AND tr.c = 1
-    ),
+    ),''' if ties == 'drop' else '''
+    nbrs AS MATERIALIZED (SELECT nid, nbr, p FROM nbrs0),'''}
     rep0 AS MATERIALIZED (SELECT nid, nid AS representative, sd FROM nodes)"""
     for r in range(1, rounds + 1):
         sql += f""",
@@ -1845,6 +1849,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sqls["single_best_links"] = _sbl_oracle_sql(rounds=8)
+    sqls["single_best_links_lowest_id"] = _sbl_oracle_sql(rounds=8, ties="lowest_id")
 
     # edge_bridges: an edge is a bridge iff its r endpoint is unreachable
     # from its l endpoint when traversal skips that edge — one recursive walk
