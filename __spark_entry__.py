@@ -523,7 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         em = compute_edge_metrics(edges, assign)
         return em.select("cluster_id", "node_id_l", "node_id_r", "is_bridge")
 
-    def q_single_best_links(spark, sf_dir, ties="drop"):
+    def q_single_best_links(spark, sf_dir, ties="drop", round_p=None):
         """cluster_using_single_best_links on a 3-dataset split (reference
         one_to_one_clustering.py:103-336): iterative mutual-best constrained
         merge — the oracle unrolls the same rounds in plain SQL (extra rounds
@@ -555,8 +555,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("id_r").alias("node_id_r"),
                 F.col("sd_l").alias("source_dataset_l"),
                 F.col("sd_r").alias("source_dataset_r"),
-                (F.lit(1.0) / (F.lit(1.0) + F.abs(F.col("bal_l") - F.col("bal_r"))))
-                .alias("match_probability"),
+                (
+                    F.round(
+                        F.lit(1.0)
+                        / (F.lit(1.0) + F.abs(F.col("bal_l") - F.col("bal_r"))),
+                        round_p,
+                    )
+                    if round_p is not None
+                    else F.lit(1.0)
+                    / (F.lit(1.0) + F.abs(F.col("bal_l") - F.col("bal_r")))
+                ).alias("match_probability"),
             )
         )
         out = cluster_using_single_best_links(
@@ -936,7 +944,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_difference": q_date_difference,
         "single_best_links": q_single_best_links,
         "single_best_links_lowest_id": (
-            lambda spark, sf_dir: q_single_best_links(spark, sf_dir, ties="lowest_id")
+            # 2-dp-quantized probabilities force ranking ties, which
+            # lowest_id breaks by smallest other-cluster id
+            lambda spark, sf_dir: q_single_best_links(
+                spark, sf_dir, ties="lowest_id", round_p=2
+            )
         ),
     }
 
@@ -1022,7 +1034,7 @@ def _predict_sql() -> str:
     FROM weights"""
 
 
-def _sbl_oracle_sql(rounds: int = 8, ties: str = 'drop') -> str:
+def _sbl_oracle_sql(rounds: int = 8, ties: str = 'drop', round_p=None) -> str:
     """Unrolled single-best-links oracle mirroring internals/one_to_one.py
     cluster_using_single_best_links round-for-round: symmetrized neighbours,
     drop-ties filter (distinct-counterpart count per (node, sd_l, sd_r, p)),
@@ -1038,13 +1050,11 @@ def _sbl_oracle_sql(rounds: int = 8, ties: str = 'drop') -> str:
       SELECT l.unique_id AS a, r.unique_id AS b,
              'd' || CAST(l.unique_id % 3 AS VARCHAR) AS sd_a,
              'd' || CAST(r.unique_id % 3 AS VARCHAR) AS sd_b,
-             1.0 / (1.0 + abs(CAST(l.c_acctbal AS DOUBLE)
-                              - CAST(r.c_acctbal AS DOUBLE))) AS p
+             {f"round(1.0 / (1.0 + abs(CAST(l.c_acctbal AS DOUBLE) - CAST(r.c_acctbal AS DOUBLE))), {round_p})" if round_p is not None else "1.0 / (1.0 + abs(CAST(l.c_acctbal AS DOUBLE) - CAST(r.c_acctbal AS DOUBLE)))"} AS p
       FROM cust l JOIN cust r
         ON l.c_nationkey = r.c_nationkey AND l.unique_id < r.unique_id
            AND (l.unique_id % 3) != (r.unique_id % 3)
-      WHERE 1.0 / (1.0 + abs(CAST(l.c_acctbal AS DOUBLE)
-                             - CAST(r.c_acctbal AS DOUBLE))) >= 0.01
+      WHERE {f"round(1.0 / (1.0 + abs(CAST(l.c_acctbal AS DOUBLE) - CAST(r.c_acctbal AS DOUBLE))), {round_p})" if round_p is not None else "1.0 / (1.0 + abs(CAST(l.c_acctbal AS DOUBLE) - CAST(r.c_acctbal AS DOUBLE)))"} >= 0.01
     ),
     nbrs0 AS (
       SELECT a AS nid, b AS nbr, sd_a AS sd_l, sd_b AS sd_r, p FROM e
@@ -1849,7 +1859,9 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sqls["single_best_links"] = _sbl_oracle_sql(rounds=8)
-    sqls["single_best_links_lowest_id"] = _sbl_oracle_sql(rounds=8, ties="lowest_id")
+    sqls["single_best_links_lowest_id"] = _sbl_oracle_sql(
+        rounds=8, ties="lowest_id", round_p=2
+    )
 
     # edge_bridges: an edge is a bridge iff its r endpoint is unreachable
     # from its l endpoint when traversal skips that edge — one recursive walk
