@@ -694,6 +694,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lv.condition().alias("within_90_days"),
         )
 
+
+    def q_profile_top_values(spark, sf_dir):
+        """Profile chart backbone: top-n values by count with cumulative
+        frequency (reference profile_data.py top-n / percentile charts)."""
+        from splink_spark.internals.profile_data import top_n_values
+
+        cust = _customer(_session(spark), sf_dir)
+        out = top_n_values(cust, "c_nationkey", n=10)
+        return out.select(
+            "value", "value_count", F.round("cum_frequency", 9).alias("cum_frequency")
+        )
+
     # -- training family (VERDICT r3 #1: oracle-gate the math) -----------------
 
     def q_prior_estimate(spark, sf_dir):
@@ -920,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completeness": q_completeness,
         "lang_id": q_lang_id,
         "lang_stats": q_lang_stats,
+        "profile_top_values": q_profile_top_values,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "events_window": q_events_window,
@@ -1947,6 +1960,23 @@ def oracle_sql() -> dict[str, str]:
                AS within_90_days
       FROM o l JOIN o r
         ON l.o_custkey = r.o_custkey AND l.o_orderkey < r.o_orderkey
+    """
+
+    sqls["profile_top_values"] = f"""
+      WITH cust AS ({_CUST}),
+      counts AS (
+        SELECT c_nationkey AS v, count(*) AS value_count
+        FROM cust WHERE c_nationkey IS NOT NULL GROUP BY c_nationkey
+      ),
+      freq AS (
+        SELECT CAST(v AS VARCHAR) AS value, value_count,
+               CAST(sum(value_count) OVER (ORDER BY value_count DESC, v ASC
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST(sum(value_count) OVER () AS DOUBLE) AS cum_frequency
+        FROM counts
+      )
+      SELECT value, value_count, round(cum_frequency, 9) AS cum_frequency
+      FROM freq ORDER BY value_count DESC, value ASC LIMIT 10
     """
 
     sqls["prior_estimate"] = f"""
