@@ -695,6 +695,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
 
+    def q_streaming_sessions(spark, sf_dir):
+        """Structured Streaming sessionization (F.session_window, stateful)
+        run to completion over the bounded events table with an availableNow
+        trigger — on bounded input the session set equals the batch
+        gaps-and-islands computation, so the streaming operator gets a full
+        SQL oracle. Note session_window semantics: a new session starts when
+        the gap is >= 30 min (strict window overlap), vs the batch
+        events_sessions query's > comparison."""
+        from splink_spark.streaming.operators import stream_session_aggregate
+
+        import os
+        import shutil
+
+        spark = _session(spark)
+        src = f"{sf_dir}/events.parquet"
+        static = spark.read.parquet(src)
+        # the file streaming source requires a DIRECTORY; testdata tables are
+        # single files — stage into a temp dir (read-only testdata untouched)
+        if os.path.isdir(src):
+            stream_path = src
+        else:
+            stream_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                ".stream_cache",
+                os.path.basename(sf_dir.rstrip("/")),
+            )
+            os.makedirs(stream_path, exist_ok=True)
+            dst = os.path.join(stream_path, "events.parquet")
+            if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
+                shutil.copy2(src, dst)
+        stream = spark.readStream.schema(static.schema).parquet(stream_path)
+        if dict(static.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) read
+            conv = F.timestamp_micros(F.expr("ts div 1000"))
+        else:
+            conv = F.col("ts").cast("timestamp")
+        stream = stream.withColumn("ts_utc", conv)
+        out = stream_session_aggregate(
+            stream, ts_col="ts_utc", gap="30 minutes", watermark="1 hour"
+        )
+        name = "gate_stream_sessions"
+        spark.catalog.dropTempView(name)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            "n_events",
+            F.round("session_value", 6).alias("session_value"),
+        )
+
     def q_profile_top_values(spark, sf_dir):
         """Profile chart backbone: top-n values by count with cumulative
         frequency (reference profile_data.py top-n / percentile charts)."""
@@ -933,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "lang_stats": q_lang_stats,
         "profile_top_values": q_profile_top_values,
+        "streaming_sessions": q_streaming_sessions,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "events_window": q_events_window,
@@ -1960,6 +2017,32 @@ def oracle_sql() -> dict[str, str]:
                AS within_90_days
       FROM o l JOIN o r
         ON l.o_custkey = r.o_custkey AND l.o_orderkey < r.o_orderkey
+    """
+
+    sqls["streaming_sessions"] = """
+      WITH ev AS (
+        SELECT user_id, value, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS mu
+        FROM events
+      ),
+      flagged AS (
+        SELECT user_id, value, mu,
+               CASE WHEN lag(mu) OVER (PARTITION BY user_id ORDER BY mu, event_id) IS NULL
+                         OR mu - lag(mu) OVER (PARTITION BY user_id ORDER BY mu, event_id)
+                            >= 1800000000
+                    THEN 1 ELSE 0 END AS is_new,
+               event_id
+        FROM ev
+      ),
+      sess AS (
+        SELECT user_id, value, mu,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY mu, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+      )
+      SELECT user_id, min(mu) AS session_start_us,
+             count(*) AS n_events, round(sum(value), 6) AS session_value
+      FROM sess GROUP BY user_id, sid
     """
 
     sqls["profile_top_values"] = f"""
