@@ -751,6 +751,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("session_value", 6).alias("session_value"),
         )
 
+    def q_streaming_windows(spark, sf_dir):
+        """Watermarked tumbling-window counts/sums over the events stream
+        run to completion (availableNow) — equals the static floor-to-window
+        aggregation on bounded input."""
+        import os
+        import shutil
+
+        from splink_spark.streaming.operators import stream_windowed_counts
+
+        spark = _session(spark)
+        src = f"{sf_dir}/events.parquet"
+        static = spark.read.parquet(src)
+        if os.path.isdir(src):
+            stream_path = src
+        else:
+            stream_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                ".stream_cache",
+                os.path.basename(sf_dir.rstrip("/")),
+            )
+            os.makedirs(stream_path, exist_ok=True)
+            dst = os.path.join(stream_path, "events.parquet")
+            if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
+                shutil.copy2(src, dst)
+        stream = spark.readStream.schema(static.schema).parquet(stream_path)
+        if dict(static.dtypes).get("ts") == "bigint":
+            conv = F.timestamp_micros(F.expr("ts div 1000"))
+        else:
+            conv = F.col("ts").cast("timestamp")
+        stream = stream.withColumn("ts_utc", conv)
+        out = stream_windowed_counts(
+            stream, ts_col="ts_utc", window_duration="1 hour", watermark="2 hours"
+        )
+        name = "gate_stream_windows"
+        spark.catalog.dropTempView(name)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).select(
+            F.unix_micros("window_start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            F.round("total_value", 6).alias("total_value"),
+        )
+
     def q_profile_top_values(spark, sf_dir):
         """Profile chart backbone: top-n values by count with cumulative
         frequency (reference profile_data.py top-n / percentile charts)."""
@@ -990,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stats": q_lang_stats,
         "profile_top_values": q_profile_top_values,
         "streaming_sessions": q_streaming_sessions,
+        "streaming_windows": q_streaming_windows,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "events_window": q_events_window,
@@ -2017,6 +2068,19 @@ def oracle_sql() -> dict[str, str]:
                AS within_90_days
       FROM o l JOIN o r
         ON l.o_custkey = r.o_custkey AND l.o_orderkey < r.o_orderkey
+    """
+
+    sqls["streaming_windows"] = """
+      WITH ev AS (
+        SELECT event_type, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS mu
+        FROM events
+      )
+      SELECT (mu // 3600000000) * 3600000000 AS window_start_us,
+             event_type,
+             count(*) AS n_events,
+             round(sum(value), 6) AS total_value
+      FROM ev GROUP BY 1, 2
     """
 
     sqls["streaming_sessions"] = """
