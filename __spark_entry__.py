@@ -801,6 +801,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("total_value", 6).alias("total_value"),
         )
 
+    def q_streaming_neardupe(spark, sf_dir):
+        """Custom stateful streaming operator (applyInPandasWithState):
+        incremental near-dup assignment over the documents stream. No SQL
+        oracle by design — the canonical assignment depends on arrival order
+        within a key (first-seen-wins), which bounded SQL cannot express; the
+        driver records the weaker rows-only check (one output row per doc),
+        and tests/test_streaming.py pins the semantics."""
+        import os
+        import shutil
+
+        from splink_spark.streaming.operators import stream_stateful_neardupe
+
+        spark = _session(spark)
+        src = f"{sf_dir}/documents.parquet"
+        static = spark.read.parquet(src)
+        stream_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".stream_cache",
+            os.path.basename(sf_dir.rstrip("/")) + "_docs",
+        )
+        if os.path.isdir(src):
+            stream_path = src
+        else:
+            os.makedirs(stream_path, exist_ok=True)
+            dst = os.path.join(stream_path, "documents.parquet")
+            if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
+                shutil.copy2(src, dst)
+        stream = spark.readStream.schema(static.schema).parquet(stream_path)
+        out = stream_stateful_neardupe(
+            stream, key_col="lang", id_col="doc_id", text_col="text",
+            threshold=0.6, ngram=3,
+        )
+        name = "gate_stream_neardupe"
+        spark.catalog.dropTempView(name)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).select(
+            "lang", "doc_id", "canonical_id",
+            F.round("similarity", 6).alias("similarity"),
+        )
+
     def q_profile_top_values(spark, sf_dir):
         """Profile chart backbone: top-n values by count with cumulative
         frequency (reference profile_data.py top-n / percentile charts)."""
@@ -1041,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_top_values": q_profile_top_values,
         "streaming_sessions": q_streaming_sessions,
         "streaming_windows": q_streaming_windows,
+        "streaming_neardupe": q_streaming_neardupe,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "events_window": q_events_window,
