@@ -113,7 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from splink_spark.internals.vertically_concatenate import vertically_concatenate
     from splink_spark.internals.connected_components import solve_connected_components
     from splink_spark.internals.accuracy import truth_space_table
-    from splink_spark.pipeline import ann, dedup, text
+    from splink_spark.pipeline import ann, curation, dedup, text
 
     def q_concat_union(spark, sf_dir):
         cust = _customer(_session(spark), sf_dir)
@@ -334,6 +334,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
         qs = text.quality_score(docs)
         return qs.select("doc_id", F.round("quality_score", 6).alias("quality_score"))
+
+    def q_gopher_rules(spark, sf_dir):
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        return curation.gopher_quality_flags(docs)
+
+    def q_repetition_metrics(spark, sf_dir):
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        return curation.repetition_metrics(docs)
+
+    def q_decontaminate(spark, sf_dir):
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        ev = docs.where(F.col("doc_id") % 41 == 0)
+        return curation.decontaminate(docs, ev, n=3)
+
+    def q_mixture_plan(spark, sf_dir):
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        return curation.mixture_plan(
+            docs, "lang", {"en": 0.5, "de": 0.2, "fr": 0.3}
+        )
+
+    def q_stratified_sample(spark, sf_dir):
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        out = curation.stratified_sample(
+            docs, "lang", {"en": 0.35, "de": 0.8, "zh": 0.6}
+        )
+        return out.select("doc_id", "lang", "source")
+
+    def q_pack_sequences(spark, sf_dir):
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        return curation.pack_sequences(docs, capacity=2048, shard_col="lang")
+
+    def q_pii_redact(spark, sf_dir):
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        # the synthetic corpus carries no PII, so the gate injects a
+        # deterministic PII prefix (same expression in the oracle SQL) and
+        # tests the redaction itself
+        injected = docs.withColumn(
+            "text",
+            F.concat(
+                F.lit("reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0.1 call +1 555-000-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" now "),
+                F.col("text"),
+            ),
+        )
+        return curation.pii_redact(injected)
 
     def q_completeness(spark, sf_dir):
         from splink_spark.internals.profile_data import completeness_chart_data
@@ -1082,6 +1132,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "text_quality": q_text_quality,
         "quality_score": q_quality_score,
+        "gopher_rules": q_gopher_rules,
+        "repetition_metrics": q_repetition_metrics,
+        "decontaminate": q_decontaminate,
+        "mixture_plan": q_mixture_plan,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "pii_redact": q_pii_redact,
         "completeness": q_completeness,
         "lang_id": q_lang_id,
         "lang_stats": q_lang_stats,
@@ -1821,6 +1878,159 @@ def oracle_sql() -> dict[str, str]:
                + (1.0 - least(punct_ratio * 5.0, 1.0))
                + least(stopword_ratio * 4.0, 1.0)) / 3.0, 6) AS quality_score
       FROM t
+    """
+
+    # shared tokenization fragments for the curation oracles: whitespace
+    # tokens of trimmed (lower) text, empty text -> empty list (mirrors
+    # curation._tokens, which strips the phantom '' a plain split emits)
+    _toks = (
+        "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+        "ELSE string_split_regex(trim(text), '\\s+') END"
+    )
+    _ltoks = (
+        "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+        "ELSE string_split_regex(lower(trim(text)), '\\s+') END"
+    )
+
+    sqls["gopher_rules"] = f"""
+      WITH t AS (
+        SELECT doc_id, text, {_toks} AS toks, {_ltoks} AS ltoks FROM documents
+      ),
+      m AS (
+        SELECT doc_id,
+          len(toks) AS n_words,
+          CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+            / greatest(len(toks), 1) AS mwl,
+          CAST((length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '…', '')))
+               + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+            / greatest(len(toks), 1) AS swr,
+          CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+            / greatest(len(toks), 1) AS awf,
+          len(list_intersect(list_distinct(ltoks),
+              ['the','be','to','of','and','that','have','with'])) AS sh
+        FROM t
+      )
+      SELECT doc_id,
+        CAST(n_words AS BIGINT) AS n_words,
+        round(mwl, 6) AS mean_word_len,
+        round(swr, 6) AS symbol_word_ratio,
+        round(awf, 6) AS alpha_word_frac,
+        CAST(sh AS BIGINT) AS stopword_hits,
+        (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+        (mwl >= 3.0 AND mwl <= 10.0) AS pass_mean_word_len,
+        (swr <= 0.1) AS pass_symbol_ratio,
+        (awf >= 0.8) AS pass_alpha_frac,
+        (sh >= 2) AS pass_stopwords,
+        ((n_words >= 50 AND n_words <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+         AND (swr <= 0.1) AND (awf >= 0.8) AND (sh >= 2)) AS keep
+      FROM m
+    """
+
+    sqls["repetition_metrics"] = f"""
+      WITH t AS (SELECT doc_id, {_ltoks} AS toks FROM documents),
+      g AS (
+        SELECT doc_id, toks,
+          CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1]) END AS grams
+        FROM t
+      )
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        round(CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+              / greatest(len(toks), 1), 6) AS dup_word_frac,
+        round(CAST(coalesce(list_max(list_transform(list_distinct(toks),
+                d -> len(list_filter(toks, x -> x = d)) * length(d))), 0) AS DOUBLE)
+              / greatest(coalesce(list_sum(list_transform(toks, x -> length(x))), 0), 1),
+              6) AS top_word_char_frac,
+        round(CAST(coalesce(list_max(list_transform(list_distinct(grams),
+                d -> len(list_filter(grams, x -> x = d)) * length(d))), 0) AS DOUBLE)
+              / greatest(coalesce(list_sum(list_transform(grams, x -> length(x))), 0), 1),
+              6) AS top_2gram_char_frac
+      FROM g
+    """
+
+    sqls["decontaminate"] = f"""
+      WITH t AS (SELECT doc_id, {_ltoks} AS toks FROM documents),
+      g AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+               ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) END AS grams
+        FROM t
+      ),
+      ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 41 = 0),
+      cg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      ov AS (SELECT doc_id, count(*) AS n FROM cg JOIN ev USING (gram) GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+        coalesce(ov.n, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+    """
+
+    sqls["mixture_plan"] = """
+      WITH c AS (
+        SELECT lang, count(*) AS n_avail,
+               CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2 WHEN 'fr' THEN 0.3
+                    END AS DOUBLE) AS target_share
+        FROM documents WHERE lang IN ('en','de','fr') GROUP BY lang
+      ),
+      f AS (SELECT *, min(CAST(n_avail AS DOUBLE) / target_share) OVER () AS t FROM c)
+      SELECT lang, n_avail,
+        round(target_share, 6) AS target_share,
+        round(least(1.0, t * target_share / CAST(n_avail AS DOUBLE)), 6) AS keep_frac,
+        CAST(floor(t * target_share) AS BIGINT) AS expected_rows
+      FROM f
+    """
+
+    sqls["stratified_sample"] = """
+      SELECT doc_id, lang, source FROM documents
+      WHERE ((doc_id * 48271) % 2147483647) % 1000000 <
+        CASE lang WHEN 'en' THEN 350000 WHEN 'de' THEN 800000 WHEN 'zh' THEN 600000
+             ELSE 0 END
+    """
+
+    sqls["pack_sequences"] = """
+      WITH t AS (
+        SELECT lang AS shard, doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+        FROM documents
+      ),
+      w AS (
+        SELECT shard, doc_id, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS start
+        FROM t
+      )
+      SELECT shard, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(floor(CAST(start AS DOUBLE) / 2048) AS BIGINT) AS bin_id,
+        CAST(start % 2048 AS BIGINT) AS bin_offset
+      FROM w
+    """
+
+    sqls["pii_redact"] = """
+      WITH inj AS (
+        SELECT doc_id,
+          'reach user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.'
+            || CAST(doc_id % 256 AS VARCHAR) || '.0.1 call +1 555-000-'
+            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now ' || text AS text
+        FROM documents
+      )
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IPV4>', 'g'),
+          '\\+[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted,
+        CAST(len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(text,
+          '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4,
+        CAST(len(regexp_extract_all(text,
+          '\\+[0-9][0-9()\\- ]{7,}[0-9]')) AS BIGINT) AS n_phone
+      FROM inj
     """
 
     sqls["completeness"] = """

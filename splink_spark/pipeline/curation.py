@@ -1,0 +1,506 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+Gopher-style quality rules, repetition metrics, benchmark decontamination,
+deterministic stratified mixture sampling, sequence packing, PII redaction.
+
+Public-knowledge provenance: the rule families follow the published
+heuristics of Rae et al. 2021 ("Scaling Language Models: ... Gopher",
+App. A) and Raffel et al. 2020 (C4); decontamination-by-ngram-overlap is
+the published GPT-2/3 train-test-overlap procedure. All thresholds are
+configurable; defaults mirror the published values.
+
+Scale design: every per-document metric is a pure Column expression
+(higher-order functions, JVM-side, whole-stage codegen, zero shuffle).
+Corpus-level operators (decontamination, sampling, packing) shuffle only
+on their natural keys and broadcast the small side (the eval-set n-gram
+dictionary, the per-stratum plan).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Gopher App. A required stop words ("must contain >= 2 of ...")
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+_MINSTD_A = 48271
+_MINSTD_M = 2147483647
+_SAMPLE_MODULUS = 1_000_000
+
+
+def _tokens(col: Column) -> Column:
+    """Whitespace tokens of trimmed text; empty text -> empty array (a plain
+    split would return [''] — one phantom token)."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules
+# ---------------------------------------------------------------------------
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    stopwords: Sequence[str] = tuple(GOPHER_STOPWORDS),
+) -> DataFrame:
+    """Per-document Gopher rule metrics + pass/fail flags + overall keep.
+
+    Rules (Rae et al. 2021, App. A "Quality filtering"): word count in
+    [min_words, max_words]; mean word length in [3, 10]; symbol-to-word
+    ratio (# and ellipsis) <= 0.1; >= 80% of words contain an alphabetic
+    character; document contains >= 2 distinct required stop words.
+
+    Pure Column expressions — no shuffle, linear per document.
+    """
+    c = F.col(text_col)
+    toks = _tokens(c)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    mean_word_len = sum_len.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    n_symbols = (
+        F.length(c)
+        - F.length(F.regexp_replace(c, r"#", ""))
+        + F.length(c)
+        - F.length(F.regexp_replace(c, "…", ""))
+        + F.regexp_count(c, F.lit(r"\.\.\."))
+    )
+    symbol_word_ratio = n_symbols.cast("double") / F.greatest(n_words, F.lit(1)).cast(
+        "double"
+    )
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_word_frac = n_alpha_words.cast("double") / F.greatest(n_words, F.lit(1)).cast(
+        "double"
+    )
+    low_toks = _tokens(F.lower(c))
+    stopword_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(low_toks), F.array(*[F.lit(s) for s in stopwords])
+        )
+    )
+
+    pass_word_count = (n_words >= min_words) & (n_words <= max_words)
+    pass_mean_word_len = (mean_word_len >= min_mean_word_len) & (
+        mean_word_len <= max_mean_word_len
+    )
+    pass_symbol_ratio = symbol_word_ratio <= max_symbol_word_ratio
+    pass_alpha_frac = alpha_word_frac >= min_alpha_word_frac
+    pass_stopwords = stopword_hits >= min_stopword_hits
+
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_word_ratio, 6).alias("symbol_word_ratio"),
+        F.round(alpha_word_frac, 6).alias("alpha_word_frac"),
+        stopword_hits.cast("bigint").alias("stopword_hits"),
+        pass_word_count.alias("pass_word_count"),
+        pass_mean_word_len.alias("pass_mean_word_len"),
+        pass_symbol_ratio.alias("pass_symbol_ratio"),
+        pass_alpha_frac.alias("pass_alpha_frac"),
+        pass_stopwords.alias("pass_stopwords"),
+        (
+            pass_word_count
+            & pass_mean_word_len
+            & pass_symbol_ratio
+            & pass_alpha_frac
+            & pass_stopwords
+        ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics (Gopher "repetitious text" family)
+# ---------------------------------------------------------------------------
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "hof",
+) -> DataFrame:
+    """Per-document repetition metrics: duplicate-word fraction, fraction of
+    characters in the most frequent word, fraction of characters in the most
+    frequent word 2-gram (Gopher App. A's "fraction of characters in most
+    common n-gram" at n=1,2 plus a duplicate-token rate).
+
+    ``method="hof"`` (default) is pure Column HOFs — zero shuffle, but
+    O(tokens * distinct_tokens) per document, the right trade below ~1k
+    tokens/doc. ``method="explode"`` is the long-document path: explode to
+    (doc, token) rows, count by groupBy (map-side combine), re-aggregate —
+    linear work at the cost of one shuffle keyed by (doc_id, token), which
+    partitions evenly because doc_id is in the key. Both produce identical
+    output (pinned by test).
+    """
+    c = F.col(text_col)
+    toks = _tokens(F.lower(c))
+    n_words = F.size(toks)
+    total_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    grams2 = F.when(n_words < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_words - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        )
+    )
+    if method == "explode":
+        base = df.select(F.col(id_col), toks.alias("toks"), grams2.alias("grams2"))
+        tok_counts = (
+            base.select(id_col, F.explode("toks").alias("tok"))
+            .groupBy(id_col, "tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy(id_col)
+            .agg(
+                F.sum("cnt").alias("n_words"),
+                F.sum(F.length("tok") * F.col("cnt")).alias("total_chars"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.max(
+                    F.struct(
+                        (F.length("tok") * F.col("cnt")).alias("chars"), F.col("tok")
+                    )
+                )["chars"].alias("top_word_chars"),
+            )
+        )
+        gram_counts = (
+            base.select(id_col, F.explode("grams2").alias("g"))
+            .groupBy(id_col, "g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy(id_col)
+            .agg(
+                F.max(
+                    F.struct((F.length("g") * F.col("cnt")).alias("chars"), F.col("g"))
+                )["chars"].alias("top_gram_chars"),
+                F.sum(F.length("g") * F.col("cnt")).alias("total_gram_chars"),
+            )
+        )
+        joined = (
+            df.select(id_col)
+            .join(tok_counts, id_col, "left")
+            .join(gram_counts, id_col, "left")
+        )
+        return joined.select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            F.round(
+                (F.coalesce("n_words", F.lit(0)) - F.coalesce("n_distinct", F.lit(0)))
+                .cast("double")
+                / F.greatest(F.coalesce("n_words", F.lit(0)), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_word_frac"),
+            F.round(
+                F.coalesce("top_word_chars", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("total_chars", F.lit(0)), F.lit(1)).cast(
+                    "double"
+                ),
+                6,
+            ).alias("top_word_char_frac"),
+            F.round(
+                F.coalesce("top_gram_chars", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("total_gram_chars", F.lit(0)), F.lit(1)).cast(
+                    "double"
+                ),
+                6,
+            ).alias("top_2gram_char_frac"),
+        )
+    if method != "hof":
+        raise ValueError("method must be 'hof' or 'explode'")
+
+    # materialize the arrays ONCE as columns — inlining `toks` into every
+    # nested lambda would re-split the text per lambda invocation and blow
+    # up the codegen'd expression tree
+    staged = df.select(F.col(id_col), toks.alias("__toks"), grams2.alias("__grams2"))
+    toks = F.col("__toks")
+    grams2 = F.col("__grams2")
+    n_words = F.size(toks)
+    total_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    df = staged
+    distinct_toks = F.array_distinct(toks)
+    n_distinct = F.size(distinct_toks)
+    dup_word_frac = (n_words - n_distinct).cast("double") / F.greatest(
+        n_words, F.lit(1)
+    ).cast("double")
+    # chars of the most frequent token: max over distinct d of count(d)*len(d)
+    top_word_chars = F.aggregate(
+        distinct_toks,
+        F.lit(0),
+        lambda acc, d: F.greatest(
+            acc, F.size(F.filter(toks, lambda t: t == d)) * F.length(d)
+        ),
+    )
+    top_word_char_frac = top_word_chars.cast("double") / F.greatest(
+        total_chars, F.lit(1)
+    ).cast("double")
+    distinct_grams = F.array_distinct(grams2)
+    total_gram_chars = F.aggregate(grams2, F.lit(0), lambda acc, g: acc + F.length(g))
+    top_gram_chars = F.aggregate(
+        distinct_grams,
+        F.lit(0),
+        lambda acc, d: F.greatest(
+            acc, F.size(F.filter(grams2, lambda g: g == d)) * F.length(d)
+        ),
+    )
+    top_2gram_char_frac = top_gram_chars.cast("double") / F.greatest(
+        total_gram_chars, F.lit(1)
+    ).cast("double")
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(dup_word_frac, 6).alias("dup_word_frac"),
+        F.round(top_word_char_frac, 6).alias("top_word_char_frac"),
+        F.round(top_2gram_char_frac, 6).alias("top_2gram_char_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decontamination (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Word-level n-grams of lowercased text as an array of strings."""
+    toks = _tokens(F.lower(col))
+    return F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: Optional[str] = None,
+) -> DataFrame:
+    """Flag corpus documents sharing any word ``n``-gram with the eval set
+    (the published GPT-2/3 train-test-overlap decontamination procedure).
+
+    Returns one row per corpus document: ``n_overlap`` (count of DISTINCT
+    contaminated n-grams in the doc) and ``contaminated``.
+
+    Scale design: the eval side (benchmarks — thousands of docs) collapses
+    to a distinct n-gram dictionary and is BROADCAST; the corpus side
+    explodes to distinct (doc_id, gram) pairs map-side, hits the broadcast
+    hash join with no shuffle, and re-aggregates keyed by doc_id. The only
+    shuffle is the final doc_id groupBy; corpus text is scanned once.
+    """
+    eval_text_col = eval_text_col or text_col
+    eval_grams = (
+        eval_df.select(
+            F.explode(word_ngrams(F.col(eval_text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"),
+    )
+    overlap = (
+        corpus_grams.join(F.broadcast(eval_grams), "gram", "inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(overlap, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling / mixture planning
+# ---------------------------------------------------------------------------
+
+
+def _minstd_bucket(id_col: str) -> Column:
+    """MINSTD multiplicative-hash bucket in [0, 1e6): plain int64 arithmetic
+    any SQL engine reproduces bit-for-bit (same portable sampler as
+    estimate_u's cross-engine gate, training.py)."""
+    return F.pmod(
+        F.pmod(F.col(id_col).cast("bigint") * F.lit(_MINSTD_A), F.lit(_MINSTD_M)),
+        F.lit(_SAMPLE_MODULUS),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its MINSTD bucket
+    falls below ``fraction * 1e6`` for its stratum. Reproducible across
+    engines and runs (no RNG state), stable under repartitioning, and a
+    pure filter — no shuffle, fully pushed down to the scan.
+    """
+    thresholds = {k: int(round(v * _SAMPLE_MODULUS)) for k, v in fractions.items()}
+    thr = F.lit(int(round(default_fraction * _SAMPLE_MODULUS)))
+    for k, v in sorted(thresholds.items()):
+        thr = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(thr)
+    return df.where(_minstd_bucket(id_col) < thr)
+
+
+def mixture_plan(
+    df: DataFrame,
+    strata_col: str,
+    target_shares: Mapping[str, float],
+) -> DataFrame:
+    """Per-stratum sampling plan to hit a target mixture from the available
+    counts (data-mixing: e.g. 40% web / 30% code / 30% books).
+
+    The largest feasible total is T = min_g(n_g / w_g); each stratum keeps
+    ``keep_frac = T * w_g / n_g`` (the limiting stratum keeps 1.0). One
+    count aggregation (tiny output: #strata rows) + an all-rows window —
+    no data movement beyond the count shuffle.
+    """
+    share = F.create_map(
+        *[F.lit(x) for kv in sorted(target_shares.items()) for x in kv]
+    )
+    counts = (
+        df.where(F.col(strata_col).isin(*target_shares.keys()))
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n_avail"))
+        .withColumn("target_share", share[F.col(strata_col)])
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    feasible_total = F.min(
+        F.col("n_avail").cast("double") / F.col("target_share")
+    ).over(w)
+    keep_frac = F.least(
+        F.lit(1.0),
+        feasible_total * F.col("target_share") / F.col("n_avail").cast("double"),
+    )
+    return counts.select(
+        strata_col,
+        "n_avail",
+        F.round("target_share", 6).alias("target_share"),
+        F.round(keep_frac, 6).alias("keep_frac"),
+        F.floor(feasible_total * F.col("target_share")).cast("bigint").alias(
+            "expected_rows"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    shard_col: str,
+    token_count_col: Optional[str] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to fixed-capacity context-window bins (sequence
+    packing for pretraining batches), straddle policy: a document belongs
+    to the bin where it STARTS; bins fill in (shard, doc_id) order.
+
+    bin_id = floor((cumsum_tokens - doc_tokens) / capacity); offset is the
+    document's start position within its bin. Per-shard windows — the
+    shard column (e.g. a path prefix, a date, pmod(doc_id, K)) bounds the
+    sort so no global ordering is ever required; each shard packs
+    independently on its own executor, which is exactly how a 100 TB corpus
+    is packed in practice (per input-file-group).
+    """
+    if token_count_col is None:
+        trimmed = F.trim(F.col(text_col))
+        ntok = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+            F.size(F.split(trimmed, r"\s+"))
+        )
+    else:
+        ntok = F.col(token_count_col)
+    w = Window.partitionBy(shard_col).orderBy(id_col)
+    cum = F.sum(ntok).over(w)
+    start = cum - ntok
+    return df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col),
+        ntok.cast("bigint").alias("n_tokens"),
+        F.floor(start / capacity).cast("bigint").alias("bin_id"),
+        F.pmod(start, F.lit(capacity)).cast("bigint").alias("bin_offset"),
+    )
+
+
+def packing_stats(packed: DataFrame, capacity: int) -> DataFrame:
+    """Per-bin fill statistics for a pack_sequences() output."""
+    return (
+        packed.groupBy("shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("start_tokens"),
+        )
+        .select(
+            "shard",
+            "bin_id",
+            "n_docs",
+            "start_tokens",
+            F.round(
+                F.least(F.col("start_tokens"), F.lit(capacity)).cast("double")
+                / capacity,
+                6,
+            ).alias("min_fill_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the syntax subset with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9][0-9()\- ]{7,}[0-9]",
+}
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: Optional[Mapping[str, str]] = None,
+) -> DataFrame:
+    """Replace PII spans with ``<TYPE>`` placeholders and count matches per
+    type. Pure regexp Column expressions (JVM, codegen) — the standard
+    pre-training scrub pass. Patterns are applied in sorted-name order so
+    the output is deterministic under overlapping matches.
+    """
+    patterns = dict(patterns or PII_PATTERNS)
+    out = F.col(text_col)
+    counts = []
+    for name in sorted(patterns):
+        pat = patterns[name]
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        )
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return df.select(F.col(id_col), out.alias("redacted"), *counts)

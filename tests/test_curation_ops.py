@@ -1,0 +1,140 @@
+"""Tests for the corpus-curation operators (Gopher rules, repetition,
+decontamination, stratified sampling, packing, PII redaction)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from splink_spark.pipeline import curation as cu
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # long doc with required stopwords and clean words -> keeps
+        (0, " ".join(["the data of a run that we have built with care"] * 6), "en"),
+        (1, "short doc", "en"),  # fails word count
+        (2, " ".join(["spam"] * 80), "en"),  # repetitive, no stopwords
+        (3, "#### ### ## # #### " + " ".join(["the of and to word list here okay fine"] * 7), "en"),
+        (4, "", "en"),  # empty
+        (5, " ".join(f"w{i}" for i in range(60)) + " the of", "de"),  # all distinct
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_gopher_flags(docs):
+    out = {r["doc_id"]: r for r in cu.gopher_quality_flags(docs).collect()}
+    assert out[0]["keep"] is True
+    assert out[1]["pass_word_count"] is False
+    assert out[2]["pass_stopwords"] is False and out[2]["stopword_hits"] == 0
+    # doc 3: 14 '#' chars over 75 words > 0.1
+    assert out[3]["pass_symbol_ratio"] is False
+    assert out[4]["n_words"] == 0 and out[4]["keep"] is False
+    assert out[0]["stopword_hits"] >= 2
+
+
+def test_repetition_metrics_both_methods_equal(docs):
+    a = sorted(cu.repetition_metrics(docs).collect(), key=lambda r: r["doc_id"])
+    b = sorted(
+        cu.repetition_metrics(docs, method="explode").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    out = {r["doc_id"]: r for r in a}
+    # all-identical doc: dup fraction (n-1)/n, top word = everything
+    assert out[2]["dup_word_frac"] == pytest.approx(79 / 80, abs=1e-6)
+    assert out[2]["top_word_char_frac"] == 1.0
+    assert out[2]["top_2gram_char_frac"] == 1.0
+    # all-distinct doc: no duplicate words
+    assert out[5]["dup_word_frac"] == 0.0
+    assert out[5]["top_word_char_frac"] < 0.1
+    assert out[4]["n_words"] == 0 and out[4]["dup_word_frac"] == 0.0
+
+
+def test_decontaminate_flags_overlap(spark, docs):
+    ev = spark.createDataFrame(
+        [(100, "the data of a run that we have built")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in cu.decontaminate(docs, ev, n=5).collect()}
+    assert out[0]["contaminated"] is True and out[0]["n_overlap"] >= 1
+    assert out[2]["contaminated"] is False
+    assert out[4]["n_overlap"] == 0
+    # eval dictionary must be broadcast: no shuffle on the corpus-gram join
+    plan = cu.decontaminate(docs, ev, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_deterministic_and_exclusive(spark):
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+    )
+    s1 = cu.stratified_sample(df, "lang", {"en": 0.25}, id_col="doc_id")
+    s2 = cu.stratified_sample(df, "lang", {"en": 0.25}, id_col="doc_id")
+    r1 = sorted(r["doc_id"] for r in s1.collect())
+    assert r1 == sorted(r["doc_id"] for r in s2.collect())
+    # default fraction 0: the un-named stratum is dropped entirely
+    assert all(i % 3 == 0 for i in r1)
+    n_en = df.where("lang = 'en'").count()
+    assert 0.2 * n_en < len(r1) < 0.3 * n_en
+    # nested sampling property: a 10% sample is a subset of a 25% sample
+    s3 = set(
+        r["doc_id"]
+        for r in cu.stratified_sample(df, "lang", {"en": 0.10}, id_col="doc_id").collect()
+    )
+    assert s3 <= set(r1)
+
+
+def test_mixture_plan_limiting_stratum(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, "code")
+        .when(F.col("id") < 400, "web")
+        .otherwise("books")
+        .alias("kind"),
+    )
+    out = {
+        r["kind"]: r
+        for r in cu.mixture_plan(df, "kind", {"code": 0.5, "web": 0.3, "books": 0.2}).collect()
+    }
+    # code is limiting: 100/0.5 = 200 total -> web keeps 60/300, books 40/600
+    assert out["code"]["keep_frac"] == 1.0
+    assert out["web"]["expected_rows"] == 60
+    assert out["books"]["expected_rows"] == 40
+    assert out["web"]["keep_frac"] == pytest.approx(0.2, abs=1e-6)
+
+
+def test_pack_sequences_straddle(spark):
+    df = spark.createDataFrame(
+        [(i, "s", 60) for i in range(10)], ["doc_id", "shard", "ntok"]
+    )
+    out = sorted(
+        cu.pack_sequences(df, capacity=100, shard_col="shard", token_count_col="ntok").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    # starts: 0,60,120,...  bin = start // 100
+    assert [r["bin_id"] for r in out] == [(60 * i) // 100 for i in range(10)]
+    assert [r["bin_offset"] for r in out] == [(60 * i) % 100 for i in range(10)]
+    stats = cu.packing_stats(
+        cu.pack_sequences(df, 100, "shard", token_count_col="ntok"), 100
+    ).collect()
+    assert sum(r["n_docs"] for r in stats) == 10
+
+
+def test_pii_redact(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "email a.b+c@test-mail.org then ip 192.168.1.10 ok"),
+            (1, "call +44 20 7946 0958 twice: +44 20 7946 0958"),
+            (2, "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in cu.pii_redact(df).collect()}
+    assert out[0]["n_email"] == 1 and out[0]["n_ipv4"] == 1
+    assert out[0]["redacted"] == "email <EMAIL> then ip <IPV4> ok"
+    assert out[1]["n_phone"] == 1 or out[1]["n_phone"] == 2
+    assert "<PHONE>" in out[1]["redacted"] and "0958" not in out[1]["redacted"]
+    assert out[2]["redacted"] == "no pii here at all"
+    assert out[2]["n_email"] == out[2]["n_ipv4"] == out[2]["n_phone"] == 0
