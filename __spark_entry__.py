@@ -335,6 +335,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qs = text.quality_score(docs)
         return qs.select("doc_id", F.round("quality_score", 6).alias("quality_score"))
 
+    def q_kmeans(spark, sf_dir):
+        emb = _session(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+        return ann.kmeans_fit_assign(emb, k=8, iterations=2)
+
     def q_gopher_rules(spark, sf_dir):
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
         return curation.gopher_quality_flags(docs)
@@ -1132,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "text_quality": q_text_quality,
         "quality_score": q_quality_score,
+        "kmeans_assign": q_kmeans,
         "gopher_rules": q_gopher_rules,
         "repetition_metrics": q_repetition_metrics,
         "decontaminate": q_decontaminate,
@@ -1891,6 +1896,66 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
         "ELSE string_split_regex(lower(trim(text)), '\\s+') END"
     )
+
+    sqls["kmeans_assign"] = """
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+e1 AS (SELECT vec_id, d, greatest(sqrt(list_sum(list_transform(d, y -> y*y))), 1e-12) AS nrm FROM e0),
+e AS (SELECT vec_id, list_transform(d, x -> CAST(round(x / nrm * 1000000) AS BIGINT)) AS q FROM e1),
+init AS (
+  SELECT CAST(row_number() OVER (ORDER BY ((vec_id * 48271) % 2147483647) % 1000000, vec_id) - 1 AS BIGINT) AS cluster, q
+  FROM e
+  QUALIFY row_number() OVER (ORDER BY ((vec_id * 48271) % 2147483647) % 1000000, vec_id) <= 8
+),
+a1 AS (
+  SELECT vec_id, q, cluster FROM (
+    SELECT e.vec_id, e.q, c.cluster,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY list_inner_product(e.q, c.q) DESC, c.cluster ASC) AS rn
+    FROM e CROSS JOIN init c) WHERE rn = 1
+),
+m1 AS (
+  SELECT cluster, pos, CAST(round(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS m
+  FROM (SELECT cluster, unnest(q) AS val, unnest(generate_series(1, len(q))) AS pos FROM a1)
+  GROUP BY cluster, pos
+),
+n1 AS (SELECT cluster, sqrt(CAST(sum(m*m) AS DOUBLE)) AS nrm FROM m1 GROUP BY cluster),
+c1v AS (
+  SELECT m1.cluster, m1.pos,
+    CASE WHEN n1.nrm > 0 THEN CAST(round(CAST(m AS DOUBLE) * 1000000.0 / n1.nrm) AS BIGINT) ELSE m END AS cm
+  FROM m1 JOIN n1 USING (cluster)
+),
+c1 AS (
+  SELECT i.cluster, coalesce(g.c, i.q) AS q
+  FROM init i LEFT JOIN (SELECT cluster, list(cm ORDER BY pos) AS c FROM c1v GROUP BY cluster) g USING (cluster)
+),
+a2 AS (
+  SELECT vec_id, q, cluster FROM (
+    SELECT e.vec_id, e.q, c.cluster,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY list_inner_product(e.q, c.q) DESC, c.cluster ASC) AS rn
+    FROM e CROSS JOIN c1 c) WHERE rn = 1
+),
+m2 AS (
+  SELECT cluster, pos, CAST(round(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS m
+  FROM (SELECT cluster, unnest(q) AS val, unnest(generate_series(1, len(q))) AS pos FROM a2)
+  GROUP BY cluster, pos
+),
+n2 AS (SELECT cluster, sqrt(CAST(sum(m*m) AS DOUBLE)) AS nrm FROM m2 GROUP BY cluster),
+c2v AS (
+  SELECT m2.cluster, m2.pos,
+    CASE WHEN n2.nrm > 0 THEN CAST(round(CAST(m AS DOUBLE) * 1000000.0 / n2.nrm) AS BIGINT) ELSE m END AS cm
+  FROM m2 JOIN n2 USING (cluster)
+),
+c2 AS (
+  SELECT i.cluster, coalesce(g.c, i.q) AS q
+  FROM c1 i LEFT JOIN (SELECT cluster, list(cm ORDER BY pos) AS c FROM c2v GROUP BY cluster) g USING (cluster)
+)
+SELECT vec_id, cluster, round(dot / 1000000000000.0, 6) AS cosine_sim FROM (
+  SELECT e.vec_id, c.cluster, list_inner_product(e.q, c.q) AS dot,
+    row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY list_inner_product(e.q, c.q) DESC, c.cluster ASC) AS rn
+  FROM e CROSS JOIN c2 c) WHERE rn = 1
+    """
 
     sqls["gopher_rules"] = f"""
       WITH t AS (

@@ -8,6 +8,7 @@ is O(bucket) not O(corpus) per query — the shape that survives 100 TB.
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
@@ -204,6 +205,123 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbour_id", "cosine_sim")
+    )
+
+
+def kmeans_fit_assign(
+    corpus: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Distributed Lloyd k-means (spherical / cosine assignment) over an
+    embedding column; returns the final assignment ``(id, cluster,
+    cosine_sim)`` after ``iterations`` rounds.
+
+    The cluster-scale shape (Spark MLlib's KMeans is the same loop):
+    centroids are driver-side state (k x dim — bounded, independent of
+    corpus size); each iteration is ONE corpus scan that assigns every
+    vector to its best centroid via broadcast literals (pure Column HOF
+    arithmetic, JVM codegen, no shuffle) plus one posexplode -> groupBy
+    (cluster, position) mean (map-side combine; k*dim result rows
+    collected).
+
+    Exact-integer portability (what the cross-engine oracle gate relies
+    on): vectors are L2-normalized then quantized to int64 at ``scale``
+    (round(x / ||x|| * scale)); assignment maximizes the INTEGER dot
+    product — for dim<=9000 at the default scale the products stay inside
+    int64, so the argmax is bit-exact in any engine, no float tie
+    ambiguity (ties break to the lower cluster id). Centroid update =
+    per-position integer mean, rounded away-from-zero on .5 (Spark
+    HALF_UP == DuckDB round). Init = the k vectors with the smallest
+    MINSTD bucket of id (portable int64 sampler, as in
+    training.estimate_u). An empty cluster keeps its previous centroid.
+    ``cosine_sim`` = dot / scale^2 — the cosine up to quantization (~1e-6).
+    """
+    from .curation import _minstd_bucket
+
+    emb_d = F.col(embedding_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    qemb = F.transform(
+        emb_d, lambda x: F.round(x / F.greatest(norm, F.lit(1e-12)) * scale).cast("bigint")
+    )
+
+    def _assign(centroids: list[list[int]]) -> DataFrame:
+        staged = corpus.select(F.col(id_col), qemb.alias("__q"))
+        best_cluster = F.lit(0)
+        best_dot = F.lit(-(3 * scale * scale))
+        # unrolled argmax over k centroid literals: one codegen'd expression
+        for ci, vec in enumerate(centroids):
+            cvec = F.array(*[F.lit(int(x)).cast("bigint") for x in vec])
+            dot = F.aggregate(
+                F.zip_with(F.col("__q"), cvec, lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            better = dot > best_dot  # strict: ties keep the LOWER cluster id
+            best_cluster = F.when(better, F.lit(ci)).otherwise(best_cluster)
+            best_dot = F.when(better, dot).otherwise(best_dot)
+        return staged.select(
+            F.col(id_col),
+            F.col("__q"),
+            best_cluster.cast("bigint").alias("cluster"),
+            best_dot.alias("__dot"),
+        )
+
+    init_rows = (
+        corpus.select(F.col(id_col), qemb.alias("__q"))
+        .withColumn("__b", _minstd_bucket(id_col))
+        .orderBy("__b", id_col)
+        .limit(k)
+        .collect()
+    )
+    centroids = [[int(x) for x in r["__q"]] for r in init_rows]
+    k = len(centroids)
+
+    for _ in range(max(0, iterations)):
+        assigned = _assign(centroids)
+        # integer mean per (cluster, position): sum is exact int64; round of
+        # sum/count is the only float op and both engines round .5 away
+        means = (
+            assigned.select("cluster", F.posexplode("__q"))
+            .groupBy("cluster", "pos")
+            .agg(
+                F.round(F.sum("col").cast("double") / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("m")
+            )
+            .collect()
+        )
+        new = {c: list(vec) for c, vec in enumerate(centroids)}  # empty keeps prev
+        upd: dict[int, dict[int, int]] = {}
+        for r in means:
+            upd.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        for c, coords in upd.items():
+            vec = [coords[p] for p in range(len(coords))]
+            # renormalize back to ||c|| ~= scale (spherical k-means), in
+            # engine-portable arithmetic: int64 sum of squares (exact),
+            # IEEE sqrt/div (correctly rounded, order-free), half-AWAY
+            # rounding (Spark HALF_UP == DuckDB round; python round() is
+            # half-even so it is not used)
+            nrm = math.sqrt(sum(x * x for x in vec))
+            if nrm > 0:
+                vec = [
+                    int(math.floor(x * float(scale) / nrm + 0.5))
+                    if x >= 0
+                    else -int(math.floor(-x * float(scale) / nrm + 0.5))
+                    for x in vec
+                ]
+            new[c] = vec
+        centroids = [new[c] for c in range(k)]
+
+    return _assign(centroids).select(
+        id_col,
+        "cluster",
+        F.round(F.col("__dot").cast("double") / (scale * scale), 6).alias("cosine_sim"),
     )
 
 

@@ -440,3 +440,23 @@ def test_image_metadata_header_parsing(spark):
     assert (out[4]["format"], out[4]["width"], out[4]["height"]) == ("bmp", 77, 55)
     assert (out[5]["format"], out[5]["width"], out[5]["height"]) == ("ppm", 2, 3)
     assert out[6]["format"] is None and out[6]["n_bytes"] == 9
+
+
+def test_kmeans_fit_assign(spark, vectors):
+    out = ann.kmeans_fit_assign(vectors, k=4, iterations=2)
+    rows = out.collect()
+    assert len(rows) == vectors.count()
+    assert set(r["cluster"] for r in rows) <= set(range(4))
+    assert all(-1.0001 <= r["cosine_sim"] <= 1.0001 for r in rows)
+    # deterministic under repartitioning (portable int arithmetic, no RNG)
+    again = ann.kmeans_fit_assign(vectors.repartition(7), k=4, iterations=2)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    # Lloyd iterations may not increase within-cluster distance to the
+    # assigned centroid on average (monotone objective, up to quantization)
+    it0 = ann.kmeans_fit_assign(vectors, k=4, iterations=0)
+    mean0 = sum(r["cosine_sim"] for r in it0.collect()) / len(rows)
+    mean2 = sum(r["cosine_sim"] for r in rows) / len(rows)
+    assert mean2 >= mean0 - 1e-6
+    # assignment plan stays JVM-side: no python eval in the scoring scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
