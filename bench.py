@@ -123,6 +123,26 @@ def main() -> None:
     except Exception as exc:  # never fail the headline bench on the extra row
         print(f"# cc_distributed_1m failed: {exc}", file=sys.stderr)
 
+    # curation/pipeline extras (round 4): the training-data-pipeline family,
+    # timed single-run at the same sf. Not in the headline total (kept
+    # comparable across rounds).
+    extras = {}
+    for name in (
+        "gopher_rules",
+        "repetition_metrics",
+        "decontaminate",
+        "pack_sequences",
+        "pii_redact",
+        "kmeans_assign",
+    ):
+        try:
+            t0 = time.time()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            extras[name] = round(time.time() - t0, 3)
+        except Exception as exc:
+            extras[name] = f"failed: {exc}"
+    print(f"# curation_extras: {extras}", file=sys.stderr)
+
     out = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
@@ -134,6 +154,8 @@ def main() -> None:
     }
     if cc_bench is not None:
         out["cc_distributed_1m"] = cc_bench
+    if extras:
+        out["curation_extras"] = extras
     # attach the 1M direct-comparison result (BASELINE.md row 1 analogue)
     # if tools/bench_1m.py has been run on this host — it is too slow to
     # re-run per round, so the cached artifact is reported instead

@@ -26,7 +26,11 @@ from .internals.comparison_level import ComparisonLevel  # noqa: F401
 from .internals.functions import register_udfs  # noqa: F401
 from .internals.materialize import MaterializationPolicy  # noqa: F401
 from .internals.settings import Settings, SettingsCreator  # noqa: F401
-from .datasets import SplinkDatasets, list_downloadable_datasets  # noqa: F401
+from .datasets import (  # noqa: F401
+    SplinkDatasets,
+    list_downloadable_datasets,
+    splink_datasets,
+)
 from .linker import Linker  # noqa: F401
 
 __version__ = "0.1.0"

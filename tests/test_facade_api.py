@@ -103,3 +103,27 @@ def test_library_facades_importable(spark):
     from splink_spark.datasets import splink_datasets
 
     assert splink_datasets(spark).__class__.__name__ == "SplinkDatasets"
+
+
+def test_logging_facade():
+    """Reference import parity: splink/logging.py (enable/disable + custom levels)."""
+    import logging as stdlog
+
+    import splink_spark.logging as slog
+
+    assert (slog.VERBOSE, slog.PIPELINE, slog.SQL) == (15, 7, 5)
+    slog.enable("VERBOSE")
+    lg = stdlog.getLogger("splink_spark")
+    assert lg.handlers and lg.propagate is False
+    slog.enable()  # idempotent: no second default handler
+    assert len(lg.handlers) == 1
+    slog.disable()
+    assert not lg.handlers and lg.propagate is True
+
+
+def test_top_level_splink_datasets_export(spark):
+    """Reference import parity: `from splink import splink_datasets`."""
+    from splink_spark import splink_datasets
+
+    ds = splink_datasets(spark)
+    assert hasattr(ds, "fake_1000")
