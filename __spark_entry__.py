@@ -345,10 +345,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_repetition_metrics(spark, sf_dir):
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        # the testdata parquet is one row-group = one task; spread the
+        # O(tokens*distinct) per-doc work across cores
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
         return curation.repetition_metrics(docs)
 
     def q_decontaminate(spark, sf_dir):
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
         ev = docs.where(F.col("doc_id") % 41 == 0)
         return curation.decontaminate(docs, ev, n=3)
 

@@ -221,8 +221,16 @@ def repetition_metrics(
 
     # materialize the arrays ONCE as columns — inlining `toks` into every
     # nested lambda would re-split the text per lambda invocation and blow
-    # up the codegen'd expression tree
-    staged = df.select(F.col(id_col), toks.alias("__toks"), grams2.alias("__grams2"))
+    # up the codegen'd expression tree. The shuffle(array(x))[0] wrapper is
+    # a nondeterministic identity (same trick as linker.predict's threshold
+    # barrier): it stops CollapseProject from substituting the split back
+    # into each of the six consuming HOF expressions.
+    def _barrier(col):
+        return F.shuffle(F.array(col)).getItem(0)
+
+    staged = df.select(
+        F.col(id_col), _barrier(toks).alias("__toks"), _barrier(grams2).alias("__grams2")
+    )
     toks = F.col("__toks")
     grams2 = F.col("__grams2")
     n_words = F.size(toks)
