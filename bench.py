@@ -162,12 +162,24 @@ def main() -> None:
     # attach SLIM summaries only — r3's captured bench line was truncated by
     # the full artifact payload; the complete JSONs live at the repo root
     here = os.path.dirname(os.path.abspath(__file__))
-    for artifact, key in (("BENCH_1M.json", "bench_1m"), ("BENCH_10M.json", "bench_10m")):
+    for artifact, key in (
+        ("BENCH_1M.json", "bench_1m"),
+        ("BENCH_10M.json", "bench_10m"),
+        ("BENCH_CURATION_1M.json", "bench_curation_1m"),
+    ):
         p = os.path.join(here, artifact)
         if os.path.exists(p):
             try:
                 with open(p) as f:
                     full = json.load(f)
+                if key == "bench_curation_1m":
+                    out[key] = {
+                        "rows": full.get("rows"),
+                        "total_sec": full.get("total_sec"),
+                        "ops": full.get("ops"),
+                        "full_artifact": artifact,
+                    }
+                    continue
                 out[key] = {
                     "rows": full.get("rows"),
                     "spark": full.get("spark"),

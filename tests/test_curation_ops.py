@@ -138,3 +138,54 @@ def test_pii_redact(spark):
     assert "<PHONE>" in out[1]["redacted"] and "0958" not in out[1]["redacted"]
     assert out[2]["redacted"] == "no pii here at all"
     assert out[2]["n_email"] == out[2]["n_ipv4"] == out[2]["n_phone"] == 0
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing invariants on irregular doc sizes: offsets stay in [0,cap),
+    bins are dense per shard, token totals are preserved, and assignment is
+    independent of input partitioning."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, "s%d" % (i % 3), rng.randint(1, 300)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "shard", "ntok"])
+    out = cu.pack_sequences(df, capacity=256, shard_col="shard", token_count_col="ntok")
+    rows_out = out.collect()
+    assert len(rows_out) == 500
+    assert all(0 <= r["bin_offset"] < 256 for r in rows_out)
+    by_shard = {}
+    for r in rows_out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        # bin ids non-decreasing in doc order, starting at 0, no gaps
+        bins = [r["bin_id"] for r in rs]
+        assert bins[0] == 0
+        assert all(b2 - b1 >= 0 for b1, b2 in zip(bins, bins[1:]))
+        total = sum(r["n_tokens"] for r in rs)
+        # last doc's start position equals total minus its own tokens
+        last = rs[-1]
+        assert last["bin_id"] * 256 + last["bin_offset"] == total - last["n_tokens"]
+    again = cu.pack_sequences(
+        df.repartition(13), capacity=256, shard_col="shard", token_count_col="ntok"
+    ).collect()
+    assert sorted(map(tuple, rows_out)) == sorted(map(tuple, again))
+
+
+def test_decontaminate_monotone_in_eval_set(spark, docs):
+    """A larger eval set can only increase per-doc overlap counts."""
+    ev_small = docs.where("doc_id = 0").select("doc_id", "text")
+    ev_big = docs.where("doc_id in (0, 2)").select("doc_id", "text")
+    small = {r["doc_id"]: r["n_overlap"] for r in cu.decontaminate(docs, ev_small, n=4).collect()}
+    big = {r["doc_id"]: r["n_overlap"] for r in cu.decontaminate(docs, ev_big, n=4).collect()}
+    assert all(big[k] >= v for k, v in small.items())
+    # every eval member overlaps itself (if it has >= n tokens)
+    assert small[0] > 0 and big[2] > 0
+
+
+def test_gopher_flags_tunable_thresholds(spark, docs):
+    """Thresholds are parameters, not baked constants."""
+    loose = cu.gopher_quality_flags(docs, min_words=1, min_stopword_hits=0)
+    out = {r["doc_id"]: r["keep"] for r in loose.collect()}
+    assert out[1] is True  # "short doc" passes with min_words=1
+    assert out[4] is False  # empty doc still fails mean-word-len bounds

@@ -166,3 +166,40 @@ def test_incremental_link(spark, tmp_path, persons):
     assert any(
         r["match_probability"] > 0.9 and r["unique_id_r"] == 300 for r in scored
     ), "streamed julia taylor must match the base entity"
+
+
+def test_stream_curation_pipeline(spark, tmp_path):
+    """Stateless curation ops (quality flags -> PII scrub) compose with
+    Structured Streaming unchanged: pure Column expressions are valid on a
+    streaming DataFrame, and an availableNow run equals the batch result."""
+    from splink_spark.pipeline import curation as cu
+
+    rows = [
+        (0, "the data of a run that we have built with care " * 6),
+        (1, "mail me at a@b.io from 10.1.2.3 " + "the paper total of and wordy " * 10),
+        (2, "tiny"),
+    ]
+    src = str(tmp_path / "src_curation")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.mode("overwrite").parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+
+    def curate(df):
+        flags = cu.gopher_quality_flags(df).select("doc_id", "keep")
+        red = cu.pii_redact(df)
+        return red.join(flags, "doc_id").where(F.col("keep")).drop("keep")
+
+    out_batch = sorted(map(tuple, curate(static).collect()))
+    q = (
+        curate(stream)
+        .writeStream.format("memory")
+        .queryName("curated_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out_stream = sorted(map(tuple, spark.sql("select * from curated_stream").collect()))
+    assert out_stream == out_batch
+    assert len(out_stream) == 2  # doc 2 dropped by the word-count rule
+    redacted = {r[0]: r[1] for r in out_stream}
+    assert "<EMAIL>" in redacted[1] and "<IPV4>" in redacted[1]
