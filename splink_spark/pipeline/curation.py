@@ -147,18 +147,38 @@ def repetition_metrics(
     partitions evenly because doc_id is in the key. Both produce identical
     output (pinned by test).
     """
-    c = F.col(text_col)
-    toks = _tokens(F.lower(c))
-    n_words = F.size(toks)
-    total_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    grams2 = F.when(n_words < 2, F.array().cast("array<string>")).otherwise(
+    # STAGE the token array behind a nondeterministic-identity barrier
+    # (shuffle(array(x))[0] — linker.predict's threshold-barrier trick)
+    # BEFORE deriving 2-grams from it. Without the barrier CollapseProject
+    # inlines the split into the gram lambda, so building L grams re-splits
+    # the whole text L times — O(L^2 * doc_len), measured 27s for just 200
+    # docs of 2k tokens. With it, grams read the materialized array.
+    def _barrier(col):
+        return F.shuffle(F.array(col)).getItem(0)
+
+    stage1 = df.select(
+        F.col(id_col), _barrier(_tokens(F.lower(F.col(text_col)))).alias("__toks")
+    )
+    toks0 = F.col("__toks")
+    grams_expr = F.when(
+        F.size(toks0) < 2, F.array().cast("array<string>")
+    ).otherwise(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(n_words - 1, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            F.sequence(F.lit(1), F.greatest(F.size(toks0) - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks0, i, 2)),
         )
     )
+    staged = stage1.select(
+        F.col(id_col), toks0, _barrier(grams_expr).alias("__grams2")
+    )
+    toks = F.col("__toks")
+    grams2 = F.col("__grams2")
+    n_words = F.size(toks)
+    total_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     if method == "explode":
-        base = df.select(F.col(id_col), toks.alias("toks"), grams2.alias("grams2"))
+        base = staged.select(
+            F.col(id_col), toks.alias("toks"), grams2.alias("grams2")
+        )
         tok_counts = (
             base.select(id_col, F.explode("toks").alias("tok"))
             .groupBy(id_col, "tok")
@@ -219,52 +239,37 @@ def repetition_metrics(
     if method != "hof":
         raise ValueError("method must be 'hof' or 'explode'")
 
-    # materialize the arrays ONCE as columns — inlining `toks` into every
-    # nested lambda would re-split the text per lambda invocation and blow
-    # up the codegen'd expression tree. The shuffle(array(x))[0] wrapper is
-    # a nondeterministic identity (same trick as linker.predict's threshold
-    # barrier): it stops CollapseProject from substituting the split back
-    # into each of the six consuming HOF expressions.
-    def _barrier(col):
-        return F.shuffle(F.array(col)).getItem(0)
+    def _top_run_chars(arr):
+        """Chars of the most frequent element: sort, then one linear fold
+        tracking the current run length and the best count*len seen —
+        O(L log L) per document vs the O(L * distinct) naive scan (equal at
+        short repetitive docs; the win is long documents)."""
+        init = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        )
 
-    staged = df.select(
-        F.col(id_col), _barrier(toks).alias("__toks"), _barrier(grams2).alias("__grams2")
-    )
-    toks = F.col("__toks")
-    grams2 = F.col("__grams2")
-    n_words = F.size(toks)
-    total_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    df = staged
-    distinct_toks = F.array_distinct(toks)
-    n_distinct = F.size(distinct_toks)
+        def step(acc, t):
+            run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                t.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run * F.length(t)).alias("best"),
+            )
+
+        return F.aggregate(F.array_sort(arr), init, step, lambda acc: acc["best"])
+
+    n_distinct = F.size(F.array_distinct(toks))
     dup_word_frac = (n_words - n_distinct).cast("double") / F.greatest(
         n_words, F.lit(1)
     ).cast("double")
-    # chars of the most frequent token: max over distinct d of count(d)*len(d)
-    top_word_chars = F.aggregate(
-        distinct_toks,
-        F.lit(0),
-        lambda acc, d: F.greatest(
-            acc, F.size(F.filter(toks, lambda t: t == d)) * F.length(d)
-        ),
-    )
-    top_word_char_frac = top_word_chars.cast("double") / F.greatest(
+    top_word_char_frac = _top_run_chars(toks).cast("double") / F.greatest(
         total_chars, F.lit(1)
     ).cast("double")
-    distinct_grams = F.array_distinct(grams2)
     total_gram_chars = F.aggregate(grams2, F.lit(0), lambda acc, g: acc + F.length(g))
-    top_gram_chars = F.aggregate(
-        distinct_grams,
-        F.lit(0),
-        lambda acc, d: F.greatest(
-            acc, F.size(F.filter(grams2, lambda g: g == d)) * F.length(d)
-        ),
-    )
-    top_2gram_char_frac = top_gram_chars.cast("double") / F.greatest(
+    top_2gram_char_frac = _top_run_chars(grams2).cast("double") / F.greatest(
         total_gram_chars, F.lit(1)
     ).cast("double")
-    return df.select(
+    return staged.select(
         F.col(id_col),
         n_words.cast("bigint").alias("n_words"),
         F.round(dup_word_frac, 6).alias("dup_word_frac"),
@@ -279,8 +284,20 @@ def repetition_metrics(
 
 
 def word_ngrams(col: Column, n: int) -> Column:
-    """Word-level n-grams of lowercased text as an array of strings."""
+    """Word-level n-grams of lowercased text as an array of strings.
+
+    NB if ``col`` is a raw text column, Catalyst inlines the tokenize into
+    every one of the L gram-lambda invocations (O(L^2 * doc_len)); callers
+    that build grams over whole tables should stage the TOKEN ARRAY first
+    (see ``_staged_word_ngrams``), then pass the array column here via
+    ``tokens=``-style pre-split input. This helper keeps the simple
+    signature for ad-hoc/row-at-a-time use.
+    """
     toks = _tokens(F.lower(col))
+    return _ngrams_of(toks, n)
+
+
+def _ngrams_of(toks: Column, n: int) -> Column:
     return F.when(
         F.size(toks) < n, F.array().cast("array<string>")
     ).otherwise(
@@ -288,6 +305,22 @@ def word_ngrams(col: Column, n: int) -> Column:
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
+    )
+
+
+def _staged_word_ngrams(
+    df: DataFrame, text_col: str, n: int, *keep_cols: str
+) -> DataFrame:
+    """(keep_cols..., grams) with the token array materialized behind a
+    nondeterministic-identity barrier so gram construction reads the array
+    column instead of re-splitting the text per gram (O(L) not O(L^2))."""
+    staged = df.select(
+        *[F.col(c) for c in keep_cols],
+        F.shuffle(F.array(_tokens(F.lower(F.col(text_col))))).getItem(0).alias("__toks"),
+    )
+    return staged.select(
+        *[F.col(c) for c in keep_cols],
+        _ngrams_of(F.col("__toks"), n).alias("grams"),
     )
 
 
@@ -313,14 +346,13 @@ def decontaminate(
     """
     eval_text_col = eval_text_col or text_col
     eval_grams = (
-        eval_df.select(
-            F.explode(word_ngrams(F.col(eval_text_col), n)).alias("gram")
-        )
+        _staged_word_ngrams(eval_df, eval_text_col, n)
+        .select(F.explode("grams").alias("gram"))
         .distinct()
     )
-    corpus_grams = corpus.select(
+    corpus_grams = _staged_word_ngrams(corpus, text_col, n, id_col).select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"),
+        F.explode(F.array_distinct(F.col("grams"))).alias("gram"),
     )
     overlap = (
         corpus_grams.join(F.broadcast(eval_grams), "gram", "inner")
@@ -512,3 +544,69 @@ def pii_redact(
         )
         out = F.regexp_replace(out, pat, f"<{name.upper()}>")
     return df.select(F.col(id_col), out.alias("redacted"), *counts)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus curation
+# ---------------------------------------------------------------------------
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_df: Optional[DataFrame] = None,
+    decontaminate_n: int = 8,
+    dedup_kwargs: Optional[dict] = None,
+    pack_capacity: Optional[int] = None,
+    pack_shard_col: Optional[str] = None,
+    quality_kwargs: Optional[dict] = None,
+) -> DataFrame:
+    """The full pre-training curation pass, one call:
+
+    1. Gopher quality rules -> drop failing documents;
+    2. PII redaction (text rewritten in place);
+    3. near-dup removal via :func:`splink_spark.pipeline.dedup.
+       deduplicate_corpus` (keep each cluster's canonical document);
+    4. benchmark decontamination vs ``eval_df`` (drop overlapping docs);
+    5. optional sequence packing (adds shard/bin_id/bin_offset).
+
+    Each stage is the already-gated operator; this composes them in the
+    order a production pipeline runs them (cheap row-local filters first,
+    the pairwise dedup join only over survivors, the broadcast
+    decontamination join last over the deduped set).
+    """
+    from .dedup import deduplicate_corpus
+
+    flags = gopher_quality_flags(
+        docs, text_col=text_col, id_col=id_col, **(quality_kwargs or {})
+    )
+    kept = docs.join(
+        flags.where(F.col("keep")).select(id_col), id_col, "inner"
+    )
+    redacted = pii_redact(kept, text_col=text_col, id_col=id_col)
+    kept = (
+        kept.drop(text_col)
+        .join(redacted.select(id_col, F.col("redacted").alias(text_col)), id_col)
+    )
+    clusters = deduplicate_corpus(
+        kept, text_col=text_col, id_col=id_col, **(dedup_kwargs or {})
+    )
+    kept = kept.join(
+        clusters.where(F.col("is_canonical")).select(id_col), id_col, "inner"
+    )
+    if eval_df is not None:
+        contam = decontaminate(
+            kept, eval_df, n=decontaminate_n, text_col=text_col, id_col=id_col
+        )
+        kept = kept.join(
+            contam.where(~F.col("contaminated")).select(id_col), id_col, "inner"
+        )
+    if pack_capacity is not None and pack_shard_col is not None:
+        packed = pack_sequences(
+            kept, pack_capacity, pack_shard_col, text_col=text_col, id_col=id_col
+        )
+        kept = kept.join(
+            packed.select(id_col, "bin_id", "bin_offset", "n_tokens"), id_col
+        )
+    return kept

@@ -189,3 +189,31 @@ def test_gopher_flags_tunable_thresholds(spark, docs):
     out = {r["doc_id"]: r["keep"] for r in loose.collect()}
     assert out[1] is True  # "short doc" passes with min_words=1
     assert out[4] is False  # empty doc still fails mean-word-len bounds
+
+
+def test_curate_corpus_end_to_end(spark):
+    rows = [
+        (0, "the data of a run that we have built with care " * 8, "en"),
+        (1, "the data of a run that we have built with care " * 8 + "extra", "en"),  # near-dup of 0
+        (2, "tiny", "en"),  # quality-dropped
+        (3, "mail x@y.io " + "the story total of and worthy tales told here " * 8, "en"),
+        (4, "the quiz parts of and sundry words that we have kept with care " * 6, "en"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    ev = spark.createDataFrame([(99, "sundry words that we have kept")], ["doc_id", "text"])
+    from splink_spark.pipeline.curation import curate_corpus
+
+    out = curate_corpus(
+        docs,
+        eval_df=ev,
+        decontaminate_n=5,
+        dedup_kwargs={"n": 3, "threshold": 0.6, "block_cols": ["lang"]},
+        pack_capacity=128,
+        pack_shard_col="lang",
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert 2 not in got  # quality filter
+    assert 4 not in got  # decontaminated (5-gram overlap with eval)
+    assert len({0, 1} & set(got)) == 1  # near-dup cluster keeps one canonical
+    assert 3 in got and "<EMAIL>" in got[3]["text"]  # PII scrubbed
+    assert all("bin_id" in r.asDict() for r in got.values())
