@@ -113,23 +113,31 @@ def rolling_hash_fingerprint(
     JVM-side, no shuffle, linear in document length — the per-document map
     shape that scales to billions of rows.
     """
-    # NB Spark's sequence(1, n) DESCENDS when n < 1, so the short-document
-    # case must be excluded before building the position sequence
-    expr = f"""
-      coalesce(
-        CASE WHEN length({text_col}) >= {shingle_len} THEN
-          array_min(transform(
-            sequence(1, length({text_col}) - {shingle_len - 1}),
-            p -> aggregate(
-                   sequence(p, p + {shingle_len - 1}),
-                   0L,
-                   (acc, j) -> acc * {base} + ascii(substring({text_col}, j, 1))
-                 )
-          ))
-        END,
-        -1L)
-    """
-    return df.select(F.col(id_col), F.expr(expr).alias("fingerprint_hash"))
+    # Linear formulation (same Horner values as the textbook
+    # transform(sequence(1,L), p -> aggregate(...substring(text, j, 1)))
+    # spelling, which is O(L^2): substring-by-index scans the UTF8 string
+    # and the text column re-inlines into every position lambda — measured
+    # 220s for 200 docs of 20k chars, vs sub-second here): split to a char
+    # array once, map to code points, then fold shingle_len-1
+    # zip_with(h, slice(codes, k+1, ...), a*base + b) steps. Every array is
+    # an OUTER argument (evaluated once per row); after step k, element i
+    # holds the Horner hash of the window starting at i. zip_with's null
+    # padding voids the trailing partial windows; one slice drops them.
+    chars = F.split(F.col(text_col), "")
+    codes = F.transform(chars, lambda ch: F.ascii(ch).cast("long"))
+    h = codes
+    for k in range(1, shingle_len):
+        h = F.zip_with(
+            h,
+            F.slice(codes, k + 1, 2_000_000_000),
+            lambda a, b: a * base + b,
+        )
+    valid = F.slice(h, 1, F.greatest(F.size(h) - (shingle_len - 1), F.lit(1)))
+    fp = F.coalesce(
+        F.when(F.length(F.col(text_col)) >= shingle_len, F.array_min(valid)),
+        F.lit(-1).cast("long"),
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint_hash"))
 
 
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
