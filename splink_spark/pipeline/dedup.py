@@ -236,7 +236,18 @@ def simhash_signatures(
     whole-stage codegen (num_bits aggregates over the token array per row).
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # stage the token-hash array behind a nondeterministic-identity barrier:
+    # each of the num_bits aggregates below references it, and without the
+    # barrier CollapseProject re-inlines the split+hash into all 64 — a
+    # constant 64x tokenize/hash waste per row
+    staged = df.select(
+        F.col(id_col),
+        F.shuffle(F.array(F.transform(toks, lambda t: F.xxhash64(t))))
+        .getItem(0)
+        .alias("__hashes"),
+    )
+    hashes = F.col("__hashes")
+
     # shift amounts must be python ints (F.shiftright takes no Column), so
     # unroll the bit loop driver-side — still one codegen'd expression
     def _bit_counter(b: int):
@@ -253,7 +264,7 @@ def simhash_signatures(
                 F.lit(0).cast("bigint")
             )
         )
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    return staged.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_pairs(
