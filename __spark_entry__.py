@@ -339,6 +339,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _session(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
         return ann.kmeans_fit_assign(emb, k=8, iterations=2)
 
+    def q_tfidf_top_terms(spark, sf_dir):
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        return curation.tfidf_top_terms(docs, k=5)
+
     def q_gopher_rules(spark, sf_dir):
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
         return curation.gopher_quality_flags(docs)
@@ -1141,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "quality_score": q_quality_score,
         "kmeans_assign": q_kmeans,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "gopher_rules": q_gopher_rules,
         "repetition_metrics": q_repetition_metrics,
         "decontaminate": q_decontaminate,
@@ -1959,6 +1964,36 @@ SELECT vec_id, cluster, round(dot / 1000000000000.0, 6) AS cosine_sim FROM (
     row_number() OVER (PARTITION BY e.vec_id
       ORDER BY list_inner_product(e.q, c.q) DESC, c.cluster ASC) AS rn
   FROM e CROSS JOIN c2 c) WHERE rn = 1
+    """
+
+    sqls["tfidf_top_terms"] = f"""
+      WITH t AS (SELECT doc_id, {_ltoks} AS toks FROM documents),
+      tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+        GROUP BY doc_id, token
+      ),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      dft AS (
+        SELECT token, count(*) AS df,
+          CAST(round((ln(CAST((SELECT n_docs FROM n) + 1 AS DOUBLE)
+                         / CAST(count(*) + 1 AS DOUBLE)) + 1.0) * 1000000) AS BIGINT)
+            AS idf_micro
+        FROM tf GROUP BY token
+      ),
+      s AS (
+        SELECT tf.doc_id, tf.token, tf.tf, dft.df,
+               tf.tf * dft.idf_micro AS score_micro
+        FROM tf JOIN dft USING (token)
+      )
+      SELECT doc_id,
+        CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY score_micro DESC, token ASC) AS BIGINT) AS rank,
+        token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        round(CAST(score_micro AS DOUBLE) / 1000000, 6) AS tfidf
+      FROM s
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+              ORDER BY score_micro DESC, token ASC) <= 5
     """
 
     sqls["gopher_rules"] = f"""

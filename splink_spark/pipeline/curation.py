@@ -610,3 +610,75 @@ def curate_corpus(
             packed.select(id_col, "bin_id", "bin_offset", "n_tokens"), id_col
         )
     return kept
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` salient terms per document by TF-IDF (smoothed:
+    idf = ln((N+1)/(df+1)) + 1), the standard corpus primitive behind
+    topic filtering and keyword-based curation.
+
+    Scale shape: one explode -> (doc, token) groupBy for term frequencies
+    (map-side combine), a token-level document-frequency aggregate whose
+    output is vocabulary-sized and BROADCAST back, and one top-k window
+    partitioned by doc_id. No driver data.
+
+    Ranking determinism (for the cross-engine gate): idf is quantized to
+    integer micro-units (round(idf * 1e6)), so the ranking key
+    ``tf * idf_micro`` is exact int64 arithmetic — engines can differ in
+    the last ulp of ln() without ever flipping a rank. Ties break on the
+    token string ascending.
+    """
+    toks = _tokens(F.lower(F.col(text_col)))
+    tf = (
+        docs.select(F.col(id_col), F.explode(toks).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("__n"))
+    df_t = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "df",
+            F.round(
+                (F.log((F.col("__n") + 1).cast("double") / (F.col("df") + 1).cast("double")) + 1.0)
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("idf_micro"),
+        )
+    )
+    scored = tf.join(F.broadcast(df_t), "token").select(
+        F.col(id_col),
+        "token",
+        "tf",
+        "df",
+        (F.col("tf") * F.col("idf_micro")).alias("score_micro"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_micro"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            "rank",
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(F.col("score_micro").cast("double") / 1_000_000, 6).alias("tfidf"),
+        )
+    )

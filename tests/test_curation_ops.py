@@ -217,3 +217,26 @@ def test_curate_corpus_end_to_end(spark):
     assert len({0, 1} & set(got)) == 1  # near-dup cluster keeps one canonical
     assert 3 in got and "<EMAIL>" in got[3]["text"]  # PII scrubbed
     assert all("bin_id" in r.asDict() for r in got.values())
+
+
+def test_tfidf_top_terms(spark):
+    rows = [
+        (0, "apple banana apple apple cherry"),
+        (1, "banana banana durian"),
+        (2, "cherry durian elder elder"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = cu.tfidf_top_terms(docs, k=2)
+    got = {(r["doc_id"], r["rank"]): r for r in out.collect()}
+    assert len(got) == 6
+    # doc 0: apple (tf=3, df=1) must outrank cherry (tf=1, df=2)
+    assert got[(0, 1)]["token"] == "apple"
+    assert got[(0, 1)]["tfidf"] > got[(0, 2)]["tfidf"]
+    # a term present in every doc gets the minimum idf = 1.0 scale
+    import math
+    n, df = 3, 1
+    expected = round(3 * round((math.log((n + 1) / (df + 1)) + 1) * 1e6) / 1e6, 6)
+    assert got[(0, 1)]["tfidf"] == expected
+    # deterministic under repartitioning
+    again = {(r["doc_id"], r["rank"]): r["token"] for r in cu.tfidf_top_terms(docs.repartition(5), k=2).collect()}
+    assert again == {k: v["token"] for k, v in got.items()}
