@@ -134,6 +134,7 @@ def main() -> None:
         "pack_sequences",
         "pii_redact",
         "kmeans_assign",
+        "tfidf_top_terms",
     ):
         try:
             t0 = time.time()

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""End-to-end training-data curation walkthrough on the testdata corpus:
+quality rules → PII scrub → near-dup canonicalization → benchmark
+decontamination → sequence packing, plus TF-IDF keywords, MinHash near-dup
+pairs, and embedding k-means — every stage is an oracle-gated operator.
+
+    python examples/curate_training_corpus.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+
+from splink_spark.pipeline import ann, curation, dedup  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (
+        SparkSession.builder.master("local[*]")
+        .appName("corpus_curation_demo")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    n = docs.count()
+    print(f"corpus: {n} documents from {sf_dir}")
+
+    # 1. per-document quality diagnostics
+    flags = curation.gopher_quality_flags(docs, min_words=20, min_stopword_hits=1)
+    flags.groupBy("keep").count().show()
+    curation.repetition_metrics(docs).orderBy(F.desc("dup_word_frac")).show(3)
+
+    # 2. near-duplicate structure (scale path: MinHash banding)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=60, bands=10, shingle_size=6, jaccard_threshold=0.45, n=5
+    )
+    print("near-dup pairs (minhash + exact verify):", pairs.count())
+
+    # 3. one-call curation: filter -> scrub -> dedup -> decontaminate -> pack
+    eval_split = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    curated = curation.curate_corpus(
+        docs,
+        eval_df=eval_split,
+        decontaminate_n=3,
+        dedup_kwargs={"n": 3, "threshold": 0.62, "block_cols": ["lang"]},
+        pack_capacity=2048,
+        pack_shard_col="lang",
+        quality_kwargs={"min_words": 20, "min_stopword_hits": 1},
+    )
+    kept = curated.count()
+    print(f"curated corpus: {kept}/{n} documents survive; packed bins:")
+    curated.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens")
+    ).orderBy("lang", "bin_id").show(5)
+
+    # 4. salient terms + mixture plan for the survivors
+    curation.tfidf_top_terms(curated, k=3).where("rank = 1").show(5)
+    curation.mixture_plan(curated, "lang", {"en": 0.5, "de": 0.25, "fr": 0.25}).show()
+
+    # 5. embedding-space clustering (exact-integer distributed k-means)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ann.kmeans_fit_assign(emb, k=8, iterations=2).groupBy("cluster").count().orderBy(
+        "cluster"
+    ).show()
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
