@@ -460,3 +460,57 @@ def test_kmeans_fit_assign(spark, vectors):
     # assignment plan stays JVM-side: no python eval in the scoring scan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_char_ngrams_and_rolling_hash_vs_python_reference(spark):
+    """Fuzz the linear zip_with formulations against direct python
+    references (both regimes: short strings take the substring fast path,
+    long ones the shifted-copies path; unicode chars included)."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = "ab cd\tef\ngh…é漢"
+    texts = [""] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.choice([1, 2, 4, 9, 40, 600])))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    n = 3
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", dedup.char_ngrams(F.col("text"), n).alias("g")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        if len(t) < n:
+            expect = [t]  # short doc: one gram = whole text (reference behavior)
+        else:
+            seen, expect = set(), []
+            for j in range(len(t) - n + 1):
+                g = t[j : j + n]
+                if g not in seen:
+                    seen.add(g)
+                    expect.append(g)
+        assert sorted(got[i]) == sorted(expect), (i, t)
+
+    sh, base = 8, 31
+    fp = {
+        r["doc_id"]: r["fingerprint_hash"]
+        for r in text.rolling_hash_fingerprint(
+            df, shingle_len=sh, base=base
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        if len(t) < sh:
+            assert fp[i] == -1, (i, t)
+            continue
+        best = None
+        for j in range(len(t) - sh + 1):
+            acc = 0
+            for ch in t[j : j + sh]:
+                acc = acc * base + ord(ch)
+            best = acc if best is None else min(best, acc)
+        assert fp[i] == best, (i, t)
