@@ -628,9 +628,13 @@ def tfidf_top_terms(
     topic filtering and keyword-based curation.
 
     Scale shape: one explode -> (doc, token) groupBy for term frequencies
-    (map-side combine), a token-level document-frequency aggregate whose
-    output is vocabulary-sized and BROADCAST back, and one top-k window
-    partitioned by doc_id. No driver data.
+    (map-side combine), a token-level document-frequency aggregate joined
+    back ON TOKEN — both sides come out of token-keyed shuffles, and the
+    join is deliberately NOT hint-broadcast: a web-scale vocabulary
+    (typos, numbers, ids) runs to billions of distinct tokens, so the
+    right plan is AQE's call — it broadcasts when the vocab is actually
+    small and sort-merges co-partitioned exchanges when it is not.
+    Finishes with one top-k window partitioned by doc_id. No driver data.
 
     Ranking determinism (for the cross-engine gate): idf is quantized to
     integer micro-units (round(idf * 1e6)), so the ranking key
@@ -660,7 +664,7 @@ def tfidf_top_terms(
             .alias("idf_micro"),
         )
     )
-    scored = tf.join(F.broadcast(df_t), "token").select(
+    scored = tf.join(df_t, "token").select(
         F.col(id_col),
         "token",
         "tf",
