@@ -343,6 +343,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
         return curation.tfidf_top_terms(docs, k=5)
 
+    def q_curate_corpus(spark, sf_dir):
+        """End-to-end curation composite: quality filter -> PII scrub ->
+        near-dup canonical -> decontaminate vs eval split -> pack. The
+        corpus is PII-free (verified), so the scrub is identity here and
+        the oracle ranks on raw text; the redaction itself is gated
+        separately (pii_redact)."""
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        ev = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+        out = curation.curate_corpus(
+            docs,
+            eval_df=ev,
+            decontaminate_n=3,
+            dedup_kwargs={"n": 3, "threshold": 0.62, "block_cols": ["lang"]},
+            pack_capacity=2048,
+            pack_shard_col="lang",
+            quality_kwargs={"min_words": 20, "min_stopword_hits": 1},
+        )
+        return out.select(
+            "doc_id", "lang", "source", "text", "n_tokens", "bin_id", "bin_offset"
+        )
+
     def q_gopher_rules(spark, sf_dir):
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
         return curation.gopher_quality_flags(docs)
@@ -1146,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "kmeans_assign": q_kmeans,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "curate_corpus": q_curate_corpus,
         "gopher_rules": q_gopher_rules,
         "repetition_metrics": q_repetition_metrics,
         "decontaminate": q_decontaminate,
@@ -1964,6 +1987,113 @@ SELECT vec_id, cluster, round(dot / 1000000000000.0, 6) AS cosine_sim FROM (
     row_number() OVER (PARTITION BY e.vec_id
       ORDER BY list_inner_product(e.q, c.q) DESC, c.cluster ASC) AS rn
   FROM e CROSS JOIN c2 c) WHERE rn = 1
+    """
+
+    g3v = _ngrams_sql("text", 3)
+    sqls["curate_corpus"] = f"""
+      WITH RECURSIVE
+      tq AS (
+        SELECT doc_id, text, {_toks} AS toks, {_ltoks} AS ltoks FROM documents
+      ),
+      q AS (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+            len(toks) AS n_words,
+            CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+              / greatest(len(toks), 1) AS mwl,
+            CAST((length(text) - length(replace(text, '#', '')))
+                 + (length(text) - length(replace(text, '…', '')))
+                 + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+              / greatest(len(toks), 1) AS swr,
+            CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+              / greatest(len(toks), 1) AS awf,
+            len(list_intersect(list_distinct(ltoks),
+                ['the','be','to','of','and','that','have','with'])) AS sh
+          FROM tq
+        )
+        WHERE n_words >= 20 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+          AND swr <= 0.1 AND awf >= 0.8 AND sh >= 1
+      ),
+      kept0 AS (SELECT d.* FROM documents d JOIN q USING (doc_id)),
+      g AS (SELECT doc_id, lang, {g3v} AS grams FROM kept0),
+      e AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM g l JOIN g r ON l.lang = r.lang AND l.doc_id < r.doc_id
+        WHERE CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+              / len(list_distinct(list_concat(l.grams, r.grams))) >= 0.62
+      ),
+      und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      walk(node, reach) AS (
+        SELECT doc_id, doc_id FROM kept0
+        UNION
+        SELECT w.node, u.b FROM walk w JOIN und u ON w.reach = u.a
+      ),
+      cc AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node),
+      tquality AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+               CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1) AS punct_ratio,
+               CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    t2 -> t2 IN ('the','and','of','to','a','in','is','it','for','on','with','as'))) AS DOUBLE)
+                 / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                                 ELSE len(string_split_regex(trim(text), '\\s+')) END, 1) AS stopword_ratio
+        FROM kept0
+      ),
+      qs AS (
+        SELECT doc_id,
+          round((least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+                 + (1.0 - least(punct_ratio * 5.0, 1.0))
+                 + least(stopword_ratio * 4.0, 1.0)) / 3.0, 6) AS qsv
+        FROM tquality
+      ),
+      canon AS (
+        SELECT cc.doc_id,
+               first_value(cc.doc_id) OVER (
+                 PARTITION BY cc.cluster_id ORDER BY qs.qsv DESC, cc.doc_id ASC
+               ) AS canonical_id
+        FROM cc JOIN qs ON cc.doc_id = qs.doc_id
+      ),
+      kept1 AS (
+        SELECT k.* FROM kept0 k
+        JOIN canon c ON k.doc_id = c.doc_id AND c.doc_id = c.canonical_id
+      ),
+      wgrams AS (
+        SELECT doc_id,
+          CASE WHEN len(ltoks) < 3 THEN CAST([] AS VARCHAR[])
+               ELSE list_distinct(list_transform(generate_series(1, len(ltoks) - 2),
+                    i -> ltoks[i] || ' ' || ltoks[i + 1] || ' ' || ltoks[i + 2])) END AS grams
+        FROM tq
+      ),
+      evg AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM wgrams WHERE doc_id % 97 = 0
+      ),
+      contam AS (
+        SELECT DISTINCT w.doc_id
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM wgrams) w
+        JOIN evg USING (gram)
+        WHERE w.doc_id IN (SELECT doc_id FROM kept1)
+      ),
+      kept2 AS (
+        SELECT * FROM kept1 WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+      ),
+      packed AS (
+        SELECT lang, doc_id, source, text,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+          sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+')) END)
+            OVER (PARTITION BY lang ORDER BY doc_id)
+          - CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS start
+        FROM kept2
+      )
+      SELECT doc_id, lang, source, text,
+        CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(floor(CAST(start AS DOUBLE) / 2048) AS BIGINT) AS bin_id,
+        CAST(start % 2048 AS BIGINT) AS bin_offset
+      FROM packed
     """
 
     sqls["tfidf_top_terms"] = f"""
