@@ -343,6 +343,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
         return curation.tfidf_top_terms(docs, k=5)
 
+    def q_corpus_stats(spark, sf_dir):
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        return curation.corpus_stats(docs, by="lang")
+
     def q_curate_corpus(spark, sf_dir):
         """End-to-end curation composite: quality filter -> PII scrub ->
         near-dup canonical -> decontaminate vs eval split -> pack. The
@@ -1169,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": q_kmeans,
         "tfidf_top_terms": q_tfidf_top_terms,
         "curate_corpus": q_curate_corpus,
+        "corpus_stats": q_corpus_stats,
         "gopher_rules": q_gopher_rules,
         "repetition_metrics": q_repetition_metrics,
         "decontaminate": q_decontaminate,
@@ -1987,6 +1992,24 @@ SELECT vec_id, cluster, round(dot / 1000000000000.0, 6) AS cosine_sim FROM (
     row_number() OVER (PARTITION BY e.vec_id
       ORDER BY list_inner_product(e.q, c.q) DESC, c.cluster ASC) AS rn
   FROM e CROSS JOIN c2 c) WHERE rn = 1
+    """
+
+    sqls["corpus_stats"] = f"""
+      WITH t AS (SELECT doc_id, lang, text, {_ltoks} AS toks FROM documents),
+      per AS (SELECT lang, len(toks) AS ntok, length(text) AS nchar FROM t),
+      base AS (
+        SELECT lang, count(*) AS n_docs,
+          CAST(sum(ntok) AS BIGINT) AS total_tokens,
+          round(avg(ntok), 6) AS mean_doc_tokens,
+          round(quantile_cont(ntok, 0.5), 6) AS median_doc_tokens,
+          CAST(sum(nchar) AS BIGINT) AS total_chars
+        FROM per GROUP BY lang
+      ),
+      v AS (
+        SELECT lang, count(DISTINCT tok) AS vocab_size
+        FROM (SELECT lang, unnest(toks) AS tok FROM t) GROUP BY lang
+      )
+      SELECT base.*, v.vocab_size FROM base JOIN v USING (lang)
     """
 
     g3v = _ngrams_sql("text", 3)

@@ -686,3 +686,50 @@ def tfidf_top_terms(
             F.round(F.col("score_micro").cast("double") / 1_000_000, 6).alias("tfidf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics (data cards)
+# ---------------------------------------------------------------------------
+
+
+def corpus_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: Optional[str] = None,
+) -> DataFrame:
+    """One-row (or one-row-per-``by``-group) corpus summary — the numbers a
+    training-data card reports: document count, total/mean/median tokens,
+    exact vocabulary size, total characters.
+
+    Two aggregations: doc-level token counts (pure map), then one global
+    (or per-group) agg; vocabulary via explode -> distinct count, whose
+    shuffle is token-keyed and combines map-side. For quick interactive
+    estimates swap the exact distinct for approx_count_distinct — the gate
+    uses the exact form.
+    """
+    toks = _tokens(F.lower(F.col(text_col)))
+    keys = [F.col(by)] if by else []
+    per_doc = docs.select(
+        *keys,
+        F.col(id_col),
+        F.size(toks).alias("__ntok"),
+        F.length(F.col(text_col)).alias("__nchar"),
+    )
+    gb = per_doc.groupBy(*keys) if by else per_doc.groupBy()
+    base = gb.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__ntok").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("__ntok"), 6).alias("mean_doc_tokens"),
+        F.round(F.expr("percentile(__ntok, 0.5)"), 6).alias("median_doc_tokens"),
+        F.sum("__nchar").cast("bigint").alias("total_chars"),
+    )
+    vocab_gb = docs.select(*keys, F.explode(toks).alias("__tok"))
+    vocab = (
+        (vocab_gb.groupBy(*keys) if by else vocab_gb.groupBy())
+        .agg(F.count_distinct("__tok").alias("vocab_size"))
+    )
+    if by:
+        return base.join(vocab, by).orderBy(by)
+    return base.crossJoin(vocab)

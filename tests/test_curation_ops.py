@@ -240,3 +240,14 @@ def test_tfidf_top_terms(spark):
     # deterministic under repartitioning
     again = {(r["doc_id"], r["rank"]): r["token"] for r in cu.tfidf_top_terms(docs.repartition(5), k=2).collect()}
     assert again == {k: v["token"] for k, v in got.items()}
+
+
+def test_corpus_stats(spark):
+    rows = [(0, "a bb ccc", "en"), (1, "bb bb dddd", "en"), (2, "x", "fr")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    one = cu.corpus_stats(docs).collect()[0]
+    assert one["n_docs"] == 3 and one["total_tokens"] == 7
+    assert one["vocab_size"] == 5  # a bb ccc dddd x
+    assert one["median_doc_tokens"] == 3.0
+    by = {r["lang"]: r for r in cu.corpus_stats(docs, by="lang").collect()}
+    assert by["en"]["vocab_size"] == 4 and by["fr"]["n_docs"] == 1

@@ -109,7 +109,8 @@ def main() -> None:
     }
     results["total_sec"] = round(sum(results["ops"].values()), 2)
     here = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
-    with open(os.path.join(here, "BENCH_CURATION_1M.json"), "w") as f:
+    label = "10M" if n >= 10_000_000 else "1M"
+    with open(os.path.join(here, f"BENCH_CURATION_{label}.json"), "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results))
 
