@@ -65,10 +65,18 @@ def gopher_quality_flags(
     ratio (# and ellipsis) <= 0.1; >= 80% of words contain an alphabetic
     character; document contains >= 2 distinct required stop words.
 
-    Pure Column expressions — no shuffle, linear per document.
+    Pure Column expressions — no shuffle, linear per document. The token
+    array is staged once behind a nondeterministic-identity barrier; the
+    five consuming metrics read the materialized column instead of each
+    re-splitting the text (CollapseProject would otherwise inline the
+    split into all of them).
     """
+    df = df.select(
+        "*",
+        F.shuffle(F.array(_tokens(F.col(text_col)))).getItem(0).alias("__gq_toks"),
+    )
     c = F.col(text_col)
-    toks = _tokens(c)
+    toks = F.col("__gq_toks")
     n_words = F.size(toks)
     sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     mean_word_len = sum_len.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
@@ -86,7 +94,9 @@ def gopher_quality_flags(
     alpha_word_frac = n_alpha_words.cast("double") / F.greatest(n_words, F.lit(1)).cast(
         "double"
     )
-    low_toks = _tokens(F.lower(c))
+    # per-token lower over the staged array == tokenizing lower(text):
+    # case-folding never produces whitespace, so token boundaries agree
+    low_toks = F.transform(toks, F.lower)
     stopword_hits = F.size(
         F.array_intersect(
             F.array_distinct(low_toks), F.array(*[F.lit(s) for s in stopwords])
