@@ -246,14 +246,23 @@ def kmeans_fit_assign(
     norm = F.sqrt(
         F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    # norm is computed into its own column first: referenced inside the
+    # quantize lambda it would re-run the O(dim) sum per ELEMENT (O(dim^2)
+    # per row — invisible at dim 64, dominant at real embedding widths)
+    with_norm = corpus.select(
+        F.col(id_col),
+        emb_d.alias("__e"),
+        F.greatest(norm, F.lit(1e-12)).alias("__norm"),
+    )
     qemb = F.transform(
-        emb_d, lambda x: F.round(x / F.greatest(norm, F.lit(1e-12)) * scale).cast("bigint")
+        F.col("__e"),
+        lambda x: F.round(x / F.col("__norm") * scale).cast("bigint"),
     )
     # materialize the quantized vectors ONCE: without the persist barrier
     # Catalyst's CollapseProject inlines the normalize+quantize expression
     # into every one of the k dot products in every iteration (k * iters
     # recomputes per row, measured 17x slower at sf0.1)
-    staged = corpus.select(F.col(id_col), qemb.alias("__q")).persist()
+    staged = with_norm.select(F.col(id_col), qemb.alias("__q")).persist()
 
     def _assign(centroids: list[list[int]]) -> DataFrame:
         # argmax over k centroid literals as an ARRAY of dots: each dot
