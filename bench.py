@@ -167,13 +167,14 @@ def main() -> None:
         ("BENCH_1M.json", "bench_1m"),
         ("BENCH_10M.json", "bench_10m"),
         ("BENCH_CURATION_1M.json", "bench_curation_1m"),
+        ("BENCH_CURATION_10M.json", "bench_curation_10m"),
     ):
         p = os.path.join(here, artifact)
         if os.path.exists(p):
             try:
                 with open(p) as f:
                     full = json.load(f)
-                if key == "bench_curation_1m":
+                if key.startswith("bench_curation"):
                     out[key] = {
                         "rows": full.get("rows"),
                         "total_sec": full.get("total_sec"),
