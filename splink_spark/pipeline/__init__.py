@@ -1,0 +1,6 @@
+"""Training-data pipeline operators: dedup, ANN/k-means, text analysis,
+corpus curation, multimodal column plumbing."""
+
+from . import ann, curation, dedup, multimodal, text  # noqa: F401
+from .curation import curate_corpus  # noqa: F401
+from .dedup import deduplicate_corpus  # noqa: F401
