@@ -132,6 +132,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cust = _customer(_session(spark), sf_dir)
         return block_using_rules(cust, [block_on("c_nationkey")])
 
+    def q_fuzzy_kernels(spark, sf_dir):
+        """Fuzzy-string kernel parity gate: the engine's similarity pack
+        (runtime-compiled JVM UDFs, Arrow pandas fallback) vs DuckDB's
+        built-in jaro/jaro-winkler/damerau-levenshtein/jaccard on every
+        same-nation customer-name pair. The kernels are PINNED to DuckDB's
+        published definitions (functions.py docstring), so values must
+        agree to 6 dp."""
+        from splink_spark import register_udfs
+
+        spark = _session(spark)
+        register_udfs(spark)
+        cust = _customer(spark, sf_dir).select("unique_id", "c_name")
+        l = cust.select(
+            F.col("unique_id").alias("unique_id_l"), F.col("c_name").alias("name_l")
+        )
+        r = cust.select(
+            F.col("unique_id").alias("unique_id_r"), F.col("c_name").alias("name_r")
+        )
+        pairs = l.join(
+            r,
+            (F.col("unique_id_l") % 100 == F.col("unique_id_r") % 100)
+            & (F.col("unique_id_l") < F.col("unique_id_r")),
+        )
+        return pairs.select(
+            "unique_id_l",
+            "unique_id_r",
+            F.round(F.expr("jaro_sim(name_l, name_r)"), 6).alias("jaro"),
+            F.round(F.expr("jaro_winkler(name_l, name_r)"), 6).alias("jaro_winkler"),
+            F.expr("damerau_levenshtein(name_l, name_r)").cast("bigint").alias("dl"),
+            F.round(F.expr("jaccard(name_l, name_r)"), 6).alias("jaccard"),
+        )
+
     def q_block_multi(spark, sf_dir):
         cust = _customer(_session(spark), sf_dir)
         return block_using_rules(
@@ -1149,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_union": q_concat_union,
         "tf_mktsegment": q_tf_mktsegment,
         "block_single": q_block_single,
+        "fuzzy_kernels": q_fuzzy_kernels,
         "block_multi": q_block_multi,
         "block_counts": q_block_counts,
         "n_largest_blocks": q_n_largest_blocks,
@@ -1615,6 +1648,17 @@ def oracle_sql() -> dict[str, str]:
       SELECT '0' AS match_key, l.unique_id AS join_key_l, r.unique_id AS join_key_r
       FROM cust l JOIN cust r
         ON l.c_nationkey = r.c_nationkey AND l.unique_id < r.unique_id
+    """
+
+    sqls["fuzzy_kernels"] = f"""
+      WITH cust AS ({_CUST})
+      SELECT l.unique_id AS unique_id_l, r.unique_id AS unique_id_r,
+        round(jaro_similarity(l.c_name, r.c_name), 6) AS jaro,
+        round(jaro_winkler_similarity(l.c_name, r.c_name), 6) AS jaro_winkler,
+        CAST(damerau_levenshtein(l.c_name, r.c_name) AS BIGINT) AS dl,
+        round(jaccard(l.c_name, r.c_name), 6) AS jaccard
+      FROM cust l JOIN cust r
+        ON l.unique_id % 100 = r.unique_id % 100 AND l.unique_id < r.unique_id
     """
 
     sqls["block_multi"] = f"""

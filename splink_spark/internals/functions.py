@@ -57,7 +57,10 @@ def _jaro(s1: str, s2: str) -> float:
             if s1[i] != s2[j]:
                 transpositions += 1
             j += 1
-    t = transpositions / 2
+    # integer floor, NOT /2: an odd out-of-order count (possible when the
+    # greedy window pairs different characters) floors in DuckDB/rapidfuzz,
+    # and these kernels are pinned to DuckDB's values
+    t = transpositions // 2
     m = matches
     return (m / len1 + m / len2 + (m - t) / m) / 3.0
 

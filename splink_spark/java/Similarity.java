@@ -79,7 +79,10 @@ public final class Similarity {
                 j++;
             }
         }
-        double t = transpositions / 2.0;
+        // integer floor, NOT /2.0: an odd out-of-order count (possible when
+        // the greedy window pairs different characters) floors in DuckDB /
+        // rapidfuzz, and these kernels are pinned to DuckDB's values
+        double t = transpositions / 2;
         double m = matches;
         return (m / len1 + m / len2 + (m - t) / m) / 3.0;
     }

@@ -75,3 +75,25 @@ def test_pnm_encode_decode_round_trip(w, h, ch, seed):
     back = decode_pnm(encode_pnm(arr))
     assert back is not None and back.shape == arr.shape
     assert (back == arr).all()
+
+
+def test_jaro_floors_odd_transposition_count():
+    """Pinned to DuckDB: an odd matched-but-out-of-order count floors
+    (t = raw // 2). Caught by the fuzzy_kernels oracle gate — the exact
+    case: 17 matches, 3 out-of-order -> t=1, not 1.5."""
+    import pytest
+
+    from splink_spark.internals.functions import _jaro
+
+    s1, s2 = "Customer#000000919", "Customer#000001019"
+    expected = (17 / 18 + 17 / 18 + (17 - 1) / 17) / 3
+    assert _jaro(s1, s2) == pytest.approx(expected, abs=1e-12)
+    try:
+        import duckdb
+
+        d = duckdb.sql(
+            "select jaro_similarity('Customer#000000919', 'Customer#000001019')"
+        ).fetchone()[0]
+        assert _jaro(s1, s2) == pytest.approx(d, abs=1e-12)
+    except ImportError:
+        pass
