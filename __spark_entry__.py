@@ -132,6 +132,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cust = _customer(_session(spark), sf_dir)
         return block_using_rules(cust, [block_on("c_nationkey")])
 
+    def q_block_salted(spark, sf_dir):
+        """Salted blocking (skew mitigation: lhs salt = hash(uid) % s, rhs
+        replicated per salt, salt in the shuffle key) must emit EXACTLY the
+        pairs of the unsalted rule — same oracle SQL as block_single."""
+        cust = _customer(_session(spark), sf_dir)
+        return block_using_rules(
+            cust, [block_on("c_nationkey", salting_partitions=8)]
+        )
+
     def q_fuzzy_kernels(spark, sf_dir):
         """Fuzzy-string kernel parity gate: the engine's similarity pack
         (runtime-compiled JVM UDFs, Arrow pandas fallback) vs DuckDB's
@@ -1182,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_mktsegment": q_tf_mktsegment,
         "block_single": q_block_single,
         "fuzzy_kernels": q_fuzzy_kernels,
+        "block_salted": q_block_salted,
         "block_multi": q_block_multi,
         "block_counts": q_block_counts,
         "n_largest_blocks": q_n_largest_blocks,
@@ -1660,6 +1670,8 @@ def oracle_sql() -> dict[str, str]:
       FROM cust l JOIN cust r
         ON l.unique_id % 100 = r.unique_id % 100 AND l.unique_id < r.unique_id
     """
+
+    sqls["block_salted"] = sqls["block_single"]
 
     sqls["block_multi"] = f"""
       WITH cust AS ({_CUST})
