@@ -499,6 +499,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("cosine_sim", 6).alias("cosine_sim"),
         )
 
+    def q_ann_lsh(spark, sf_dir):
+        emb = _session(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = ann.lsh_topk(
+            emb,
+            emb.where(F.col("vec_id") < 10),
+            k=5,
+            num_planes=8,
+            num_tables=4,
+            dim=64,
+            seed=42,
+        )
+        return out.select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbour_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+
+    def q_ann_ivf(spark, sf_dir):
+        emb = _session(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = ann.ivf_topk_portable(
+            emb,
+            emb.where(F.col("vec_id") < 10),
+            k=5,
+            num_cells=8,
+            nprobe=2,
+            iterations=2,
+        )
+        return out.select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbour_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+
     def q_embedding_neardup(spark, sf_dir):
         emb = _session(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
         pairs = dedup.embedding_near_duplicates(
@@ -1232,6 +1267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windows": q_streaming_windows,
         "streaming_neardupe": q_streaming_neardupe,
         "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
         "events_window": q_events_window,
         "events_sessions": q_events_sessions,
@@ -1990,7 +2027,10 @@ def oracle_sql() -> dict[str, str]:
         "ELSE string_split_regex(lower(trim(text)), '\\s+') END"
     )
 
-    sqls["kmeans_assign"] = """
+    # shared by kmeans_assign and ann_ivf: the exact-int64 spherical-k-means
+    # index build (k=8 cells, 2 Lloyd iterations, scale 1e6) — integer dots
+    # make every assignment/probe decision bit-identical across engines
+    _kmeans_cte = """
 WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
 e1 AS (SELECT vec_id, d, greatest(sqrt(list_sum(list_transform(d, y -> y*y))), 1e-12) AS nrm FROM e0),
 e AS (SELECT vec_id, list_transform(d, x -> CAST(round(x / nrm * 1000000) AS BIGINT)) AS q FROM e1),
@@ -2043,11 +2083,48 @@ c2 AS (
   SELECT i.cluster, coalesce(g.c, i.q) AS q
   FROM c1 i LEFT JOIN (SELECT cluster, list(cm ORDER BY pos) AS c FROM c2v GROUP BY cluster) g USING (cluster)
 )
+"""
+
+    sqls["kmeans_assign"] = _kmeans_cte + """
 SELECT vec_id, cluster, round(dot / 1000000000000.0, 6) AS cosine_sim FROM (
   SELECT e.vec_id, c.cluster, list_inner_product(e.q, c.q) AS dot,
     row_number() OVER (PARTITION BY e.vec_id
       ORDER BY list_inner_product(e.q, c.q) DESC, c.cluster ASC) AS rn
   FROM e CROSS JOIN c2 c) WHERE rn = 1
+    """
+
+    sqls["ann_ivf"] = _kmeans_cte + """
+, afinal AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY list_inner_product(e.q, c.q) DESC, c.cluster ASC) AS rn
+    FROM e CROSS JOIN c2 c) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY list_inner_product(e.q, c.q) DESC, c.cluster ASC) AS rn
+    FROM e CROSS JOIN c2 c WHERE e.vec_id < 10) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbour_id
+  FROM probes p JOIN afinal a USING (cluster)
+  WHERE a.vec_id != p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbour_id,
+         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                CAST(ce.embedding AS DOUBLE[])) AS sim
+  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+            JOIN embeddings ce ON ce.vec_id = cand.neighbour_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id ASC) AS BIGINT) AS rank,
+       neighbour_id, round(sim, 6) AS cosine_sim
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id ASC) <= 5
     """
 
     sqls["corpus_stats"] = f"""
@@ -2386,6 +2463,48 @@ SELECT vec_id, cluster, round(dot / 1000000000000.0, 6) AS cosine_sim FROM (
              CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id ASC) AS BIGINT) AS rank,
              neighbour_id, round(sim, 6) AS cosine_sim
       FROM s
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id ASC) <= 5
+    """
+
+    # ann_lsh: the hyperplanes are deterministic md5-seeded literals, so the
+    # oracle unrolls the exact same sign-bit signatures (left-assoc double
+    # sums match Spark's F.aggregate fold bit-for-bit) and re-ranks the
+    # union-of-tables candidate set by exact cosine
+    from splink_spark.pipeline.ann import random_hyperplanes
+
+    def _lsh_sig_sql(planes):
+        bits = []
+        for i, plane in enumerate(planes):
+            dot = " + ".join(f"d[{j + 1}]*{p!r}" for j, p in enumerate(plane))
+            bits.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END")
+        return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+    _sig_cols = ", ".join(
+        f"{_lsh_sig_sql(random_hyperplanes(64, 8, seed=42 + 1000 * t))} AS s{t}"
+        for t in range(4)
+    )
+    sqls["ann_lsh"] = f"""
+      WITH sigs AS (
+        SELECT vec_id, {_sig_cols}
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings)
+      ),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbour_id
+        FROM sigs c JOIN sigs q
+          ON (c.s0 = q.s0 OR c.s1 = q.s1 OR c.s2 = q.s2 OR c.s3 = q.s3)
+        WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+      ),
+      scored AS (
+        SELECT cand.query_id, cand.neighbour_id,
+               list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                      CAST(ce.embedding AS DOUBLE[])) AS sim
+        FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+                  JOIN embeddings ce ON ce.vec_id = cand.neighbour_id
+      )
+      SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id ASC) AS BIGINT) AS rank,
+             neighbour_id, round(sim, 6) AS cosine_sim
+      FROM scored
       QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id ASC) <= 5
     """
 

@@ -208,6 +208,48 @@ def ivf_topk(
     )
 
 
+def _quantize_int(
+    df: DataFrame, embedding_col: str, id_col: str, scale: int
+) -> DataFrame:
+    """L2-normalize + quantize an embedding column to int64 at ``scale``:
+    ``(id, __q)`` where ``__q[i] = round(x_i / ||x|| * scale)``.
+
+    The norm is staged into its own column first — referenced inside the
+    transform lambda it would re-run the O(dim) sum per ELEMENT."""
+    emb_d = F.col(embedding_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x * x))
+    with_norm = df.select(
+        F.col(id_col),
+        emb_d.alias("__e"),
+        F.greatest(norm, F.lit(1e-12)).alias("__norm"),
+    )
+    qemb = F.transform(
+        F.col("__e"),
+        lambda x: F.round(x / F.col("__norm") * scale).cast("bigint"),
+    )
+    return with_norm.select(F.col(id_col), qemb.alias("__q"))
+
+
+def _int_dot_array(centroids: list[list[int]]):
+    """ARRAY of exact-int64 dot products of column ``__q`` against each
+    centroid literal — each dot expression appears exactly once (a WHEN-chain
+    argmax would nest the running best into every branch: 2^k blowup)."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("__q"),
+                    F.array(*[F.lit(int(x)).cast("bigint") for x in vec]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            for vec in centroids
+        ]
+    )
+
+
 def kmeans_fit_assign(
     corpus: DataFrame,
     k: int = 8,
@@ -240,50 +282,42 @@ def kmeans_fit_assign(
     training.estimate_u). An empty cluster keeps its previous centroid.
     ``cosine_sim`` = dot / scale^2 — the cosine up to quantization (~1e-6).
     """
+    staged, centroids, _assign = _kmeans_int_index(
+        corpus, k, iterations, embedding_col, id_col, scale
+    )
+    return _assign(centroids).select(
+        id_col,
+        "cluster",
+        F.round(F.col("__dot").cast("double") / (scale * scale), 6).alias("cosine_sim"),
+    )
+
+
+def _kmeans_int_index(
+    corpus: DataFrame,
+    k: int,
+    iterations: int,
+    embedding_col: str,
+    id_col: str,
+    scale: int,
+):
+    """The exact-int64 spherical-k-means index build shared by
+    :func:`kmeans_fit_assign` and :func:`ivf_topk_portable`.
+
+    Returns ``(staged, centroids, assign)``: the persisted quantized corpus
+    ``(id, __q)``, the final integer centroid vectors, and an ``assign``
+    closure producing ``(id, __q, cluster, __dot)``."""
     from .curation import _minstd_bucket
 
-    emb_d = F.col(embedding_col).cast("array<double>")
-    norm = F.sqrt(
-        F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    # norm is computed into its own column first: referenced inside the
-    # quantize lambda it would re-run the O(dim) sum per ELEMENT (O(dim^2)
-    # per row — invisible at dim 64, dominant at real embedding widths)
-    with_norm = corpus.select(
-        F.col(id_col),
-        emb_d.alias("__e"),
-        F.greatest(norm, F.lit(1e-12)).alias("__norm"),
-    )
-    qemb = F.transform(
-        F.col("__e"),
-        lambda x: F.round(x / F.col("__norm") * scale).cast("bigint"),
-    )
     # materialize the quantized vectors ONCE: without the persist barrier
     # Catalyst's CollapseProject inlines the normalize+quantize expression
     # into every one of the k dot products in every iteration (k * iters
     # recomputes per row, measured 17x slower at sf0.1)
-    staged = with_norm.select(F.col(id_col), qemb.alias("__q")).persist()
+    staged = _quantize_int(corpus, embedding_col, id_col, scale).persist()
 
     def _assign(centroids: list[list[int]]) -> DataFrame:
-        # argmax over k centroid literals as an ARRAY of dots: each dot
-        # expression appears exactly once (a WHEN-chain scan would nest the
-        # running best into every branch — 2^k expression-tree blowup,
-        # measured 30s at k=8/sf0.1); array_position takes the FIRST max,
-        # so ties break to the lower cluster id
-        dots = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.col("__q"),
-                        F.array(*[F.lit(int(x)).cast("bigint") for x in vec]),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, x: acc + x,
-                )
-                for vec in centroids
-            ]
-        )
+        # argmax via ARRAY of dots + array_position: first max wins, so
+        # ties break to the lower cluster id
+        dots = _int_dot_array(centroids)
         with_dots = staged.select(F.col(id_col), F.col("__q"), dots.alias("__dots"))
         return with_dots.select(
             F.col(id_col),
@@ -339,10 +373,77 @@ def kmeans_fit_assign(
             new[c] = vec
         centroids = [new[c] for c in range(k)]
 
-    return _assign(centroids).select(
-        id_col,
-        "cluster",
-        F.round(F.col("__dot").cast("double") / (scale * scale), 6).alias("cosine_sim"),
+    return staged, centroids, _assign
+
+
+def ivf_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_cells: int = 8,
+    nprobe: int = 2,
+    iterations: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """IVF top-k with an engine-portable coarse quantizer.
+
+    Same shape as :func:`ivf_topk` (assign corpus to cells once, probe each
+    query's ``nprobe`` nearest cells, exact-cosine rank inside candidates) but
+    the coarse quantizer is the exact-int64 spherical k-means of
+    :func:`kmeans_fit_assign`: quantized vectors, integer dot products, and
+    deterministic tie-breaks make cell assignment and probe selection
+    bit-identical in any engine — which is what lets the DuckDB oracle gate
+    reproduce the whole index, not just spot-check recall.
+
+    Scale shape: centroids are driver-side (``num_cells`` x dim, independent
+    of corpus size); corpus assignment is one scan of broadcast centroid
+    literals (JVM HOF codegen, no shuffle); candidate generation is an
+    equi-join on cell id."""
+    staged, centroids, _assign = _kmeans_int_index(
+        corpus, num_cells, iterations, embedding_col, id_col, scale
+    )
+    assigned = _assign(centroids).select(
+        F.col(id_col).alias("neighbour_id"), "cluster"
+    )
+    # probe: quantize queries identically, rank cells by exact integer dot
+    qprobe = (
+        _quantize_int(queries, embedding_col, id_col, scale)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.posexplode(_int_dot_array(centroids)).alias("cluster", "__dot"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("__dot"), F.asc("cluster"))
+    probes = (
+        qprobe.withColumn("__rn", F.row_number().over(wp))
+        .where(F.col("__rn") <= nprobe)
+        .select("query_id", F.col("cluster").cast("bigint").alias("cluster"))
+    )
+    cand = assigned.join(F.broadcast(probes), on="cluster").where(
+        F.col("neighbour_id") != F.col("query_id")
+    )
+    ce = corpus.select(
+        F.col(id_col).alias("neighbour_id"), F.col(embedding_col).alias("__c_emb")
+    )
+    qe = queries.select(
+        F.col(id_col).alias("query_id"), F.col(embedding_col).alias("__q_emb")
+    )
+    scored = (
+        cand.join(ce, on="neighbour_id")
+        .join(F.broadcast(qe), on="query_id")
+        .select(
+            "query_id",
+            "neighbour_id",
+            _sim(F.col("__q_emb"), F.col("__c_emb")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbour_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbour_id", "cosine_sim")
     )
 
 

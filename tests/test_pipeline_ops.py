@@ -259,6 +259,25 @@ def test_ivf_topk(spark, vectors):
     assert all(r["rank"] <= 5 for r in a_rows)
 
 
+def test_ivf_topk_portable(spark, vectors):
+    """The engine-portable (exact-int64 coarse quantizer) IVF: decent recall
+    vs brute force, finds the engineered twin, and is exactly repeatable —
+    the property the ann_ivf DuckDB oracle gate relies on."""
+    exact = ann.brute_force_topk(vectors, vectors.where(F.col("vec_id") < 5), k=5)
+    approx = ann.ivf_topk_portable(
+        vectors, vectors.where(F.col("vec_id") < 5), k=5, num_cells=8, nprobe=4
+    )
+    e = {(r["query_id"], r["neighbour_id"]) for r in exact.collect()}
+    a_rows = approx.collect()
+    a = {(r["query_id"], r["neighbour_id"]) for r in a_rows}
+    assert len(e & a) / len(e) >= 0.4
+    assert (0, 100) in a
+    rerun = ann.ivf_topk_portable(
+        vectors, vectors.where(F.col("vec_id") < 5), k=5, num_cells=8, nprobe=4
+    )
+    assert sorted(map(tuple, a_rows)) == sorted(map(tuple, rerun.collect()))
+
+
 @pytest.fixture(scope="module")
 def corpus(spark):
     """60 synthetic docs: 10 engineered near-dup pairs (one-word edits of a
