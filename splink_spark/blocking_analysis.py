@@ -86,6 +86,31 @@ def count_comparisons_from_blocking_rules(
     )
 
 
+def chart_comparisons_from_blocking_rules(
+    df_or_dfs: Union[DataFrame, Sequence[DataFrame]],
+    *,
+    blocking_rules: Union[RuleLike, Sequence[RuleLike]],
+    link_type: str = "dedupe_only",
+    unique_id_column_name: str = "unique_id",
+    source_dataset_column_name: Optional[str] = None,
+    record_sample_proportion: float = 0.05,
+) -> List[dict]:
+    """Cumulative-comparisons-per-rule chart (reference
+    blocking_analysis.py:679-722, which wraps the same records in an Altair
+    spec). Per the repo's chart policy this returns the chart's DATA — the
+    cumulative comparison records from
+    :func:`count_comparisons_from_blocking_rules`, in rule order — ready for
+    any renderer."""
+    return count_comparisons_from_blocking_rules(
+        df_or_dfs,
+        blocking_rules=blocking_rules,
+        link_type=link_type,
+        unique_id_column_name=unique_id_column_name,
+        source_dataset_column_name=source_dataset_column_name,
+        record_sample_proportion=record_sample_proportion,
+    )
+
+
 def estimate_comparisons_from_blocking_rule_pre_filter(
     df_or_dfs: Union[DataFrame, Sequence[DataFrame]],
     *,

@@ -297,6 +297,72 @@ class SplinkDatasets:
         return self._load("febrl4b")
 
 
+class SplinkDatasetLabels(SplinkDatasets):
+    """``splink_dataset_labels`` equivalent (reference
+    internals/datasets/splink_datasets.py:168-186): clerical-label tables for
+    the demo datasets, as Spark DataFrames. Shares the download/cache/synthetic
+    machinery of :class:`SplinkDatasets`; the offline stand-in derives
+    ground-truth pair labels from the synthetic ``fake_1000`` clusters."""
+
+    def _load(self, name: str) -> DataFrame:
+        if name in self._cache:
+            return self._cache[name]
+        meta = DATASET_LABELS[name]
+        local = os.path.join(self.cache_dir, f"{name}.{meta.data_format}")
+        df: Optional[DataFrame] = None
+        if os.path.exists(local):
+            df = self._read_file(local, meta.data_format)
+        else:
+            df = self._try_download(meta, local)
+        if df is None:
+            logger.warning(
+                "dataset %s: no cache and no network — returning a "
+                "DETERMINISTIC SYNTHETIC stand-in with the documented schema "
+                "(NOT the real data)", name,
+            )
+            df = self._synthetic(name)
+        self._cache[name] = df
+        return df
+
+    def _synthetic(self, name: str) -> DataFrame:
+        if name != "fake_1000_labels":
+            raise ValueError(f"no synthetic generator for dataset {name!r}")
+        rng = random.Random(hash("fake_1000") % (2**31))
+        rows, cols = _synthetic_fake_1000(rng)
+        cluster_idx = cols.index("cluster")
+        uid_idx = cols.index("unique_id")
+        by_cluster: dict = {}
+        for r in rows:
+            by_cluster.setdefault(r[cluster_idx], []).append(r[uid_idx])
+        label_rows = []
+        for members in by_cluster.values():
+            members = sorted(members)
+            for i, l in enumerate(members):
+                for r in members[i + 1:]:
+                    label_rows.append((l, "fake_1000", r, "fake_1000", 1.0))
+        return self._spark.createDataFrame(
+            label_rows, list(DATASET_LABELS["fake_1000_labels"].columns)
+        )
+
+    @property
+    def fake_1000_labels(self) -> DataFrame:
+        return self._load("fake_1000_labels")
+
+
+def splink_dataset_labels(
+    spark: Optional[SparkSession] = None, cache_dir: Optional[str] = None
+) -> SplinkDatasetLabels:
+    """Name-parity factory for the reference's ``splink_dataset_labels``
+    singleton (splink/datasets.py)."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "splink_dataset_labels needs a SparkSession (none active): "
+            "splink_dataset_labels(spark)"
+        )
+    return SplinkDatasetLabels(spark, cache_dir=cache_dir)
+
+
 def splink_datasets(
     spark: Optional[SparkSession] = None, cache_dir: Optional[str] = None
 ) -> SplinkDatasets:

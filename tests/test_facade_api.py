@@ -39,6 +39,14 @@ def test_blocking_analysis_facade(spark, small):
     ).collect()
     assert {r["key_0"]: r["block_count"] for r in est} == {"x": 4, "y": 4}
 
+    # chart facade returns the same cumulative records (chart-data policy)
+    chart = ba.chart_comparisons_from_blocking_rules(
+        small,
+        blocking_rules=[brl.block_on("name"), "l.city = r.city"],
+        record_sample_proportion=1.0,
+    )
+    assert chart == recs
+
 
 def test_clustering_facade(spark, small):
     from splink_spark.clustering import cluster_pairwise_predictions_at_threshold
@@ -127,3 +135,28 @@ def test_top_level_splink_datasets_export(spark):
 
     ds = splink_datasets(spark)
     assert hasattr(ds, "fake_1000")
+
+
+def test_splink_dataset_labels_facade(spark, tmp_path, monkeypatch):
+    """Reference import parity: `from splink.datasets import
+    splink_dataset_labels`; offline the synthetic labels must join back to
+    the synthetic fake_1000 on unique_id with consistent clusters."""
+    import splink_spark.datasets as dsm
+    from splink_spark.datasets import splink_dataset_labels, splink_datasets
+
+    # force the offline path: no cache, downloads fail fast
+    monkeypatch.setattr(
+        dsm.SplinkDatasets, "_try_download", lambda self, meta, local: None
+    )
+    labels = splink_dataset_labels(spark, cache_dir=str(tmp_path)).fake_1000_labels
+    assert labels.columns == [
+        "unique_id_l", "source_dataset_l", "unique_id_r", "source_dataset_r",
+        "clerical_match_score",
+    ]
+    rows = labels.collect()
+    assert len(rows) > 0
+    ds = splink_datasets(spark, cache_dir=str(tmp_path)).fake_1000
+    cluster_of = {r["unique_id"]: r["cluster"] for r in ds.collect()}
+    for r in rows[:50]:
+        assert cluster_of[r["unique_id_l"]] == cluster_of[r["unique_id_r"]]
+        assert r["unique_id_l"] < r["unique_id_r"]
