@@ -481,6 +481,36 @@ class LinkerInference:
             )
         return pairs
 
+    def predict_chunk(
+        self,
+        left_chunk: Optional[tuple] = None,
+        right_chunk: Optional[tuple] = None,
+        threshold_match_probability: Optional[float] = None,
+        threshold_match_weight: Optional[float] = None,
+    ) -> DataFrame:
+        """Compute and score blocking for a single slice of the pair space
+        (reference inference.py:446-530) — e.g. one worker per slice in a
+        split run. ``left_chunk``/``right_chunk`` are (index, num_chunks)
+        tuples using the same deterministic ``pmod(xxhash64(uid))`` split as
+        chunked ``predict``, so the union over all (i, j) slices equals the
+        full predict output. Not supported when blocked pairs were manually
+        registered (matching the reference): call ``predict()`` to score a
+        registered table."""
+        if self._l._registered_blocked_pairs is not None:
+            raise ValueError(
+                "predict_chunk is not supported when blocked pairs have been "
+                "registered via register_blocked_pairs_for_predict; use "
+                "predict() to score the registered table"
+            )
+        pairs = self.compute_blocked_pairs_for_predict_chunk(left_chunk, right_chunk)
+        cv = self._l.comparison_vectors(pairs=pairs)
+        return predict_from_comparison_vectors(
+            cv,
+            self._l.settings,
+            threshold_match_probability=threshold_match_probability,
+            threshold_match_weight=threshold_match_weight,
+        )
+
     def score_pair(
         self, record_left: Union[dict, DataFrame], record_right: Union[dict, DataFrame]
     ) -> DataFrame:
@@ -840,6 +870,49 @@ class LinkerEvaluation:
 
         return unlinkables_table(self._l)
 
+    def unlinkables_chart(
+        self,
+        x_col: str = "match_weight",
+        name_of_data_in_title: Optional[str] = None,
+        as_dict: bool = False,
+    ) -> DataFrame:
+        """Reference-named alias (evaluation.py:352): returns the chart's
+        DATA — the cumulative unlinkables proportion table — per the repo's
+        chart policy (rendering is out of engine scope). The styling args are
+        accepted for signature parity and ignored."""
+        return self.unlinkables_table()
+
+    def labelling_tool_for_specific_record(
+        self,
+        unique_id,
+        source_dataset: Optional[str] = None,
+        match_weight_threshold: float = -4,
+        **_style_kwargs,
+    ) -> DataFrame:
+        """Data layer for the reference's clerical-labelling tool
+        (labelling_tool.py:20-70): every input record is scored against the
+        record of interest under a FULL block (all records on the ``_l``
+        side), then filtered to ``match_weight > match_weight_threshold``.
+        The reference wraps this in an offline HTML dashboard; HTML rendering
+        is out of engine scope, so the scored candidate table is returned."""
+        s = self._l.settings
+        uid = s.unique_id_column_name
+        sd = s.source_dataset_column_name if s.needs_source_dataset else None
+        if sd and source_dataset is None:
+            raise ValueError(
+                "multiple input datasets: pass source_dataset= to identify "
+                "the record"
+            )
+        base = self._l.df_concat()
+        cols = [F.col(uid).alias("join_key_l")]
+        if sd:
+            cols.append(F.col(sd).alias("source_dataset_l"))
+        pairs = base.select(*cols).withColumn("join_key_r", F.lit(unique_id))
+        if sd:
+            pairs = pairs.withColumn("source_dataset_r", F.lit(source_dataset))
+        scored = self._l.inference.score_pairs(pairs)
+        return scored.where(F.col("match_weight") > match_weight_threshold)
+
 
 class LinkerMisc:
     """linker_components/misc.py + table_management.py equivalents."""
@@ -1093,6 +1166,91 @@ class LinkerVisualisations:
             sample_size=sample_size,
             cluster_ids=cluster_ids,
             threshold_match_probability=threshold_match_probability,
+        )
+
+    # -- reference-named aliases ------------------------------------------
+    # Each returns the chart's DATA (the repo's chart policy: rendering is
+    # out of engine scope, SURVEY §0); signatures mirror the reference's
+    # visualisations.py so user code runs unmodified, with pure-styling
+    # arguments accepted and ignored.
+
+    def match_weights_chart(self, as_dict: bool = False) -> list[dict]:
+        """visualisations.py:59 alias → match weight per comparison level."""
+        return self.match_weights_chart_data()
+
+    def m_u_parameters_chart(self, as_dict: bool = False) -> list[dict]:
+        """visualisations.py:161 alias → m/u per comparison level."""
+        return self.m_u_parameters_chart_data()
+
+    def parameter_estimate_comparisons_chart(self, include_m: bool = True,
+                                             include_u: bool = True) -> list[dict]:
+        """visualisations.py:223 alias → per-session m/u estimates."""
+        recs = self.parameter_estimate_comparisons_data()
+        kinds = (["m_probability"] if include_m else []) + (
+            ["u_probability"] if include_u else []
+        )
+        return [r for r in recs if r["parameter"] in kinds]
+
+    def match_weights_histogram(
+        self, df_predict: DataFrame, target_bins: int = 100, width=None, height=None
+    ) -> DataFrame:
+        """visualisations.py:119 alias → binned match-weight counts."""
+        return self.match_weights_histogram_data(df_predict, num_bins=target_bins)
+
+    def tf_adjustment_chart(
+        self,
+        output_column_name: str,
+        n_most_freq: Optional[int] = 10,
+        n_least_freq: Optional[int] = 10,
+        vals_to_include=None,
+        as_dict: bool = False,
+    ) -> DataFrame:
+        """visualisations.py:196 alias → TF adjustment per value."""
+        return self.tf_adjustment_chart_data(
+            output_column_name,
+            n_most_freq=n_most_freq,
+            n_least_freq=n_least_freq,
+            vals_to_include=vals_to_include,
+        )
+
+    def waterfall_chart(
+        self, records, filter_nulls: bool = True, remove_sensitive_data: bool = False
+    ) -> list[dict]:
+        """visualisations.py:257 alias → per-comparison weight contributions
+        for each scored record."""
+        return self.waterfall_data(records)
+
+    def comparison_viewer_dashboard(
+        self,
+        df_predict: DataFrame,
+        out_path: Optional[str] = None,
+        overwrite: bool = False,
+        num_example_rows: int = 2,
+    ) -> DataFrame:
+        """visualisations.py:302 alias → the comparison-vector distribution
+        the dashboard renders (out_path/overwrite accepted and ignored — no
+        HTML is written)."""
+        return self.comparison_vector_distribution(df_predict)
+
+    def cluster_studio_dashboard(
+        self,
+        df_predict: DataFrame,
+        df_clustered: DataFrame,
+        out_path: Optional[str] = None,
+        sampling_method: str = "random",
+        sample_size: int = 10,
+        cluster_ids=None,
+        cluster_names=None,
+        overwrite: bool = False,
+    ):
+        """visualisations.py:371 alias → the sampled cluster subgraphs the
+        dashboard renders (out_path/overwrite accepted and ignored)."""
+        return self.cluster_studio_sample(
+            df_clustered,
+            df_predict,
+            sampling_method=sampling_method,
+            sample_size=sample_size,
+            cluster_ids=cluster_ids,
         )
 
 

@@ -104,6 +104,77 @@ def test_chunked_predict_equals_unchunked(spark, persons):
     )
 
 
+def test_predict_chunk_slices_union_to_full(spark, persons):
+    """reference inference.py:446-530 — the (i, nl) x (j, nr) predict_chunk
+    slices must union to exactly the unchunked predict output."""
+    def _set(comp, mus):
+        for lv in comp.comparison_levels:
+            if not lv.is_null_level:
+                lv.m_probability, lv.u_probability = mus[lv.comparison_vector_value]
+        return comp
+
+    settings = SettingsCreator(
+        comparisons=[_set(cl.ExactMatch("surname"), {1: (0.9, 0.02), 0: (0.1, 0.98)})],
+        blocking_rules_to_generate_predictions=[block_on("dob")],
+        probability_two_random_records_match=0.05,
+    )
+    linker = Linker(persons, settings)
+
+    def snap(df):
+        return sorted(
+            (r["unique_id_l"], r["unique_id_r"], round(r["match_weight"], 9))
+            for r in df.collect()
+        )
+
+    full = snap(linker.inference.predict())
+    parts = []
+    for i in range(2):
+        for j in range(3):
+            parts.extend(
+                snap(linker.inference.predict_chunk((i, 2), (j, 3)))
+            )
+    assert sorted(parts) == full
+
+
+def test_labelling_tool_and_chart_aliases(spark, persons):
+    """Reference-named data-layer aliases: labelling tool candidates (full
+    block vs one record), unlinkables_chart, and the visualisations aliases."""
+    def _set(comp, mus):
+        for lv in comp.comparison_levels:
+            if not lv.is_null_level:
+                lv.m_probability, lv.u_probability = mus[lv.comparison_vector_value]
+        return comp
+
+    settings = SettingsCreator(
+        comparisons=[_set(cl.ExactMatch("surname"), {1: (0.9, 0.02), 0: (0.1, 0.98)})],
+        blocking_rules_to_generate_predictions=[block_on("dob")],
+        probability_two_random_records_match=0.05,
+    )
+    linker = Linker(persons, settings)
+    target = persons.limit(1).collect()[0]["unique_id"]
+    cands = linker.evaluation.labelling_tool_for_specific_record(
+        target, match_weight_threshold=-1e9
+    )
+    rows = cands.collect()
+    # full block: every record (including self) scored against the target
+    assert len(rows) == persons.count()
+    assert all(r["unique_id_r"] == target for r in rows)
+    # threshold filters
+    some = linker.evaluation.labelling_tool_for_specific_record(target)
+    assert some.count() <= len(rows)
+
+    assert (
+        linker.visualisations.match_weights_chart()
+        == linker.visualisations.match_weights_chart_data()
+    )
+    assert (
+        linker.visualisations.m_u_parameters_chart()
+        == linker.visualisations.m_u_parameters_chart_data()
+    )
+    ul = linker.evaluation.unlinkables_chart()
+    assert ul.columns == ["match_weight", "count"]
+
+
 def test_estimate_m_from_label_column(spark, persons):
     settings = SettingsCreator(
         comparisons=[cl.ExactMatch("surname"), cl.ExactMatch("dob")],
