@@ -67,6 +67,7 @@ class Settings:
             "source_dataset_column_name": self.source_dataset_column_name,
             "retain_matching_columns": self.retain_matching_columns,
             "retain_intermediate_calculation_columns": self.retain_intermediate_calculation_columns,
+            "additional_columns_to_retain": list(self.additional_columns_to_retain),
             "em_convergence": self.em_convergence,
             "max_iterations": self.max_iterations,
             "blocking_rules_to_generate_predictions": [
@@ -114,6 +115,9 @@ class Settings:
             retain_matching_columns=d.get("retain_matching_columns", True),
             retain_intermediate_calculation_columns=d.get(
                 "retain_intermediate_calculation_columns", False
+            ),
+            additional_columns_to_retain=list(
+                d.get("additional_columns_to_retain", [])
             ),
             em_convergence=d.get("em_convergence", 1e-4),
             max_iterations=d.get("max_iterations", 25),

@@ -49,6 +49,21 @@ def test_json_round_trip_predict_identical(spark, persons, tmp_path):
     assert snapshot(settings) == snapshot(loaded)
 
 
+def test_additional_columns_to_retain_round_trip(spark, persons):
+    """reference settings key ``additional_columns_to_retain`` must survive
+    dict round-trip and surface _l/_r copies in the predict output."""
+    settings = SettingsCreator(
+        comparisons=[_set(cl.ExactMatch("surname"), {1: (0.9, 0.02), 0: (0.1, 0.98)})],
+        blocking_rules_to_generate_predictions=[block_on("dob")],
+        probability_two_random_records_match=0.05,
+        additional_columns_to_retain=["cluster"],
+    )
+    loaded = Settings.from_dict(settings.as_dict())
+    assert loaded.additional_columns_to_retain == ["cluster"]
+    pred = Linker(persons, loaded).inference.predict()
+    assert "cluster_l" in pred.columns and "cluster_r" in pred.columns
+
+
 def test_trained_model_round_trips(spark, persons, tmp_path):
     settings = SettingsCreator(
         comparisons=[cl.ExactMatch("surname"), cl.ExactMatch("dob"),
