@@ -210,7 +210,18 @@ class Comparison:
         ``tf_adjustment_column`` matters for multi-column comparisons with
         two TF-adjusted exact levels — the first exact level's u would
         otherwise scale the wrong column's adjustment.
+
+        ``disable_tf_exact_match_detection`` (reference
+        comparison_level.py:623-634) anchors on the level's OWN u instead.
         """
+        if level.disable_tf_exact_match_detection:
+            if level.u_probability is None:
+                raise ValueError(
+                    "Cannot compute term frequency adjustment when "
+                    "disable_tf_exact_match_detection is True but "
+                    "u_probability is not set on this level."
+                )
+            return level.u_probability
         for lv in self.comparison_levels:
             if (
                 lv.is_exact_match_level

@@ -18,6 +18,10 @@ from typing import Callable, Optional
 
 from pyspark.sql import Column
 
+# sentinel distinguishing "not supplied" from an explicit None in configure()
+# (the reference's unsupplied_option, comparison_level_creator.py)
+_UNSUPPLIED = object()
+
 # reference comparison_level.py:33-52 — avoid log2(0)
 _PROB_CLAMP = 1e-300
 
@@ -55,6 +59,7 @@ class ComparisonLevel:
         tf_adjustment_column: Optional[str] = None,
         tf_adjustment_weight: float = 1.0,
         tf_minimum_u_value: float = 0.0,
+        disable_tf_exact_match_detection: bool = False,
         is_exact_match_level: bool = False,
         fix_m_probability: bool = False,
         fix_u_probability: bool = False,
@@ -68,6 +73,10 @@ class ComparisonLevel:
         self.tf_adjustment_column = tf_adjustment_column
         self.tf_adjustment_weight = tf_adjustment_weight
         self.tf_minimum_u_value = tf_minimum_u_value
+        # reference comparison_level.py:623-634: when set, the TF adjustment
+        # anchors on THIS level's own u_probability instead of hunting for a
+        # matching exact-match level
+        self.disable_tf_exact_match_detection = disable_tf_exact_match_detection
         # Structural flag replacing the reference's sqlglot-tree autodetection
         # of exact-match levels (comparison_level.py:587-662): builders set it
         # explicitly when the level predicate is plain equality.
@@ -86,6 +95,43 @@ class ComparisonLevel:
     # -- predicate -------------------------------------------------------------
     def condition(self) -> Column:
         return self._condition()
+
+    def configure(
+        self,
+        *,
+        m_probability=_UNSUPPLIED,
+        u_probability=_UNSUPPLIED,
+        tf_adjustment_column=_UNSUPPLIED,
+        tf_adjustment_weight=_UNSUPPLIED,
+        tf_minimum_u_value=_UNSUPPLIED,
+        is_null_level=_UNSUPPLIED,
+        label_for_charts=_UNSUPPLIED,
+        disable_tf_exact_match_detection=_UNSUPPLIED,
+        fix_m_probability=_UNSUPPLIED,
+        fix_u_probability=_UNSUPPLIED,
+    ) -> "ComparisonLevel":
+        """Set the options common to all comparison levels (reference
+        comparison_level_creator.py:72-160): only supplied options are
+        changed, so repeated calls never reset earlier choices. Returns self
+        for chaining, e.g.
+        ``ExactMatchLevel("email").configure(tf_adjustment_column="email")``.
+        """
+        supplied = {
+            "m_probability": m_probability,
+            "u_probability": u_probability,
+            "tf_adjustment_column": tf_adjustment_column,
+            "tf_adjustment_weight": tf_adjustment_weight,
+            "tf_minimum_u_value": tf_minimum_u_value,
+            "is_null_level": is_null_level,
+            "label_for_charts": label_for_charts,
+            "disable_tf_exact_match_detection": disable_tf_exact_match_detection,
+            "fix_m_probability": fix_m_probability,
+            "fix_u_probability": fix_u_probability,
+        }
+        for attr, val in supplied.items():
+            if val is not _UNSUPPLIED:
+                setattr(self, attr, val)
+        return self
 
     # -- weight math -----------------------------------------------------------
     @property
@@ -137,6 +183,8 @@ class ComparisonLevel:
             d["tf_adjustment_weight"] = self.tf_adjustment_weight
             if self.tf_minimum_u_value:
                 d["tf_minimum_u_value"] = self.tf_minimum_u_value
+            if self.disable_tf_exact_match_detection:
+                d["disable_tf_exact_match_detection"] = True
         return d
 
     def __repr__(self) -> str:  # pragma: no cover

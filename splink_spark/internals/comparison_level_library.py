@@ -479,6 +479,9 @@ def level_from_spec_dict(d: dict) -> ComparisonLevel:
         lv.tf_adjustment_column = d["tf_adjustment_column"]
         lv.tf_adjustment_weight = d.get("tf_adjustment_weight", 1.0)
         lv.tf_minimum_u_value = d.get("tf_minimum_u_value", 0.0)
+        lv.disable_tf_exact_match_detection = bool(
+            d.get("disable_tf_exact_match_detection", False)
+        )
     return lv
 
 

@@ -416,3 +416,73 @@ def test_tf_u_exact_matches_level_column():
             lv.m_probability, lv.u_probability = 0.1, 0.9
     assert comp._u_probability_for_exact_match(fore) == 0.02
     assert comp._u_probability_for_exact_match(sur) == 0.05
+
+
+def test_disable_tf_exact_match_detection():
+    """reference comparison_level.py:623-634 + tests/
+    test_disable_tf_exact_match_detection.py: with the flag set, the TF
+    adjustment anchors on the level's OWN u_probability instead of the
+    exact-match level's; unset, both TF-adjusted levels anchor on exact's u."""
+    import pytest
+    from splink_spark import Comparison
+    from splink_spark.internals.comparison_level_library import level_from_spec_dict
+
+    def build(disable):
+        lev_dict = {
+            "sql_condition": "levenshtein(my_col_l, my_col_r) <= 1",
+            "label_for_charts": "lev<=1",
+            "tf_adjustment_column": "my_col",
+            "u_probability": 0.234,
+            "m_probability": 0.2,
+        }
+        if disable:
+            lev_dict["disable_tf_exact_match_detection"] = True
+        exact = {
+            "sql_condition": "my_col_l = my_col_r",
+            "label_for_charts": "Exact",
+            "tf_adjustment_column": "my_col",
+            "u_probability": 0.123,
+            "m_probability": 0.7,
+        }
+        levels = [
+            level_from_spec_dict({"sql_condition": "my_col_l IS NULL", "is_null_level": True, "label_for_charts": "null"}),
+            level_from_spec_dict(exact),
+            level_from_spec_dict(lev_dict),
+            level_from_spec_dict({"sql_condition": "ELSE", "label_for_charts": "else"}),
+        ]
+        for lv in levels:
+            if not lv.is_null_level and lv.m_probability is None:
+                lv.m_probability, lv.u_probability = 0.1, 0.643
+        return Comparison("my_col", levels)
+
+    comp = build(disable=False)
+    exact_lv, lev_lv = comp.comparison_levels[1], comp.comparison_levels[2]
+    assert comp._u_probability_for_exact_match(exact_lv) == 0.123
+    assert comp._u_probability_for_exact_match(lev_lv) == 0.123  # anchored on exact
+
+    comp = build(disable=True)
+    lev_lv = comp.comparison_levels[2]
+    assert comp._u_probability_for_exact_match(lev_lv) == 0.234  # own u
+    # round-trips through the dict form
+    assert lev_lv.as_dict()["disable_tf_exact_match_detection"] is True
+    # flag set but no u -> the reference's ValueError
+    lev_lv.u_probability = None
+    with pytest.raises(ValueError, match="disable_tf_exact_match_detection"):
+        comp._u_probability_for_exact_match(lev_lv)
+
+
+def test_level_configure_chaining():
+    """reference comparison_level_creator.py:72-160 configure(): only
+    supplied options change, repeated calls don't reset earlier ones."""
+    import splink_spark.internals.comparison_level_library as cll_
+
+    lv = cll_.ExactMatchLevel("email").configure(
+        tf_adjustment_column="email", tf_adjustment_weight=0.5
+    )
+    lv.configure(u_probability=0.01)
+    assert lv.tf_adjustment_column == "email"
+    assert lv.tf_adjustment_weight == 0.5
+    assert lv.u_probability == 0.01
+    lv.configure(disable_tf_exact_match_detection=True)
+    assert lv.disable_tf_exact_match_detection
+    assert lv.tf_adjustment_column == "email"
