@@ -18,7 +18,7 @@ from typing import Optional
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .comparison_level import ComparisonLevel
+from .comparison_level import _UNSUPPLIED, ComparisonLevel
 
 
 class Comparison:
@@ -246,6 +246,51 @@ class Comparison:
         return all(
             lv.has_probabilities for lv in self.comparison_levels if not lv.is_null_level
         )
+
+    def configure(
+        self,
+        *,
+        term_frequency_adjustments=_UNSUPPLIED,
+        m_probabilities=_UNSUPPLIED,
+        u_probabilities=_UNSUPPLIED,
+    ) -> "Comparison":
+        """Options common to all comparisons (reference
+        comparison_creator.py:152-200): ``m_probabilities`` /
+        ``u_probabilities`` map onto the non-null levels in order (exact
+        first, ELSE last); ``term_frequency_adjustments`` switches TF on for
+        the exact-match levels. Only supplied options change; returns self
+        for chaining."""
+        if term_frequency_adjustments is not _UNSUPPLIED:
+            for lv in self.comparison_levels:
+                if not lv.is_exact_match_level:
+                    continue
+                if term_frequency_adjustments:
+                    col = None
+                    if lv.spec and lv.spec.get("builder") == "ExactMatchLevel":
+                        a = lv.spec.get("args") or []
+                        if a and isinstance(a[0], str):
+                            col = a[0]
+                    lv.tf_adjustment_column = col or (
+                        self.input_columns[0]
+                        if self.input_columns
+                        else self.output_column_name
+                    )
+                else:
+                    lv.tf_adjustment_column = None
+        for kind, probs in (("m_probability", m_probabilities),
+                            ("u_probability", u_probabilities)):
+            if probs is _UNSUPPLIED:
+                continue
+            scorable = [lv for lv in self.comparison_levels if not lv.is_null_level]
+            if len(probs) != len(scorable):
+                raise ValueError(
+                    f"{kind[0]}_probabilities has {len(probs)} values but "
+                    f"comparison {self.output_column_name!r} has "
+                    f"{len(scorable)} non-null levels"
+                )
+            for lv, p in zip(scorable, probs):
+                setattr(lv, kind, p)
+        return self
 
     def as_dict(self) -> dict:
         from .comparison_level_library import level_spec_dict

@@ -40,9 +40,14 @@ class Linker:
         input_table_or_tables: FrameInput,
         settings: Settings,
         materialization: Optional[MaterializationPolicy] = None,
+        log_level=None,
+        validate_settings: bool = True,
     ):
         # reference parity (linker.py Linker.__init__): settings may be the
-        # Settings object, a settings dict, or a path to a settings JSON
+        # Settings object, a settings dict, or a path to a settings JSON.
+        # log_level / validate_settings are accepted for signature parity:
+        # logging routes through splink_spark.logging, and settings are
+        # validated eagerly in Settings.from_dict / the level builders.
         if isinstance(settings, str):
             settings = Settings.from_json(settings)  # path or JSON string
         elif isinstance(settings, dict):

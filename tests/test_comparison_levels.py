@@ -471,6 +471,51 @@ def test_disable_tf_exact_match_detection():
         comp._u_probability_for_exact_match(lev_lv)
 
 
+def test_comparison_configure_and_extreme_match_weights(spark):
+    """reference tests/test_extreme_match_weights.py: 5 exact-match columns
+    with BF ~ 1e300 each must not overflow — match_probability lands exactly
+    at 1.0 (and 0.0 for the all-different case). Also exercises the
+    Comparison-level configure(m_probabilities=, u_probabilities=) list API
+    and the '1=1' full-block blocking rule."""
+    import math
+
+    from splink_spark import Linker, SettingsCreator
+    import splink_spark.internals.comparison_library as cl_
+
+    rows_same = [(1, "a", "a", "a", "a", "a"), (2, "a", "a", "a", "a", "a")]
+    df = spark.createDataFrame(rows_same, ["unique_id", "c1", "c2", "c3", "c4", "c5"])
+    comps = [
+        cl_.ExactMatch(f"c{i}").configure(
+            m_probabilities=[0.999, 1e-300], u_probabilities=[1e-300, 0.999]
+        )
+        for i in range(1, 6)
+    ]
+    settings = SettingsCreator(
+        link_type="dedupe_only",
+        blocking_rules_to_generate_predictions=["1=1"],
+        comparisons=comps,
+        probability_two_random_records_match=0.5,
+    )
+    preds = Linker(df, settings).inference.predict().collect()
+    assert len(preds) == 1
+    assert preds[0]["match_probability"] == 1.0
+    assert math.isfinite(preds[0]["match_weight"])
+
+    rows_diff = [(1, "a", "a", "a", "a", "a"), (2, "b", "b", "b", "b", "b")]
+    df2 = spark.createDataFrame(rows_diff, ["unique_id", "c1", "c2", "c3", "c4", "c5"])
+    preds2 = Linker(df2, settings).inference.predict().collect()
+    assert len(preds2) == 1
+    assert preds2[0]["match_probability"] == 0.0
+    assert math.isfinite(preds2[0]["match_weight"])
+
+    # configure(term_frequency_adjustments=) switches TF on exact levels
+    c = cl_.ExactMatch("c1").configure(term_frequency_adjustments=True)
+    tf_levels = [lv for lv in c.comparison_levels if lv.has_tf_adjustment]
+    assert [lv.tf_adjustment_column for lv in tf_levels] == ["c1"]
+    c.configure(term_frequency_adjustments=False)
+    assert not any(lv.has_tf_adjustment for lv in c.comparison_levels)
+
+
 def test_level_configure_chaining():
     """reference comparison_level_creator.py:72-160 configure(): only
     supplied options change, repeated calls don't reset earlier ones."""
