@@ -54,6 +54,7 @@ class MaterializationPolicy:
     parquet_dir: str | None = None
     _registry: list[DataFrame] = field(default_factory=list)
     _iterative_counts: dict = field(default_factory=dict)
+    _bucketed_tables: list = field(default_factory=list)
 
     def repartition_count(self, df: DataFrame, stage: str) -> int | None:
         frac = _STAGE_PARTITION_FRACTIONS.get(stage)
@@ -113,6 +114,49 @@ class MaterializationPolicy:
             return self._parquet_roundtrip(df, stage)
         raise ValueError(f"unknown materialization method {self.method!r}")
 
+    def materialize_bucketed(
+        self,
+        df: DataFrame,
+        bucket_cols: list[str],
+        num_buckets: int | None = None,
+        stage: str = "generic",
+        sort: bool = True,
+    ) -> DataFrame:
+        """Bucketed-table lineage break (SURVEY §7 step 10 scale hardening).
+
+        Writes the frame as a bucketed (and bucket-sorted) table and reads it
+        back: one shuffle is paid at write time, and every later equi-join or
+        aggregation on ``bucket_cols`` between tables bucketed with the same
+        count runs WITHOUT an Exchange (Catalyst recognises the bucket spec as
+        the required hash partitioning; with ``sort=True`` the sort-merge
+        join's per-side sorts disappear too). At 100 TB this is the lever for
+        join keys that recur across stages — the node table re-joined by uid
+        in predict's junction step, an indexed base repeatedly probed by
+        ``find_matches_to_new_records``, or edge tables consumed by several
+        clustering thresholds — where caching doesn't help across jobs but
+        co-location does.
+
+        The table is session-scoped (in-memory catalog) with its files under
+        ``parquet_dir``; ``unpersist_all()`` drops it.
+        """
+        spark = df.sparkSession
+        if num_buckets is None:
+            num_buckets = spark.sparkContext.defaultParallelism
+        base = self.parquet_dir or os.path.join(
+            tempfile.gettempdir(), "splink_spark_materialize"
+        )
+        name = f"splink_bucketed_{stage}_{uuid.uuid4().hex}"
+        writer = (
+            df.write.mode("overwrite")
+            .option("path", os.path.join(base, name))
+            .bucketBy(num_buckets, *bucket_cols)
+        )
+        if sort:
+            writer = writer.sortBy(*bucket_cols)
+        writer.saveAsTable(name)
+        self._bucketed_tables.append((spark, name))
+        return spark.table(name)
+
     def _parquet_roundtrip(self, df: DataFrame, stage: str) -> DataFrame:
         """True lineage break with REAL statistics (files are kept for the
         session lifetime — downstream plans read them lazily)."""
@@ -130,3 +174,9 @@ class MaterializationPolicy:
             except Exception:
                 pass
         self._registry.clear()
+        for spark, name in self._bucketed_tables:
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+            except Exception:
+                pass
+        self._bucketed_tables.clear()

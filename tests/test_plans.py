@@ -191,3 +191,42 @@ def test_thresholded_predict_persists_only_survivors_one_scoring_pass(
     }
     assert got == expected and len(got) > 0
     assert narrow.count() == len(got)
+
+
+def test_bucketed_materialization_joins_without_exchange(spark, persons, tmp_path):
+    """materialize_bucketed (SURVEY §7 step 10): two tables bucketed on the
+    same key with the same bucket count must sort-merge-join with NO Exchange
+    on either side (the write-time shuffle is the only one ever paid), while
+    the plain parquet join shuffles both sides."""
+    from splink_spark.internals.materialize import MaterializationPolicy
+
+    policy = MaterializationPolicy(parquet_dir=str(tmp_path))
+    left = persons.select("unique_id", "surname")
+    right = persons.select("unique_id", "city")
+    bl = policy.materialize_bucketed(left, ["unique_id"], num_buckets=4, stage="l")
+    br = policy.materialize_bucketed(right, ["unique_id"], num_buckets=4, stage="r")
+    # disable auto-broadcast: on tiny test tables the planner would broadcast
+    # (and skip bucketed scans entirely); at scale neither side is
+    # broadcastable, which is the regime bucketing exists for
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bl.join(br, on="unique_id")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == persons.count()
+
+        # baseline: the un-bucketed equivalent shuffles both sides
+        pl = str(tmp_path / "plain_l")
+        pr = str(tmp_path / "plain_r")
+        left.write.mode("overwrite").parquet(pl)
+        right.write.mode("overwrite").parquet(pr)
+        plain = spark.read.parquet(pl).join(spark.read.parquet(pr), on="unique_id")
+        assert "Exchange" in _plan(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # cleanup drops the session-scoped tables
+    policy.unpersist_all()
+    assert not policy._bucketed_tables
