@@ -230,3 +230,33 @@ def test_bucketed_materialization_joins_without_exchange(spark, persons, tmp_pat
     # cleanup drops the session-scoped tables
     policy.unpersist_all()
     assert not policy._bucketed_tables
+
+
+def test_no_unbounded_cartesian_nodes_in_gate_queries(spark):
+    """Scale-smell audit over EVERY driver gate query: a CartesianProduct or
+    BroadcastNestedLoopJoin node is only acceptable when one side is bounded —
+    a one-row scalar aggregate (TF / idf / truth-space totals) or the
+    deliberately-broadcast query side of the ANN operators. Any new query
+    growing such a node must be justified here or fixed."""
+    import __spark_entry__ as e
+
+    # queries whose plans legitimately contain a bounded nested-loop side
+    BOUNDED_OK = {
+        # one-row scalar-aggregate crossJoin (denominator / total count):
+        "tf_mktsegment", "comparison_vectors", "predict_customer",
+        "em_patterns", "truth_space", "unlinkables", "tfidf_top_terms",
+        "cv_distribution", "mw_histogram", "score_pairs", "predict_between",
+        "prediction_errors", "predict_chunked",
+        # deliberate broadcast of the (small) query side:
+        "ann_topk",
+    }
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in e.queries().items():
+        df = fn(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hits = [n for n in ("CartesianProduct", "BroadcastNestedLoopJoin")
+                if n in plan]
+        if hits and name not in BOUNDED_OK:
+            offenders[name] = hits
+    assert not offenders, offenders
