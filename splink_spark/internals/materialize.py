@@ -66,7 +66,9 @@ class MaterializationPolicy:
         # clustering stages keep the small reference fractions: their tables
         # are tiny and per-iteration task-scheduling overhead dominates.
         if stage in ("blocked_pairs", "predict", "concat_with_tf"):
-            floor = df.sparkSession.sparkContext.defaultParallelism
+            from .misc import default_parallelism
+
+            floor = default_parallelism(df.sparkSession)
             return max(1, int(base * frac), floor)
         return max(1, int(base * frac))
 
@@ -94,9 +96,15 @@ class MaterializationPolicy:
             if iterative:
                 # on a real cluster localCheckpoint blocks die with their
                 # executor mid-loop; prefer the reliable checkpoint whenever
-                # the session has a checkpoint dir configured
-                sc = df.sparkSession.sparkContext
-                if sc.getCheckpointDir():
+                # the session has a checkpoint dir configured (Spark Connect
+                # exposes no sparkContext — fall through to localCheckpoint)
+                try:
+                    has_ckpt_dir = bool(
+                        df.sparkSession.sparkContext.getCheckpointDir()
+                    )
+                except Exception:
+                    has_ckpt_dir = False
+                if has_ckpt_dir:
                     return df.checkpoint(eager=True)
                 return df.localCheckpoint(eager=True)
             out = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -141,7 +149,9 @@ class MaterializationPolicy:
         """
         spark = df.sparkSession
         if num_buckets is None:
-            num_buckets = spark.sparkContext.defaultParallelism
+            from .misc import default_parallelism
+
+            num_buckets = default_parallelism(spark)
         base = self.parquet_dir or os.path.join(
             tempfile.gettempdir(), "splink_spark_materialize"
         )

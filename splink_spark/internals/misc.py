@@ -46,3 +46,16 @@ def calculate_cartesian(counts: list[int], link_type: str) -> float:
         return total
     n = sum(counts)
     return n * (n - 1) / 2
+
+
+def default_parallelism(spark) -> int:
+    """Executor-core count with a Spark Connect fallback: Connect sessions
+    expose no ``sparkContext``, so degrade to ``spark.sql.shuffle.partitions``
+    (the same quantity every partition-count policy here is derived from)."""
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:
+        try:
+            return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        except Exception:
+            return 200

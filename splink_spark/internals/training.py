@@ -237,7 +237,9 @@ def estimate_u_using_random_sampling(
     # for a table of only ~sqrt(2*max_pairs) rows. Coalesce the sample to
     # ~sqrt(cores) partitions so the cartesian emits ~cores right-sized tasks,
     # and cache it so both join sides scan the tiny table, not the concat.
-    side = max(2, math.isqrt(2 * sample.sparkSession.sparkContext.defaultParallelism))
+    from .misc import default_parallelism
+
+    side = max(2, math.isqrt(2 * default_parallelism(sample.sparkSession)))
     sample = sample.coalesce(side).persist()
     sample._splink_row_count = sample.count()  # type: ignore[attr-defined]
 

@@ -133,8 +133,14 @@ class Linker:
             df = join_term_frequencies(self.df_concat(), self.tf_tables())
             # single-file inputs arrive as one partition; the blocking join
             # would then probe on one core — spread before persisting
-            target = self.spark.sparkContext.defaultParallelism
-            if df.rdd.getNumPartitions() < target:
+            from .internals.misc import default_parallelism
+
+            target = default_parallelism(self.spark)
+            try:
+                nparts = df.rdd.getNumPartitions()
+            except Exception:  # Spark Connect: no RDD access
+                nparts = None
+            if nparts is not None and nparts < target:
                 df = df.repartition(target)
             # lazy persist — the first consumer (a blocking join's broadcast
             # build or a count in build_pairs_with_columns) populates the

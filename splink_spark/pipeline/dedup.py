@@ -20,8 +20,14 @@ def _widen(df: DataFrame) -> DataFrame:
     """Small single-file inputs arrive as one partition; pairwise ops would
     then run on one core. Repartition up to the session's parallelism (a
     no-op shape at real scale where inputs have many splits)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    from ..internals.misc import default_parallelism
+
+    target = default_parallelism(df.sparkSession)
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect exposes no RDD; skip the rebalance probe
+        nparts = None
+    if nparts is not None and nparts < target:
         return df.repartition(target)
     return df
 
