@@ -31,6 +31,7 @@ from .datasets import (  # noqa: F401
     list_downloadable_datasets,
     splink_datasets,
 )
+from .database_api import SparkAPI  # noqa: F401
 from .linker import Linker  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1319,8 +1319,13 @@ class LinkerBlockingAnalysis:
 
 
 def _normalise_frames(inp: FrameInput) -> dict[str, DataFrame]:
+    def _name(df, default):
+        # frames registered through SparkAPI.register carry their
+        # dataset_display_name (reference database_api.py:267-303)
+        return getattr(df, "_splink_dataset_display_name", None) or default
+
     if isinstance(inp, DataFrame):
-        return {"__input__": inp}
+        return {_name(inp, "__input__"): inp}
     if isinstance(inp, Mapping):
         return dict(inp)
-    return {f"table_{i}": df for i, df in enumerate(inp)}
+    return {_name(df, f"table_{i}"): df for i, df in enumerate(inp)}

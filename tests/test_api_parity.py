@@ -13,7 +13,13 @@ import importlib
 
 import pytest
 
-TOP_LEVEL = ["block_on", "ColumnExpression", "Linker", "SettingsCreator", "splink_datasets"]
+TOP_LEVEL = [
+    "block_on", "ColumnExpression", "Linker", "SettingsCreator",
+    "splink_datasets", "SparkAPI",
+    # reference __all__ also lists DuckDBAPI — intentionally absent: this
+    # engine has exactly one backend (Spark), and the reference itself raises
+    # ImportError for backends whose dependencies are missing
+]
 
 FACADES = {
     "blocking_analysis": [

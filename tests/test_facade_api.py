@@ -160,3 +160,52 @@ def test_splink_dataset_labels_facade(spark, tmp_path, monkeypatch):
     for r in rows[:50]:
         assert cluster_of[r["unique_id_l"]] == cluster_of[r["unique_id_r"]]
         assert r["unique_id_l"] < r["unique_id_r"]
+
+
+def test_spark_api_register_workflow(spark, small):
+    """Reference db-api workflow (database_api.py:267-303 +
+    spark/database_api.py:29-58): SparkAPI coerces inputs, tags display
+    names (which become source_dataset labels in link jobs), enforces unique
+    table names, and maps break_lineage_method onto MaterializationPolicy."""
+    import pandas as pd
+
+    from splink_spark import Linker, SettingsCreator, SparkAPI, block_on
+    import splink_spark.internals.comparison_library as cl
+
+    api = SparkAPI(spark_session=spark, break_lineage_method="checkpoint")
+    assert api.materialization_policy().method == "checkpoint"
+
+    # input coercion: pandas, list-of-dicts, view name, passthrough
+    pdf = pd.DataFrame({"unique_id": [10, 11], "name": ["a", "b"], "city": ["x", "y"]})
+    d1 = api.register(pdf, dataset_display_name="left_table")
+    small.createOrReplaceTempView("small_view")
+    d2 = api.register("small_view", dataset_display_name="right_table")
+    assert d1.count() == 2 and d2.count() == 4
+    assert d1._splink_dataset_display_name == "left_table"
+
+    with pytest.raises(ValueError, match="already been registered"):
+        api.register(pdf, dataset_display_name="left_table")
+
+    # display names become the source_dataset labels of a link job
+    def _set(comp, mus):
+        for lv in comp.comparison_levels:
+            if not lv.is_null_level:
+                lv.m_probability, lv.u_probability = mus[lv.comparison_vector_value]
+        return comp
+
+    settings = SettingsCreator(
+        link_type="link_only",
+        comparisons=[_set(cl.ExactMatch("name"), {1: (0.9, 0.1), 0: (0.1, 0.9)})],
+        blocking_rules_to_generate_predictions=[block_on("city")],
+        probability_two_random_records_match=0.1,
+    )
+    linker = Linker([d1, d2], settings)
+    preds = linker.inference.predict().collect()
+    assert preds
+    sds = {(r["source_dataset_l"], r["source_dataset_r"]) for r in preds}
+    assert sds == {("left_table", "right_table")}
+
+    # list-of-dicts + register_from_csv + query_sql round out the surface
+    d3 = api.register([{"unique_id": 1, "name": "z", "city": "q"}])
+    assert d3.count() == 1
+    assert api.query_sql("SELECT 1 AS one").collect()[0]["one"] == 1
