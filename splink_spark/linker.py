@@ -8,6 +8,7 @@ a thin object over pure DataFrame-pipeline functions in ``internals/``.
 
 from __future__ import annotations
 
+import logging
 from typing import Mapping, Optional, Sequence, Union
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,6 +33,12 @@ from .internals.vertically_concatenate import (
 )
 
 FrameInput = Union[DataFrame, Sequence[DataFrame], Mapping[str, DataFrame]]
+
+logger = logging.getLogger(__name__)
+# pipeline-stage observability level (splink_logging.PIPELINE) — the
+# reference logs each enqueued pipeline stage; here stages are DataFrame
+# plan points, logged as they are first built/persisted
+from .internals.splink_logging import PIPELINE  # noqa: E402
 
 
 class Linker:
@@ -98,6 +105,8 @@ class Linker:
             # or a broadcast build) populates the cache in passing — an eager
             # count here would add a full extra pass over the inputs
             df = self.materialization.materialize(df, "concat", eager=False)
+            logger.log(PIPELINE, "stage __splink__df_concat built (%d inputs)",
+                       len(self._frames))
             self._concat = df
         return self._concat
 
@@ -148,6 +157,8 @@ class Linker:
             df = self.materialization.materialize(
                 df, "concat_with_tf", eager=False
             )
+            logger.log(PIPELINE, "stage __splink__df_concat_with_tf built "
+                       "(%d tf columns)", len(self.tf_tables()))
             self._concat_with_tf = df
         return self._concat_with_tf
 
@@ -187,6 +198,8 @@ class Linker:
             if n:
                 pairs = pairs.repartition(n)
             pairs = self.materialization.materialize(pairs, "blocked_pairs")
+            logger.log(PIPELINE, "stage __splink__blocked_id_pairs "
+                       "materialized (%d rules)", len(rules))
         return pairs
 
     def pairs_with_columns(
@@ -362,6 +375,10 @@ class LinkerInference:
                     )
             narrow = narrow.persist(StorageLevel.MEMORY_AND_DISK)
             self._l.materialization._registry.append(narrow)
+            logger.log(PIPELINE, "stage __splink__df_predict narrow core "
+                       "persisted (thresholded=%s)",
+                       threshold_match_probability is not None
+                       or threshold_match_weight is not None)
             rejoin_pairs = narrow.withColumnsRenamed(
                 {f"{uid}_l": "join_key_l", f"{uid}_r": "join_key_r"}
                 | ({f"{sd}_l": "source_dataset_l", f"{sd}_r": "source_dataset_r"} if sd else {})
