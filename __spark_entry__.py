@@ -444,6 +444,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
         return curation.pack_sequences(docs, capacity=2048, shard_col="lang")
 
+    def q_chunk_documents(spark, sf_dir):
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        return curation.chunk_documents(docs, chunk_tokens=64, stride=48)
+
     def q_pii_redact(spark, sf_dir):
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
         # the synthetic corpus carries no PII, so the gate injects a
@@ -1258,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": q_mixture_plan,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "chunk_documents": q_chunk_documents,
         "pii_redact": q_pii_redact,
         "completeness": q_completeness,
         "lang_id": q_lang_id,
@@ -2397,6 +2402,18 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
         CAST(floor(CAST(start AS DOUBLE) / 2048) AS BIGINT) AS bin_id,
         CAST(start % 2048 AS BIGINT) AS bin_offset
       FROM w
+    """
+
+    sqls["chunk_documents"] = f"""
+      WITH t AS (SELECT doc_id, {_toks} AS toks FROM documents),
+      s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+      st AS (SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS start FROM s),
+      k AS (SELECT * FROM st WHERE start = 0 OR start - 48 + 64 < n)
+      SELECT doc_id,
+             CAST(start / 48 AS BIGINT) AS chunk_id,
+             CAST(least(64, n - start) AS BIGINT) AS n_tokens,
+             array_to_string(list_slice(toks, start + 1, least(start + 64, n)), ' ') AS chunk_text
+      FROM k
     """
 
     sqls["pii_redact"] = """

@@ -456,6 +456,75 @@ def mixture_plan(
 
 
 # ---------------------------------------------------------------------------
+# document chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 512,
+    stride: Optional[int] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-token-window chunks with optional
+    overlap — the standard pre-training/RAG preprocessing step upstream of
+    :func:`pack_sequences` (which bins whole items; this SPLITS long items).
+
+    Chunk ``k`` covers tokens ``[k*stride, k*stride + chunk_tokens)``;
+    ``stride`` defaults to ``chunk_tokens`` (disjoint windows). A window is
+    emitted when it starts inside the document AND is not fully contained in
+    the previous window (so with overlap the tail is covered exactly once and
+    no chunk is a pure suffix-duplicate of its predecessor). Empty documents
+    emit no chunks.
+
+    Scale shape: the token array is staged once behind an identity barrier
+    (the CollapseProject re-inlining trap, see repetition_metrics), then one
+    ``posexplode`` per document — linear work, output rows ~ total_tokens /
+    stride, no shuffle at all.
+
+    Output: ``(id_col, chunk_id, n_tokens, chunk_text)``.
+    """
+    from .dedup import _widen
+
+    if stride is None:
+        stride = chunk_tokens
+    if chunk_tokens < 1 or stride < 1:
+        raise ValueError("chunk_tokens and stride must be >= 1")
+
+    def _barrier(col):
+        return F.shuffle(F.array(col)).getItem(0)
+
+    staged = _widen(df).select(
+        F.col(id_col),
+        _barrier(_tokens(F.col(text_col))).alias("__toks"),
+    ).withColumn("__n", F.size("__toks"))
+    starts = staged.where(F.col("__n") > 0).select(
+        id_col,
+        "__toks",
+        "__n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))
+        ).alias("__start"),
+    )
+    kept = starts.where(
+        (F.col("__start") == 0)
+        | (F.col("__start") - stride + chunk_tokens < F.col("__n"))
+    )
+    return kept.select(
+        F.col(id_col),
+        (F.col("__start") / stride).cast("bigint").alias("chunk_id"),
+        F.least(F.lit(chunk_tokens), F.col("__n") - F.col("__start"))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("__start") + 1, F.lit(chunk_tokens)),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # sequence packing
 # ---------------------------------------------------------------------------
 

@@ -251,3 +251,32 @@ def test_corpus_stats(spark):
     assert one["median_doc_tokens"] == 3.0
     by = {r["lang"]: r for r in cu.corpus_stats(docs, by="lang").collect()}
     assert by["en"]["vocab_size"] == 4 and by["fr"]["n_docs"] == 1
+
+
+def test_chunk_documents_windows(spark):
+    """chunk_documents: disjoint and overlapping windows, suffix-duplicate
+    suppression, empty docs emit nothing, exact reconstruction when
+    stride == chunk_tokens."""
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(10))), (1, "a b c"), (2, ""),
+         (3, "solo")],
+        ["doc_id", "text"],
+    )
+    out = cu.chunk_documents(docs, chunk_tokens=4, stride=3) \
+        .orderBy("doc_id", "chunk_id").collect()
+    d0 = [r for r in out if r["doc_id"] == 0]
+    # starts 0,3,6 emitted; start 9 suppressed (window 6..9 already reached the end)
+    assert [(r["chunk_id"], r["chunk_text"]) for r in d0] == [
+        (0, "t0 t1 t2 t3"), (1, "t3 t4 t5 t6"), (2, "t6 t7 t8 t9")]
+    assert [r["chunk_text"] for r in out if r["doc_id"] == 1] == ["a b c"]
+    assert not [r for r in out if r["doc_id"] == 2]
+    assert [r["n_tokens"] for r in out if r["doc_id"] == 3] == [1]
+
+    # stride == chunk_tokens: concatenating chunks reconstructs the doc
+    disjoint = cu.chunk_documents(docs, chunk_tokens=4) \
+        .orderBy("doc_id", "chunk_id").collect()
+    rebuilt = " ".join(r["chunk_text"] for r in disjoint if r["doc_id"] == 0)
+    assert rebuilt == " ".join(f"t{i}" for i in range(10))
+
+    with pytest.raises(ValueError):
+        cu.chunk_documents(docs, chunk_tokens=0)
