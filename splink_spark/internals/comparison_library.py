@@ -268,27 +268,59 @@ def NameComparison(
 
 
 def ForenameSurnameComparison(
-    forename_col: ColSpec, surname_col: ColSpec, jaro_winkler_threshold: float = 0.88
+    forename_col: ColSpec,
+    surname_col: ColSpec,
+    *,
+    jaro_winkler_thresholds: Union[float, Sequence[float]] = (0.92, 0.88),
+    forename_surname_concat_col_name: Optional[str] = None,
 ) -> Comparison:
-    """comparison_library.py:1090 — exact both (TF) → reversed → per-col ladder."""
+    """comparison_library.py:1090-1193 — null only when BOTH null; exact both
+    (or exact on the concatenated column with TF, when provided); reversed;
+    one AND-JW level per threshold (default 0.92, 0.88); exact surname (TF);
+    exact forename (TF)."""
+    if isinstance(jaro_winkler_thresholds, (int, float)):
+        jaro_winkler_thresholds = [jaro_winkler_thresholds]
     f_name, s_name = _name(forename_col), _name(surname_col)
-    levels = [
-        cll.Or(cll.NullLevel(forename_col), cll.NullLevel(surname_col)),
-        cll.And(cll.ExactMatchLevel(forename_col), cll.ExactMatchLevel(surname_col)),
-        cll.ColumnsReversedLevel(forename_col, surname_col, symmetrical=True),
-        cll.And(
-            cll.JaroWinklerLevel(forename_col, jaro_winkler_threshold),
-            cll.JaroWinklerLevel(surname_col, jaro_winkler_threshold),
-        ),
-        cll.ExactMatchLevel(surname_col),
-        cll.ExactMatchLevel(forename_col),
-        cll.ElseLevel(),
+    levels: list[ComparisonLevel] = [
+        cll.And(cll.NullLevel(forename_col), cll.NullLevel(surname_col)),
     ]
+    if forename_surname_concat_col_name is not None:
+        levels.append(
+            cll.ExactMatchLevel(
+                forename_surname_concat_col_name, term_frequency_adjustments=True
+            )
+        )
+    else:
+        levels.append(
+            cll.And(
+                cll.ExactMatchLevel(forename_col), cll.ExactMatchLevel(surname_col)
+            )
+        )
+    levels.append(
+        cll.ColumnsReversedLevel(forename_col, surname_col, symmetrical=True)
+    )
+    for threshold in jaro_winkler_thresholds:
+        levels.append(
+            cll.And(
+                cll.JaroWinklerLevel(forename_col, threshold),
+                cll.JaroWinklerLevel(surname_col, threshold),
+            )
+        )
+    levels.append(
+        cll.ExactMatchLevel(surname_col, term_frequency_adjustments=True)
+    )
+    levels.append(
+        cll.ExactMatchLevel(forename_col, term_frequency_adjustments=True)
+    )
+    levels.append(cll.ElseLevel())
+    input_cols = [f_name, s_name] + (
+        [forename_surname_concat_col_name] if forename_surname_concat_col_name else []
+    )
     return Comparison(
         f"{f_name}_{s_name}",
         levels,
         f"ForenameSurnameComparison({f_name},{s_name})",
-        input_columns=[f_name, s_name],
+        input_columns=input_cols,
     )
 
 

@@ -531,3 +531,67 @@ def test_level_configure_chaining():
     lv.configure(disable_tf_exact_match_detection=True)
     assert lv.disable_tf_exact_match_detection
     assert lv.tf_adjustment_column == "email"
+
+
+def test_reference_template_literal_cases(spark):
+    """Gamma values pinned to the reference's literal expectations
+    (tests/test_comparison_template_lib.py) for the five real-world
+    templates: Email, DateOfBirth, Postcode, Name, ForenameSurname."""
+    import splink_spark.internals.comparison_library as cl_
+
+    run_gamma_tests(spark, cl_.EmailComparison("email"), {"email": "string"}, [
+        ({"email": "john@smith.com"}, {"email": "john@smith.com"}, 4),
+        ({"email": "rebecca@company.com"}, {"email": "rebecca@smith.com"}, 3),
+        ({"email": "rebecca@company.com"}, {"email": "rebbecca@company.com"}, 2),
+        ({"email": "rebecca@company.com"}, {"email": "rebbecca@xyz.com"}, 1),
+        ({"email": "john@smith.com"}, {"email": "rebbecca@xyz.com"}, 0),
+    ])
+
+    run_gamma_tests(
+        spark,
+        cl_.DateOfBirthComparison("date_of_birth", input_is_string=True),
+        {"date_of_birth": "string"},
+        [
+            ({"date_of_birth": "1990-05-20"}, {"date_of_birth": "1990-05-20"}, 5),
+            ({"date_of_birth": "1990-05-01"}, {"date_of_birth": "1990-05-11"}, 4),
+            ({"date_of_birth": "1990-05-20"}, {"date_of_birth": "1990-06-19"}, 3),
+            ({"date_of_birth": "1990-05-20"}, {"date_of_birth": "1991-04-21"}, 2),
+            ({"date_of_birth": "1990-05-20"}, {"date_of_birth": "1999-02-20"}, 1),
+            ({"date_of_birth": "1990-05-20"}, {"date_of_birth": "2010-01-17"}, 0),
+        ],
+    )
+
+    run_gamma_tests(spark, cl_.PostcodeComparison("postcode"), {"postcode": "string"}, [
+        ({"postcode": "SW1A 1AA"}, {"postcode": "SW1A 1AA"}, 4),
+        ({"postcode": "SW1A 1AA"}, {"postcode": "SW1A 1AB"}, 3),
+        ({"postcode": "SW1A 1AA"}, {"postcode": "SW1A 2AA"}, 2),
+        ({"postcode": "SW1A 1AA"}, {"postcode": "SW2A 1AA"}, 1),
+        ({"postcode": "SW1A 1AA"}, {"postcode": "NW1A 1AA"}, 0),
+    ])
+
+    run_gamma_tests(spark, cl_.NameComparison("name"), {"name": "string"}, [
+        ({"name": "John"}, {"name": "John"}, 4),
+        ({"name": "Stephen"}, {"name": "Stephan"}, 3),
+        ({"name": "Stephen"}, {"name": "Steven"}, 2),
+        ({"name": "Stephen"}, {"name": "Steve"}, 1),
+        ({"name": "Alice"}, {"name": "Bob"}, 0),
+    ])
+
+    fs = cl_.ForenameSurnameComparison("forename", "surname")
+    run_gamma_tests(
+        spark, fs, {"forename": "string", "surname": "string"},
+        [
+            ({"forename": "John", "surname": "Smith"},
+             {"forename": "John", "surname": "Smith"}, 6),
+            ({"forename": "James", "surname": "Smith"},
+             {"forename": "Smith", "surname": "James"}, 5),
+            ({"forename": "Stephen", "surname": "Smith"},
+             {"forename": "Stephan", "surname": "Smith"}, 4),
+            ({"forename": "Stephen", "surname": "Smith"},
+             {"forename": "Steven", "surname": "Smith"}, 3),
+            ({"forename": "John", "surname": "Doe"},
+             {"forename": "John", "surname": "Smith"}, 1),
+            ({"forename": "Alice", "surname": "Jones"},
+             {"forename": "Bob", "surname": "Smith"}, 0),
+        ],
+    )
