@@ -595,3 +595,25 @@ def test_reference_template_literal_cases(spark):
              {"forename": "Bob", "surname": "Smith"}, 0),
         ],
     )
+
+
+def test_regex_fall_through_and_null_pattern(spark):
+    """reference tests/test_new_comparison_levels.py:176-231: a regex_extract
+    matching nothing yields NULL on both sides, and NULL = NULL must NOT fire
+    the exact level (fall through to else, gamma 0 — not null, not a match);
+    a valid_string_pattern matching nothing routes to the null level (-1)."""
+    comp = Comparison("name", [
+        cll.NullLevel("name"),
+        cll.ExactMatchLevel(ColumnExpression("name").regex_extract("^wr.*")),
+        cll.ElseLevel(),
+    ])
+    run_gamma_tests(spark, comp, {"name": "string"},
+                    [({"name": "groat"}, {"name": "float"}, 0)])
+
+    comp2 = Comparison("name", [
+        cll.NullLevel("name", valid_string_pattern=".*ook"),
+        cll.ExactMatchLevel("name"),
+        cll.ElseLevel(),
+    ])
+    run_gamma_tests(spark, comp2, {"name": "string"},
+                    [({"name": "groat"}, {"name": "float"}, -1)])
