@@ -156,13 +156,28 @@ def _equality_columns_from_sql(sql: str) -> list:
     return cols
 
 
-def CustomRule(sql_condition: str) -> BlockingRule:
-    """Arbitrary SQL fragment over ``*_l`` / ``*_r`` columns (blocking_rule_library CustomRule)."""
+def CustomRule(
+    sql_condition: str,
+    arrays_to_explode: Optional[Sequence[str]] = None,
+    salting_partitions: int = 1,
+) -> BlockingRule:
+    """Arbitrary SQL fragment over ``*_l`` / ``*_r`` columns
+    (blocking_rule_library CustomRule). ``arrays_to_explode`` /
+    ``salting_partitions`` mirror the reference's settings-dict keys."""
     eq_cols = _equality_columns_from_sql(sql_condition)
     rule = BlockingRule(
-        lambda: F.expr(sql_condition), sql_condition, columns=eq_cols
+        lambda: F.expr(sql_condition),
+        sql_condition,
+        columns=eq_cols,
+        exploded_columns=list(arrays_to_explode or ()),
+        salting_partitions=salting_partitions,
     )
-    rule.spec = {"builder": "CustomRule", "args": [sql_condition], "kwargs": {}}
+    kwargs = {}
+    if arrays_to_explode:
+        kwargs["arrays_to_explode"] = list(arrays_to_explode)
+    if salting_partitions != 1:
+        kwargs["salting_partitions"] = salting_partitions
+    rule.spec = {"builder": "CustomRule", "args": [sql_condition], "kwargs": kwargs}
     if eq_cols:
         # pure equality blocking: expose the keys so the pre-filter
         # cardinality estimator works for string rules too
@@ -180,7 +195,7 @@ def rule_from_spec(spec: dict) -> BlockingRule:
         ]
         return block_on(*args, **spec.get("kwargs", {}))
     if spec["builder"] == "CustomRule":
-        return CustomRule(spec["args"][0])
+        return CustomRule(spec["args"][0], **spec.get("kwargs", {}))
     raise ValueError(f"unknown rule builder {spec['builder']!r}")
 
 

@@ -94,11 +94,14 @@ class Settings:
                 return CustomRule(_normalise_rule_sql(r))
             if "builder" in r:
                 return rule_from_spec(r)
-            # reference-format dict: {"blocking_rule": sql, "salting_partitions": n}
+            # reference-format dict: {"blocking_rule": sql,
+            # "salting_partitions": n, "arrays_to_explode": [...]}
             # (reference blocking.py BlockingRule.as_dict)
-            rule = CustomRule(_normalise_rule_sql(r["blocking_rule"]))
-            rule.salting_partitions = int(r.get("salting_partitions", 1))
-            return rule
+            return CustomRule(
+                _normalise_rule_sql(r["blocking_rule"]),
+                arrays_to_explode=r.get("arrays_to_explode"),
+                salting_partitions=int(r.get("salting_partitions", 1)),
+            )
 
         rules = [
             _rule(r) for r in d.get("blocking_rules_to_generate_predictions", [])

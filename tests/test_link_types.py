@@ -216,3 +216,51 @@ def test_multi_threshold_clustering_composite_ids(spark, two_tables):
     assert low["l_tbl-__-1"] == low["r_tbl-__-10"]
     # at 0.99 nothing links; every node is its own cluster
     assert len(set(by_t[0.99].values())) == 6
+
+
+def test_array_based_blocking_link_only_reference_case(spark):
+    """reference tests/test_array_based_blocking.py:test_simple_example_link_only:
+    an exploding rule given as a reference-format settings dict
+    ({'blocking_rule': ..., 'arrays_to_explode': [...]}) in a link_only job;
+    pair set AND match_key assignment must match the reference exactly."""
+    from splink_spark import Linker, Settings
+
+    data_l = spark.createDataFrame(
+        [(1, "m", ["2612", "2000"]), (2, "m", ["2612", "2617"]), (3, "f", ["2617"])],
+        "unique_id long, gender string, postcode array<string>",
+    )
+    data_r = spark.createDataFrame(
+        [(4, "m", ["2617", "2600"]), (5, "f", ["2000"]),
+         (6, "m", ["2617", "2612", "2000"])],
+        "unique_id long, gender string, postcode array<string>",
+    )
+    settings = Settings.from_dict({
+        "link_type": "link_only",
+        "probability_two_random_records_match": 0.01,
+        "blocking_rules_to_generate_predictions": [
+            {
+                "blocking_rule": "l.gender = r.gender and l.postcode = r.postcode",
+                "arrays_to_explode": ["postcode"],
+            },
+            "l.gender = r.gender",
+        ],
+        "comparisons": [{
+            "output_column_name": "postcode",
+            "comparison_levels": [
+                {"sql_condition": "postcode_l IS NULL OR postcode_r IS NULL",
+                 "label_for_charts": "null", "is_null_level": True},
+                {"sql_condition": "size(array_intersect(postcode_l, postcode_r)) >= 1",
+                 "label_for_charts": "intersect>=1",
+                 "m_probability": 0.9, "u_probability": 0.1},
+                {"sql_condition": "ELSE", "label_for_charts": "else",
+                 "m_probability": 0.1, "u_probability": 0.9},
+            ],
+        }],
+    })
+    preds = Linker({"left": data_l, "right": data_r}, settings).inference.predict()
+    triples = {
+        (r["unique_id_l"], r["unique_id_r"], r["match_key"])
+        for r in preds.select("unique_id_l", "unique_id_r", "match_key").collect()
+    }
+    expected = {(1, 6, "0"), (2, 4, "0"), (2, 6, "0"), (1, 4, "1"), (3, 5, "1")}
+    assert triples == expected
