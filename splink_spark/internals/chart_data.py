@@ -147,16 +147,17 @@ def tf_adjustment_chart_data(
     parts = []
     for lv in tf_levels:
         col = lv.tf_adjustment_column
-        tf_table = tf_tables[col]  # columns: <col>, tf_<col>
+        tfp = comparison.tf_prefix
+        tf_table = tf_tables[col]  # columns: <col>, <tf_prefix><col>
         u_prob = float(lv.u_probability)
         weight = float(lv.tf_adjustment_weight)
         log2_bf = lv.log2_bayes_factor
         log2_bf_tf = (
-            F.log2(F.lit(u_prob) / F.col(f"tf_{col}")) * F.lit(weight)
+            F.log2(F.lit(u_prob) / F.col(f"{tfp}{col}")) * F.lit(weight)
         )
         part = tf_table.where(F.col(col).isNotNull()).select(
             F.col(col).cast("string").alias("value"),
-            F.col(f"tf_{col}").alias("tf"),
+            F.col(f"{tfp}{col}").alias("tf"),
             F.lit(u_prob).alias("u_probability"),
             F.lit(weight).alias("tf_adjustment_weight"),
             log2_bf_tf.alias("log2_bf_tf"),
@@ -291,8 +292,8 @@ def waterfall_data(settings: Settings, scored_records: Sequence[dict]) -> list[d
             total += l2
             if lv is not None and lv.has_tf_adjustment:
                 col = lv.tf_adjustment_column
-                tf_l = rec.get(f"tf_{col}_l")
-                tf_r = rec.get(f"tf_{col}_r")
+                tf_l = rec.get(f"{comp.tf_prefix}{col}_l")
+                tf_r = rec.get(f"{comp.tf_prefix}{col}_r")
                 tf_val = None
                 if tf_l is not None or tf_r is not None:
                     cand = [v for v in (tf_l, tf_r) if v is not None]

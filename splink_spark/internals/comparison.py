@@ -35,6 +35,12 @@ class Comparison:
         # raw input columns this comparison reads (used to narrow the junction
         # re-join's shuffle width; None → unknown, carry all columns)
         self.input_columns = input_columns
+        # output-column prefixes; overridden by Settings.__post_init__ from
+        # the *_column_prefix settings keys (reference settings.py:215-233)
+        self.gamma_prefix = "gamma_"
+        self.bf_prefix = "bf_"
+        self.mw_prefix = "mw_"
+        self.tf_prefix = "tf_"
         self._assign_gamma_values()
 
     # -- gamma assignment ------------------------------------------------------
@@ -62,7 +68,7 @@ class Comparison:
 
     @property
     def gamma_column_name(self) -> str:
-        return f"gamma_{self.output_column_name}"
+        return f"{self.gamma_prefix}{self.output_column_name}"
 
     @property
     def num_levels(self) -> int:
@@ -120,7 +126,7 @@ class Comparison:
             expr = F.when(cond, bf) if expr is None else expr.when(cond, bf)
         assert expr is not None
         # null level → bayes factor 1 (no evidence)
-        return expr.otherwise(F.lit(1.0)).alias(f"bf_{self.gamma_column_name}")
+        return expr.otherwise(F.lit(1.0)).alias(f"{self.bf_prefix}{self.gamma_column_name}")
 
     def log2_bayes_factor_column(self) -> Column:
         """``mw_<col>``: per-pair log2 bayes factor as a CASE ladder over
@@ -136,7 +142,7 @@ class Comparison:
             cond = gamma == F.lit(lv.comparison_vector_value)
             expr = F.when(cond, c) if expr is None else expr.when(cond, c)
         assert expr is not None
-        return expr.otherwise(F.lit(0.0)).alias(f"mw_{self.output_column_name}")
+        return expr.otherwise(F.lit(0.0)).alias(f"{self.mw_prefix}{self.output_column_name}")
 
     def log2_tf_adjustment_column(self) -> Optional[Column]:
         """log2 of the TF-adjusted multiplier: w * (log2(u_exact) - log2(tf))
@@ -151,7 +157,7 @@ class Comparison:
             if not lv.has_tf_adjustment:
                 continue
             c = lv.tf_adjustment_column
-            tf_l, tf_r = F.col(f"tf_{c}_l"), F.col(f"tf_{c}_r")
+            tf_l, tf_r = F.col(f"{self.tf_prefix}{c}_l"), F.col(f"{self.tf_prefix}{c}_r")
             tf_term = F.greatest(
                 F.coalesce(tf_l, tf_r),
                 F.coalesce(tf_r, tf_l),
@@ -164,7 +170,7 @@ class Comparison:
             arm = F.when(tf_term.isNotNull() & (tf_term > 0), adj).otherwise(F.lit(0.0))
             expr = F.when(cond, arm) if expr is None else expr.when(cond, arm)
         assert expr is not None
-        return expr.otherwise(F.lit(0.0)).alias(f"mw_tf_{self.output_column_name}")
+        return expr.otherwise(F.lit(0.0)).alias(f"{self.mw_prefix}tf_{self.output_column_name}")
 
     def tf_adjustment_column_expr(self) -> Optional[Column]:
         """Term-frequency adjusted bayes-factor multiplier (``bf_tf_adj_*``).
@@ -182,7 +188,7 @@ class Comparison:
             if not lv.has_tf_adjustment:
                 continue
             c = lv.tf_adjustment_column
-            tf_l, tf_r = F.col(f"tf_{c}_l"), F.col(f"tf_{c}_r")
+            tf_l, tf_r = F.col(f"{self.tf_prefix}{c}_l"), F.col(f"{self.tf_prefix}{c}_r")
             tf_term = F.greatest(
                 F.coalesce(tf_l, tf_r),
                 F.coalesce(tf_r, tf_l),
@@ -198,7 +204,7 @@ class Comparison:
             arm = F.when(tf_term.isNotNull() & (tf_term > 0), mult).otherwise(F.lit(1.0))
             expr = F.when(cond, arm) if expr is None else expr.when(cond, arm)
         assert expr is not None
-        return expr.otherwise(F.lit(1.0)).alias(f"bf_tf_adj_{self.gamma_column_name}")
+        return expr.otherwise(F.lit(1.0)).alias(f"{self.bf_prefix}tf_adj_{self.gamma_column_name}")
 
     def _u_probability_for_exact_match(self, level: ComparisonLevel) -> float:
         """u of the exact-match level for the SAME TF column as ``level``;

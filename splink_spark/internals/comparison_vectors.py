@@ -33,8 +33,9 @@ def _needed_columns(settings: Settings, concat_with_tf: DataFrame) -> list[str]:
     for c in getattr(settings, "additional_columns_to_retain", []) or []:
         if c in concat_with_tf.columns and c not in cols:
             cols.append(c)
+    tfp = getattr(settings, "term_frequency_adjustment_column_prefix", "tf_")
     for c in settings.tf_columns:
-        tf = f"tf_{c}"
+        tf = f"{tfp}{c}"
         if tf in concat_with_tf.columns and tf not in cols:
             cols.append(tf)
     known = {c for comp in settings.comparisons for c in (getattr(comp, "input_columns", None) or [])}

@@ -82,8 +82,8 @@ def predict_from_comparison_vectors(
         # delete user input columns that happen to start with "bf_"
         internal = set()
         for comp in settings.comparisons:
-            internal.add(f"bf_{comp.gamma_column_name}")
-            internal.add(f"bf_tf_adj_{comp.gamma_column_name}")
+            internal.add(f"{comp.bf_prefix}{comp.gamma_column_name}")
+            internal.add(f"{comp.bf_prefix}tf_adj_{comp.gamma_column_name}")
         scored = scored.drop(*[c for c in scored.columns if c in internal])
 
     front = ["match_weight", "match_probability"]

@@ -30,6 +30,11 @@ class Settings:
     additional_columns_to_retain: list = field(default_factory=list)
     em_convergence: float = 1e-4  # settings_creator.py:33-35
     max_iterations: int = 25
+    # output-column prefix customisation (reference settings.py:215-233)
+    comparison_vector_value_column_prefix: str = "gamma_"
+    bayes_factor_column_prefix: str = "bf_"
+    match_weight_column_prefix: str = "mw_"
+    term_frequency_adjustment_column_prefix: str = "tf_"
 
     def __post_init__(self) -> None:
         if self.link_type not in ("dedupe_only", "link_only", "link_and_dedupe"):
@@ -39,6 +44,13 @@ class Settings:
         self.blocking_rules_to_generate_predictions = [
             _to_rule(r) for r in self.blocking_rules_to_generate_predictions
         ]
+        # comparisons name their own gamma/bf/mw/tf columns; push the
+        # configured prefixes onto each
+        for comp in self.comparisons:
+            comp.gamma_prefix = self.comparison_vector_value_column_prefix
+            comp.bf_prefix = self.bayes_factor_column_prefix
+            comp.mw_prefix = self.match_weight_column_prefix
+            comp.tf_prefix = self.term_frequency_adjustment_column_prefix
 
     # -- conveniences ----------------------------------------------------------
     @property
@@ -68,6 +80,10 @@ class Settings:
             "retain_matching_columns": self.retain_matching_columns,
             "retain_intermediate_calculation_columns": self.retain_intermediate_calculation_columns,
             "additional_columns_to_retain": list(self.additional_columns_to_retain),
+            "comparison_vector_value_column_prefix": self.comparison_vector_value_column_prefix,
+            "bayes_factor_column_prefix": self.bayes_factor_column_prefix,
+            "match_weight_column_prefix": self.match_weight_column_prefix,
+            "term_frequency_adjustment_column_prefix": self.term_frequency_adjustment_column_prefix,
             "em_convergence": self.em_convergence,
             "max_iterations": self.max_iterations,
             "blocking_rules_to_generate_predictions": [
@@ -121,6 +137,14 @@ class Settings:
             ),
             additional_columns_to_retain=list(
                 d.get("additional_columns_to_retain", [])
+            ),
+            comparison_vector_value_column_prefix=d.get(
+                "comparison_vector_value_column_prefix", "gamma_"
+            ),
+            bayes_factor_column_prefix=d.get("bayes_factor_column_prefix", "bf_"),
+            match_weight_column_prefix=d.get("match_weight_column_prefix", "mw_"),
+            term_frequency_adjustment_column_prefix=d.get(
+                "term_frequency_adjustment_column_prefix", "tf_"
             ),
             em_convergence=d.get("em_convergence", 1e-4),
             max_iterations=d.get("max_iterations", 25),

@@ -18,7 +18,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def compute_term_frequencies(concat: DataFrame, column: str) -> DataFrame:
+def compute_term_frequencies(
+    concat: DataFrame, column: str, tf_prefix: str = "tf_"
+) -> DataFrame:
     """tf table: (column, tf_<column>) with tf = count / total non-null count."""
     nonnull = concat.where(F.col(column).isNotNull())
     counts = nonnull.groupBy(column).agg(F.count(F.lit(1)).alias("__n"))
@@ -30,7 +32,7 @@ def compute_term_frequencies(concat: DataFrame, column: str) -> DataFrame:
         .select(
             F.col(column),
             (F.col("__n").cast("double") / F.col("__total").cast("double")).alias(
-                f"tf_{column}"
+                f"{tf_prefix}{column}"
             ),
         )
     )
@@ -47,6 +49,6 @@ def join_term_frequencies(
 
 
 def compute_all_term_frequencies(
-    concat: DataFrame, columns: Iterable[str]
+    concat: DataFrame, columns: Iterable[str], tf_prefix: str = "tf_"
 ) -> dict[str, DataFrame]:
-    return {c: compute_term_frequencies(concat, c) for c in columns}
+    return {c: compute_term_frequencies(concat, c, tf_prefix=tf_prefix) for c in columns}

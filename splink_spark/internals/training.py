@@ -460,7 +460,8 @@ def _em_tf_aggs(active, m, u, session_lam):
             if not lv.has_tf_adjustment:
                 continue
             c = lv.tf_adjustment_column
-            tf_l, tf_r = F.col(f"tf_{c}_l"), F.col(f"tf_{c}_r")
+            tfp = comp.tf_prefix
+            tf_l, tf_r = F.col(f"{tfp}{c}_l"), F.col(f"{tfp}{c}_r")
             tf_term = F.greatest(
                 F.coalesce(tf_l, tf_r),
                 F.coalesce(tf_r, tf_l),
@@ -670,7 +671,7 @@ def estimate_parameters_using_em(
         keep = list(gamma_cols)
         for comp in active:
             for c in comp.tf_adjustment_input_columns:
-                keep += [f"tf_{c}_l", f"tf_{c}_r"]
+                keep += [f"{comp.tf_prefix}{c}_l", f"{comp.tf_prefix}{c}_r"]
         keep = [c for c in dict.fromkeys(keep) if c in cv.columns]
         cv = linker.materialization.materialize(cv.select(*keep), "em_cv")
         counts = None

@@ -125,7 +125,9 @@ class Linker:
     def tf_tables(self) -> dict[str, DataFrame]:
         if self._tf_tables is None:
             self._tf_tables = compute_all_term_frequencies(
-                self.df_concat(), self.settings.tf_columns
+                self.df_concat(),
+                self.settings.tf_columns,
+                tf_prefix=self.settings.term_frequency_adjustment_column_prefix,
             )
         return self._tf_tables
 
@@ -328,7 +330,7 @@ class LinkerInference:
                 for c in wide.columns
                 if (c.endswith("_l") or c.endswith("_r"))
                 and c[:-2] not in keep_prefixes
-                and not c.startswith("tf_")
+                and not c.startswith(s.term_frequency_adjustment_column_prefix)
             ]
             if not drop_cols:
                 wide = predict_from_comparison_vectors(
@@ -388,7 +390,10 @@ class LinkerInference:
             )
             # the node re-join re-attaches tf_* columns too — drop the core's
             # copies in favour of the node side's (identical values)
-            dup_tf = [c for c in narrow.columns if c.startswith("tf_")]
+            dup_tf = [
+                c for c in narrow.columns
+                if c.startswith(s.term_frequency_adjustment_column_prefix)
+            ]
             for c in dup_tf:
                 rejoined = rejoined.drop(rejoin_pairs[c])
             out = rejoined.select(*wide.columns)
@@ -1012,7 +1017,8 @@ class LinkerTableManagement:
         e.g. global frequencies estimated from a much larger corpus than the
         input (reference table_management.py:204-252). Expected columns:
         (``column_name``, tf_``column_name``)."""
-        expected = {column_name, f"tf_{column_name}"}
+        tfp = self._l.settings.term_frequency_adjustment_column_prefix
+        expected = {column_name, f"{tfp}{column_name}"}
         if not expected.issubset(set(df.columns)):
             raise ValueError(
                 f"TF lookup for {column_name!r} needs columns {sorted(expected)}, "

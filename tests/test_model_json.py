@@ -197,3 +197,61 @@ def test_linker_accepts_dict_and_json_path(spark, persons, tmp_path):
     with open(path) as f:
         from_dict = Linker(persons, json.load(f)).inference.predict().count()
     assert base == from_path == from_dict
+
+
+def test_heavily_customised_settings(spark, persons, tmp_path):
+    """reference tests/test_settings_options.py: custom unique-id /
+    source-dataset column names PLUS custom gamma/bf/mw/tf column prefixes,
+    run through train -> predict -> cluster -> chart data."""
+    from splink_spark.clustering import cluster_pairwise_predictions_at_threshold  # noqa: F401
+
+    left = persons.withColumnRenamed("unique_id", "uid_col")
+    right = left
+    settings = Settings.from_dict({
+        "link_type": "link_and_dedupe",
+        "probability_two_random_records_match": 0.05,
+        "unique_id_column_name": "uid_col",
+        "source_dataset_column_name": "dataset_name",
+        "comparisons": [
+            {
+                "output_column_name": "surname",
+                "comparison_levels": [
+                    {"sql_condition": "surname_l IS NULL OR surname_r IS NULL",
+                     "label_for_charts": "null", "is_null_level": True},
+                    {"sql_condition": "surname_l = surname_r",
+                     "label_for_charts": "exact",
+                     "tf_adjustment_column": "surname",
+                     "m_probability": 0.9, "u_probability": 0.02},
+                    {"sql_condition": "ELSE", "label_for_charts": "else",
+                     "m_probability": 0.1, "u_probability": 0.98},
+                ],
+            }
+        ],
+        "blocking_rules_to_generate_predictions": ["l.dob = r.dob"],
+        "retain_intermediate_calculation_columns": True,
+        "match_weight_column_prefix": "match_w__",
+        "term_frequency_adjustment_column_prefix": "term_freq__",
+        "comparison_vector_value_column_prefix": "cvv__",
+        "bayes_factor_column_prefix": "bfact__",
+    })
+    linker = Linker({"left_set": left, "right_set": right}, settings)
+    pred = linker.inference.predict()
+    cols = set(pred.columns)
+    assert "cvv__surname" in cols
+    assert "bfact__cvv__surname" in cols
+    assert "term_freq__surname_l" in cols and "term_freq__surname_r" in cols
+    assert "bfact__tf_adj_cvv__surname" in cols
+    assert not any(c.startswith("gamma_") or c == "tf_surname_l" for c in cols)
+    rows = pred.limit(5).collect()
+    assert rows
+    clustered = linker.clustering.cluster_pairwise_predictions_at_threshold(
+        pred, 0.5
+    )
+    assert clustered.count() == left.count() + right.count()
+    # chart data layers read the custom prefixes too
+    assert linker.visualisations.comparison_vector_distribution(pred).count() > 0
+    assert linker.visualisations.tf_adjustment_chart_data("surname").count() > 0
+    # round-trips
+    s2 = Settings.from_dict(settings.as_dict())
+    assert s2.comparison_vector_value_column_prefix == "cvv__"
+    assert s2.comparisons[0].gamma_prefix == "cvv__"
