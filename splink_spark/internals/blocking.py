@@ -20,6 +20,7 @@ warns — surfaced via blocking_analysis counts before execution.
 
 from __future__ import annotations
 
+import re
 from typing import Callable, Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame
@@ -156,6 +157,37 @@ def _equality_columns_from_sql(sql: str) -> list:
     return cols
 
 
+def _normalise_rule_sql(sql: str) -> str:
+    """Translate reference-splink blocking-rule SQL to this engine's column
+    convention: the reference writes ``l.first_name = r.first_name`` (table
+    aliases over two scans); here the pair table carries suffixed columns, so
+    it becomes ``first_name_l = first_name_r``. Double-quoted identifiers are
+    rewritten to backticks for Spark's parser.
+
+    Rewrites are applied only outside single-quoted string literals (a
+    literal ``'l.com'`` must survive untouched), and only when the SQL
+    actually uses the reference's ``l.`` / ``r.`` alias convention — SQL
+    already written for this engine (suffixed columns, double quotes as
+    Spark string literals) passes through verbatim."""
+    # odd indexes are single-quoted literal spans ('' is the SQL escape;
+    # Spark's parser also accepts backslash escapes, so \' must not close
+    # the span — otherwise the remainder of the literal lands in a code
+    # span and gets rewritten)
+    spans = re.split(r"('(?:[^'\\]|\\.|'')*')", sql)
+    if not any(
+        re.search(r"\b[lr]\.\w", s) for i, s in enumerate(spans) if i % 2 == 0
+    ):
+        return sql
+    out = []
+    for i, s in enumerate(spans):
+        if i % 2 == 0:
+            s = re.sub(r'"([A-Za-z_][A-Za-z0-9_]*)"', r"`\1`", s)
+            s = re.sub(r"\bl\.(\w+)", r"\1_l", s)
+            s = re.sub(r"\br\.(\w+)", r"\1_r", s)
+        out.append(s)
+    return "".join(out)
+
+
 def CustomRule(
     sql_condition: str,
     arrays_to_explode: Optional[Sequence[str]] = None,
@@ -163,10 +195,15 @@ def CustomRule(
 ) -> BlockingRule:
     """Arbitrary SQL fragment over ``*_l`` / ``*_r`` columns
     (blocking_rule_library CustomRule). ``arrays_to_explode`` /
-    ``salting_partitions`` mirror the reference's settings-dict keys."""
+    ``salting_partitions`` mirror the reference's settings-dict keys.
+    Reference-style ``l.col = r.col`` alias syntax is accepted anywhere a
+    rule string is (normalised here, the single chokepoint, so every caller
+    — settings dicts, training rules, analysis helpers — behaves alike); the
+    original string is kept as the rule's description and serialized form."""
     eq_cols = _equality_columns_from_sql(sql_condition)
+    exec_sql = _normalise_rule_sql(sql_condition)
     rule = BlockingRule(
-        lambda: F.expr(sql_condition),
+        lambda: F.expr(exec_sql),
         sql_condition,
         columns=eq_cols,
         exploded_columns=list(arrays_to_explode or ()),
@@ -445,7 +482,20 @@ def count_comparisons_per_rule(
     out = []
     cumulative = 0
     for k, rule in enumerate(rules):
-        marginal = int(round(counted.get(str(k), 0) * scale))
+        raw = counted.get(str(k), 0)
+        if fraction < 1.0 and raw < 1000:
+            import warnings
+
+            warnings.warn(
+                f"The sampled blocking analysis estimate for blocking rule "
+                f"{rule.description!r} is based on {raw:,} sampled pairwise "
+                f"comparisons. This is below the recommended minimum of "
+                f"1,000, so the estimate may be unstable. Increase "
+                f"record_sample_proportion for a more stable estimate.",
+                UserWarning,
+                stacklevel=2,
+            )
+        marginal = int(round(raw * scale))
         cumulative += marginal
         out.append(
             {

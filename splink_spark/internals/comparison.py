@@ -312,11 +312,16 @@ class Comparison:
     def from_dict(d: dict) -> "Comparison":
         from .comparison_level_library import level_from_spec_dict
 
+        input_columns = d.get("input_columns")
+        if input_columns is None:
+            input_columns = _infer_input_columns_from_level_dicts(
+                d.get("comparison_levels", [])
+            )
         return Comparison(
             d["output_column_name"],
             [level_from_spec_dict(ld) for ld in d["comparison_levels"]],
             d.get("comparison_description"),
-            d.get("input_columns"),
+            input_columns,
         )
 
     def __repr__(self) -> str:  # pragma: no cover
@@ -324,6 +329,31 @@ class Comparison:
             f"Comparison({self.output_column_name!r}, "
             f"{len(self.comparison_levels)} levels)"
         )
+
+
+def _infer_input_columns_from_level_dicts(level_dicts: list) -> Optional[list[str]]:
+    """Reference-format settings dicts carry raw ``sql_condition`` strings and
+    no explicit column list; EM's comparison-deactivation and session-lambda
+    blocking adjustment (em_training_session.py:136-163) need to know which
+    base columns a comparison reads. Mirror the reference's
+    ``_input_columns_used_by_sql_condition`` (comparison_level.py) by
+    collecting every ``<col>_l`` / ``<col>_r`` identifier in the conditions.
+    Without this, training rules like ``l.surname = r.surname`` silently fail
+    to deactivate the surname comparison — the error cancels at EM iteration 1
+    (unadjusted prior x exact-match BF == adjusted prior) and corrupts every
+    later iteration."""
+    import re as _re
+
+    cols: list[str] = []
+    for ld in level_dicts:
+        if not isinstance(ld, dict):
+            continue
+        sql = ld.get("sql_condition") or ""
+        for m in _re.finditer(r"\b([A-Za-z_]\w*?)_[lr]\b", sql):
+            c = m.group(1)
+            if c not in cols:
+                cols.append(c)
+    return cols or None
 
 
 def match_weight_columns(prior_lambda: float) -> tuple[float, str]:

@@ -37,8 +37,14 @@ def threshold_args_to_match_weight(
 
 
 def calculate_cartesian(counts: list[int], link_type: str) -> float:
-    """Total possible comparisons given per-dataset row counts."""
+    """Total possible comparisons given per-dataset row counts
+    (reference misc.py calculate_cartesian, incl. its frame-count guards:
+    dedupe_only is single-frame, link_only needs at least two)."""
+    if link_type == "dedupe_only" and len(counts) > 1:
+        raise ValueError("dedupe_only expects exactly one input frame")
     if link_type == "link_only":
+        if len(counts) < 2:
+            raise ValueError("link_only expects at least two input frames")
         total = 0.0
         for i, a in enumerate(counts):
             for b in counts[i + 1 :]:

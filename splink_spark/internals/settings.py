@@ -13,7 +13,7 @@ import json
 from dataclasses import dataclass, field
 from typing import Optional, Sequence, Union
 
-from .blocking import BlockingRule, CustomRule, block_on
+from .blocking import BlockingRule, CustomRule, _normalise_rule_sql, block_on
 from .comparison import Comparison
 
 
@@ -160,39 +160,6 @@ class Settings:
         else:
             d = json.loads(path_or_str)
         return Settings.from_dict(d)
-
-
-def _normalise_rule_sql(sql: str) -> str:
-    """Translate reference-splink blocking-rule SQL to this engine's column
-    convention: the reference writes ``l.first_name = r.first_name`` (table
-    aliases over two scans); here the pair table carries suffixed columns, so
-    it becomes ``first_name_l = first_name_r``. Double-quoted identifiers are
-    rewritten to backticks for Spark's parser.
-
-    Rewrites are applied only outside single-quoted string literals (a
-    literal ``'l.com'`` must survive untouched), and only when the SQL
-    actually uses the reference's ``l.`` / ``r.`` alias convention — SQL
-    already written for this engine (suffixed columns, double quotes as
-    Spark string literals) passes through verbatim."""
-    import re
-
-    # odd indexes are single-quoted literal spans ('' is the SQL escape;
-    # Spark's parser also accepts backslash escapes, so \' must not close
-    # the span — otherwise the remainder of the literal lands in a code
-    # span and gets rewritten)
-    spans = re.split(r"('(?:[^'\\]|\\.|'')*')", sql)
-    if not any(
-        re.search(r"\b[lr]\.\w", s) for i, s in enumerate(spans) if i % 2 == 0
-    ):
-        return sql
-    out = []
-    for i, s in enumerate(spans):
-        if i % 2 == 0:
-            s = re.sub(r'"([A-Za-z_][A-Za-z0-9_]*)"', r"`\1`", s)
-            s = re.sub(r"\bl\.(\w+)", r"\1_l", s)
-            s = re.sub(r"\br\.(\w+)", r"\1_r", s)
-        out.append(s)
-    return "".join(out)
 
 
 def _to_rule(rule: Union[str, BlockingRule]) -> BlockingRule:

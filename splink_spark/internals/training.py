@@ -149,13 +149,35 @@ def _concat_for_gammas(linker):
 
 
 def estimate_probability_two_random_records_match(
-    linker, deterministic_rules: Sequence[Union[str, BlockingRule]], recall: float
+    linker,
+    deterministic_rules: Sequence[Union[str, BlockingRule]],
+    recall: float,
+    record_sample_proportion: float = 1.0,
 ) -> float:
     if not 0 < recall <= 1:
         raise ValueError("recall must be in (0, 1]")
     rules = [r if isinstance(r, BlockingRule) else CustomRule(r) for r in deterministic_rules]
     s = linker.settings
-    observed = _deterministic_pairs_count_via_aggregation(linker, rules)
+    if record_sample_proportion < 1.0:
+        # reference linker_components/training.py:39 — sample records on
+        # both sides of the deterministic-match join and scale the count
+        # back up by 1/p**2; the blocking-analysis counter owns the
+        # sampling, dedup-across-rules, and small-sample warning
+        from .blocking import count_comparisons_per_rule
+
+        recs = count_comparisons_per_rule(
+            linker.df_concat(),
+            rules,
+            link_type=s.link_type,
+            unique_id_column_name=s.unique_id_column_name,
+            source_dataset_column_name=s.source_dataset_column_name
+            if s.needs_source_dataset
+            else None,
+            record_sample_proportion=record_sample_proportion,
+        )
+        observed = recs[-1]["cumulative_comparison_count"]
+    else:
+        observed = _deterministic_pairs_count_via_aggregation(linker, rules)
     if observed is None:
         pairs = block_using_rules(
             linker.df_concat(),
@@ -772,7 +794,24 @@ def estimate_parameters_using_em(
             new_lam = min(max(new_lam, 1e-12), 1 - 1e-12)
             max_delta = max(max_delta, abs(new_lam - session_lam))
             session_lam = new_lam
-        history.append({"iteration": it, "max_delta": max_delta, "lambda": session_lam})
+        history.append(
+            {
+                "iteration": it,
+                "max_delta": max_delta,
+                "lambda": session_lam,
+                # per-iteration parameter snapshots (reference
+                # em_training_session.py keeps _iteration_history_records;
+                # splink2-parity tests compare these trajectories)
+                "m": {
+                    f"{active[ci].output_column_name}[{k}]": v
+                    for (ci, k), v in m.items()
+                },
+                "u": {
+                    f"{active[ci].output_column_name}[{k}]": v
+                    for (ci, k), v in u.items()
+                },
+            }
+        )
         logger.info("EM iteration %d: max_delta=%.3g lambda=%.4f", it, max_delta, session_lam)
         if max_delta < em_convergence:
             break

@@ -652,10 +652,15 @@ class LinkerTraining:
     def __init__(self, linker: Linker):
         self._l = linker
 
-    def estimate_probability_two_random_records_match(self, deterministic_rules, recall: float):
+    def estimate_probability_two_random_records_match(
+        self, deterministic_rules, recall: float, record_sample_proportion: float = 1.0
+    ):
         from .internals.training import estimate_probability_two_random_records_match
 
-        return estimate_probability_two_random_records_match(self._l, deterministic_rules, recall)
+        return estimate_probability_two_random_records_match(
+            self._l, deterministic_rules, recall,
+            record_sample_proportion=record_sample_proportion,
+        )
 
     def estimate_u_using_random_sampling(
         self,

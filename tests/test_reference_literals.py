@@ -1,0 +1,263 @@
+"""Literal-expectation ports of small reference tests: u/m training on tiny
+fixtures with exact fractional expectations, prior estimation across link
+types, and cartesian-count guards.
+
+Sources (expectations transcribed, not code):
+  reference tests/test_u_train.py, test_m_train.py,
+  test_estimate_prob_two_rr_match.py, test_total_comparison_count.py
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import splink_spark.internals.comparison_library as cl
+from splink_spark import Linker, block_on
+from splink_spark.internals.misc import calculate_cartesian
+
+
+def _level_u(comp, value):
+    for lv in comp.comparison_levels:
+        if not lv.is_null_level and lv.comparison_vector_value == value:
+            return lv.u_probability
+    raise AssertionError(f"no level {value}")
+
+
+def _level_m(comp, value):
+    for lv in comp.comparison_levels:
+        if not lv.is_null_level and lv.comparison_vector_value == value:
+            return lv.m_probability
+    raise AssertionError(f"no level {value}")
+
+
+def test_u_train_dedupe_literal(spark):
+    """reference test_u_train.py::test_u_train — with max_pairs >= the full
+    cartesian the u estimate is exact: 1 exact pair (Amanda/Amanda), 1
+    lev<=2 pair (Robin/Robyn), 13 disagreeing, denominator 15."""
+    data = [
+        (1, "Amanda"), (2, "Robin"), (3, "Robyn"),
+        (4, "David"), (5, "Eve"), (6, "Amanda"),
+    ]
+    df = spark.createDataFrame(data, ["unique_id", "name"])
+    settings = {
+        "link_type": "dedupe_only",
+        "comparisons": [cl.LevenshteinAtThresholds("name", 2).as_dict()],
+        "blocking_rules_to_generate_predictions": ["l.name = r.name"],
+    }
+    linker = Linker(df, settings)
+    linker.training.estimate_u_using_random_sampling(max_pairs=1e6)
+    comp = linker.settings.comparisons[0]
+    denom = 6 * 5 / 2
+    assert _level_u(comp, 2) == pytest.approx(1 / denom)
+    assert _level_u(comp, 1) == pytest.approx(1 / denom)
+    assert _level_u(comp, 0) == pytest.approx((denom - 2) / denom)
+
+
+def test_u_train_link_only_literal(spark):
+    """reference test_u_train.py::test_u_train_link_only — link_only u
+    counts only cross-dataset pairs: denominator 6*7, 2 exact cross pairs
+    (David, Stuart), 1 lev<=2 pair (Eve/Eva)."""
+    data_l = [(1, "Amanda"), (2, "Robin"), (3, "Robyn"), (4, "David"),
+              (5, "Eve"), (6, "Amanda"), (7, "Stuart")]
+    data_r = [(1, "Eva"), (2, "David"), (3, "Sophie"), (4, "Jimmy"),
+              (5, "Stuart"), (6, "Jimmy")]
+    df_l = spark.createDataFrame(data_l, ["unique_id", "name"])
+    df_r = spark.createDataFrame(data_r, ["unique_id", "name"])
+    settings = {
+        "link_type": "link_only",
+        "comparisons": [cl.LevenshteinAtThresholds("name", 2).as_dict()],
+        "blocking_rules_to_generate_predictions": [],
+        "source_dataset_column_name": "source_dataset",
+    }
+    linker = Linker({"l": df_l, "r": df_r}, settings)
+    linker.training.estimate_u_using_random_sampling(max_pairs=1e6)
+    comp = linker.settings.comparisons[0]
+    denom = 6 * 7
+    assert _level_u(comp, 2) == pytest.approx(2 / denom)
+    assert _level_u(comp, 1) == pytest.approx(1 / denom)
+    assert _level_u(comp, 0) == pytest.approx((denom - 3) / denom)
+
+
+def test_m_train_label_column_and_pairwise_literal(spark):
+    """reference test_m_train.py — m from a ground-truth label column and
+    from an equivalent pairwise-labels table agree exactly: within-cluster
+    pairs are (Robin,Robyn) lev, (Robin,Robin) exact, (Robyn,Robin) lev,
+    (James,David) else -> m = [1/4, 2/4, 1/4]."""
+    data = [
+        (1, "Robin", 1), (2, "Robyn", 1), (3, "Robin", 1),
+        (4, "James", 2), (5, "David", 2),
+    ]
+    df = spark.createDataFrame(data, ["unique_id", "name", "cluster"])
+    settings = {
+        "link_type": "dedupe_only",
+        "comparisons": [cl.LevenshteinAtThresholds("name", 2).as_dict()],
+        "blocking_rules_to_generate_predictions": ["l.name = r.name"],
+    }
+    linker = Linker(df, settings)
+    linker.training.estimate_m_from_label_column("cluster")
+    comp = linker.settings.comparisons[0]
+    assert _level_m(comp, 2) == pytest.approx(1 / 4)
+    assert _level_m(comp, 1) == pytest.approx(2 / 4)
+    assert _level_m(comp, 0) == pytest.approx(1 / 4)
+
+    labels = spark.createDataFrame(
+        [
+            (l_id, r_id, 1.0)
+            for (l_id, _, cl_l) in data
+            for (r_id, _, cl_r) in data
+            if cl_l == cl_r and l_id < r_id
+        ],
+        "unique_id_l bigint, unique_id_r bigint, clerical_match_score double",
+    )
+    linker2 = Linker(df, settings)
+    linker2.training.estimate_m_from_pairwise_labels(labels)
+    comp2 = linker2.settings.comparisons[0]
+    assert _level_m(comp2, 2) == pytest.approx(1 / 4)
+    assert _level_m(comp2, 1) == pytest.approx(2 / 4)
+    assert _level_m(comp2, 0) == pytest.approx(1 / 4)
+
+
+# ---------------------------------------------------------------------------
+# estimate_probability_two_random_records_match across link types
+# ---------------------------------------------------------------------------
+
+_PROB_RR_DATA = [
+    (1, "John", "Smith"), (2, "John", "Smith"), (3, "Mary", "Jones"),
+    (4, "Mary", "Jones"), (5, "Mary", "Jones"), (6, "Jane", "Taylor"),
+]
+
+
+def test_prob_rr_match_dedupe_literal(spark):
+    """reference test_estimate_prob_two_rr_match.py::test_prob_rr_match_dedupe:
+    4 deterministic matches / 15 comparisons; recall scales it up."""
+    df = spark.createDataFrame(_PROB_RR_DATA, ["unique_id", "first_name", "surname"])
+    settings = {
+        "link_type": "dedupe_only",
+        "blocking_rules_to_generate_predictions": [
+            "l.first_name = r.first_name",
+            "l.surname = r.surname",
+        ],
+        "comparisons": [],
+    }
+    linker = Linker(df, settings)
+    linker.training.estimate_probability_two_random_records_match(
+        ["l.first_name = r.first_name", "l.surname = r.surname"], recall=1.0
+    )
+    assert linker.settings.probability_two_random_records_match == pytest.approx(4 / 15)
+
+    linker.training.estimate_probability_two_random_records_match(
+        ["l.first_name = r.first_name and l.surname = r.surname"], recall=0.9
+    )
+    assert linker.settings.probability_two_random_records_match == pytest.approx(
+        4 / 15 * (1 / 0.9)
+    )
+
+
+def test_prob_rr_match_link_only_literal(spark):
+    """reference ::test_prob_rr_match_link_only — 2 matches / 8 cross-dataset
+    comparisons."""
+    data_1 = [(1, "John", "Smith"), (2, "Mary", "Jones")]
+    data_2 = [(1, "John", "Smyth"), (2, "Mary", "Jones"),
+              (3, "Jane", "Taylor"), (4, "Alice", "Williams")]
+    cols = ["unique_id", "first_name", "surname"]
+    settings = {
+        "link_type": "link_only",
+        "blocking_rules_to_generate_predictions": [
+            "l.first_name = r.first_name",
+            "l.surname = r.surname",
+        ],
+        "comparisons": [],
+        "source_dataset_column_name": "source_dataset",
+    }
+    linker = Linker(
+        {"a": spark.createDataFrame(data_1, cols), "b": spark.createDataFrame(data_2, cols)},
+        settings,
+    )
+    linker.training.estimate_probability_two_random_records_match(
+        ["l.first_name = r.first_name", "l.surname = r.surname"], recall=1.0
+    )
+    assert linker.settings.probability_two_random_records_match == pytest.approx(2 / 8)
+
+
+def test_prob_rr_match_link_and_dedupe_literal(spark):
+    """reference ::test_prob_rr_match_link_and_dedupe — 3 matches / 15
+    comparisons over the union."""
+    data_1 = [(1, "John", "Smith"), (2, "Mary", "Jones"), (3, "Jane", "Tailor")]
+    data_2 = [(1, "John", "Smyth"), (2, "Mary", "Jones"), (3, "Jane", "Taylor")]
+    cols = ["unique_id", "first_name", "surname"]
+    settings = {
+        "link_type": "link_and_dedupe",
+        "blocking_rules_to_generate_predictions": ["1=1"],
+        "comparisons": [],
+        "source_dataset_column_name": "source_dataset",
+    }
+    linker = Linker(
+        {"a": spark.createDataFrame(data_1, cols), "b": spark.createDataFrame(data_2, cols)},
+        settings,
+    )
+    linker.training.estimate_probability_two_random_records_match(
+        ["l.first_name = r.first_name", "l.surname = r.surname"], recall=1.0
+    )
+    assert linker.settings.probability_two_random_records_match == pytest.approx(3 / 15)
+
+
+def test_prob_rr_match_sampled_close_to_exact_and_warns(spark, persons):
+    """reference ::test_prob_rr_match_sampled_probe_is_similar_to_exact —
+    record_sample_proportion < 1 estimates the deterministic-match count from
+    a hash sample (scaled by 1/p^2) and warns when the sampled pair count is
+    below 1,000."""
+    settings = {
+        "link_type": "dedupe_only",
+        "blocking_rules_to_generate_predictions": ["l.dob = r.dob"],
+        "comparisons": [],
+    }
+    exact_linker = Linker(persons, settings)
+    exact_linker.training.estimate_probability_two_random_records_match(
+        [block_on("dob")], recall=1.0, record_sample_proportion=1.0
+    )
+    exact = exact_linker.settings.probability_two_random_records_match
+
+    sampled_linker = Linker(persons, settings)
+    with pytest.warns(UserWarning, match="below the recommended minimum of 1,000"):
+        sampled_linker.training.estimate_probability_two_random_records_match(
+            [block_on("dob")], recall=1.0, record_sample_proportion=0.5
+        )
+    sampled = sampled_linker.settings.probability_two_random_records_match
+    # 12-row fixture: the scaled estimate is noisy but must stay same order
+    assert sampled == pytest.approx(exact, rel=3.0)
+    assert exact > 0
+
+
+# ---------------------------------------------------------------------------
+# calculate_cartesian literals (reference test_total_comparison_count.py)
+# ---------------------------------------------------------------------------
+
+
+def test_calculate_cartesian_dedupe_only():
+    assert calculate_cartesian([5], "dedupe_only") == 10
+    assert calculate_cartesian([8], "dedupe_only") == 28
+    assert calculate_cartesian([10], "dedupe_only") == 45
+    with pytest.raises(ValueError):
+        calculate_cartesian([10, 20], "dedupe_only")
+
+
+def test_calculate_cartesian_link_only():
+    assert calculate_cartesian([2, 3], "link_only") == 6
+    assert calculate_cartesian([7, 11], "link_only") == 77
+    assert calculate_cartesian([2, 2, 2], "link_only") == 12
+    assert calculate_cartesian([2, 3, 5], "link_only") == 31
+    assert calculate_cartesian([1, 1, 1], "link_only") == 3
+    assert calculate_cartesian([2, 2, 2, 2, 2], "link_only") == 40
+    assert calculate_cartesian([5, 5, 5, 5], "link_only") == 150
+    with pytest.raises(ValueError):
+        calculate_cartesian([12], "link_only")
+
+
+def test_calculate_cartesian_link_and_dedupe():
+    assert calculate_cartesian([8], "link_and_dedupe") == 28
+    assert calculate_cartesian([2, 3], "link_and_dedupe") == 10
+    assert calculate_cartesian([7, 11], "link_and_dedupe") == 77 + 21 + 55
+    assert calculate_cartesian([2, 2, 2], "link_and_dedupe") == 15
+    assert calculate_cartesian([1, 1, 1], "link_and_dedupe") == 3
+    assert calculate_cartesian([2, 2, 2, 2, 2], "link_and_dedupe") == 45
+    assert calculate_cartesian([5, 5, 5, 5], "link_and_dedupe") == 190
