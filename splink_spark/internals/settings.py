@@ -168,6 +168,52 @@ def _to_rule(rule: Union[str, BlockingRule]) -> BlockingRule:
     return CustomRule(rule)
 
 
+def referenced_base_columns(settings: Settings) -> list[str]:
+    """Every base input column the model reads: comparison inputs, TF
+    columns, blocking-rule columns, and additional_columns_to_retain.
+    Blocking rules contribute their parsed equality keys plus any suffixed
+    ``<col>_l`` / ``<col>_r`` identifiers found in the (normalised) rule SQL
+    outside string literals."""
+    import re
+
+    cols: list[str] = []
+
+    def add(c):
+        if c and c not in cols:
+            cols.append(c)
+
+    for comp in settings.comparisons:
+        for c in comp.input_columns or []:
+            add(c)
+        for c in comp.tf_adjustment_input_columns:
+            add(c)
+    for rule in settings.blocking_rules_to_generate_predictions:
+        for c in rule.columns or []:
+            add(c)
+        sql = _normalise_rule_sql(rule.description or "")
+        spans = re.split(r"('(?:[^'\\]|\\.|'')*')", sql)
+        for i, s in enumerate(spans):
+            if i % 2 == 0:
+                for m in re.finditer(r"\b([A-Za-z_]\w*?)_[lr]\b", s):
+                    add(m.group(1))
+    for c in settings.additional_columns_to_retain:
+        add(c)
+    return cols
+
+
+def validate_settings_columns(
+    settings: Settings, available_columns: Sequence[str]
+) -> list[str]:
+    """Missing-column check (the raise-free core of the reference's
+    settings_validation/log_invalid_columns.py): returns every base column
+    the model references that no input frame provides. The unique-id column
+    is checked by the caller (a hard error, not a warning)."""
+    avail = {c.lower() for c in available_columns}
+    return sorted(
+        c for c in referenced_base_columns(settings) if c.lower() not in avail
+    )
+
+
 def SettingsCreator(
     link_type: str = "dedupe_only",
     comparisons: Sequence[Comparison] = (),

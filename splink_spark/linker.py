@@ -75,6 +75,29 @@ class Linker:
         if settings.needs_source_dataset and len(self._frames) < 2:
             raise ValueError(f"{settings.link_type} requires >= 2 input tables")
 
+        if validate_settings:
+            # reference settings_validation/log_invalid_columns.py: a missing
+            # unique-id column is fatal; other referenced-but-absent columns
+            # are logged so typos surface before a blocking join fails deep
+            # in a plan
+            from .internals.settings import validate_settings_columns
+
+            available = {c for f in self._frames.values() for c in f.columns}
+            if settings.unique_id_column_name not in available:
+                raise ValueError(
+                    f"unique_id_column_name "
+                    f"{settings.unique_id_column_name!r} not found in input "
+                    f"columns {sorted(available)}"
+                )
+            missing = validate_settings_columns(settings, available)
+            if missing:
+                logger.warning(
+                    "settings reference columns missing from the input "
+                    "table(s): %s — comparisons or blocking rules using them "
+                    "will fail or silently produce null gammas",
+                    missing,
+                )
+
         self.inference = LinkerInference(self)
         self.training = LinkerTraining(self)
         self.clustering = LinkerClustering(self)

@@ -261,3 +261,169 @@ def test_calculate_cartesian_link_and_dedupe():
     assert calculate_cartesian([1, 1, 1], "link_and_dedupe") == 3
     assert calculate_cartesian([2, 2, 2, 2, 2], "link_and_dedupe") == 45
     assert calculate_cartesian([5, 5, 5, 5], "link_and_dedupe") == 190
+
+
+# ---------------------------------------------------------------------------
+# TF adjustment literals (reference test_term_frequencies.py)
+# ---------------------------------------------------------------------------
+
+_CITY_COUNTS = {"London": 40, "Birmingham": 8, "Truro": 2}
+
+
+def _tf_city_linker(spark, **level_extras):
+    data = []
+    i = 0
+    for city, count in _CITY_COUNTS.items():
+        for _ in range(count):
+            data.append((i, city))
+            i += 1
+    df = spark.createDataFrame(data, ["unique_id", "city"])
+    exact = {
+        "sql_condition": "city_l = city_r",
+        "label_for_charts": "Exact match",
+        "tf_adjustment_column": "city",
+        "m_probability": 1.0,
+        "u_probability": 0.2,
+        **level_extras,
+    }
+    settings = {
+        "link_type": "dedupe_only",
+        "comparisons": [{
+            "output_column_name": "city",
+            "comparison_levels": [
+                {"sql_condition": "city_l IS NULL OR city_r IS NULL",
+                 "is_null_level": True},
+                exact,
+                {"sql_condition": "ELSE", "m_probability": 0.01,
+                 "u_probability": 0.8},
+            ],
+        }],
+        "blocking_rules_to_generate_predictions": ["l.city = r.city"],
+        "retain_matching_columns": True,
+        "retain_intermediate_calculation_columns": True,
+    }
+    return Linker(df, settings)
+
+
+def _city_bfs(linker):
+    import pyspark.sql.functions as F
+
+    rows = (
+        linker.inference.predict()
+        .groupBy("city_l")
+        .agg(
+            F.first("bf_gamma_city").alias("bf"),
+            F.first("bf_tf_adj_gamma_city").alias("bf_adj"),
+        )
+        .collect()
+    )
+    return {r["city_l"]: (r["bf"], r["bf_adj"]) for r in rows}
+
+
+def test_tf_basic_literal(spark):
+    """adjusted BF = total/count per term: London 50/40, B'ham 50/8, Truro 50/2."""
+    res = _city_bfs(_tf_city_linker(spark))
+    for city, expect in [("London", 50 / 40), ("Birmingham", 50 / 8), ("Truro", 50 / 2)]:
+        bf, bf_adj = res[city]
+        assert bf == pytest.approx(5.0)
+        assert bf * bf_adj == pytest.approx(expect), city
+
+
+def test_tf_clamp_literal(spark):
+    """tf_minimum_u_value=0.1 floors the term frequency: Truro (tf=0.04)
+    clamps to 10 instead of 25; the common terms are unaffected."""
+    res = _city_bfs(_tf_city_linker(spark, tf_minimum_u_value=0.1))
+    assert res["London"][0] * res["London"][1] == pytest.approx(50 / 40)
+    assert res["Birmingham"][0] * res["Birmingham"][1] == pytest.approx(50 / 8)
+    assert res["Truro"][0] * res["Truro"][1] == pytest.approx(10.0)
+
+
+def test_tf_weight_literal(spark):
+    """tf_adjustment_weight=0.5 takes the square root of the full adjustment."""
+    res = _city_bfs(_tf_city_linker(spark, tf_adjustment_weight=0.5))
+    assert res["London"][0] * res["London"][1] == pytest.approx(5.0 * 0.25**0.5)
+    assert res["Birmingham"][0] * res["Birmingham"][1] == pytest.approx(5.0 * 1.25**0.5)
+    assert res["Truro"][0] * res["Truro"][1] == pytest.approx(5.0 * 5**0.5)
+
+
+def test_tf_weight_and_clamp_literal(spark):
+    """weight and clamp compose: Truro adjustment is sqrt(0.2/0.1)=sqrt(2)."""
+    res = _city_bfs(_tf_city_linker(spark, tf_adjustment_weight=0.5,
+                                    tf_minimum_u_value=0.1))
+    assert res["Truro"][0] * res["Truro"][1] == pytest.approx(5.0 * 2**0.5)
+    assert res["London"][0] * res["London"][1] == pytest.approx(5.0 * 0.25**0.5)
+
+
+# ---------------------------------------------------------------------------
+# prediction-error literals (reference test_accuracy.py)
+# ---------------------------------------------------------------------------
+
+_PRED_ERR_DATA = [
+    (1, "robin", 1), (2, "robin", 1), (3, "john", 1),
+    (4, "david", 2), (5, "david", 3),
+]
+
+_PRED_ERR_SETTINGS = {
+    "link_type": "dedupe_only",
+    "probability_two_random_records_match": 0.5,
+    "comparisons": [{
+        "output_column_name": "first_name",
+        "comparison_levels": [
+            {"sql_condition": '"first_name_l" IS NULL OR "first_name_r" IS NULL',
+             "is_null_level": True},
+            {"sql_condition": '"first_name_l" = "first_name_r"',
+             "m_probability": 0.95, "u_probability": 1e-5},
+            {"sql_condition": "ELSE",
+             "m_probability": 0.05, "u_probability": 1 - 1e-5},
+        ],
+    }],
+    "blocking_rules_to_generate_predictions": ["1=1"],
+}
+
+
+def _id_pairs(df):
+    return {(r["unique_id_l"], r["unique_id_r"]) for r in df.collect()}
+
+
+def test_prediction_errors_from_labels_table_literal(spark):
+    """reference test_accuracy.py::test_prediction_errors_from_labels_table —
+    FNs (1,3),(2,3); FP (4,5); TP (1,2) excluded; the include_* toggles
+    filter each side. Label (0,1) references a non-existent record and must
+    not surface."""
+    df = spark.createDataFrame(_PRED_ERR_DATA, ["unique_id", "first_name", "cluster"])
+    labels = spark.createDataFrame(
+        [(0, 1, 0.8), (1, 3, 0.8), (2, 3, 0.8), (4, 5, 0.1)],
+        "unique_id_l bigint, unique_id_r bigint, clerical_match_score double",
+    )
+    linker = Linker(df, dict(_PRED_ERR_SETTINGS))
+    res = _id_pairs(linker.evaluation.prediction_errors_from_labels_table(labels))
+    assert {(1, 3), (2, 3), (4, 5)} <= res
+    assert (1, 2) not in res and (0, 1) not in res
+
+    res = _id_pairs(linker.evaluation.prediction_errors_from_labels_table(
+        labels, include_false_negatives=False))
+    assert (4, 5) in res and (1, 3) not in res and (2, 3) not in res
+
+    res = _id_pairs(linker.evaluation.prediction_errors_from_labels_table(
+        labels, include_false_positives=False))
+    assert {(1, 3), (2, 3)} <= res and (4, 5) not in res
+
+
+def test_prediction_errors_from_labels_column_literal(spark):
+    """reference test_accuracy.py::test_prediction_errors_from_labels_column —
+    same errors derived from a ground-truth cluster column under 1=1
+    blocking; TNs like (1,5) never surface."""
+    df = spark.createDataFrame(_PRED_ERR_DATA, ["unique_id", "first_name", "cluster"])
+    linker = Linker(df, dict(_PRED_ERR_SETTINGS))
+
+    res = _id_pairs(linker.evaluation.prediction_errors_from_labels_column("cluster"))
+    assert {(1, 3), (2, 3), (4, 5)} <= res
+    assert (1, 2) not in res and (1, 5) not in res
+
+    res = _id_pairs(linker.evaluation.prediction_errors_from_labels_column(
+        "cluster", include_false_positives=False))
+    assert {(1, 3), (2, 3)} <= res and (4, 5) not in res
+
+    res = _id_pairs(linker.evaluation.prediction_errors_from_labels_column(
+        "cluster", include_false_negatives=False))
+    assert (4, 5) in res and (1, 3) not in res and (2, 3) not in res
