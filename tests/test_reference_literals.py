@@ -427,3 +427,53 @@ def test_prediction_errors_from_labels_column_literal(spark):
     res = _id_pairs(linker.evaluation.prediction_errors_from_labels_column(
         "cluster", include_false_negatives=False))
     assert (4, 5) in res and (1, 3) not in res and (2, 3) not in res
+
+
+# ---------------------------------------------------------------------------
+# chunked predict across link types (reference test_chunking.py:
+# test_chunked_predict_link_only_three_datasets / _link_and_dedupe)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("link_type", ["link_only", "link_and_dedupe"])
+def test_chunked_predict_multi_dataset_equals_unchunked(spark, persons, link_type):
+    """Chunking partitions the pair space by endpoint uid-hash; with multiple
+    source datasets the (source, uid) pair orientation must survive the
+    split — the union of all chunks equals the unchunked output exactly."""
+    frames = {
+        "a": persons.where("unique_id % 3 = 0"),
+        "b": persons.where("unique_id % 3 = 1"),
+        "c": persons.where("unique_id % 3 = 2"),
+    }
+    settings = {
+        "link_type": link_type,
+        "probability_two_random_records_match": 0.01,
+        "blocking_rules_to_generate_predictions": ["l.dob = r.dob"],
+        "comparisons": [{
+            "output_column_name": "surname",
+            "comparison_levels": [
+                {"sql_condition": "surname_l IS NULL OR surname_r IS NULL",
+                 "is_null_level": True},
+                {"sql_condition": "surname_l = surname_r",
+                 "m_probability": 0.9, "u_probability": 0.01},
+                {"sql_condition": "ELSE", "m_probability": 0.1,
+                 "u_probability": 0.99},
+            ],
+        }],
+    }
+
+    def rows(df):
+        return sorted(
+            (r["source_dataset_l"], r["unique_id_l"], r["source_dataset_r"],
+             r["unique_id_r"], round(r["match_weight"], 9))
+            for r in df.select("source_dataset_l", "unique_id_l",
+                               "source_dataset_r", "unique_id_r",
+                               "match_weight").collect()
+        )
+
+    unchunked = rows(Linker(frames, dict(settings)).inference.predict())
+    chunked = rows(
+        Linker(frames, dict(settings)).inference.predict(num_chunks_l=2, num_chunks_r=3)
+    )
+    assert len(unchunked) > 0
+    assert chunked == unchunked
