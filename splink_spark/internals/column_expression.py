@@ -99,6 +99,21 @@ class ColumnExpression:
             lambda c: F.try_to_timestamp(c, F.lit(fmt)), "try_parse_timestamp", fmt
         )
 
+    def try_parse_iso_timestamp(self) -> "ColumnExpression":
+        """ISO-8601 timestamp-or-date parse, unparseable → NULL (the
+        reference's default when ``input_is_string`` date levels get no
+        ``datetime_format``: DuckDB's try_strptime ISO behavior). Tries full
+        timestamp, 'T'-separated with/without zone, then bare date."""
+        return self._with(
+            lambda c: F.coalesce(
+                F.try_to_timestamp(c),
+                F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+                F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+                F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),
+            ),
+            "try_parse_iso_timestamp",
+        )
+
     def access_extreme_array_element(self, first_or_last: str) -> "ColumnExpression":
         if first_or_last not in ("first", "last"):
             raise ValueError("first_or_last must be 'first' or 'last'")

@@ -241,29 +241,101 @@ def SoundexMatchLevel(col: ColSpec) -> ComparisonLevel:
 
 _SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "month": 86400 * 365.25 / 12, "year": 86400 * 365.25}
 
+# strptime (C/DuckDB style) → Spark datetime-pattern tokens; used when a
+# reference-style datetime_format like "%Y/%m/%d" reaches a Spark parse
+_STRPTIME_TOKENS = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+    "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSS", "%p": "a",
+    "%j": "DDD", "%b": "MMM", "%B": "MMMM", "%a": "EEE", "%A": "EEEE",
+    "%z": "xx", "%Z": "zz",
+}
 
-def AbsoluteTimeDifferenceLevel(col: ColSpec, threshold: float, metric: str = "day") -> ComparisonLevel:
+
+def _strptime_to_spark_format(fmt: str) -> str:
+    """Convert a strptime-style format (what the reference's DuckDB backend
+    takes as ``datetime_format``) to Spark's datetime pattern. Formats with
+    no ``%`` are assumed to already be Spark patterns and pass through."""
+    if "%" not in fmt:
+        return fmt
+    out = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = fmt[i : i + 2]
+            if tok == "%%":
+                out.append("%")
+            elif tok in _STRPTIME_TOKENS:
+                out.append(_STRPTIME_TOKENS[tok])
+            else:
+                raise ValueError(f"unsupported datetime_format token {tok!r}")
+            i += 2
+        else:
+            ch = fmt[i]
+            # literal letters must be quoted in Spark datetime patterns
+            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            i += 1
+    return "".join(out)
+
+
+def _date_parsed_ce(col: ColSpec, input_is_string: bool, datetime_format):
+    ce = _ce(col)
+    if datetime_format is not None:
+        return ce.try_parse_timestamp(_strptime_to_spark_format(datetime_format))
+    if input_is_string:
+        return ce.try_parse_iso_timestamp()
+    return ce
+
+
+def _validate_time_metric_threshold(metric: str, threshold: float) -> None:
+    if metric not in _SECONDS:
+        raise ValueError(
+            f"invalid date metric {metric!r}: must be one of {sorted(_SECONDS)}"
+        )
+    if threshold < 0:
+        raise ValueError(f"date threshold must be >= 0, got {threshold}")
+
+
+def AbsoluteTimeDifferenceLevel(
+    col: ColSpec,
+    threshold: float,
+    metric: str = "day",
+    input_is_string: bool = False,
+    datetime_format: str = None,
+) -> ComparisonLevel:
     """comparison_level_library.py:715 — |epoch_l - epoch_r| <= seconds.
 
     Uses exact epoch difference (the reference's Spark dialect shortcut to
     datediff-days, dialects.py:493-501, loses sub-day precision; we keep the
     exact semantics the other backends use). Threshold unit conversion
-    matches :774-783 (month = 365.25/12 days).
-    """
-    ce = _ce(col)
+    matches :774-783 (month = 365.25/12 days). ``input_is_string`` parses the
+    column first (ISO 8601, or ``datetime_format`` — strptime-style formats
+    are translated to Spark patterns), unparseable values → NULL, mirroring
+    the reference's ``invalid_dates_as_null`` default."""
+    _validate_time_metric_threshold(metric, threshold)
+    ce = _date_parsed_ce(col, input_is_string, datetime_format)
+    name = _ce(col).name
     seconds = float(threshold) * _SECONDS[metric]
     return ComparisonLevel(
         lambda: F.abs(
             ce.l().cast("timestamp").cast("double") - ce.r().cast("timestamp").cast("double")
         )
         <= seconds,
-        f"Abs difference of '{ce.name} <= {threshold} {metric}'",
+        f"Abs difference of '{name} <= {threshold} {metric}'",
     )
 
 
-def AbsoluteDateDifferenceLevel(col: ColSpec, threshold: float, metric: str = "day") -> ComparisonLevel:
+def AbsoluteDateDifferenceLevel(
+    col: ColSpec,
+    threshold: float,
+    metric: str = "day",
+    input_is_string: bool = False,
+    datetime_format: str = None,
+) -> ComparisonLevel:
     """comparison_level_library.py:839 — same, over dates."""
-    return AbsoluteTimeDifferenceLevel(col, threshold, metric)
+    return AbsoluteTimeDifferenceLevel(
+        col, threshold, metric,
+        input_is_string=input_is_string, datetime_format=datetime_format,
+    )
 
 
 def DistanceInKMLevel(

@@ -30,9 +30,10 @@ def _ladder(
     *,
     exact_tf: bool = False,
     include_exact: bool = True,
+    null_col: ColSpec = None,
 ) -> Comparison:
     name = _name(col)
-    levels: list[ComparisonLevel] = [cll.NullLevel(col)]
+    levels: list[ComparisonLevel] = [cll.NullLevel(null_col if null_col is not None else col)]
     if include_exact:
         levels.append(cll.ExactMatchLevel(col, term_frequency_adjustments=exact_tf))
     levels.extend(mid_levels)
@@ -117,25 +118,69 @@ def DistanceFunctionAtThresholds(
 
 
 def AbsoluteTimeDifferenceAtThresholds(
-    col: ColSpec, metrics: Sequence[str] = ("day",), thresholds: Sequence[float] = (1,)
+    col: ColSpec,
+    metrics: Sequence[str] = ("day",),
+    thresholds: Sequence[float] = (1,),
+    input_is_string: bool = False,
+    datetime_format: str = None,
 ) -> Comparison:
-    """comparison_library.py:420."""
+    """comparison_library.py:420 — exact match, then one time-difference
+    level per (metric, threshold) pair. Argument validation mirrors the
+    reference (:468-486): both lists non-empty and the same length; each
+    level additionally rejects negative thresholds and unknown metrics.
+    ``input_is_string`` / ``datetime_format`` parse string dates first
+    (invalid dates → null)."""
+    metrics = list(_as_list(metrics))
+    thresholds = list(_as_list(thresholds))
+    if len(thresholds) == 0:
+        raise ValueError("thresholds must have at least one entry")
+    if len(metrics) == 0:
+        raise ValueError("metrics must have at least one entry")
+    if len(metrics) != len(thresholds):
+        raise ValueError(
+            "thresholds and metrics must have the same number of entries"
+        )
     mids = [
-        cll.AbsoluteTimeDifferenceLevel(col, t, m) for m, t in zip(metrics, thresholds)
+        cll.AbsoluteTimeDifferenceLevel(
+            col, t, m, input_is_string=input_is_string,
+            datetime_format=datetime_format,
+        )
+        for m, t in zip(metrics, thresholds)
     ]
-    return _ladder(col, mids, f"AbsoluteTimeDifferenceAtThresholds({_name(col)})")
+    # invalid_dates_as_null (reference default): with string inputs the null
+    # level tests the PARSED expression, so unparseable dates route to null
+    null_col = None
+    if input_is_string or datetime_format is not None:
+        null_col = cll._date_parsed_ce(col, input_is_string, datetime_format)
+    return _ladder(
+        col, mids, f"AbsoluteTimeDifferenceAtThresholds({_name(col)})",
+        null_col=null_col,
+    )
 
 
 def AbsoluteDateDifferenceAtThresholds(
-    col: ColSpec, metrics: Sequence[str] = ("day",), thresholds: Sequence[float] = (1,)
+    col: ColSpec,
+    metrics: Sequence[str] = ("day",),
+    thresholds: Sequence[float] = (1,),
+    input_is_string: bool = False,
+    datetime_format: str = None,
 ) -> Comparison:
     """comparison_library.py:541."""
-    return AbsoluteTimeDifferenceAtThresholds(col, metrics, thresholds)
+    return AbsoluteTimeDifferenceAtThresholds(
+        col, metrics, thresholds,
+        input_is_string=input_is_string, datetime_format=datetime_format,
+    )
 
 
 def ArrayIntersectAtSizes(col: ColSpec, size_threshold_or_thresholds=(1,)) -> Comparison:
-    """comparison_library.py:551 — descending sizes, no exact level."""
+    """comparison_library.py:551 — descending sizes, no exact level.
+    Non-positive sizes are rejected (reference raises ValueError: a
+    ``size >= 0`` level is always true and swallows every later level)."""
     ts = sorted(_as_list(size_threshold_or_thresholds), reverse=True)
+    if any(t <= 0 for t in ts):
+        raise ValueError(
+            f"size thresholds must be positive integers, got {ts}"
+        )
     return _ladder(
         col,
         [cll.ArrayIntersectLevel(col, t) for t in ts],

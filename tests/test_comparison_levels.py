@@ -163,6 +163,101 @@ def test_array_intersect_and_subset(spark):
     ])
 
 
+def test_array_subset_empty_is_subset_reference_cases(spark):
+    """reference test_array_columns.py::test_array_subset — with
+    empty_is_subset=True an empty side counts as a subset (incl. both
+    empty); the default treats empties as non-subsets."""
+    comp = _comp([
+        cll.NullLevel("c"),
+        cll.ArraySubsetLevel("c", empty_is_subset=True),
+        cll.ElseLevel(),
+    ])
+    run_gamma_tests(spark, comp, {"c": "array<string>"}, [
+        (["a", "b", "c", "d"], ["a", "b", "c", "d"], 1),
+        (["a", "b", "c", "d"], ["a", "b", "c", "z"], 0),
+        (["a", "b"], ["a", "b", "c", "d"], 1),
+        ([], ["x", "y", "z"], 1),   # empty IS subset here
+        ([], [], 1),
+    ])
+
+
+def test_array_intersect_at_sizes_rejects_non_positive(spark):
+    """reference test_array_columns.py: ArrayIntersectAtSizes([-1, 2])
+    raises — a size >= 0 level is vacuously true."""
+    import splink_spark.internals.comparison_library as cl
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cl.ArrayIntersectAtSizes("c", [-1, 2])
+    with _pytest.raises(ValueError):
+        cl.ArrayIntersectAtSizes("c", [0])
+
+
+def test_alternative_date_format_reference_cases(spark):
+    """reference test_date_levels_and_comparisons.py::test_alternative_date_format
+    — strptime-style datetime_format (%Y/%m/%d) parses before comparing;
+    unparseable dates hit the null level. Ladder: exact(3), 3-day(2),
+    2-month(1), else(0)."""
+    import splink_spark.internals.comparison_library as cl
+
+    comp = cl.AbsoluteDateDifferenceAtThresholds(
+        "c", thresholds=[3, 2], metrics=["day", "month"],
+        input_is_string=True, datetime_format="%Y/%m/%d",
+    )
+    run_gamma_tests(spark, comp, {"c": "string"}, [
+        ("2000/01/01", "2020/01/01", 0),
+        ("2000/01/01", "2000/01/15", 1),   # <= 2 months
+        ("2000/01/01", "2000/01/02", 2),   # <= 3 days
+        ("2000/ab/cd", "2000/01/28", -1),  # unparseable -> null
+    ])
+
+
+def test_time_difference_iso_string_inputs(spark):
+    """reference ::test_absolute_time_difference_levels — ISO strings parse
+    by default when input_is_string=True (minute metric, threshold 1)."""
+    comp = _comp([
+        cll.NullLevel(
+            __import__("splink_spark.internals.column_expression",
+                       fromlist=["ColumnExpression"])
+            .ColumnExpression("c").try_parse_iso_timestamp()
+        ),
+        cll.AbsoluteTimeDifferenceLevel("c", 1, "minute", input_is_string=True),
+        cll.ElseLevel(),
+    ])
+    run_gamma_tests(spark, comp, {"c": "string"}, [
+        ("2023-02-07T14:45:00Z", "2023-02-07T14:45:59Z", 1),
+        ("2023-02-07T14:45:00Z", "2023-02-07T14:46:01Z", 0),
+        ("2023-02-07 14:45:00", "2023-02-07 14:45:30", 1),
+        ("not a time", "2023-02-07T14:46:01Z", -1),
+    ])
+
+
+def test_time_difference_error_logger_reference_cases():
+    """reference ::test_time_difference_error_logger — mismatched lengths,
+    empty lists, negative thresholds, and unknown metrics all raise at
+    construction."""
+    import pytest as _pytest
+
+    import splink_spark.internals.comparison_library as cl
+
+    with _pytest.raises(ValueError):
+        cl.AbsoluteDateDifferenceAtThresholds(
+            "dob", thresholds=[1], metrics=["day", "month", "year", "year"],
+            input_is_string=True)
+    with _pytest.raises(ValueError):
+        cl.AbsoluteDateDifferenceAtThresholds(
+            "dob", thresholds=[-1], metrics=["day"], input_is_string=True)
+    with _pytest.raises(ValueError):
+        cl.AbsoluteDateDifferenceAtThresholds(
+            "dob", thresholds=[1], metrics=["dy"], input_is_string=True)
+    with _pytest.raises(ValueError):
+        cl.AbsoluteDateDifferenceAtThresholds(
+            "dob", thresholds=[], metrics=["dy"], input_is_string=True)
+    with _pytest.raises(ValueError):
+        cl.AbsoluteDateDifferenceAtThresholds(
+            "dob", thresholds=[1], metrics=[], input_is_string=True)
+
+
 def test_cosine_similarity_level(spark):
     comp = _comp([
         cll.NullLevel("c"), cll.CosineSimilarityLevel("c", 0.99),
