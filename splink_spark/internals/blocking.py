@@ -143,17 +143,39 @@ def _equality_columns_from_sql(sql: str) -> list:
     # to every other NULL row, a block the per-key cardinality estimator and
     # EM's exact-match blocking adjustment cannot see — claiming its columns
     # would silently mis-estimate, so it parses as "no recognized columns"
-    pat_suffix = re.compile(r"^\s*`?(\w+)`?_l\s*=\s*`?(\w+)`?_r\s*$")
-    pat_alias = re.compile(r"^\s*l\.`?(\w+)`?\s*=\s*r\.`?(\w+)`?\s*$")
+    # identifiers may be bare words, backticked, or double-quoted (the
+    # reference's quoting style) — quoted forms admit spaces
+    ident = r'(?:`([^`]+)`|"([^"]+)"|(\w+))'
+    pat_suffix = re.compile(rf"^\s*{ident}\s*=\s*{ident}\s*$")
+    pat_alias = re.compile(rf'^\s*"?l"?\.{ident}\s*=\s*"?r"?\.{ident}\s*$')
+
+    def _one(groups):
+        return next((g for g in groups if g is not None), None)
+
     cols = []
     for part in re.split(r"(?i)\s+and\s+", sql.strip()):
         part = part.strip()
         if part.startswith("(") and part.endswith(")"):
             part = part[1:-1].strip()
-        m = pat_suffix.match(part) or pat_alias.match(part)
-        if not m or m.group(1) != m.group(2):
-            return []
-        cols.append(m.group(1))
+        m = pat_alias.match(part)
+        if m:
+            a, b = _one(m.groups()[:3]), _one(m.groups()[3:])
+            if a is None or a != b:
+                return []
+            cols.append(a)
+            continue
+        m = pat_suffix.match(part)
+        if m:
+            a, b = _one(m.groups()[:3]), _one(m.groups()[3:])
+            if (
+                a is None or b is None
+                or not a.endswith("_l") or not b.endswith("_r")
+                or a[:-2] != b[:-2]
+            ):
+                return []
+            cols.append(a[:-2])
+            continue
+        return []
     return cols
 
 
@@ -175,13 +197,27 @@ def _normalise_rule_sql(sql: str) -> str:
     # span and gets rewritten)
     spans = re.split(r"('(?:[^'\\]|\\.|'')*')", sql)
     if not any(
-        re.search(r"\b[lr]\.\w", s) for i, s in enumerate(spans) if i % 2 == 0
+        re.search(r'(\b[lr]\.["\w`])|("(?:l|r)"\.)', s)
+        for i, s in enumerate(spans)
+        if i % 2 == 0
     ):
         return sql
     out = []
     for i, s in enumerate(spans):
         if i % 2 == 0:
-            s = re.sub(r'"([A-Za-z_][A-Za-z0-9_]*)"', r"`\1`", s)
+            # alias + quoted identifier (spaces allowed): l."SUR name" or
+            # "l"."SUR name" → `SUR name_l`
+            s = re.sub(
+                r'\b([lr])\."([^"]+)"',
+                lambda m: f"`{m.group(2)}_{m.group(1)}`",
+                s,
+            )
+            s = re.sub(
+                r'"([lr])"\.(?:"([^"]+)"|(\w+))',
+                lambda m: f"`{(m.group(2) or m.group(3))}_{m.group(1)}`",
+                s,
+            )
+            s = re.sub(r'"([A-Za-z_][A-Za-z0-9_ ]*)"', r"`\1`", s)
             s = re.sub(r"\bl\.(\w+)", r"\1_l", s)
             s = re.sub(r"\br\.(\w+)", r"\1_r", s)
         out.append(s)

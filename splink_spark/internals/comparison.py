@@ -68,7 +68,9 @@ class Comparison:
 
     @property
     def gamma_column_name(self) -> str:
-        return f"{self.gamma_prefix}{self.output_column_name}"
+        # spaces sanitised like the reference (comparison.py:189-190) so the
+        # output column is always a plain identifier
+        return f"{self.gamma_prefix}{self.output_column_name}".replace(" ", "_")
 
     @property
     def num_levels(self) -> int:
@@ -142,7 +144,7 @@ class Comparison:
             cond = gamma == F.lit(lv.comparison_vector_value)
             expr = F.when(cond, c) if expr is None else expr.when(cond, c)
         assert expr is not None
-        return expr.otherwise(F.lit(0.0)).alias(f"{self.mw_prefix}{self.output_column_name}")
+        return expr.otherwise(F.lit(0.0)).alias(f"{self.mw_prefix}{self.output_column_name}".replace(" ", "_"))
 
     def log2_tf_adjustment_column(self) -> Optional[Column]:
         """log2 of the TF-adjusted multiplier: w * (log2(u_exact) - log2(tf))
@@ -170,7 +172,7 @@ class Comparison:
             arm = F.when(tf_term.isNotNull() & (tf_term > 0), adj).otherwise(F.lit(0.0))
             expr = F.when(cond, arm) if expr is None else expr.when(cond, arm)
         assert expr is not None
-        return expr.otherwise(F.lit(0.0)).alias(f"{self.mw_prefix}tf_{self.output_column_name}")
+        return expr.otherwise(F.lit(0.0)).alias(f"{self.mw_prefix}tf_{self.output_column_name}".replace(" ", "_"))
 
     def tf_adjustment_column_expr(self) -> Optional[Column]:
         """Term-frequency adjusted bayes-factor multiplier (``bf_tf_adj_*``).

@@ -494,13 +494,14 @@ def level_spec_dict(lv: ComparisonLevel) -> dict:
 
 def _normalise_identifier_quoting(sql: str) -> str:
     """Reference settings JSON carries dialect-quoted identifiers
-    (``"first_name_l"``); Spark quotes with backticks and reads double quotes
-    as string literals. Rewrite double-quoted IDENTIFIERS (single token, no
-    spaces) to backticks — real string literals in splink conditions are
-    single-quoted, so this is safe."""
+    (``"first_name_l"`` — possibly with spaces, ``"SUR name_l"``); Spark
+    quotes with backticks and reads double quotes as string literals.
+    Rewrite double-quoted IDENTIFIERS (word characters and interior spaces,
+    starting with a letter/underscore) to backticks — real string literals
+    in splink conditions are single-quoted, so this is safe."""
     import re
 
-    return re.sub(r'"([A-Za-z_][A-Za-z0-9_]*)"', r"`\1`", sql)
+    return re.sub(r'"([A-Za-z_][A-Za-z0-9_ ]*)"', r"`\1`", sql)
 
 
 def _level_from_reference_dict(d: dict) -> ComparisonLevel:

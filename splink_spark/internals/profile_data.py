@@ -16,18 +16,20 @@ from pyspark.sql.window import Window
 
 def column_value_frequencies(df: DataFrame, column: str) -> DataFrame:
     """(value, value_count, percentile) — the distribution-of-counts table
-    behind the reference's profile charts."""
+    behind the reference's profile charts. ``column`` may be a plain name,
+    a reference-quoted identifier, or a SQL expression."""
+    e = _profile_expr(column)
     counts = (
-        df.where(F.col(column).isNotNull())
-        .groupBy(column)
+        df.where(e.isNotNull())
+        .groupBy(e.alias("__value"))
         .agg(F.count(F.lit(1)).alias("value_count"))
     )
     total = Window.partitionBy()
-    w = Window.orderBy(F.desc("value_count"), F.asc(column)).rowsBetween(
+    w = Window.orderBy(F.desc("value_count"), F.asc("__value")).rowsBetween(
         Window.unboundedPreceding, 0
     )
     return counts.select(
-        F.col(column).cast("string").alias("value"),
+        F.col("__value").cast("string").alias("value"),
         "value_count",
         (
             F.sum("value_count").over(w).cast("double")
@@ -52,18 +54,38 @@ def bottom_n_values(df: DataFrame, column: str, n: int = 10) -> DataFrame:
     )
 
 
+def _profile_expr(spec: str):
+    """A profile target may be a plain column, a reference-style
+    double-quoted identifier (possibly with spaces, ``"SUR name"``), or an
+    arbitrary SQL expression (``concat(city, first_name)``,
+    ``first_name || "SUR name"``) — reference profile_data.py accepts all
+    three. Double-quoted identifiers become backticks for Spark's parser."""
+    import re
+
+    s = spec.strip()
+    if re.fullmatch(r"[A-Za-z_]\w*", s):
+        return F.col(s)
+    s = re.sub(r'"([A-Za-z_][A-Za-z0-9_ ]*)"', r"`\1`", s)
+    if re.fullmatch(r"`[^`]+`", s):
+        return F.col(s[1:-1])
+    return F.expr(s)
+
+
 def profile_columns(df: DataFrame, columns: Optional[Sequence[str]] = None) -> DataFrame:
     """Summary stats per column: non-null count, distinct count, top value.
 
-    distinct counts use approx_count_distinct — exact distinct over every
-    column would be one full shuffle per column at 100 TB.
+    Targets may be plain columns, quoted identifiers, or SQL expressions
+    (reference profile_data.py). distinct counts use approx_count_distinct —
+    exact distinct over every column would be one full shuffle per column at
+    100 TB.
     """
     columns = list(columns or df.columns)
     aggs = []
     for c in columns:
+        e = _profile_expr(c)
         aggs += [
-            F.count(F.col(c)).alias(f"{c}__nonnull"),
-            F.approx_count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.count(e).alias(f"{c}__nonnull"),
+            F.approx_count_distinct(e).alias(f"{c}__distinct"),
         ]
     row = df.agg(*aggs).collect()[0].asDict()
     total = df.count()

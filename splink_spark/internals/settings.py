@@ -194,6 +194,12 @@ def referenced_base_columns(settings: Settings) -> list[str]:
         spans = re.split(r"('(?:[^'\\]|\\.|'')*')", sql)
         for i, s in enumerate(spans):
             if i % 2 == 0:
+                # backticked identifiers may contain spaces; strip them out
+                # before the bare-token scan so "SUR name_l" doesn't
+                # misparse as a column called "name"
+                for m in re.finditer(r"`([^`]+)_[lr]`", s):
+                    add(m.group(1))
+                s = re.sub(r"`[^`]*`", " ", s)
                 for m in re.finditer(r"\b([A-Za-z_]\w*?)_[lr]\b", s):
                     add(m.group(1))
     for c in settings.additional_columns_to_retain:

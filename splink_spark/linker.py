@@ -650,12 +650,17 @@ class LinkerInference:
         return self.score_pairs(missing)
 
     def compare_two_records(self, record_1: dict, record_2: dict) -> DataFrame:
-        """realtime.py:44-159 — score one pair without blocking."""
+        """realtime.py:44-159 — score one pair without blocking.
+
+        Record values are coerced to the base table's schema (ISO date /
+        timestamp / numeric strings accepted, unparseable → NULL), matching
+        the implicit casts users get when the reference registers records
+        through its SQL backend."""
         s = self._l.settings
         spark = self._l.spark
         concat = self._l.df_concat()
-        r1 = dict(record_1)
-        r2 = dict(record_2)
+        r1 = _coerce_record_to_schema(record_1, concat.schema)
+        r2 = _coerce_record_to_schema(record_2, concat.schema)
         r1.setdefault(s.unique_id_column_name, 0)
         r2.setdefault(s.unique_id_column_name, 1)
         two = spark.createDataFrame([r1, r2], schema=concat.schema)
@@ -1367,6 +1372,39 @@ class LinkerBlockingAnalysis:
             unique_id_column_name=s.unique_id_column_name,
             n_largest=n,
         )
+
+
+def _coerce_record_to_schema(rec: dict, schema) -> dict:
+    """Cast string record values to the schema's date/timestamp/numeric
+    types (ISO formats); unparseable values become NULL, mirroring the
+    implicit TRY_CAST the reference's SQL backends apply when registering
+    python records against an existing table."""
+    import datetime
+
+    out = dict(rec)
+    for f in schema.fields:
+        v = out.get(f.name)
+        if v is None or not isinstance(v, str):
+            continue
+        t = f.dataType.typeName()
+        try:
+            if t == "date":
+                out[f.name] = datetime.date.fromisoformat(v)
+            elif t == "timestamp":
+                out[f.name] = datetime.datetime.fromisoformat(
+                    v.replace("Z", "+00:00")
+                )
+            elif t in ("long", "integer", "short", "byte"):
+                out[f.name] = int(v)
+            elif t in ("double", "float"):
+                out[f.name] = float(v)
+            elif t == "decimal":
+                from decimal import Decimal
+
+                out[f.name] = Decimal(v)
+        except (ValueError, ArithmeticError):
+            out[f.name] = None
+    return out
 
 
 def _normalise_frames(inp: FrameInput) -> dict[str, DataFrame]:
