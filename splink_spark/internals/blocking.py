@@ -261,6 +261,15 @@ def CustomRule(
 def rule_from_spec(spec: dict) -> BlockingRule:
     from .column_expression import ColumnExpression
 
+    if "builder" not in spec and "blocking_rule" in spec:
+        # reference-format dict (BlockingRule.as_dict shape): blocking_rule
+        # SQL + arrays_to_explode / salting_partitions (+ sql_dialect,
+        # ignored — conditions are normalised to this engine's convention)
+        return CustomRule(
+            spec["blocking_rule"],
+            arrays_to_explode=spec.get("arrays_to_explode"),
+            salting_partitions=int(spec.get("salting_partitions", 1)),
+        )
     if spec["builder"] == "block_on":
         args = [
             ColumnExpression.from_dict(a["__ce__"]) if isinstance(a, dict) else a

@@ -477,3 +477,197 @@ def test_chunked_predict_multi_dataset_equals_unchunked(spark, persons, link_typ
     )
     assert len(unchunked) > 0
     assert chunked == unchunked
+
+
+# ---------------------------------------------------------------------------
+# blocking-analysis count literals (reference test_analyse_blocking.py)
+# ---------------------------------------------------------------------------
+
+
+def test_count_comparisons_literals_across_link_types(spark):
+    """reference test_analyse_blocking.py::test_analyse_blocking_slow_methodology
+    — exact marginal counts for 1=1 and equality rules across dedupe_only /
+    link_only (2 and 3 frames) / link_and_dedupe."""
+    from splink_spark.blocking_analysis import count_comparisons_from_blocking_rules
+
+    cols = ["unique_id", "first_name", "surname"]
+    df_1 = spark.createDataFrame(
+        [(1, "John", "Smith"), (2, "Mary", "Jones"),
+         (3, "Jane", "Taylor"), (4, "John", "Brown")], cols)
+    df_2 = spark.createDataFrame(
+        [(1, "John", "Smyth"), (2, "Mary", "Jones"), (3, "Jayne", "Tailor")], cols)
+    df_3 = spark.createDataFrame(
+        [(1, "John", "Smith"), (2, "Mary", "Jones")], cols)
+
+    def count(dfs, rules, link_type):
+        return count_comparisons_from_blocking_rules(
+            dfs, blocking_rules=rules, link_type=link_type,
+            unique_id_column_name="unique_id", record_sample_proportion=1.0,
+        )[0]["marginal_comparison_count"]
+
+    assert count(df_1, "1=1", "dedupe_only") == 4 * 3 / 2
+    assert count(df_1, block_on("first_name"), "dedupe_only") == 1
+
+    assert count([df_1, df_2], "1=1", "link_only") == 4 * 3
+    assert count([df_1, df_2], block_on("surname"), "link_only") == 1
+    assert count([df_1, df_2], block_on("first_name"), "link_only") == 3
+    assert count([df_1, df_2, df_3], "1=1", "link_only") == 4 * 3 + 4 * 2 + 2 * 3
+
+    assert (
+        count([df_1, df_2], "1=1", "link_and_dedupe")
+        == 4 * 3 + (4 * 3 / 2) + (3 * 2 / 2)
+    )
+    assert count(
+        [df_1, df_2],
+        "l.first_name = r.first_name and l.surname = r.surname",
+        "link_and_dedupe",
+    ) == 1
+    assert count(
+        [df_1, df_2], block_on("first_name", "surname"), "link_and_dedupe"
+    ) == 1
+
+
+def test_count_comparisons_exploding_literals(spark):
+    """reference ::test_blocking_analysis_slow_methodology_exploding — array
+    blocking keys count DISTINCT pairs after the explode-join."""
+    from splink_spark.blocking_analysis import count_comparisons_from_blocking_rules
+
+    schema = "unique_id bigint, first_name string, postcode array<bigint>"
+    df_1 = spark.createDataFrame(
+        [(1, "John", [1001, 1002]), (2, "Mary", [1002, 1003]),
+         (3, "Jane", [1003]), (4, "John", [1001])], schema)
+    df_2 = spark.createDataFrame(
+        [(1, "John", [1001, 1004]), (2, "Mary", [1003, 1004]),
+         (3, "Jayne", [1003])], schema)
+
+    rule = block_on("postcode", arrays_to_explode=["postcode"])
+    res = count_comparisons_from_blocking_rules(
+        [df_1, df_2], blocking_rules=rule, link_type="link_only",
+        unique_id_column_name="unique_id", record_sample_proportion=1.0,
+    )[0]["marginal_comparison_count"]
+    assert res == 6
+
+    res = count_comparisons_from_blocking_rules(
+        [df_1, df_2], blocking_rules=rule, link_type="link_and_dedupe",
+        unique_id_column_name="unique_id", record_sample_proportion=1.0,
+    )[0]["marginal_comparison_count"]
+    assert res == 3 + 6 + 2
+
+
+def test_count_comparisons_exploding_two_arrays_and_predicate(spark):
+    """reference ::test_blocking_analysis_slow_methodology_exploding_2 — two
+    exploded array columns plus a non-equality predicate; expected count is
+    the brute-force cross-join with array intersections."""
+    from splink_spark.blocking_analysis import count_comparisons_from_blocking_rules
+
+    rows_1 = [
+        (1, "John", [1, 2], [2, 3], 5),
+        (2, "Mary", [10, 11, 12, 13], [11, 12], 5),
+    ]
+    rows_2 = [
+        (1, "John", [1, 4], [1, 2, 3], 5),
+        (2, "John", [5], [1, 2, 3], 5),
+        (3, "John", [1], [1], 5),
+        (4, "John", [1], [3], 1),
+        (5, "Mary", [10], [11, 12], 5),
+        (6, "Mary", [10], [11, 12], 1),
+        (7, "Mary", [10, 11, 12, 13], [11, 12], 1),
+    ]
+    expected = sum(
+        1
+        for (_, fn_l, pc_l, age_l, _amt_l) in rows_1
+        for (_, fn_r, pc_r, age_r, amt_r) in rows_2
+        if fn_l == fn_r
+        and set(pc_l) & set(pc_r)
+        and set(age_l) & set(age_r)
+        and amt_r > 2
+    )
+    schema = (
+        "unique_id bigint, first_name string, postcode array<bigint>, "
+        "age array<bigint>, amount bigint"
+    )
+    df_1 = spark.createDataFrame(rows_1, schema)
+    df_2 = spark.createDataFrame(rows_2, schema)
+
+    rule = {
+        "blocking_rule": (
+            "l.first_name = r.first_name and l.postcode = r.postcode "
+            "and l.age = r.age and r.amount > 2"
+        ),
+        "arrays_to_explode": ["postcode", "age"],
+    }
+    res = count_comparisons_from_blocking_rules(
+        [df_1, df_2], blocking_rules=rule, link_type="link_only",
+        unique_id_column_name="unique_id",
+        source_dataset_column_name="source_dataset",
+        record_sample_proportion=1.0,
+    )[0]["marginal_comparison_count"]
+    assert res == expected and expected > 0
+
+
+def test_count_comparisons_preconcat_equals_separate_frames(spark):
+    """reference ::test_source_dataset_works_as_expected — a pre-concatenated
+    frame with its own source-dataset column must count exactly like passing
+    the frames separately (link_only counts cross-dataset pairs only)."""
+    from splink_spark.blocking_analysis import count_comparisons_from_blocking_rules
+
+    cols = ["unique_id", "first_name", "surname"]
+    data_1 = [(1, "John", "Smith"), (2, "Mary", "Jones"),
+              (3, "Jane", "Taylor"), (4, "John", "Brown")]
+    data_2 = [(1, "John", "Smyth"), (2, "Mary", "Jones"), (3, "Jayne", "Tailor")]
+    df_1 = spark.createDataFrame(data_1, cols)
+    df_2 = spark.createDataFrame(data_2, cols)
+    concat = spark.createDataFrame(
+        [(*r, "df_1") for r in data_1] + [(*r, "df_2") for r in data_2],
+        cols + ["src_dataset"],
+    )
+
+    r1 = count_comparisons_from_blocking_rules(
+        concat, blocking_rules=[block_on("first_name")], link_type="link_only",
+        unique_id_column_name="unique_id",
+        source_dataset_column_name="src_dataset",
+        record_sample_proportion=1.0,
+    )
+    r2 = count_comparisons_from_blocking_rules(
+        [df_1, df_2], blocking_rules=[block_on("first_name")],
+        link_type="link_only", unique_id_column_name="unique_id",
+        source_dataset_column_name="source_dataset",
+        record_sample_proportion=1.0,
+    )
+    assert [r["marginal_comparison_count"] for r in r1] == [
+        r["marginal_comparison_count"] for r in r2
+    ]
+    assert (
+        r1[0]["total_possible_comparison_count"]
+        == r2[0]["total_possible_comparison_count"]
+    )
+
+
+def test_blocking_records_accuracy_literals(spark):
+    """reference ::test_blocking_records_accuracy — per-rule marginal and
+    cumulative counts with rule-overlap dedup and a NULL dob that must not
+    self-match."""
+    from splink_spark.blocking_analysis import count_comparisons_from_blocking_rules
+
+    df = spark.createDataFrame(
+        [(1, "Tom", "Fox", "1980-01-01"), (2, "Amy", "Lee", "1980-01-01"),
+         (3, "Tom", "Ray", "1980-03-22"), (4, "Kim", "Lee", None)],
+        ["unique_id", "first_name", "surname", "dob"],
+    )
+
+    def check(rules, marginal, cumulative):
+        recs = count_comparisons_from_blocking_rules(
+            df, blocking_rules=rules, link_type="dedupe_only",
+            unique_id_column_name="unique_id", record_sample_proportion=1.0,
+        )
+        assert [r["marginal_comparison_count"] for r in recs] == marginal
+        assert [r["cumulative_comparison_count"] for r in recs] == cumulative
+        assert recs[0]["total_possible_comparison_count"] == 4 * 3 / 2
+
+    check([block_on("first_name")], [1], [1])
+    check(["l.surname = r.surname", "l.first_name = r.first_name"], [1, 1], [1, 2])
+    check(
+        [block_on("first_name"), block_on("first_name", "surname"), "l.dob = r.dob"],
+        [1, 0, 1],
+        [1, 1, 2],
+    )
