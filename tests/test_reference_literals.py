@@ -671,3 +671,51 @@ def test_blocking_records_accuracy_literals(spark):
         [1, 0, 1],
         [1, 1, 2],
     )
+
+
+# ---------------------------------------------------------------------------
+# great-circle distance literals (reference test_lat_long_distance.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "lat_l,long_l,lat_r,long_r,expected",
+    [
+        (0, 0, 0, 90, 10007),
+        (0, 0, 90, 0, 10007),
+        (-25, 0, 0, 90, 10007),
+        (45, -30, 45, 150, 10007),
+        (40, -20, 40, -20, 0),
+        # identical points that overflow a naive ACOS formula (reference
+        # issue #1005) — haversine is immune but must still return 0
+        (29.7517, -95.4054, 29.7517, -95.4054, 0),
+        (20, 40, -20, -140, 2 * 10007),
+        (89, -60, -89, 120, 2 * 10007),
+        (51.484, -0.115, -37.82, 144.983, 16905),
+        (-78.525483, -85.617147, 68.9195, -29.898533, 16783),
+        (37.814056, -122.477898, 37.825531, -122.479236, 1.2814),
+        (89.9, 0, 89.9, 180, 22.24),
+        (90, 30, 89.8, 40, 22.24),
+        (0, -24, 0, -24.2, 22.24),
+    ],
+)
+def test_lat_long_distance_formula_literals(
+    spark, lat_l, long_l, lat_r, long_r, expected
+):
+    """reference test_lat_long_distance.py — the great-circle distances the
+    reference pins (12742 km diameter spherical model), rel 1e-4 / abs 1e-3."""
+    from pyspark.sql import functions as F
+
+    from splink_spark.internals.functions import haversine_km
+
+    row = (
+        spark.range(1)
+        .select(
+            haversine_km(
+                F.lit(float(lat_l)), F.lit(float(long_l)),
+                F.lit(float(lat_r)), F.lit(float(long_r)),
+            ).alias("d")
+        )
+        .collect()[0]
+    )
+    assert row["d"] == pytest.approx(expected, rel=1e-4, abs=1e-3)
