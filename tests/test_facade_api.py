@@ -209,3 +209,45 @@ def test_spark_api_register_workflow(spark, small):
     d3 = api.register([{"unique_id": 1, "name": "z", "city": "q"}])
     assert d3.count() == 1
     assert api.query_sql("SELECT 1 AS one").collect()[0]["one"] == 1
+
+
+def test_register_accepts_all_input_formats(spark):
+    """reference test_dataframe_in_out_formats.py — list-of-dicts, pandas,
+    and pyarrow inputs all register; outputs convert back to pandas /
+    records / dicts via native Spark."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from splink_spark.database_api import SparkAPI
+
+    api = SparkAPI(spark_session=spark)
+    records = [
+        {"unique_id": 1, "first_name": "John", "surname": "Smith"},
+        {"unique_id": 2, "first_name": "Mary", "surname": "Jones"},
+    ]
+
+    from_list = api.register(records, table_name="t_list")
+    from_pandas = api.register(pd.DataFrame(records), table_name="t_pandas")
+    from_arrow = api.register(pa.Table.from_pylist(records), table_name="t_arrow")
+
+    def as_sorted_dicts(df):
+        return sorted(
+            (r.asDict() for r in df.collect()), key=lambda d: d["unique_id"]
+        )
+
+    expected = sorted(records, key=lambda d: d["unique_id"])
+    assert as_sorted_dicts(from_list) == expected
+    assert as_sorted_dicts(from_pandas) == expected
+    assert as_sorted_dicts(from_arrow) == expected
+
+    # out: pandas / pyarrow round trip
+    pdf = from_list.toPandas()
+    assert list(pdf["first_name"]) == ["John", "Mary"]
+    tbl = pa.Table.from_pandas(pdf)
+    assert tbl.num_rows == 2
+
+    # duplicate table_name rejected (reference register semantics)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        api.register(records, table_name="t_list")
