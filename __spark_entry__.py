@@ -380,6 +380,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _session(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
         return ann.kmeans_fit_assign(emb, k=8, iterations=2)
 
+    def q_semantic_dedup(spark, sf_dir):
+        """SemDeDup (arXiv:2303.09540): exact-int64 k-means blocks the
+        within-cluster pair join; duplicate groups are CC of the
+        epsilon-similarity graph; keep the member FARTHEST from its
+        centroid (the paper's diversity rule)."""
+        emb = _session(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+        return dedup.semantic_dedup(emb, k=8, iterations=2, threshold=0.25)
+
     def q_tfidf_top_terms(spark, sf_dir):
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
         return curation.tfidf_top_terms(docs, k=5)
@@ -1253,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "quality_score": q_quality_score,
         "kmeans_assign": q_kmeans,
+        "semantic_dedup": q_semantic_dedup,
         "tfidf_top_terms": q_tfidf_top_terms,
         "curate_corpus": q_curate_corpus,
         "corpus_stats": q_corpus_stats,
@@ -2096,6 +2105,44 @@ SELECT vec_id, cluster, round(dot / 1000000000000.0, 6) AS cosine_sim FROM (
     row_number() OVER (PARTITION BY e.vec_id
       ORDER BY list_inner_product(e.q, c.q) DESC, c.cluster ASC) AS rn
   FROM e CROSS JOIN c2 c) WHERE rn = 1
+    """
+
+    # SemDeDup: same k-means index, within-cluster integer-dot pairs at
+    # threshold 0.25 * scale^2, recursive-CTE connected components, keep
+    # the lowest-centroid-dot member per group (id tie-break)
+    sqls["semantic_dedup"] = _kmeans_cte.replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    ) + """
+, af AS (
+  SELECT vec_id, q, cluster, dot FROM (
+    SELECT e.vec_id, e.q, c.cluster, list_inner_product(e.q, c.q) AS dot,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY list_inner_product(e.q, c.q) DESC, c.cluster ASC) AS rn
+    FROM e CROSS JOIN c2 c) WHERE rn = 1
+),
+p AS (
+  SELECT l.vec_id AS a, r.vec_id AS b
+  FROM af l JOIN af r ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+  WHERE list_inner_product(l.q, r.q) >= 250000000000
+),
+und AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+walk(node, reach) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT w.node, u.b FROM walk w JOIN und u ON w.reach = u.a
+),
+cc AS (SELECT node AS vec_id, min(reach) AS group_id FROM walk GROUP BY node),
+ranked AS (
+  SELECT af.vec_id, af.cluster, cc.group_id, af.dot,
+    first_value(af.vec_id) OVER (
+      PARTITION BY cc.group_id ORDER BY af.dot ASC, af.vec_id ASC
+    ) AS exemplar_id
+  FROM af JOIN cc USING (vec_id)
+)
+SELECT vec_id, cluster, group_id, exemplar_id,
+       vec_id = exemplar_id AS is_kept,
+       round(CAST(dot AS DOUBLE) / 1000000000000.0, 6) AS centroid_sim
+FROM ranked
     """
 
     sqls["ann_ivf"] = _kmeans_cte + """

@@ -516,3 +516,93 @@ def deduplicate_corpus(
             (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
         )
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.95,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cluster the embeddings, find semantic
+    duplicates ONLY within each cluster, keep one exemplar per duplicate
+    group.
+
+    The 100 TB shape is the published method's own: the k-means pass bounds
+    the candidate join to within-cluster pairs (choose ``k ~ n / desired
+    cluster size``), so the quadratic term is ``sum(cluster_size^2)`` and
+    never ``n^2``.  Duplicate groups are the connected components of the
+    within-cluster epsilon-similarity graph (the deterministic variant of
+    the paper's greedy sweep); the kept exemplar is the member with the
+    LOWEST similarity to its centroid — the paper's diversity-keep rule —
+    with lower id breaking ties.
+
+    Every decision is engine-portable exact-int64 arithmetic (the
+    :func:`~splink_spark.pipeline.ann.kmeans_fit_assign` quantized index):
+    assignment, the pair threshold (integer dot >= round(threshold *
+    scale^2)) and the exemplar order (integer centroid dot) have no float
+    ambiguity, so a SQL oracle reproduces the output bit-for-bit.
+
+    Output: one row per input vector —
+    (``id_col``, cluster, group_id, exemplar_id, is_kept, centroid_sim).
+    """
+    from ..internals.connected_components import solve_connected_components
+    from .ann import _kmeans_int_index
+
+    staged, centroids, _assign = _kmeans_int_index(
+        corpus, k, iterations, embedding_col, id_col, scale
+    )
+    assigned = _assign(centroids)  # (id, __q, cluster, __dot)
+
+    thr_int = int(round(threshold * float(scale) * float(scale)))
+    left = assigned.select(
+        F.col(id_col).alias("__idl"), "cluster", F.col("__q").alias("__ql")
+    )
+    right = assigned.select(
+        F.col(id_col).alias("__idr"), "cluster", F.col("__q").alias("__qr")
+    )
+    pair_dot = F.expr(
+        "aggregate(zip_with(__ql, __qr, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    pairs = (
+        left.join(right, on="cluster")
+        .where(F.col("__idl") < F.col("__idr"))
+        .where(pair_dot >= F.lit(thr_int))
+        .select(
+            F.col("__idl").alias(f"{id_col}_l"),
+            F.col("__idr").alias(f"{id_col}_r"),
+        )
+    )
+    assignments = solve_connected_components(
+        pairs,
+        nodes=None,
+        node_col=id_col,
+        edge_l_col=f"{id_col}_l",
+        edge_r_col=f"{id_col}_r",
+        assignments_only=True,
+    )
+    base = (
+        assigned.select(id_col, "cluster", "__dot")
+        .join(assignments, on=id_col, how="left")
+        .withColumn("group_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    )
+    # exemplar = lowest centroid similarity in the group (integer order —
+    # identical in any engine), lower id on ties
+    w = Window.partitionBy("group_id").orderBy(F.asc("__dot"), F.asc(id_col))
+    return (
+        base.withColumn("exemplar_id", F.first(F.col(id_col)).over(w))
+        .select(
+            id_col,
+            "cluster",
+            "group_id",
+            "exemplar_id",
+            (F.col(id_col) == F.col("exemplar_id")).alias("is_kept"),
+            F.round(F.col("__dot").cast("double") / (float(scale) * float(scale)), 6)
+            .alias("centroid_sim"),
+        )
+    )

@@ -278,6 +278,35 @@ def test_ivf_topk_portable(spark, vectors):
     assert sorted(map(tuple, a_rows)) == sorted(map(tuple, rerun.collect()))
 
 
+def test_semantic_dedup(spark, vectors):
+    """SemDeDup invariants: exactly one kept exemplar per group; a group
+    never spans k-means clusters; the exemplar is the group member with the
+    LOWEST centroid similarity (id tie-break); the engineered twin (vec 100
+    = 2 * vec 0, cosine 1.0) lands in vec 0's group with vec 0 exemplar
+    (lower centroid_sim or tie -> lower id wins only on ties, so assert
+    same group, one kept)."""
+    out = dedup.semantic_dedup(vectors, k=4, iterations=2, threshold=0.95)
+    rows = out.collect()
+    assert len(rows) == vectors.count()
+    by_group = {}
+    cluster_of = {}
+    for r in rows:
+        by_group.setdefault(r["group_id"], []).append(r)
+        cluster_of[r["vec_id"]] = r["cluster"]
+    for gid, members in by_group.items():
+        kept = [m for m in members if m["is_kept"]]
+        assert len(kept) == 1
+        assert kept[0]["vec_id"] == members[0]["exemplar_id"]
+        assert len({m["cluster"] for m in members}) == 1
+        best = min(members, key=lambda m: (m["centroid_sim"], m["vec_id"]))
+        assert kept[0]["vec_id"] == best["vec_id"]
+    twin = {r["vec_id"]: r["group_id"] for r in rows}
+    assert twin[0] == twin[100]
+    # determinism: a rerun is identical (the oracle gate relies on this)
+    rerun = dedup.semantic_dedup(vectors, k=4, iterations=2, threshold=0.95)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun.collect()))
+
+
 @pytest.fixture(scope="module")
 def corpus(spark):
     """60 synthetic docs: 10 engineered near-dup pairs (one-word edits of a
