@@ -422,6 +422,8 @@ def AbsoluteDifferenceLevel(col: ColSpec, difference_threshold: float) -> Compar
 
 
 def And(*levels: ComparisonLevel) -> ComparisonLevel:
+    if not levels:
+        raise ValueError("And() requires at least one comparison level")
     label = " AND ".join(lv.label_for_charts for lv in levels)
     return ComparisonLevel(
         lambda: _fold(levels, lambda a, b: a & b),
@@ -431,6 +433,8 @@ def And(*levels: ComparisonLevel) -> ComparisonLevel:
 
 
 def Or(*levels: ComparisonLevel) -> ComparisonLevel:
+    if not levels:
+        raise ValueError("Or() requires at least one comparison level")
     label = " OR ".join(lv.label_for_charts for lv in levels)
     return ComparisonLevel(
         lambda: _fold(levels, lambda a, b: a | b),

@@ -712,3 +712,55 @@ def test_regex_fall_through_and_null_pattern(spark):
     ])
     run_gamma_tests(spark, comp2, {"name": "string"},
                     [({"name": "groat"}, {"name": "float"}, -1)])
+
+
+def test_composition_outputs_reference_matrix(spark):
+    """Reference tests/test_comparison_level_composition.py::
+    test_composition_outputs — the 5-record forename/surname matrix with a
+    [Or(null,null), And(exact,exact), Or(exact,exact), Not(And), Else]
+    ladder, plus the null-level propagation and empty-args rules."""
+    dbl_null = cll.Or(cll.NullLevel("f"), cll.NullLevel("s"))
+    both = cll.And(cll.ExactMatchLevel("f"), cll.ExactMatchLevel("s"))
+    either = cll.Or(cll.ExactMatchLevel("f"), cll.ExactMatchLevel("s"))
+    comp = Comparison(
+        "full_name", [dbl_null, both, either, cll.Not(both), cll.ElseLevel()]
+    )
+    people = {
+        1: {"f": "Tom", "s": "Tim"},
+        2: {"f": "Tom", "s": "Tim"},
+        3: {"f": "Tom", "s": "Timothee"},
+        4: {"f": "Sam", "s": "Tarly"},
+        5: {"f": "Sam", "s": "Tim"},
+    }
+    expected = {
+        3: [(1, 2)],
+        2: [(1, 3), (1, 5), (2, 3), (2, 5), (4, 5)],
+        1: [(1, 4), (2, 4), (3, 4), (3, 5)],
+    }
+    cases = [
+        (people[a], people[b], gamma)
+        for gamma, pairs in expected.items()
+        for a, b in pairs
+    ]
+    cases.append(({"f": None, "s": "Tim"}, people[1], -1))
+    run_gamma_tests(spark, comp, {"f": "string", "s": "string"}, cases)
+
+
+def test_composition_null_flags_and_arity():
+    import pytest
+
+    assert cll.And(cll.NullLevel("a"), cll.NullLevel("b")).is_null_level
+    assert cll.Or(cll.NullLevel("a"), cll.NullLevel("b")).is_null_level
+    assert not cll.And(cll.NullLevel("a"), cll.ExactMatchLevel("b")).is_null_level
+    # reference: .configure(is_null_level=True) forces the flag on a mix
+    assert (
+        cll.And(cll.NullLevel("a"), cll.ExactMatchLevel("b"))
+        .configure(is_null_level=True)
+        .is_null_level
+    )
+    with pytest.raises(ValueError):
+        cll.And()
+    with pytest.raises(ValueError):
+        cll.Or()
+    with pytest.raises(ValueError):
+        cll.Not(cll.NullLevel("a"))
