@@ -81,6 +81,10 @@ class ComparisonLevel:
         # of exact-match levels (comparison_level.py:587-662): builders set it
         # explicitly when the level predicate is plain equality.
         self.is_exact_match_level = is_exact_match_level
+        # the input column(s) whose equality this level asserts, when the
+        # predicate is a plain (conjunction of) equality — the reference's
+        # ``_exact_match_colnames`` (comparison_level.py:649-662)
+        self.exact_match_colnames: Optional[list] = None
         self.fix_m_probability = fix_m_probability
         self.fix_u_probability = fix_u_probability
         # builder spec recorded by comparison_level_library for JSON round-trip

@@ -63,12 +63,14 @@ def CustomLevel(sql_condition: str, label: Optional[str] = None, **kw) -> Compar
 def ExactMatchLevel(col: ColSpec, term_frequency_adjustments: bool = False) -> ComparisonLevel:
     """comparison_level_library.py:236."""
     ce = _ce(col)
-    return ComparisonLevel(
+    lv = ComparisonLevel(
         lambda: ce.l() == ce.r(),
         f"Exact match on {ce.name}",
         is_exact_match_level=True,
         tf_adjustment_column=ce.name if term_frequency_adjustments else None,
     )
+    lv.exact_match_colnames = [ce.name]
+    return lv
 
 
 def LiteralMatchLevel(
@@ -522,17 +524,59 @@ def _level_from_reference_dict(d: dict) -> ComparisonLevel:
     if sql.strip().upper() == "ELSE":
         return ElseLevel()
     sql = _normalise_identifier_quoting(sql)
-    # recognise plain-equality conditions so EM's blocking-adjustment and TF
-    # logic see them as exact-match levels
-    m = re.fullmatch(
-        r"\s*`?(\w+)_l`?\s*=\s*`?(\w+)_r`?\s*", sql
-    )
-    return CustomLevel(
+    # recognise plain-equality conditions — single-column OR a conjunction
+    # of equalities like "(a_l = a_r) AND (b_l = b_r)" — so EM's
+    # blocking-adjustment and TF logic see them as exact-match levels
+    # (reference comparison_level.py:587-662 sqlglot signature detection;
+    # asserted by tests/test_compound_comparison_levels.py)
+    cols = _conjunction_of_equalities(sql)
+    lv = CustomLevel(
         sql,
         label or sql,
         is_null_level=bool(d.get("is_null_level", False)),
-        is_exact_match_level=bool(m and m.group(1) == m.group(2)),
+        is_exact_match_level=bool(cols),
     )
+    lv.exact_match_colnames = cols
+    return lv
+
+
+def _peel_outer_parens(s: str) -> str:
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        wraps_all = True
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(s) - 1:
+                    wraps_all = False
+                    break
+        if not wraps_all:
+            break
+        s = s[1:-1].strip()
+    return s
+
+
+def _conjunction_of_equalities(sql: str) -> Optional[list]:
+    """``["a", "b"]`` when the condition is (up to parens/whitespace) a
+    conjunction of same-column ``<col>_l = <col>_r`` equalities, else
+    ``None``.  Conservative: any OR/NOT, or a conjunct that isn't a plain
+    equality after peeling its parens, disqualifies the level."""
+    import re
+
+    s = _peel_outer_parens(sql)
+    if re.search(r"(?i)\b(or|not)\b", s):
+        return None
+    cols = []
+    for part in re.split(r"(?i)\bAND\b", s):
+        part = _peel_outer_parens(part)
+        m = re.fullmatch(r"`?([\w ]+?)_l`?\s*=\s*`?([\w ]+?)_r`?", part)
+        if not m or m.group(1) != m.group(2):
+            return None
+        cols.append(m.group(1))
+    return cols or None
 
 
 def level_from_spec_dict(d: dict) -> ComparisonLevel:

@@ -764,3 +764,76 @@ def test_composition_null_flags_and_arity():
         cll.Or()
     with pytest.raises(ValueError):
         cll.Not(cll.NullLevel("a"))
+
+
+def test_compound_exact_match_detection(spark):
+    """Reference tests/test_compound_comparison_levels.py: a dict level whose
+    sql_condition is a conjunction of equalities is detected as an
+    exact-match level with the right colnames, and EM runs over the ladder."""
+    from splink_spark import Linker
+
+    def m(col):
+        return f"({col}_l = {col}_r)"
+
+    two_of_three = (
+        f"({m('first_name')} AND {m('middle_name')}) OR "
+        f"({m('middle_name')} AND {m('surname')}) OR "
+        f"({m('surname')} AND {m('first_name')})"
+    )
+    settings = {
+        "link_type": "dedupe_only",
+        "comparisons": [
+            {
+                "output_column_name": "city",
+                "comparison_levels": [
+                    {"sql_condition": "city_l IS NULL OR city_r IS NULL",
+                     "label_for_charts": "Null", "is_null_level": True},
+                    {"sql_condition": "city_l = city_r", "label_for_charts": "Exact"},
+                    {"sql_condition": "ELSE", "label_for_charts": "else"},
+                ],
+            },
+            {
+                "output_column_name": "company_comparison",
+                "comparison_levels": [
+                    {"sql_condition": (
+                        "(first_name_l IS NULL OR first_name_r IS NULL) AND "
+                        "(middle_name_l IS NULL OR middle_name_r IS NULL)"),
+                     "label_for_charts": "NULL", "is_null_level": True},
+                    {"sql_condition": (
+                        f"{m('first_name')} AND {m('middle_name')} AND {m('surname')}"),
+                     "label_for_charts": "All three match"},
+                    {"sql_condition": two_of_three,
+                     "label_for_charts": "2 out of 3 columns match"},
+                    {"sql_condition": "first_name_l = first_name_r",
+                     "label_for_charts": "Exact first"},
+                    {"sql_condition": "ELSE", "label_for_charts": "else"},
+                ],
+            },
+        ],
+    }
+    people = [
+        (1, "John", "James", "Smith", "Brighton"),
+        (2, "Mary", "Harriet", "Jones", "Brighton"),
+        (3, "Jane", "Joan", "Taylor", "Brighton"),
+        (4, "John", "Blake", "Jones", "Brighton"),
+        (5, "Jane", "Joan", "Taylor", "Brighton"),
+        (6, "Gill", "Harriet", "Greene", "Brighton"),
+        (7, "Owen", "James", "Smith", "Brighton"),
+        (8, "Sarah", "Simone", "Williams", "Brighton"),
+    ]
+    df = spark.createDataFrame(
+        people, "unique_id bigint, first_name string, middle_name string, "
+        "surname string, city string")
+    linker = Linker(df, settings)
+    comp = linker.settings.comparisons[1]
+    all_three = comp.comparison_levels[1]
+    assert all_three.is_exact_match_level
+    assert set(all_three.exact_match_colnames) == {
+        "first_name", "middle_name", "surname"}
+    two_of_three_lv = comp.comparison_levels[2]
+    assert not two_of_three_lv.is_exact_match_level
+    single = comp.comparison_levels[3]
+    assert single.is_exact_match_level
+    assert single.exact_match_colnames == ["first_name"]
+    linker.training.estimate_parameters_using_expectation_maximisation(
+        "l.city = r.city")
