@@ -380,6 +380,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _session(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
         return ann.kmeans_fit_assign(emb, k=8, iterations=2)
 
+    def q_doc_segment_dedup(spark, sf_dir):
+        """Within-document exact segment dedup (CCNet/RefinedWeb-style
+        boilerplate removal). The synthetic corpus is single-line, so the
+        gate exercises whitespace segments; real corpora use the default
+        newline delimiter."""
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        return text.dedup_within_document(docs, delimiter=" ")
+
     def q_semantic_dedup(spark, sf_dir):
         """SemDeDup (arXiv:2303.09540): exact-int64 k-means blocks the
         within-cluster pair join; duplicate groups are CC of the
@@ -1262,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "kmeans_assign": q_kmeans,
         "semantic_dedup": q_semantic_dedup,
+        "doc_segment_dedup": q_doc_segment_dedup,
         "tfidf_top_terms": q_tfidf_top_terms,
         "curate_corpus": q_curate_corpus,
         "corpus_stats": q_corpus_stats,
@@ -2105,6 +2114,22 @@ SELECT vec_id, cluster, round(dot / 1000000000000.0, 6) AS cosine_sim FROM (
     row_number() OVER (PARTITION BY e.vec_id
       ORDER BY list_inner_product(e.q, c.q) DESC, c.cluster ASC) AS rn
   FROM e CROSS JOIN c2 c) WHERE rn = 1
+    """
+
+    # within-document segment dedup: keep each segment's first occurrence
+    # (Spark filter index is 0-based, DuckDB lambda index is 1-based)
+    sqls["doc_segment_dedup"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS segs FROM documents),
+k AS (
+  SELECT doc_id, segs,
+         list_filter(segs, (x, i) -> list_position(segs, x) = i) AS kept
+  FROM t
+)
+SELECT doc_id,
+       array_to_string(kept, ' ') AS text,
+       CAST(len(segs) AS INT) AS n_segments,
+       CAST(len(segs) - len(kept) AS INT) AS n_removed
+FROM k
     """
 
     # SemDeDup: same k-means index, within-cluster integer-dot pairs at

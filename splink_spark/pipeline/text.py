@@ -153,6 +153,48 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dedup_within_document(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Within-document exact segment deduplication: split the text on
+    ``delimiter``, keep only the FIRST occurrence of each segment, re-join.
+
+    This is the intra-document arm of corpus dedup (CCNet / RefinedWeb drop
+    repeated lines and boilerplate paragraphs inside each page; near-dup
+    operators in :mod:`~splink_spark.pipeline.dedup` handle the
+    cross-document arm).  ``delimiter`` is a literal string — ``"\n"`` for
+    line-level boilerplate, ``". "`` for sentence-ish segments.
+
+    Pure Column HOF arithmetic (split -> filter((x, i) -> first occurrence
+    index == i) -> array_join): one narrow projection, no shuffle, no
+    Python — the same plan at any scale.
+
+    Output: (``id_col``, ``text_col`` deduplicated, n_segments, n_removed).
+    """
+    import re as _re
+
+    sel = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), _re.escape(delimiter)).alias("__segs"),
+    )
+    kept = sel.select(
+        F.col(id_col),
+        F.expr(
+            "filter(__segs, (x, i) -> array_position(__segs, x) == i + 1)"
+        ).alias("__kept"),
+        F.size("__segs").alias("n_segments"),
+    )
+    return kept.select(
+        F.col(id_col),
+        F.array_join("__kept", delimiter).alias(text_col),
+        F.col("n_segments"),
+        (F.col("n_segments") - F.size("__kept")).alias("n_removed"),
+    )
+
+
 def _sql(col: Column) -> str:
     # Column -> SQL fragment for embedding in F.expr strings
     return col._jc.toString()  # type: ignore[attr-defined]

@@ -280,3 +280,27 @@ def test_chunk_documents_windows(spark):
 
     with pytest.raises(ValueError):
         cu.chunk_documents(docs, chunk_tokens=0)
+
+
+def test_dedup_within_document(spark):
+    from splink_spark.pipeline.text import dedup_within_document
+
+    docs = spark.createDataFrame(
+        [
+            (1, "header\nbody one\nheader\nbody two\nheader"),
+            (2, "all\nunique\nlines"),
+            (3, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_within_document(docs).collect()}
+    assert out[1]["text"] == "header\nbody one\nbody two"
+    assert out[1]["n_segments"] == 5 and out[1]["n_removed"] == 2
+    assert out[2]["text"] == "all\nunique\nlines" and out[2]["n_removed"] == 0
+    assert out[3]["n_segments"] == 1 and out[3]["n_removed"] == 0
+    # custom delimiter: repeated tokens
+    tok = dedup_within_document(
+        spark.createDataFrame([(1, "a b a c b")], "doc_id bigint, text string"),
+        delimiter=" ",
+    ).collect()[0]
+    assert tok["text"] == "a b c" and tok["n_removed"] == 2
