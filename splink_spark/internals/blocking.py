@@ -217,6 +217,15 @@ def _normalise_rule_sql(sql: str) -> str:
                 lambda m: f"`{(m.group(2) or m.group(3))}_{m.group(1)}`",
                 s,
             )
+            # backtick-quoted aliased identifiers: l.`SUR name` → `SUR name_l`
+            # (the alias gate admits the backtick form, so it must be
+            # rewritten here or it would reach Spark with an unresolved
+            # 'l' alias)
+            s = re.sub(
+                r"\b([lr])\.`([^`]+)`",
+                lambda m: f"`{m.group(2)}_{m.group(1)}`",
+                s,
+            )
             s = re.sub(r'"([A-Za-z_][A-Za-z0-9_ ]*)"', r"`\1`", s)
             s = re.sub(r"\bl\.(\w+)", r"\1_l", s)
             s = re.sub(r"\br\.(\w+)", r"\1_r", s)
@@ -238,6 +247,16 @@ def CustomRule(
     original string is kept as the rule's description and serialized form."""
     eq_cols = _equality_columns_from_sql(sql_condition)
     exec_sql = _normalise_rule_sql(sql_condition)
+    if eq_cols and '"' in exec_sql:
+        # _equality_columns_from_sql parsed double-quoted tokens as
+        # IDENTIFIERS (the reference's quoting style), e.g.
+        # '"city_l" = "city_r"' — but Spark's parser reads double quotes as
+        # string literals, so passing that through would execute a
+        # constant-false comparison of two strings while the rule's metadata
+        # claims an equality on city. eq_cols non-empty guarantees the whole
+        # SQL is a pure conjunction of identifier equalities (no string
+        # literals possible), so the rewrite is unambiguous.
+        exec_sql = re.sub(r'"([^"]+)"', r"`\1`", exec_sql)
     rule = BlockingRule(
         lambda: F.expr(exec_sql),
         sql_condition,

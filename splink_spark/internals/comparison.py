@@ -351,6 +351,11 @@ def _infer_input_columns_from_level_dicts(level_dicts: list) -> Optional[list[st
         if not isinstance(ld, dict):
             continue
         sql = ld.get("sql_condition") or ""
+        # blank single-quoted literal spans first: a literal containing
+        # '_l' / '_r' (e.g. a regex pattern 'foo_l') is not a column
+        # reference, and a phantom column here triggers spurious
+        # missing-column warnings and wrongful EM comparison deactivation
+        sql = _re.sub(r"'(?:[^'\\]|\\.|'')*'", " ", sql)
         for m in _re.finditer(r"\b([A-Za-z_]\w*?)_[lr]\b", sql):
             c = m.group(1)
             if c not in cols:

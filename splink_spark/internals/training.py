@@ -531,19 +531,38 @@ def _bayes_factor_to_prob(bf: float) -> float:
 
 def _levels_to_reverse_blocking_rule(s, rule: BlockingRule) -> list:
     """The exact-match comparison levels 'used up' by an equality training
-    rule (reference settings.py
+    rule (reference settings.py:503-533
     ``_get_comparison_levels_corresponding_to_training_blocking_rule``):
     blocking on first_name conditions every blocked pair on
     first_name-exact-match, so the session prior must be multiplied by that
-    level's Bayes factor going in, and divided back out on write-back."""
-    rule_cols = set(rule.columns)
-    out = []
+    level's Bayes factor going in, and divided back out on write-back.
+
+    Only levels whose asserted equality columns are a SUBSET of the blocking
+    columns qualify — a compound exact level (first_name AND surname AND dob)
+    is NOT implied by blocking on first_name alone, and reversing it would
+    bias the session lambda by the extra columns' Bayes factors. Largest
+    subsets win (block on first_name+surname with a compound level present
+    reverses the compound level, not two singles), and each blocking column
+    is consumed at most once."""
+    remaining = set(rule.columns)
+    if not remaining:
+        return []
+    candidates = []  # (colnames, comp, lv)
     for comp in s.comparisons:
-        if comp.input_columns and rule_cols and set(comp.input_columns) & rule_cols:
-            for lv in comp.comparison_levels:
-                if lv.is_exact_match_level:
-                    out.append((comp, lv))
-                    break
+        for lv in comp.comparison_levels:
+            if not lv.is_exact_match_level:
+                continue
+            colnames = set(lv.exact_match_colnames or comp.input_columns or ())
+            if colnames:
+                candidates.append((colnames, comp, lv))
+    # prefer multi-column compound levels over singles (reference sorts by
+    # descending colname count before the greedy subset sweep)
+    candidates.sort(key=lambda t: -len(t[0]))
+    out = []
+    for colnames, comp, lv in candidates:
+        if colnames <= remaining:
+            remaining -= colnames
+            out.append((comp, lv))
     return out
 
 

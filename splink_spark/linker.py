@@ -82,21 +82,27 @@ class Linker:
             # in a plan
             from .internals.settings import validate_settings_columns
 
-            available = {c for f in self._frames.values() for c in f.columns}
-            if settings.unique_id_column_name not in available:
-                raise ValueError(
-                    f"unique_id_column_name "
-                    f"{settings.unique_id_column_name!r} not found in input "
-                    f"columns {sorted(available)}"
-                )
-            missing = validate_settings_columns(settings, available)
-            if missing:
-                logger.warning(
-                    "settings reference columns missing from the input "
-                    "table(s): %s — comparisons or blocking rules using them "
-                    "will fail or silently produce null gammas",
-                    missing,
-                )
+            # per input table, as the reference does: for link jobs a column
+            # present in one frame but missing from another passes a
+            # union-of-columns check and then fails deep inside a blocking
+            # plan — validate each frame and name the offending table
+            for tname, frame in self._frames.items():
+                frame_cols = set(frame.columns)
+                if settings.unique_id_column_name not in frame_cols:
+                    raise ValueError(
+                        f"unique_id_column_name "
+                        f"{settings.unique_id_column_name!r} not found in "
+                        f"input table {tname!r} columns {sorted(frame_cols)}"
+                    )
+                missing = validate_settings_columns(settings, frame_cols)
+                if missing:
+                    logger.warning(
+                        "settings reference columns missing from input "
+                        "table %r: %s — comparisons or blocking rules using "
+                        "them will fail or silently produce null gammas",
+                        tname,
+                        missing,
+                    )
 
         self.inference = LinkerInference(self)
         self.training = LinkerTraining(self)

@@ -187,6 +187,47 @@ def test_normalise_rule_sql_preserves_quoted_literals():
     )
 
 
+def test_custom_rule_double_quoted_suffixed_identifiers_execute(spark):
+    """A rule written as '"city_l" = "city_r"' parses as an equality on city,
+    so the EXECUTED SQL must also treat the double-quoted tokens as
+    identifiers — Spark's parser reads double quotes as string literals, so
+    a verbatim pass-through would execute a constant-false comparison of two
+    strings while the rule's metadata claims an equality on city."""
+    from splink_spark.internals.blocking import CustomRule
+
+    rule = CustomRule('"city_l" = "city_r"')
+    assert rule.columns == ["city"]
+    left = spark.createDataFrame(
+        [(1, "london"), (2, "leeds")], ["unique_id_l", "city_l"]
+    )
+    right = spark.createDataFrame(
+        [(10, "london"), (11, "york")], ["unique_id_r", "city_r"]
+    )
+    pairs = left.crossJoin(right).where(rule.condition())
+    assert [(r.unique_id_l, r.unique_id_r) for r in pairs.collect()] == [(1, 10)]
+
+    compound = CustomRule('"city_l" = "city_r" AND "unique_id_l" = "unique_id_l"')
+    # cross-column condition claims no columns — and with no parsed equality
+    # columns the double quotes pass through as Spark string literals
+    assert compound.columns == []
+
+
+def test_normalise_rule_sql_backtick_aliased_identifiers():
+    """l.`SUR name` (backtick-quoted aliased identifier) passes the alias
+    gate, so it must be rewritten like the double-quoted form — previously it
+    reached Spark unrewritten and failed with an unresolved 'l' alias."""
+    from splink_spark.internals.settings import _normalise_rule_sql
+
+    assert (
+        _normalise_rule_sql("l.`SUR name` = r.`SUR name`")
+        == "`SUR name_l` = `SUR name_r`"
+    )
+    assert (
+        _normalise_rule_sql("l.city = r.city AND l.`post code` = r.`post code`")
+        == "city_l = city_r AND `post code_l` = `post code_r`"
+    )
+
+
 def test_worker_memo_distinct_callables_same_name():
     """Two distinct callables sharing __name__ must not share cached values."""
     import pandas as pd

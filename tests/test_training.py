@@ -338,6 +338,78 @@ def test_em_lambda_blocking_adjustment_and_reversal(spark, em_fixture):
     )
 
 
+def test_reverse_levels_require_colname_subset():
+    """Reference settings.py:503-533: an equality training rule reverses only
+    exact-match levels whose asserted columns are a SUBSET of the blocking
+    columns, preferring the largest subset and consuming each column at most
+    once. A compound level (a AND b AND c) is NOT implied by blocking on a
+    alone — reversing it would bias the session lambda by the extra columns'
+    Bayes factors."""
+    from splink_spark.internals.settings import Settings
+    from splink_spark.internals.training import _levels_to_reverse_blocking_rule
+
+    def m(c):
+        return f"{c}_l = {c}_r"
+
+    settings = Settings.from_dict(
+        {
+            "link_type": "dedupe_only",
+            "blocking_rules_to_generate_predictions": [m("first_name")],
+            "comparisons": [
+                {
+                    "output_column_name": "name",
+                    "comparison_levels": [
+                        {"sql_condition": (
+                            "first_name_l IS NULL OR first_name_r IS NULL"),
+                         "is_null_level": True},
+                        {"sql_condition": (
+                            f"{m('first_name')} AND {m('middle_name')} "
+                            f"AND {m('surname')}"),
+                         "label_for_charts": "all three"},
+                        {"sql_condition": m("first_name"),
+                         "label_for_charts": "exact first"},
+                        {"sql_condition": "ELSE"},
+                    ],
+                },
+                {
+                    "output_column_name": "sur",
+                    "comparison_levels": [
+                        {"sql_condition": (
+                            "surname_l IS NULL OR surname_r IS NULL"),
+                         "is_null_level": True},
+                        {"sql_condition": m("surname"),
+                         "label_for_charts": "exact surname"},
+                        {"sql_condition": "ELSE"},
+                    ],
+                },
+            ],
+        }
+    )
+
+    def rev(rule):
+        return [
+            (c.output_column_name, frozenset(lv.exact_match_colnames))
+            for c, lv in _levels_to_reverse_blocking_rule(settings, rule)
+        ]
+
+    # blocking on first_name alone: the compound level is NOT a subset —
+    # only the single exact-first level reverses
+    assert rev(block_on("first_name")) == [("name", frozenset({"first_name"}))]
+    # all three columns blocked: the compound level wins (largest subset) and
+    # CONSUMES surname, so the sur comparison's single level does not also
+    # reverse
+    assert rev(block_on("first_name", "middle_name", "surname")) == [
+        ("name", frozenset({"first_name", "middle_name", "surname"}))
+    ]
+    # two of three: compound not a subset — both singles reverse
+    assert set(rev(block_on("first_name", "surname"))) == {
+        ("name", frozenset({"first_name"})),
+        ("sur", frozenset({"surname"})),
+    }
+    # non-equality rule claims no columns: nothing reverses
+    assert rev(CustomRule("levenshtein(first_name_l, first_name_r) <= 1")) == []
+
+
 def test_em_lambda_not_written_back_by_default(spark, em_fixture):
     settings = SettingsCreator(
         link_type="dedupe_only",
