@@ -142,20 +142,25 @@ def repetition_metrics(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    method: str = "hof",
+    method: str = "auto",
+    hof_max_tokens: int = 1024,
 ) -> DataFrame:
     """Per-document repetition metrics: duplicate-word fraction, fraction of
     characters in the most frequent word, fraction of characters in the most
     frequent word 2-gram (Gopher App. A's "fraction of characters in most
     common n-gram" at n=1,2 plus a duplicate-token rate).
 
-    ``method="hof"`` (default) is pure Column HOFs — zero shuffle, but
-    O(tokens * distinct_tokens) per document, the right trade below ~1k
-    tokens/doc. ``method="explode"`` is the long-document path: explode to
-    (doc, token) rows, count by groupBy (map-side combine), re-aggregate —
-    linear work at the cost of one shuffle keyed by (doc_id, token), which
-    partitions evenly because doc_id is in the key. Both produce identical
-    output (pinned by test).
+    ``method="hof"`` is pure Column HOFs — zero shuffle, but the top-run
+    fold is superlinear per document, the right trade below ~1k tokens/doc.
+    ``method="explode"`` is the long-document path: explode to (doc, token)
+    rows, count by groupBy (map-side combine), re-aggregate — linear work at
+    the cost of one shuffle keyed by (doc_id, token), which partitions
+    evenly because doc_id is in the key. ``method="auto"`` (default) routes
+    PER DOCUMENT on token count — docs at or below ``hof_max_tokens`` take
+    the shuffle-free HOF path, longer docs the linear explode path — so
+    defaults stay safe on 50k-token web documents without paying a shuffle
+    for the short-doc bulk. All paths produce identical output (pinned by
+    test).
     """
     # STAGE the token array behind a nondeterministic-identity barrier
     # (shuffle(array(x))[0] — linker.predict's threshold-barrier trick)
@@ -185,8 +190,9 @@ def repetition_metrics(
     grams2 = F.col("__grams2")
     n_words = F.size(toks)
     total_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    if method == "explode":
-        base = staged.select(
+
+    def _explode_metrics(staged_part: DataFrame) -> DataFrame:
+        base = staged_part.select(
             F.col(id_col), toks.alias("toks"), grams2.alias("grams2")
         )
         tok_counts = (
@@ -218,7 +224,7 @@ def repetition_metrics(
             )
         )
         joined = (
-            df.select(id_col)
+            base.select(id_col)
             .join(tok_counts, id_col, "left")
             .join(gram_counts, id_col, "left")
         )
@@ -246,8 +252,6 @@ def repetition_metrics(
                 6,
             ).alias("top_2gram_char_frac"),
         )
-    if method != "hof":
-        raise ValueError("method must be 'hof' or 'explode'")
 
     def _top_run_chars(arr):
         """Chars of the most frequent element: sort, then one linear fold
@@ -279,13 +283,27 @@ def repetition_metrics(
     top_2gram_char_frac = _top_run_chars(grams2).cast("double") / F.greatest(
         total_gram_chars, F.lit(1)
     ).cast("double")
-    return staged.select(
-        F.col(id_col),
-        n_words.cast("bigint").alias("n_words"),
-        F.round(dup_word_frac, 6).alias("dup_word_frac"),
-        F.round(top_word_char_frac, 6).alias("top_word_char_frac"),
-        F.round(top_2gram_char_frac, 6).alias("top_2gram_char_frac"),
-    )
+
+    def _hof_metrics(staged_part: DataFrame) -> DataFrame:
+        return staged_part.select(
+            F.col(id_col),
+            n_words.cast("bigint").alias("n_words"),
+            F.round(dup_word_frac, 6).alias("dup_word_frac"),
+            F.round(top_word_char_frac, 6).alias("top_word_char_frac"),
+            F.round(top_2gram_char_frac, 6).alias("top_2gram_char_frac"),
+        )
+
+    if method == "explode":
+        return _explode_metrics(staged)
+    if method == "hof":
+        return _hof_metrics(staged)
+    if method != "auto":
+        raise ValueError("method must be 'auto', 'hof' or 'explode'")
+    # per-document routing: both branches read the same staged token frame,
+    # short docs stay shuffle-free, long docs get linear explode-aggregate
+    short = staged.where(F.size(toks) <= F.lit(hof_max_tokens))
+    long_docs = staged.where(F.size(toks) > F.lit(hof_max_tokens))
+    return _hof_metrics(short).unionByName(_explode_metrics(long_docs))
 
 
 # ---------------------------------------------------------------------------
@@ -341,6 +359,8 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     eval_text_col: Optional[str] = None,
+    broadcast_eval: Optional[bool] = None,
+    broadcast_max_grams: int = 5_000_000,
 ) -> DataFrame:
     """Flag corpus documents sharing any word ``n``-gram with the eval set
     (the published GPT-2/3 train-test-overlap decontamination procedure).
@@ -348,11 +368,20 @@ def decontaminate(
     Returns one row per corpus document: ``n_overlap`` (count of DISTINCT
     contaminated n-grams in the doc) and ``contaminated``.
 
-    Scale design: the eval side (benchmarks — thousands of docs) collapses
-    to a distinct n-gram dictionary and is BROADCAST; the corpus side
-    explodes to distinct (doc_id, gram) pairs map-side, hits the broadcast
-    hash join with no shuffle, and re-aggregates keyed by doc_id. The only
-    shuffle is the final doc_id groupBy; corpus text is scanned once.
+    Scale design: the eval side collapses to a distinct n-gram dictionary;
+    when that dictionary is genuinely small (benchmarks — thousands of docs)
+    it is broadcast, so the corpus side explodes to distinct (doc_id, gram)
+    pairs map-side, hits the broadcast hash join with no shuffle, and
+    re-aggregates keyed by doc_id — corpus text scanned once, the only
+    shuffle the final doc_id groupBy. But the eval input is UNBOUNDED (a
+    100k-doc eval slice yields hundreds of MB of distinct 8-grams), and a
+    forced broadcast of that would OOM the driver / hit the broadcast size
+    ceiling — so ``broadcast_eval=None`` (default) probes the dictionary
+    with one cheap count aggregate and broadcasts only below
+    ``broadcast_max_grams``; above it the join is left unhinted for the
+    optimizer (a shuffled hash/sort-merge join keyed by gram). Pass
+    ``broadcast_eval=True/False`` to skip the probe when the eval side's
+    size is known.
     """
     eval_text_col = eval_text_col or text_col
     eval_grams = (
@@ -360,12 +389,18 @@ def decontaminate(
         .select(F.explode("grams").alias("gram"))
         .distinct()
     )
+    if broadcast_eval is None:
+        # one aggregate over the eval side — linear, constant memory, unlike
+        # the broadcast it is guarding. The eval set is scanned twice (probe
+        # + join); for the common small-benchmark case both scans are trivial
+        broadcast_eval = eval_grams.count() <= broadcast_max_grams
     corpus_grams = _staged_word_ngrams(corpus, text_col, n, id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(F.col("grams"))).alias("gram"),
     )
+    eval_side = F.broadcast(eval_grams) if broadcast_eval else eval_grams
     overlap = (
-        corpus_grams.join(F.broadcast(eval_grams), "gram", "inner")
+        corpus_grams.join(eval_side, "gram", "inner")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )

@@ -518,14 +518,25 @@ def deduplicate_corpus(
     )
 
 
+def _auto_k(n: int, target_cluster_size: int) -> int:
+    """k for :func:`semantic_dedup` when the caller doesn't choose: enough
+    clusters that the expected cluster size stays at ``target_cluster_size``,
+    never fewer than 8 — the within-cluster pair join's quadratic term
+    sum(cluster²) then grows ~linearly in n instead of n²/k."""
+    import math
+
+    return max(8, math.ceil(n / max(1, target_cluster_size)))
+
+
 def semantic_dedup(
     corpus: DataFrame,
     embedding_col: str = "embedding",
     id_col: str = "vec_id",
-    k: int = 8,
+    k: Optional[int] = None,
     iterations: int = 2,
     threshold: float = 0.95,
     scale: int = 1_000_000,
+    target_cluster_size: int = 4096,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means cluster the embeddings, find semantic
@@ -533,13 +544,17 @@ def semantic_dedup(
     group.
 
     The 100 TB shape is the published method's own: the k-means pass bounds
-    the candidate join to within-cluster pairs (choose ``k ~ n / desired
-    cluster size``), so the quadratic term is ``sum(cluster_size^2)`` and
-    never ``n^2``.  Duplicate groups are the connected components of the
-    within-cluster epsilon-similarity graph (the deterministic variant of
-    the paper's greedy sweep); the kept exemplar is the member with the
-    LOWEST similarity to its centroid — the paper's diversity-keep rule —
-    with lower id breaking ties.
+    the candidate join to within-cluster pairs (``k ~ n / desired cluster
+    size``), so the quadratic term is ``sum(cluster_size^2)`` and never
+    ``n^2``. With ``k=None`` (default) a count probe sizes it as
+    ``max(8, ceil(n / target_cluster_size))`` — defaults stay scale-safe on
+    a large corpus instead of degrading toward n²/k with a fixed k; pass an
+    explicit ``k`` for reproducible clustering across differently-sized
+    inputs (the oracle gate does). Duplicate groups are the connected
+    components of the within-cluster epsilon-similarity graph (the
+    deterministic variant of the paper's greedy sweep); the kept exemplar is
+    the member with the LOWEST similarity to its centroid — the paper's
+    diversity-keep rule — with lower id breaking ties.
 
     Every decision is engine-portable exact-int64 arithmetic (the
     :func:`~splink_spark.pipeline.ann.kmeans_fit_assign` quantized index):
@@ -553,6 +568,8 @@ def semantic_dedup(
     from ..internals.connected_components import solve_connected_components
     from .ann import _kmeans_int_index
 
+    if k is None:
+        k = _auto_k(corpus.count(), target_cluster_size)
     staged, centroids, _assign = _kmeans_int_index(
         corpus, k, iterations, embedding_col, id_col, scale
     )

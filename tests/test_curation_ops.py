@@ -35,12 +35,25 @@ def test_gopher_flags(docs):
 
 
 def test_repetition_metrics_both_methods_equal(docs):
-    a = sorted(cu.repetition_metrics(docs).collect(), key=lambda r: r["doc_id"])
+    a = sorted(
+        cu.repetition_metrics(docs, method="hof").collect(),
+        key=lambda r: r["doc_id"],
+    )
     b = sorted(
         cu.repetition_metrics(docs, method="explode").collect(),
         key=lambda r: r["doc_id"],
     )
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # default auto routing: identical output whatever the per-doc route —
+    # hof_max_tokens=30 sends the long docs (60-80 tokens) down the explode
+    # branch and the short ones down hof in ONE result
+    c = sorted(
+        cu.repetition_metrics(docs, method="auto", hof_max_tokens=30).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    d = sorted(cu.repetition_metrics(docs).collect(), key=lambda r: r["doc_id"])
+    assert [tuple(r) for r in c] == [tuple(r) for r in a]
+    assert [tuple(r) for r in d] == [tuple(r) for r in a]
     out = {r["doc_id"]: r for r in a}
     # all-identical doc: dup fraction (n-1)/n, top word = everything
     assert out[2]["dup_word_frac"] == pytest.approx(79 / 80, abs=1e-6)
@@ -60,9 +73,29 @@ def test_decontaminate_flags_overlap(spark, docs):
     assert out[0]["contaminated"] is True and out[0]["n_overlap"] >= 1
     assert out[2]["contaminated"] is False
     assert out[4]["n_overlap"] == 0
-    # eval dictionary must be broadcast: no shuffle on the corpus-gram join
+    # a SMALL eval dictionary is broadcast: no shuffle on the corpus-gram join
     plan = cu.decontaminate(docs, ev, n=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_large_eval_dictionary_not_broadcast(spark, docs):
+    """The eval gram dictionary is unbounded input; above the probe bound the
+    join must be left unhinted (no forced driver-side broadcast that would
+    OOM at a 100k-doc eval slice). Routing must not change results."""
+    ev = spark.createDataFrame(
+        [(100, "the data of a run that we have built")], ["doc_id", "text"]
+    )
+    big = cu.decontaminate(docs, ev, n=5, broadcast_max_grams=1)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    forced_off = cu.decontaminate(docs, ev, n=5, broadcast_eval=False)
+    default = cu.decontaminate(docs, ev, n=5)
+    assert sorted(map(tuple, big.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, default.collect()), key=lambda t: t[0]
+    )
+    assert sorted(map(tuple, forced_off.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, default.collect()), key=lambda t: t[0]
+    )
 
 
 def test_stratified_sample_deterministic_and_exclusive(spark):

@@ -307,6 +307,22 @@ def test_semantic_dedup(spark, vectors):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun.collect()))
 
 
+def test_semantic_dedup_auto_k(spark, vectors):
+    """k=None (the default) sizes k from a count probe so sum(cluster²)
+    stays ~linear in n; at this fixture's size the formula floors at 8 and
+    the run must match an explicit k=8 run exactly."""
+    from splink_spark.pipeline.dedup import _auto_k
+
+    assert _auto_k(500, 4096) == 8  # floor
+    assert _auto_k(1_000_000, 4096) == 245  # grows with n
+    assert _auto_k(100_000_000_000, 4096) == 24_414_063  # 100 TB-ish corpus
+    auto = dedup.semantic_dedup(vectors, iterations=2, threshold=0.95)
+    explicit = dedup.semantic_dedup(vectors, k=8, iterations=2, threshold=0.95)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+
+
 @pytest.fixture(scope="module")
 def corpus(spark):
     """60 synthetic docs: 10 engineered near-dup pairs (one-word edits of a
