@@ -987,11 +987,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_streaming_neardupe(spark, sf_dir):
         """Custom stateful streaming operator (applyInPandasWithState):
-        incremental near-dup assignment over the documents stream. No SQL
-        oracle by design — the canonical assignment depends on arrival order
-        within a key (first-seen-wins), which bounded SQL cannot express; the
-        driver records the weaker rows-only check (one output row per doc),
-        and tests/test_streaming.py pins the semantics."""
+        incremental near-dup assignment over the documents stream. The
+        assignment is deterministic given event order (per key, ascending
+        doc_id within each micro-batch; one batch at gate scale), so the
+        DuckDB oracle replays the per-key state machine with a recursive
+        CTE — earliest-canonical-wins reduces to a lowest-id lookup because
+        canonicals are appended in ascending-id order.
+        tests/test_streaming.py pins the operator semantics."""
         import os
         import shutil
 
@@ -2886,6 +2888,90 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
       SELECT user_id, min(mu) AS session_start_us,
              count(*) AS n_events, round(sum(value), 6) AS session_value
       FROM sess GROUP BY user_id, sid
+    """
+
+    # Stateful streaming near-dup: replay the per-key ring-buffer assignment
+    # in pure SQL. The operator's contract is deterministic given event
+    # order — per lang, docs are processed in ascending doc_id order
+    # (sorted per micro-batch; one batch at gate scale), each doc takes the
+    # EARLIEST canonical with char-3-gram Jaccard >= 0.6, else becomes a
+    # canonical itself (bounded at 1000 per key). Since canonicals are
+    # appended in ascending-doc_id processing order, "first in insertion
+    # order" == lowest canonical doc_id, so the recursive CTE carries the
+    # canonical set as a list and each step resolves one doc per lang via
+    # a correlated lowest-id lookup over the precomputed Jaccard pairs.
+    # The gram hash replays the operator's polynomial hash exactly
+    # ((acc * 1000003 + ord(ch)) per char — the & 2^63-1 mask never bites
+    # for 3 code points, max ~2^60).
+    sqls["streaming_neardupe"] = """
+      WITH RECURSIVE
+      norm AS (
+        SELECT CAST(lang AS VARCHAR) AS lang, CAST(doc_id AS BIGINT) AS doc_id,
+               trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g')) AS t
+        FROM documents
+      ),
+      grams AS (
+        SELECT lang, doc_id,
+               unnest(list_transform(generate_series(1, length(t) - 2),
+                 i -> (CAST(ascii(substring(t, CAST(i AS INT), 1)) AS BIGINT) * 1000003
+                       + ascii(substring(t, CAST(i AS INT) + 1, 1))) * 1000003
+                       + ascii(substring(t, CAST(i AS INT) + 2, 1)))) AS gram
+        FROM norm
+        WHERE length(t) >= 3
+      ),
+      doc_grams AS (SELECT DISTINCT lang, doc_id, gram FROM grams),
+      gcount AS (SELECT lang, doc_id, count(*) AS n FROM doc_grams GROUP BY 1, 2),
+      docs_rn AS (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM norm
+      ),
+      inter AS (
+        SELECT x.lang, x.doc_id AS id_lo, y.doc_id AS id_hi, count(*) AS n
+        FROM doc_grams x
+        JOIN doc_grams y
+          ON x.lang = y.lang AND x.gram = y.gram AND x.doc_id < y.doc_id
+        GROUP BY 1, 2, 3
+      ),
+      pairs AS (
+        SELECT a.lang, a.doc_id AS id_lo, b.doc_id AS id_hi,
+               CASE WHEN COALESCE(ga.n, 0) + COALESCE(gb.n, 0) = 0 THEN 1.0
+                    ELSE CAST(COALESCE(i.n, 0) AS DOUBLE)
+                         / (COALESCE(ga.n, 0) + COALESCE(gb.n, 0) - COALESCE(i.n, 0))
+               END AS j
+        FROM docs_rn a
+        JOIN docs_rn b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        LEFT JOIN gcount ga ON ga.lang = a.lang AND ga.doc_id = a.doc_id
+        LEFT JOIN gcount gb ON gb.lang = b.lang AND gb.doc_id = b.doc_id
+        LEFT JOIN inter i
+          ON i.lang = a.lang AND i.id_lo = a.doc_id AND i.id_hi = b.doc_id
+      ),
+      state AS (
+        SELECT lang, CAST(0 AS BIGINT) AS step, CAST([] AS BIGINT[]) AS canons,
+               CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS canonical_id,
+               CAST(NULL AS DOUBLE) AS similarity
+        FROM (SELECT DISTINCT lang FROM norm)
+        UNION ALL
+        SELECT lang, step,
+               CASE WHEN hit IS NULL AND len(canons) < 1000
+                    THEN list_append(canons, doc_id) ELSE canons END,
+               doc_id,
+               COALESCE(hit.id, doc_id),
+               COALESCE(hit.j, 1.0)
+        FROM (
+          SELECT s.lang AS lang, s.step + 1 AS step, s.canons AS canons,
+                 d.doc_id AS doc_id,
+                 (SELECT {'id': p.id_lo, 'j': p.j}
+                    FROM pairs p
+                   WHERE p.lang = s.lang AND p.id_hi = d.doc_id
+                     AND p.j >= 0.6 AND list_contains(s.canons, p.id_lo)
+                   ORDER BY p.id_lo LIMIT 1) AS hit
+          FROM state s
+          JOIN docs_rn d ON d.lang = s.lang AND d.rn = s.step + 1
+        )
+      )
+      SELECT lang, doc_id, canonical_id, round(similarity, 6) AS similarity
+      FROM state WHERE step >= 1
     """
 
     sqls["profile_top_values"] = f"""
