@@ -66,11 +66,17 @@ def main() -> None:
     n_docs = docs.count()  # materialize the corpus before timing
     eval_docs = docs.where(F.pmod(F.col("doc_id"), F.lit(101)) == 0)
 
+    heap_after = {}
+
     def run(name, df):
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         sec = round(time.time() - t0, 2)
-        print(f"# {name}: {sec}s", file=sys.stderr)
+        rt = spark._jvm.java.lang.Runtime.getRuntime()
+        heap_after[name] = round(
+            (rt.totalMemory() - rt.freeMemory()) / (1 << 30), 2
+        )
+        print(f"# {name}: {sec}s (heap {heap_after[name]}GiB)", file=sys.stderr)
         return sec
 
     results = {
@@ -84,7 +90,8 @@ def main() -> None:
                 cu.repetition_metrics(docs, method="explode"),
             ),
             "repetition_metrics_hof": run(
-                "repetition_metrics_hof", cu.repetition_metrics(docs)
+                "repetition_metrics_hof",
+                cu.repetition_metrics(docs, method="hof"),
             ),
             "decontaminate_vs_1pct_eval": run(
                 "decontaminate", cu.decontaminate(docs, eval_docs, n=8)
@@ -100,16 +107,37 @@ def main() -> None:
                 ),
             ),
         },
+        "jvm_heap_used_gb_after_op": heap_after,
         "note": (
-            "1M synthetic docs (~125M tokens) generated JVM-side; per-op "
-            "end-to-end wall clock, noop sink, single run on local[%s]. "
-            "All ops are per-doc maps or natural-key shuffles - linear in "
-            "corpus size." % cpus
+            "%d synthetic docs (~125 tokens/doc avg, ~%dM tokens) generated "
+            "JVM-side; per-op end-to-end wall clock, noop sink, single run "
+            "on local[%s]. Every op is a per-doc map or a natural-key "
+            "shuffle (algorithmically linear in corpus size); measured "
+            "wall-clock ratios vs the sibling artifact are recorded in "
+            "'scaling_vs_sibling' - ratios above the row ratio on this "
+            "fixed-memory single host indicate GC/shuffle-spill pressure "
+            "or noisy-neighbor interference, not operator complexity."
+            % (n_docs, round(n_docs * 125 / 1e6), cpus)
         ),
     }
     results["total_sec"] = round(sum(results["ops"].values()), 2)
     here = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
     label = "10M" if n >= 10_000_000 else "1M"
+    sibling = "1M" if label == "10M" else "10M"
+    sib_path = os.path.join(here, f"BENCH_CURATION_{sibling}.json")
+    if os.path.exists(sib_path):
+        with open(sib_path) as f:
+            sib = json.load(f)
+        row_ratio = n_docs / max(1, sib.get("rows", 1))
+        results["scaling_vs_sibling"] = {
+            "sibling_rows": sib.get("rows"),
+            "row_ratio": round(row_ratio, 2),
+            "wall_clock_ratio_per_op": {
+                k: round(results["ops"][k] / sib["ops"][k], 2)
+                for k in results["ops"]
+                if sib.get("ops", {}).get(k)
+            },
+        }
     with open(os.path.join(here, f"BENCH_CURATION_{label}.json"), "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results))
