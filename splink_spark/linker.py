@@ -390,8 +390,10 @@ class LinkerInference:
                     if c not in ("match_weight", "match_probability")
                 ]
 
+                from .internals.misc import optimizer_barrier
+
                 def _barrier(c: str):
-                    return F.shuffle(F.array(F.col(c))).getItem(0).alias(c)
+                    return optimizer_barrier(F.col(c)).alias(c)
 
                 narrow = narrow.select(
                     *others, _barrier("match_weight"), _barrier("match_probability")

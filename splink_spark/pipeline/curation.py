@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..internals.misc import optimizer_barrier
+
 # Gopher App. A required stop words ("must contain >= 2 of ...")
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
@@ -73,7 +75,7 @@ def gopher_quality_flags(
     """
     df = df.select(
         "*",
-        F.shuffle(F.array(_tokens(F.col(text_col)))).getItem(0).alias("__gq_toks"),
+        optimizer_barrier(_tokens(F.col(text_col))).alias("__gq_toks"),
     )
     c = F.col(text_col)
     toks = F.col("__gq_toks")
@@ -168,11 +170,9 @@ def repetition_metrics(
     # inlines the split into the gram lambda, so building L grams re-splits
     # the whole text L times — O(L^2 * doc_len), measured 27s for just 200
     # docs of 2k tokens. With it, grams read the materialized array.
-    def _barrier(col):
-        return F.shuffle(F.array(col)).getItem(0)
-
     stage1 = df.select(
-        F.col(id_col), _barrier(_tokens(F.lower(F.col(text_col)))).alias("__toks")
+        F.col(id_col),
+        optimizer_barrier(_tokens(F.lower(F.col(text_col)))).alias("__toks"),
     )
     toks0 = F.col("__toks")
     grams_expr = F.when(
@@ -184,7 +184,7 @@ def repetition_metrics(
         )
     )
     staged = stage1.select(
-        F.col(id_col), toks0, _barrier(grams_expr).alias("__grams2")
+        F.col(id_col), toks0, optimizer_barrier(grams_expr).alias("__grams2")
     )
     toks = F.col("__toks")
     grams2 = F.col("__grams2")
@@ -344,7 +344,7 @@ def _staged_word_ngrams(
     column instead of re-splitting the text per gram (O(L) not O(L^2))."""
     staged = df.select(
         *[F.col(c) for c in keep_cols],
-        F.shuffle(F.array(_tokens(F.lower(F.col(text_col))))).getItem(0).alias("__toks"),
+        optimizer_barrier(_tokens(F.lower(F.col(text_col)))).alias("__toks"),
     )
     return staged.select(
         *[F.col(c) for c in keep_cols],
@@ -527,12 +527,9 @@ def chunk_documents(
     if chunk_tokens < 1 or stride < 1:
         raise ValueError("chunk_tokens and stride must be >= 1")
 
-    def _barrier(col):
-        return F.shuffle(F.array(col)).getItem(0)
-
     staged = _widen(df).select(
         F.col(id_col),
-        _barrier(_tokens(F.col(text_col))).alias("__toks"),
+        optimizer_barrier(_tokens(F.col(text_col))).alias("__toks"),
     ).withColumn("__n", F.size("__toks"))
     starts = staged.where(F.col("__n") > 0).select(
         id_col,

@@ -246,11 +246,13 @@ def simhash_signatures(
     # each of the num_bits aggregates below references it, and without the
     # barrier CollapseProject re-inlines the split+hash into all 64 — a
     # constant 64x tokenize/hash waste per row
+    from ..internals.misc import optimizer_barrier
+
     staged = df.select(
         F.col(id_col),
-        F.shuffle(F.array(F.transform(toks, lambda t: F.xxhash64(t))))
-        .getItem(0)
-        .alias("__hashes"),
+        optimizer_barrier(
+            F.transform(toks, lambda t: F.xxhash64(t))
+        ).alias("__hashes"),
     )
     hashes = F.col("__hashes")
 

@@ -260,3 +260,53 @@ def test_no_unbounded_cartesian_nodes_in_gate_queries(spark):
         if hits and name not in BOUNDED_OK:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+def test_nondeterministic_barrier_blocks_collapse_project(spark):
+    """CANARY for the optimizer-barrier contract
+    (splink_spark.internals.misc.optimizer_barrier): the engine stages
+    expensive arrays (tokens, grams, match weights) behind
+    shuffle(array(x))[0], relying on Catalyst refusing to collapse
+    projections or substitute aliases through a nondeterministic
+    expression. That is undocumented optimizer behavior a Spark upgrade
+    could void SILENTLY — work would still be correct, just quadratically
+    re-evaluated. This test fails loudly instead. Fallbacks if it fires:
+    excludedRules=CollapseProject or localCheckpoint — see the
+    optimizer_barrier docstring."""
+    from splink_spark.internals.misc import optimizer_barrier
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["id", "text"])
+
+    def grams_of(toks_col):
+        # the dangerous consumer shape: the staged alias referenced inside a
+        # higher-order-function lambda — an inlined expression there is
+        # re-evaluated once PER ELEMENT, not once per row
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(4)), lambda i: F.get(toks_col, i)
+        ).alias("out")
+
+    # negative control: without the barrier, CollapseProject substitutes the
+    # split INTO the lambda body (it treats a lambda-only alias as a single
+    # reference). If Spark ever stops doing this, the barrier is redundant —
+    # this control flags that too.
+    plain = df.select("id", F.split("text", " ").alias("toks"))
+    plan = (
+        plain.select("id", grams_of(F.col("toks")))
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "lambdafunction(split(" in plan.replace(" ", ""), plan
+
+    # with the barrier: the split stays in its own Project below; the lambda
+    # reads the materialized attribute
+    staged = df.select("id", optimizer_barrier(F.split("text", " ")).alias("toks"))
+    derived = staged.select("id", grams_of(F.col("toks")))
+    plan = derived._jdf.queryExecution().optimizedPlan().toString()
+    assert "lambdafunction(split(" not in plan.replace(" ", ""), (
+        "optimizer_barrier no longer blocks CollapseProject/alias "
+        "substitution into lambdas — see its docstring for the "
+        "excludedRules/localCheckpoint fallback\n" + plan
+    )
+    assert plan.count("split(") == 1, plan
+
+    # and the barrier is the identity on values
+    assert derived.collect()[0].out == ["a", "b", "c", "d", "e"]
