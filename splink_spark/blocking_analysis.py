@@ -94,14 +94,15 @@ def chart_comparisons_from_blocking_rules(
     unique_id_column_name: str = "unique_id",
     source_dataset_column_name: Optional[str] = None,
     record_sample_proportion: float = 0.05,
-) -> List[dict]:
+):
     """Cumulative-comparisons-per-rule chart (reference
-    blocking_analysis.py:679-722, which wraps the same records in an Altair
-    spec). Per the repo's chart policy this returns the chart's DATA — the
-    cumulative comparison records from
-    :func:`count_comparisons_from_blocking_rules`, in rule order — ready for
-    any renderer."""
-    return count_comparisons_from_blocking_rules(
+    blocking_analysis.py:679-722): a ready-to-render Vega-Lite spec over
+    the cumulative comparison records from
+    :func:`count_comparisons_from_blocking_rules` (which stays available
+    for the raw data), in rule order."""
+    from .internals.chart_specs import cumulative_comparisons_chart_spec
+
+    records = count_comparisons_from_blocking_rules(
         df_or_dfs,
         blocking_rules=blocking_rules,
         link_type=link_type,
@@ -109,6 +110,7 @@ def chart_comparisons_from_blocking_rules(
         source_dataset_column_name=source_dataset_column_name,
         record_sample_proportion=record_sample_proportion,
     )
+    return cumulative_comparisons_chart_spec(records)
 
 
 def estimate_comparisons_from_blocking_rule_pre_filter(

@@ -25,12 +25,20 @@ def completeness_chart(
     df_or_dfs: Union[DataFrame, Sequence[DataFrame]],
     cols: Optional[List[str]] = None,
     table_names_for_chart: Optional[List[str]] = None,
-) -> DataFrame:
+):
     """Proportion of non-null values per column [per input table]
-    (reference internals/completeness.py:20-133). Returns the chart's data:
-    (source_dataset?, column, completeness)."""
+    (reference internals/completeness.py:20-133 + its chart). Returns a
+    ready-to-render Vega-Lite spec (internals/chart_specs.py); the
+    underlying data is available via
+    :func:`internals.profile_data.completeness_chart_data`. The collect is
+    bounded: one row per (table, column)."""
+    from .internals.chart_specs import completeness_chart_spec
+
     concat, sd = _concat(df_or_dfs, table_names_for_chart)
-    return completeness_chart_data(concat, source_dataset_column_name=sd, columns=cols)
+    data = completeness_chart_data(
+        concat, source_dataset_column_name=sd, columns=cols
+    )
+    return completeness_chart_spec([r.asDict() for r in data.collect()])
 
 
 def profile_columns(

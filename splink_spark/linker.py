@@ -893,22 +893,70 @@ class LinkerEvaluation:
     def __init__(self, linker: Linker):
         self._l = linker
 
-    def accuracy_analysis_from_labels_column(self, labels_column: str, df_predict: Optional[DataFrame] = None):
+    @staticmethod
+    def _accuracy_output(table: DataFrame, output_type: str):
+        """Reference evaluation.py output_type switch: 'table' returns the
+        truth-space DataFrame; the chart types return a Vega-Lite spec built
+        from it ('threshold_selection' maps to the accuracy-metrics chart —
+        the data half of the reference's interactive selection tool). The
+        collect is bounded: one row per distinct score threshold."""
+        if output_type == "table":
+            return table
+        from .internals.chart_specs import (
+            accuracy_chart_spec,
+            precision_recall_chart_spec,
+            roc_chart_spec,
+        )
+
+        rows = [r.asDict() for r in table.collect()]
+        if output_type == "roc":
+            return roc_chart_spec(rows)
+        if output_type == "precision_recall":
+            return precision_recall_chart_spec(rows)
+        if output_type in ("accuracy", "threshold_selection"):
+            return accuracy_chart_spec(rows)
+        raise ValueError(
+            "output_type must be one of 'threshold_selection', 'roc', "
+            f"'precision_recall', 'accuracy', 'table' — got {output_type!r}"
+        )
+
+    def accuracy_analysis_from_labels_column(
+        self,
+        labels_column: str,
+        df_predict: Optional[DataFrame] = None,
+        *,
+        output_type: str = "threshold_selection",
+        **_style_kwargs,
+    ):
         from .internals.accuracy import truth_space_table_from_labels_column
 
-        return truth_space_table_from_labels_column(self._l, labels_column, df_predict)
+        table = truth_space_table_from_labels_column(
+            self._l, labels_column, df_predict
+        )
+        return self._accuracy_output(table, output_type)
 
     def accuracy_analysis_from_labels_table(
-        self, labels: DataFrame, threshold_actual: float = 0.5
-    ) -> DataFrame:
+        self,
+        labels: DataFrame,
+        threshold_actual: float = 0.5,
+        *,
+        output_type: str = "threshold_selection",
+        **_style_kwargs,
+    ):
         """Truth space judged against a clerical pairwise labels table
         (unique_id_l, unique_id_r [, source_dataset_l/_r,
         clerical_match_score]) — every labelled pair is scored with the
         model whether or not blocking found it (reference
-        evaluation.py accuracy_analysis_from_labels_table)."""
+        evaluation.py accuracy_analysis_from_labels_table).
+        ``output_type`` follows the reference: default
+        'threshold_selection' returns a chart spec; pass 'table' for the
+        truth-space DataFrame."""
         from .internals.accuracy import truth_space_table_from_labels_table
 
-        return truth_space_table_from_labels_table(self._l, labels, threshold_actual)
+        table = truth_space_table_from_labels_table(
+            self._l, labels, threshold_actual
+        )
+        return self._accuracy_output(table, output_type)
 
     def prediction_errors_from_labels_table(
         self,
@@ -949,12 +997,16 @@ class LinkerEvaluation:
         x_col: str = "match_weight",
         name_of_data_in_title: Optional[str] = None,
         as_dict: bool = False,
-    ) -> DataFrame:
-        """Reference-named alias (evaluation.py:352): returns the chart's
-        DATA — the cumulative unlinkables proportion table — per the repo's
-        chart policy (rendering is out of engine scope). The styling args are
-        accepted for signature parity and ignored."""
-        return self.unlinkables_table()
+    ):
+        """Reference-named chart (evaluation.py:352): Vega-Lite spec of the
+        cumulative unlinkables proportion (reference charts.py
+        UnlinkablesChart). The collect is bounded: one row per distinct
+        2-dp-rounded self-match weight. The underlying DataFrame stays
+        available via :meth:`unlinkables_table`."""
+        from .internals.chart_specs import unlinkables_chart_spec
+
+        rows = [r.asDict() for r in self.unlinkables_table().collect()]
+        return unlinkables_chart_spec(rows)
 
     def labelling_tool_for_specific_record(
         self,
@@ -1243,34 +1295,60 @@ class LinkerVisualisations:
             threshold_match_probability=threshold_match_probability,
         )
 
-    # -- reference-named aliases ------------------------------------------
-    # Each returns the chart's DATA (the repo's chart policy: rendering is
-    # out of engine scope, SURVEY §0); signatures mirror the reference's
+    # -- reference-named chart methods -------------------------------------
+    # Each returns a ready-to-render Vega-Lite spec dict (internals/
+    # chart_specs.py — the same dict the reference's ``as_dict=True`` path
+    # yields, renderable in notebooks via _repr_mimebundle_ and by
+    # altair.Chart.from_dict). The underlying DATA stays available through
+    # the ``*_chart_data`` methods above; signatures mirror the reference's
     # visualisations.py so user code runs unmodified, with pure-styling
     # arguments accepted and ignored.
 
-    def match_weights_chart(self, as_dict: bool = False) -> list[dict]:
-        """visualisations.py:59 alias → match weight per comparison level."""
-        return self.match_weights_chart_data()
+    def match_weights_chart(self, as_dict: bool = False):
+        """visualisations.py:59 → match weight per comparison level
+        (reference chart spec: charts.py MatchWeightsChart)."""
+        from .internals.chart_specs import match_weights_chart_spec
 
-    def m_u_parameters_chart(self, as_dict: bool = False) -> list[dict]:
-        """visualisations.py:161 alias → m/u per comparison level."""
-        return self.m_u_parameters_chart_data()
+        return match_weights_chart_spec(self.match_weights_chart_data())
+
+    def m_u_parameters_chart(self, as_dict: bool = False):
+        """visualisations.py:161 → m/u per comparison level (reference
+        charts.py MUParametersChart)."""
+        from .internals.chart_specs import m_u_parameters_chart_spec
+
+        return m_u_parameters_chart_spec(self.m_u_parameters_chart_data())
 
     def parameter_estimate_comparisons_chart(self, include_m: bool = True,
-                                             include_u: bool = True) -> list[dict]:
-        """visualisations.py:223 alias → per-session m/u estimates."""
+                                             include_u: bool = True):
+        """visualisations.py:223 → per-session m/u estimates (reference
+        charts.py ParameterEstimateComparisonsChart)."""
+        from .internals.chart_specs import (
+            parameter_estimate_comparisons_chart_spec,
+        )
+
         recs = self.parameter_estimate_comparisons_data()
         kinds = (["m_probability"] if include_m else []) + (
             ["u_probability"] if include_u else []
         )
-        return [r for r in recs if r["parameter"] in kinds]
+        return parameter_estimate_comparisons_chart_spec(
+            [r for r in recs if r["parameter"] in kinds]
+        )
 
     def match_weights_histogram(
         self, df_predict: DataFrame, target_bins: int = 100, width=None, height=None
-    ) -> DataFrame:
-        """visualisations.py:119 alias → binned match-weight counts."""
-        return self.match_weights_histogram_data(df_predict, num_bins=target_bins)
+    ):
+        """visualisations.py:119 → histogram over binned match-weight counts
+        (reference charts.py MatchWeightsHistogramChart). The collect is
+        bounded by the bin count."""
+        from .internals.chart_specs import match_weights_histogram_spec
+
+        rows = [
+            r.asDict()
+            for r in self.match_weights_histogram_data(
+                df_predict, num_bins=target_bins
+            ).collect()
+        ]
+        return match_weights_histogram_spec(rows)
 
     def tf_adjustment_chart(
         self,
@@ -1279,21 +1357,32 @@ class LinkerVisualisations:
         n_least_freq: Optional[int] = 10,
         vals_to_include=None,
         as_dict: bool = False,
-    ) -> DataFrame:
-        """visualisations.py:196 alias → TF adjustment per value."""
-        return self.tf_adjustment_chart_data(
-            output_column_name,
-            n_most_freq=n_most_freq,
-            n_least_freq=n_least_freq,
-            vals_to_include=vals_to_include,
-        )
+    ):
+        """visualisations.py:196 → TF adjustment per value (reference
+        charts.py TFAdjustmentChart). The collect is bounded by the
+        most/least-frequent rank cutoffs."""
+        from .internals.chart_specs import tf_adjustment_chart_spec
+
+        rows = [
+            r.asDict()
+            for r in self.tf_adjustment_chart_data(
+                output_column_name,
+                n_most_freq=n_most_freq,
+                n_least_freq=n_least_freq,
+                vals_to_include=vals_to_include,
+            ).collect()
+        ]
+        return tf_adjustment_chart_spec(rows, output_column_name)
 
     def waterfall_chart(
         self, records, filter_nulls: bool = True, remove_sensitive_data: bool = False
-    ) -> list[dict]:
-        """visualisations.py:257 alias → per-comparison weight contributions
-        for each scored record."""
-        return self.waterfall_data(records)
+    ):
+        """visualisations.py:257 → per-comparison weight contributions for
+        each scored record, with a record-selector param (reference
+        charts.py WaterfallChart)."""
+        from .internals.chart_specs import waterfall_chart_spec
+
+        return waterfall_chart_spec(self.waterfall_data(records))
 
     def comparison_viewer_dashboard(
         self,

@@ -163,16 +163,18 @@ def test_labelling_tool_and_chart_aliases(spark, persons):
     some = linker.evaluation.labelling_tool_for_specific_record(target)
     assert some.count() <= len(rows)
 
+    mw = linker.visualisations.match_weights_chart()
     assert (
-        linker.visualisations.match_weights_chart()
-        == linker.visualisations.match_weights_chart_data()
+        mw["data"]["values"] == linker.visualisations.match_weights_chart_data()
     )
+    mu = linker.visualisations.m_u_parameters_chart()
     assert (
-        linker.visualisations.m_u_parameters_chart()
-        == linker.visualisations.m_u_parameters_chart_data()
+        mu["data"]["values"] == linker.visualisations.m_u_parameters_chart_data()
     )
     ul = linker.evaluation.unlinkables_chart()
-    assert ul.columns == ["match_weight", "count"]
+    assert {"match_weight", "count", "cum_proportion"} <= set(
+        ul["data"]["values"][0]
+    )
 
 
 def test_estimate_m_from_label_column(spark, persons):

@@ -39,13 +39,13 @@ def test_blocking_analysis_facade(spark, small):
     ).collect()
     assert {r["key_0"]: r["block_count"] for r in est} == {"x": 4, "y": 4}
 
-    # chart facade returns the same cumulative records (chart-data policy)
+    # chart facade wraps the same cumulative records in a vega-lite spec
     chart = ba.chart_comparisons_from_blocking_rules(
         small,
         blocking_rules=[brl.block_on("name"), "l.city = r.city"],
         record_sample_proportion=1.0,
     )
-    assert chart == recs
+    assert chart["data"]["values"] == recs
 
 
 def test_clustering_facade(spark, small):
@@ -84,13 +84,16 @@ def test_clustering_facade(spark, small):
 def test_exploratory_facade(spark, small):
     import splink_spark.exploratory as ex
 
-    comp = {r["column"]: r["completeness"] for r in ex.completeness_chart(small).collect()}
+    comp = {
+        r["column"]: r["completeness"]
+        for r in ex.completeness_chart(small)["data"]["values"]
+    }
     assert comp["name"] == 0.75 and comp["city"] == 1.0
 
     # multi-table completeness carries the table name
     two = ex.completeness_chart(
         [small, small.where("unique_id <= 2")], table_names_for_chart=["a", "b"]
-    ).collect()
+    )["data"]["values"]
     assert {r["source_dataset"] for r in two} == {"a", "b"}
 
     prof = ex.profile_columns(small, ["name"], top_n=1)

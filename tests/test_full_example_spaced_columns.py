@@ -67,7 +67,7 @@ def test_full_example_with_spaced_column(spark, spaced):
     assert prof["summary"].count() == 3
     assert prof["top_n"]['"SUR name"'].count() > 0
     compl = completeness_chart(spaced)
-    assert compl.count() > 0
+    assert len(compl["data"]["values"]) > 0  # vega-lite spec with data
 
     linker = Linker(spaced, settings)
     linker.training.estimate_u_using_random_sampling(max_pairs=1e6, seed=1)
@@ -87,7 +87,7 @@ def test_full_example_with_spaced_column(spark, spaced):
     # chart data over the predictions
     records = pred.limit(5).collect()
     wf = linker.visualisations.waterfall_chart([r.asDict() for r in records])
-    assert wf  # chart DATA, not html
+    assert wf["data"]["values"] and wf["mark"]["type"] == "bar"
 
     # labels accuracy from a self-built table over the first 10 records
     first10 = spaced.limit(10).select("unique_id", "cluster")
@@ -103,14 +103,19 @@ def test_full_example_with_spaced_column(spark, spaced):
             ),
         )
     )
-    acc = linker.evaluation.accuracy_analysis_from_labels_table(labels)
+    acc = linker.evaluation.accuracy_analysis_from_labels_table(
+        labels, output_type="table"
+    )
     assert acc.count() > 0
+    # reference default output_type: a renderable chart spec
+    acc_chart = linker.evaluation.accuracy_analysis_from_labels_table(labels)
+    assert acc_chart["data"]["values"]
 
     clusters = linker.clustering.cluster_pairwise_predictions_at_threshold(pred, 0.1)
     assert clusters.select("cluster_id").distinct().count() > 0
 
     unlink = linker.evaluation.unlinkables_chart()
-    assert unlink is not None
+    assert unlink["data"]["values"]
 
     # realtime: score one new record pair through the trained model
     rec = {

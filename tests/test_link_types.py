@@ -134,7 +134,9 @@ def test_full_example_train_predict_cluster_eval(spark, persons):
     # zoe li (11) is a singleton
     assert sum(1 for v in by_id.values() if v == by_id[11]) == 1
 
-    ts = linker.evaluation.accuracy_analysis_from_labels_column("cluster", scored)
+    ts = linker.evaluation.accuracy_analysis_from_labels_column(
+        "cluster", scored, output_type="table"
+    )
     rows = ts.collect()
     assert rows, "truth space must be non-empty"
     assert all(r["tp"] + r["fn"] >= 0 for r in rows)

@@ -307,7 +307,9 @@ def test_labels_table_evaluation(spark, persons, trained2):
         ],
         "unique_id_l long, unique_id_r long, clerical_match_score double",
     )
-    ts = trained2.evaluation.accuracy_analysis_from_labels_table(labels).collect()
+    ts = trained2.evaluation.accuracy_analysis_from_labels_table(
+        labels, output_type="table"
+    ).collect()
     assert len(ts) >= 1
     total_pairs = ts[0]["tp"] + ts[0]["fp"] + ts[0]["fn"] + ts[0]["tn"]
     assert total_pairs == 3
