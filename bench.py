@@ -123,6 +123,25 @@ def main() -> None:
     except Exception as exc:  # never fail the headline bench on the extra row
         print(f"# cc_distributed_1m failed: {exc}", file=sys.stderr)
 
+    # skewed-graph CC proof point (VERDICT r4 #7): the same distributed loop
+    # under DEGREE skew — 11.5M edges over 10M nodes with a 100k-degree hub
+    # (tools/bench_cc_skew.py builds the graph; BENCH_CC_SKEW.json carries
+    # the fully-instrumented standalone run with partition-skew probes).
+    # Not part of the headline total. SPARK_GRAFT_CC_SKEW_NODES=0 skips it.
+    cc_skew = None
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        from bench_cc_skew import run_cc_skew
+
+        skew_n = int(os.environ.get("SPARK_GRAFT_CC_SKEW_NODES", "10000000"))
+        if skew_n > 0:
+            cc_skew = run_cc_skew(spark, skew_n, probes=False)
+            print(f"# cc_skew_10m: {cc_skew}", file=sys.stderr)
+    except Exception as exc:  # never fail the headline bench on the extra row
+        print(f"# cc_skew_10m failed: {exc}", file=sys.stderr)
+
     # curation/pipeline extras (round 4): the training-data-pipeline family,
     # timed single-run at the same sf. Not in the headline total (kept
     # comparable across rounds).
@@ -155,6 +174,8 @@ def main() -> None:
     }
     if cc_bench is not None:
         out["cc_distributed_1m"] = cc_bench
+    if cc_skew is not None:
+        out["cc_skew_10m"] = cc_skew
     if extras:
         out["curation_extras"] = extras
     # attach the 1M direct-comparison result (BASELINE.md row 1 analogue)
@@ -168,12 +189,18 @@ def main() -> None:
         ("BENCH_10M.json", "bench_10m"),
         ("BENCH_CURATION_1M.json", "bench_curation_1m"),
         ("BENCH_CURATION_10M.json", "bench_curation_10m"),
+        ("BENCH_CC_SKEW.json", "bench_cc_skew_instrumented"),
     ):
         p = os.path.join(here, artifact)
         if os.path.exists(p):
             try:
                 with open(p) as f:
                     full = json.load(f)
+                if key == "bench_cc_skew_instrumented":
+                    # small artifact with the partition-skew probes the
+                    # per-round row skips — attach whole
+                    out[key] = {**full, "full_artifact": artifact}
+                    continue
                 if key.startswith("bench_curation"):
                     out[key] = {
                         "rows": full.get("rows"),
