@@ -297,6 +297,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
         return dedup.exact_duplicates(docs)
 
+    def q_span_dedup(spark, sf_dir):
+        """Cross-document exact-substring dedup (Lee et al. 2022 tokenized
+        variant, pipeline/dedup.py cross_document_span_dedup): every 6-token
+        span shared by >= 2 documents survives only in the lowest-id doc."""
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        return dedup.cross_document_span_dedup(docs, span_tokens=6)
+
     def q_fingerprint(spark, sf_dir):
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
         return text.fingerprint(docs)
@@ -1261,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truth_space": q_truth_space,
         "unlinkables": q_unlinkables,
         "dedup_exact": q_dedup_exact,
+        "span_dedup": q_span_dedup,
         "fingerprint": q_fingerprint,
         "rolling_fingerprint": q_rolling_fingerprint,
         "corpus_dedup": q_corpus_dedup,
@@ -1907,6 +1915,7 @@ def oracle_sql() -> dict[str, str]:
       FROM documents
     """
 
+
     sqls["fingerprint"] = """
       SELECT doc_id,
              md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
@@ -2394,6 +2403,51 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
         ((n_words >= 50 AND n_words <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
          AND (swr <= 0.1) AND (awf >= 0.8) AND (sh >= 2)) AS keep
       FROM m
+    """
+
+    # cross-document span dedup (Lee et al. 2022 tokenized variant): replay
+    # the md5 span keys, pick min(doc_id) per key seen in >= 2 distinct
+    # docs, union covered 1-based token positions per non-canonical doc,
+    # rebuild by filtering the position list. n=6 matches the gate call.
+    sqls["span_dedup"] = f"""
+      WITH t AS (SELECT doc_id, {_toks} AS toks FROM documents),
+      spans AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(toks) - 5, 0)),
+                 i -> {{'gpos': i,
+                        'key': md5(array_to_string(toks[i:i+5], ' '))}}
+               )) AS sp
+        FROM t
+      ),
+      flat AS (SELECT doc_id, sp.gpos AS gpos, sp.key AS key FROM spans),
+      dup AS (
+        SELECT key, min(doc_id) AS canon
+        FROM flat GROUP BY key HAVING count(DISTINCT doc_id) >= 2
+      ),
+      rem AS (
+        SELECT f.doc_id, f.key,
+               unnest(generate_series(f.gpos, f.gpos + 5)) AS pos
+        FROM flat f JOIN dup d ON f.key = d.key AND f.doc_id != d.canon
+      ),
+      perdoc AS (
+        SELECT doc_id,
+               count(DISTINCT pos) AS n_removed,
+               count(DISTINCT key) AS n_spans,
+               list(DISTINCT pos) AS rpos
+        FROM rem GROUP BY doc_id
+      )
+      SELECT t.doc_id,
+        CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        CAST(coalesce(p.n_removed, 0) AS BIGINT) AS n_removed_tokens,
+        CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_duplicate_spans,
+        coalesce(array_to_string(
+          list_transform(
+            list_filter(generate_series(1, len(t.toks)),
+                        i -> NOT coalesce(list_contains(p.rpos, i), FALSE)),
+            i -> t.toks[i]),
+          ' '), '') AS cleaned_text
+      FROM t LEFT JOIN perdoc p ON t.doc_id = p.doc_id
     """
 
     sqls["repetition_metrics"] = f"""

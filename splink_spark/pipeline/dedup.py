@@ -625,3 +625,109 @@ def semantic_dedup(
             .alias("centroid_sim"),
         )
     )
+
+
+def cross_document_span_dedup(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 10,
+) -> DataFrame:
+    """Cross-document exact-substring deduplication (the tokenized variant
+    of Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499): any ``span_tokens``-token span appearing in
+    two or more documents is kept in ONE canonical document (the lowest
+    doc id containing it) and removed everywhere else.
+
+    Shape for 100 TB: tokenize once per doc (staged behind the optimizer
+    barrier), posexplode the md5 span keys — the only wide exchanges are a
+    groupBy on the fixed-width 32-char span key (map-side combine) and one
+    groupBy back on doc_id; the rebuild is a pure per-doc HOF filter.
+    Overlapping duplicated spans union their covered token positions.
+
+    Determinism: canonical = min(doc_id) per span key; every decision is
+    md5/integer arithmetic any SQL engine reproduces bit-for-bit (the gate
+    oracle replays it in DuckDB).
+
+    Simplification vs the suffix-array original (documented): spans are
+    whole-token aligned at a fixed length rather than maximal byte
+    substrings, and the cleaned text is rebuilt by joining surviving tokens
+    with single spaces (original inter-token whitespace is not preserved).
+    Only spans seen in >= 2 DISTINCT documents count — within-document
+    repetition is :func:`~splink_spark.pipeline.text.dedup_within_document`'s
+    job.
+
+    Output: one row per input document —
+    (``id_col``, n_tokens, n_removed_tokens, n_duplicate_spans, cleaned_text).
+    """
+    from ..internals.misc import optimizer_barrier
+    from .curation import _tokens
+
+    n = int(span_tokens)
+    if n < 1:
+        raise ValueError("span_tokens must be >= 1")
+    staged = _widen(corpus).select(
+        F.col(id_col), optimizer_barrier(_tokens(F.col(text_col))).alias("__toks")
+    ).persist()
+    toks = F.col("__toks")
+    # md5 over the space-joined token window: fixed-width span key, exactly
+    # reproducible in any engine with md5 + string concat
+    span_keys = F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+        )
+    )
+    doc_spans = staged.select(
+        F.col(id_col), F.posexplode(span_keys).alias("__gpos", "__key")
+    )
+    # spans present in >= 2 distinct docs; canonical keeps its copy
+    dup_spans = (
+        doc_spans.groupBy("__key")
+        .agg(
+            F.min(id_col).alias("__canon"),
+            F.count_distinct(F.col(id_col)).alias("__ndocs"),
+        )
+        .where(F.col("__ndocs") >= 2)
+        .select("__key", "__canon")
+    )
+    removals = (
+        doc_spans.join(dup_spans, on="__key")
+        .where(F.col(id_col) != F.col("__canon"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("__gpos"), F.col("__gpos") + F.lit(n - 1))
+            ).alias("__pos"),
+            F.col("__key"),
+        )
+    )
+    per_doc = removals.groupBy(id_col).agg(
+        F.collect_set("__pos").alias("__remove_pos"),
+        F.count_distinct("__key").alias("n_dup_spans"),
+    )
+    out = staged.join(per_doc, on=id_col, how="left")
+    remove_pos = F.coalesce(F.col("__remove_pos"), F.array().cast("array<int>"))
+    # positions are 0-based (posexplode); pair each token with its index so
+    # the keep-filter can test membership in the removal set
+    kept = F.filter(
+        F.arrays_zip(
+            toks, F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)))
+        ),
+        lambda s: ~F.array_contains(remove_pos, s["1"].cast("int")),
+    )
+    return out.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.size(F.col("__remove_pos")), F.lit(0))
+        .cast("bigint")
+        .alias("n_removed_tokens"),
+        F.coalesce(F.col("n_dup_spans"), F.lit(0))
+        .cast("bigint")
+        .alias("n_duplicate_spans"),
+        F.when(F.size(toks) == 0, F.lit("")).otherwise(
+            F.concat_ws(" ", F.transform(kept, lambda s: s["__toks"]))
+        ).alias("cleaned_text"),
+    )

@@ -578,3 +578,45 @@ def test_char_ngrams_and_rolling_hash_vs_python_reference(spark):
                 acc = acc * base + ord(ch)
             best = acc if best is None else min(best, acc)
         assert fp[i] == best, (i, t)
+
+
+def test_cross_document_span_dedup(spark):
+    """Lee et al. 2022 tokenized exact-substring dedup: a span shared by
+    several documents survives only in the lowest-id one; unrelated and
+    empty docs pass through; an exact duplicate doc is fully removed."""
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "intro words then the quick brown fox jumps over the lazy "
+                "dog today and more"),
+            (2, "totally unrelated text with no shared spans at all here ok"),
+            (3, ""),
+            (4, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.cross_document_span_dedup(docs, span_tokens=5).collect()
+    }
+    # canonical doc 0 keeps everything
+    assert out[0]["n_removed_tokens"] == 0
+    assert out[0]["cleaned_text"] == (
+        "the quick brown fox jumps over the lazy dog today"
+    )
+    # doc 1 loses exactly the shared 10-token span, keeps its own words
+    assert out[1]["cleaned_text"] == "intro words then and more"
+    assert out[1]["n_removed_tokens"] == 10
+    assert out[1]["n_duplicate_spans"] == 6  # 10-token run -> 6 5-grams
+    # unrelated doc untouched; empty doc stays empty
+    assert out[2]["n_removed_tokens"] == 0
+    assert out[3]["n_tokens"] == 0 and out[3]["cleaned_text"] == ""
+    # exact duplicate of the canonical: fully removed
+    assert out[4]["cleaned_text"] == "" and out[4]["n_removed_tokens"] == 10
+    # global property: total kept+removed == total tokens
+    assert all(
+        len(r["cleaned_text"].split()) + r["n_removed_tokens"] == r["n_tokens"]
+        for r in out.values()
+    )
+    with pytest.raises(ValueError):
+        dedup.cross_document_span_dedup(docs, span_tokens=0)
