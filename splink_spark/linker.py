@@ -1013,14 +1013,18 @@ class LinkerEvaluation:
         unique_id,
         source_dataset: Optional[str] = None,
         match_weight_threshold: float = -4,
+        out_path: Optional[str] = None,
+        overwrite: bool = False,
         **_style_kwargs,
     ) -> DataFrame:
         """Data layer for the reference's clerical-labelling tool
         (labelling_tool.py:20-70): every input record is scored against the
         record of interest under a FULL block (all records on the ``_l``
         side), then filtered to ``match_weight > match_weight_threshold``.
-        The reference wraps this in an offline HTML dashboard; HTML rendering
-        is out of engine scope, so the scored candidate table is returned."""
+        With ``out_path`` also writes a standalone HTML labelling page
+        (candidate table + match/not/unsure radios + labels-JSON download —
+        internals/dashboards.py); the scored candidate DataFrame is
+        returned either way."""
         s = self._l.settings
         uid = s.unique_id_column_name
         sd = s.source_dataset_column_name if s.needs_source_dataset else None
@@ -1037,7 +1041,23 @@ class LinkerEvaluation:
         if sd:
             pairs = pairs.withColumn("source_dataset_r", F.lit(source_dataset))
         scored = self._l.inference.score_pairs(pairs)
-        return scored.where(F.col("match_weight") > match_weight_threshold)
+        candidates = scored.where(F.col("match_weight") > match_weight_threshold)
+        if out_path:
+            import os
+
+            if os.path.isfile(out_path) and not overwrite:
+                raise ValueError(
+                    f"The path {out_path} already exists. Set overwrite=True "
+                    "to overwrite."
+                )
+            from .internals.dashboards import render_labelling_tool_html
+
+            render_labelling_tool_html(
+                [r.asDict() for r in candidates.collect()],
+                unique_id_column_name=uid,
+                out_path=out_path,
+            )
+        return candidates
 
 
 class LinkerMisc:
@@ -1391,10 +1411,52 @@ class LinkerVisualisations:
         overwrite: bool = False,
         num_example_rows: int = 2,
     ) -> DataFrame:
-        """visualisations.py:302 alias → the comparison-vector distribution
-        the dashboard renders (out_path/overwrite accepted and ignored — no
-        HTML is written)."""
-        return self.comparison_vector_distribution(df_predict)
+        """visualisations.py:302: the comparison-vector distribution; with
+        ``out_path`` also writes a standalone HTML viewer (distribution
+        chart + per-pattern example pairs — internals/dashboards.py). The
+        distribution DataFrame is returned either way. Collects are bounded:
+        the (tiny) grouped distribution + num_example_rows per pattern."""
+        dist = self.comparison_vector_distribution(df_predict)
+        if out_path:
+            import os
+
+            if os.path.isfile(out_path) and not overwrite:
+                raise ValueError(
+                    f"The path {out_path} already exists. Set overwrite=True "
+                    "to overwrite."
+                )
+            from pyspark.sql.window import Window
+
+            from .internals.dashboards import render_comparison_viewer_html
+
+            narrow = getattr(df_predict, "_splink_narrow", df_predict)
+            gamma_cols = [
+                c.gamma_column_name for c in self._l.settings.comparisons
+            ]
+            pat = F.concat_ws(
+                ",", *[F.col(g).cast("string") for g in gamma_cols]
+            ).alias("__pat")
+            w = Window.partitionBy("__pat").orderBy(
+                F.desc("match_weight"),
+                F.asc(f"{self._l.settings.unique_id_column_name}_l"),
+            )
+            examples = (
+                narrow.select("*", pat)
+                .withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= num_example_rows)
+                .drop("__rn")
+                .collect()
+            )
+            by_pattern: dict[str, list] = {}
+            for r in examples:
+                d = r.asDict()
+                by_pattern.setdefault(d.pop("__pat"), []).append(d)
+            render_comparison_viewer_html(
+                [r.asDict() for r in dist.collect()],
+                by_pattern,
+                out_path=out_path,
+            )
+        return dist
 
     def cluster_studio_dashboard(
         self,
@@ -1407,15 +1469,35 @@ class LinkerVisualisations:
         cluster_names=None,
         overwrite: bool = False,
     ):
-        """visualisations.py:371 alias → the sampled cluster subgraphs the
-        dashboard renders (out_path/overwrite accepted and ignored)."""
-        return self.cluster_studio_sample(
+        """visualisations.py:371: the sampled cluster subgraphs; with
+        ``out_path`` also writes a standalone HTML cluster studio (cluster
+        selector + force-directed node-link view + member table —
+        internals/dashboards.py). Returns the (nodes, edges) DataFrames
+        either way; the collect is bounded by the cluster sample."""
+        nodes, edges = self.cluster_studio_sample(
             df_clustered,
             df_predict,
             sampling_method=sampling_method,
             sample_size=sample_size,
             cluster_ids=cluster_ids,
         )
+        if out_path:
+            import os
+
+            if os.path.isfile(out_path) and not overwrite:
+                raise ValueError(
+                    f"The path {out_path} already exists. Set overwrite=True "
+                    "to overwrite."
+                )
+            from .internals.dashboards import render_cluster_studio_html
+
+            render_cluster_studio_html(
+                [r.asDict() for r in nodes.collect()],
+                [r.asDict() for r in edges.collect()],
+                unique_id_column_name=self._l.settings.unique_id_column_name,
+                out_path=out_path,
+            )
+        return nodes, edges
 
 
 class LinkerBlockingAnalysis:

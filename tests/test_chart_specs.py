@@ -253,3 +253,49 @@ def test_chart_spec_renders_in_notebooks(trained):
     bundle = spec._repr_mimebundle_()
     assert "application/vnd.vegalite.v5+json" in bundle
     assert bundle["application/vnd.vegalite.v5+json"]["data"]["values"]
+
+def test_cluster_studio_dashboard_html(trained, tmp_path):
+    """cluster_studio_dashboard with out_path writes a standalone HTML page
+    embedding the sampled nodes/edges and a force-directed vega spec."""
+    pred = trained.inference.predict()
+    clusters = trained.clustering.cluster_pairwise_predictions_at_threshold(
+        pred, 0.5
+    )
+    out = tmp_path / "studio.html"
+    nodes, edges = trained.visualisations.cluster_studio_dashboard(
+        pred, clusters, out_path=str(out), sample_size=5
+    )
+    html = out.read_text()
+    assert "cluster-select" in html and '"force"' in html
+    # every sampled node id is embedded
+    for r in nodes.collect():
+        assert f'"{r["unique_id"]}"' in html
+    with pytest.raises(ValueError, match="already exists"):
+        trained.visualisations.cluster_studio_dashboard(
+            pred, clusters, out_path=str(out)
+        )
+
+
+def test_comparison_viewer_dashboard_html(trained, tmp_path):
+    pred = trained.inference.predict()
+    out = tmp_path / "viewer.html"
+    dist = trained.visualisations.comparison_viewer_dashboard(
+        pred, out_path=str(out), num_example_rows=2
+    )
+    html = out.read_text()
+    assert "pattern-select" in html and "vegaEmbed" in html
+    # every distribution pattern appears in the page
+    for r in dist.collect():
+        assert r["gam_concat"] in html
+
+
+def test_labelling_tool_html(trained, tmp_path):
+    out = tmp_path / "label.html"
+    target = 0
+    cands = trained.evaluation.labelling_tool_for_specific_record(
+        target, match_weight_threshold=-1e9, out_path=str(out)
+    )
+    html = out.read_text()
+    assert "Download labels JSON" in html
+    assert 'type="radio"' in html
+    assert cands.count() > 0
