@@ -844,3 +844,173 @@ def corpus_stats(
     if by:
         return base.join(vocab, by).orderBy(by)
     return base.crossJoin(vocab)
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection with importance resampling
+# ---------------------------------------------------------------------------
+
+
+def dsir_importance_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    *,
+    n: int = 2,
+    smoothing: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_text_col: Optional[str] = None,
+    hash_buckets: Optional[int] = None,
+) -> DataFrame:
+    """Per-document importance weights for DSIR-style data selection
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling", NeurIPS).
+
+    Fits bag-of-word-``n``-gram unigram models of the TARGET distribution
+    ``p`` and the RAW-corpus distribution ``q`` with add-``smoothing``
+    estimation over the union vocabulary, then scores every corpus document
+    with ``log w(x) = sum_g count_x(g) * (ln p(g) - ln q(g))`` — the
+    published hashed-ngram likelihood-ratio feature.
+
+    Two feature spaces:
+
+    - ``hash_buckets=None`` (exact): the vocabulary is the set of observed
+      grams. Gram counting shuffles keyed by gram with map-side combine; the
+      per-doc scoring join is gram-keyed (big-to-big at web scale). This is
+      the verification path — the oracle gate replays it in SQL.
+    - ``hash_buckets=B`` (scale path, the paper's construction): grams hash
+      into ``B`` buckets (xxhash64 % B), so BOTH distributions collapse to
+      B-row dictionaries. The log-ratio dictionary is at most B rows —
+      broadcast, never shuffled — and scoring is one map-side broadcast
+      join + doc-keyed re-aggregation: the corpus is scanned once, the only
+      wide shuffle the final groupBy(doc_id). B=10k (the paper's default
+      order) keeps the dictionary a few hundred KB at any corpus size.
+
+    Returns ``(id_col, log_weight)`` for every corpus document (documents
+    with no grams score 0.0).
+    """
+    target_text_col = target_text_col or text_col
+
+    def _doc_grams(df: DataFrame, tcol: str, *keep: str) -> DataFrame:
+        g = _staged_word_ngrams(df, tcol, n, *keep)
+        out = g.select(*keep, F.explode("grams").alias("gram"))
+        if hash_buckets is not None:
+            out = out.select(
+                *keep,
+                F.pmod(F.xxhash64("gram"), F.lit(hash_buckets)).alias("gram"),
+            )
+        return out
+
+    corpus_grams = _doc_grams(corpus, text_col, id_col)
+    target_grams = _doc_grams(target, target_text_col)
+
+    c_counts = corpus_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c_cnt"))
+    t_counts = target_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("t_cnt"))
+    joined = c_counts.join(t_counts, "gram", "full_outer").select(
+        "gram",
+        F.coalesce("c_cnt", F.lit(0)).alias("c_cnt"),
+        F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
+    )
+
+    if hash_buckets is not None:
+        vocab_size = float(hash_buckets)
+        totals = joined.agg(
+            F.sum("c_cnt").alias("ct"), F.sum("t_cnt").alias("tt")
+        ).first()
+        n_vocab = vocab_size
+    else:
+        totals = joined.agg(
+            F.sum("c_cnt").alias("ct"),
+            F.sum("t_cnt").alias("tt"),
+            F.count(F.lit(1)).alias("v"),
+        ).first()
+        n_vocab = float(totals["v"])
+    c_total = float(totals["ct"] or 0.0)
+    t_total = float(totals["tt"] or 0.0)
+
+    a = float(smoothing)
+    log_ratio = (
+        F.log((F.col("t_cnt") + F.lit(a)) / F.lit(t_total + a * n_vocab))
+        - F.log((F.col("c_cnt") + F.lit(a)) / F.lit(c_total + a * n_vocab))
+    ).alias("log_ratio")
+    # only grams that occur in the corpus can contribute to a corpus doc's
+    # weight, so the dictionary keeps the corpus-side rows only
+    ratios = joined.where(F.col("c_cnt") > 0).select("gram", log_ratio)
+    if hash_buckets is not None:
+        ratios = F.broadcast(ratios)
+
+    scored = (
+        corpus_grams.join(ratios, "gram", "inner")
+        .groupBy(id_col)
+        .agg(F.sum("log_ratio").alias("log_weight"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+        )
+    )
+
+
+def dsir_resample(
+    corpus: DataFrame,
+    target: DataFrame,
+    k: int,
+    *,
+    n: int = 2,
+    smoothing: float = 1.0,
+    temperature: float = 1.0,
+    method: str = "gumbel",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_text_col: Optional[str] = None,
+    hash_buckets: Optional[int] = None,
+) -> DataFrame:
+    """Select ``k`` corpus documents by importance resampling against the
+    target distribution (DSIR's sampling-without-replacement step).
+
+    ``method="gumbel"`` (the paper's estimator): score each document
+    ``log_weight / temperature + Gumbel(0,1)`` and keep the top ``k`` — the
+    Gumbel-top-k trick draws a weighted sample without replacement. The
+    Gumbel noise is derived from the portable MINSTD hash of the document
+    id (``u in (0,1)``, ``g = -ln(-ln(u))``), so the draw is deterministic,
+    engine-portable, and stable under repartitioning — the same
+    reproducibility contract as :func:`stratified_sample`.
+
+    ``method="topk"``: plain highest-weight selection (temperature 0).
+
+    The ranking is a global sort limited to ``k`` (Spark's sort-limit
+    pushes the limit into each partition: only k rows per partition
+    survive the shuffle).
+    """
+    w = dsir_importance_weights(
+        corpus,
+        target,
+        n=n,
+        smoothing=smoothing,
+        text_col=text_col,
+        id_col=id_col,
+        target_text_col=target_text_col,
+        hash_buckets=hash_buckets,
+    )
+    if method == "gumbel":
+        # u in (0,1): MINSTD over id+1 (avoids the 0 fixpoint), never 0 or 1
+        u = (
+            F.pmod(
+                (F.col(id_col).cast("bigint") + F.lit(1)) * F.lit(_MINSTD_A),
+                F.lit(_MINSTD_M),
+            ).cast("double")
+            + F.lit(0.5)
+        ) / F.lit(float(_MINSTD_M))
+        score = F.col("log_weight") / F.lit(float(temperature)) - F.log(-F.log(u))
+    elif method == "topk":
+        score = F.col("log_weight")
+    else:
+        raise ValueError("method must be 'gumbel' or 'topk'")
+    return (
+        w.select(id_col, "log_weight", F.round(score, 9).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
