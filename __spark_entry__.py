@@ -450,6 +450,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = docs.where(F.col("doc_id") % 41 == 0)
         return curation.decontaminate(docs, ev, n=3)
 
+    def q_quality_classifier(spark, sf_dir):
+        """Distributed logistic regression (8 full-batch GD iterations, each
+        one aggregation scan) on three engine-portable text features; the
+        oracle replays the identical iterations in pure SQL (generated CTE
+        chain, __spark_entry__._lr_oracle_sql)."""
+        from splink_spark.pipeline import classifier as clf
+
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        labelled = docs.withColumn("label", (F.col("lang") == "en").cast("int"))
+        out = clf.quality_classifier(
+            labelled, "label", iterations=8, learning_rate=1.0
+        )
+        return out.select("doc_id", F.round("p", 6).alias("p"))
+
+    def q_dsir_resample(spark, sf_dir):
+        """DSIR (Xie et al. 2023) selection of 100 docs against a German
+        target slice: exact bigram vocabulary (the verification path; the
+        hashed-bucket scale path is pytest-covered), Gumbel-top-k with the
+        portable MINSTD draw."""
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        target = docs.where(F.col("lang") == "de")
+        out = curation.dsir_resample(
+            docs, target, 100, n=2, method="gumbel", temperature=1.0
+        )
+        return out.select(
+            "doc_id",
+            F.round("log_weight", 6).alias("log_weight"),
+            F.round("score", 6).alias("score"),
+        )
+
     def q_mixture_plan(spark, sf_dir):
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
         return curation.mixture_plan(
@@ -1287,6 +1317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "repetition_metrics": q_repetition_metrics,
         "decontaminate": q_decontaminate,
+        "quality_classifier": q_quality_classifier,
+        "dsir_resample": q_dsir_resample,
         "mixture_plan": q_mixture_plan,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -1697,6 +1729,57 @@ def _em_oracle_sql(iters: int = 2) -> str:
     return sql + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def _lr_oracle_sql(iters: int = 8, lr: float = 1.0) -> str:
+    """Generated DuckDB SQL replaying quality_classifier's exact training:
+    feature extraction, standardization, then ``iters`` unrolled full-batch
+    GD iterations as a CTE chain (one CTE per iteration, cross-joining the
+    data with the previous 1-row weight CTE), then scoring. A genuinely
+    independent re-computation of the distributed-GD loop, in the same
+    spirit as the unrolled-EM oracle below."""
+    lr_s = repr(float(lr))
+    feats = """
+  SELECT doc_id,
+         ln(1.0 + length(text)) AS x0,
+         CAST(ntok AS DOUBLE) AS x1,
+         CAST(length(text) AS DOUBLE) / greatest(CAST(ntok AS DOUBLE), 1.0) AS x2,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM (SELECT doc_id, text, lang,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok
+        FROM documents)"""
+    parts = [
+        f"WITH f AS ({feats}),",
+        """st AS (
+  SELECT avg(x0) AS m0, avg(x1) AS m1, avg(x2) AS m2,
+         CASE WHEN stddev_pop(x0) > 0 THEN stddev_pop(x0) ELSE 1.0 END AS s0,
+         CASE WHEN stddev_pop(x1) > 0 THEN stddev_pop(x1) ELSE 1.0 END AS s1,
+         CASE WHEN stddev_pop(x2) > 0 THEN stddev_pop(x2) ELSE 1.0 END AS s2
+  FROM f),""",
+        """z AS (
+  SELECT doc_id, (x0 - m0) / s0 AS x0, (x1 - m1) / s1 AS x1,
+         (x2 - m2) / s2 AS x2, y
+  FROM f, st),""",
+        "i0 AS (SELECT 0.0 AS wa, 0.0 AS wb, 0.0 AS wc, 0.0 AS bb),",
+    ]
+    sig = "1.0 / (1.0 + exp(-(bb + wa * x0 + wb * x1 + wc * x2)))"
+    for t in range(1, iters + 1):
+        # i{t-1} is one row, so max(w) == w: wrapping the carried weights in
+        # an aggregate sidesteps group-by alias ambiguity in the self-named
+        # output columns
+        parts.append(
+            f"""i{t} AS (
+  SELECT max(wa) - {lr_s} * avg(({sig} - y) * x0) AS wa,
+         max(wb) - {lr_s} * avg(({sig} - y) * x1) AS wb,
+         max(wc) - {lr_s} * avg(({sig} - y) * x2) AS wc,
+         max(bb) - {lr_s} * avg({sig} - y) AS bb
+  FROM z, i{t - 1}){"," if t < iters else ""}"""
+        )
+    parts.append(
+        f"SELECT doc_id, round({sig}, 6) AS p FROM z, i{iters}"
+    )
+    return "\n".join(parts)
+
+
 def _ngrams_sql(col: str, n: int) -> str:
     return (
         f"list_distinct(list_transform(generate_series(1, greatest(length({col}) - {n - 1}, 1)), "
@@ -2060,6 +2143,54 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
         "ELSE string_split_regex(lower(trim(text)), '\\s+') END"
     )
+
+    sqls["quality_classifier"] = _lr_oracle_sql(iters=8, lr=1.0)
+
+    # DSIR: exact-bigram importance weights (add-1 smoothing over the union
+    # vocabulary), Gumbel-top-100 with the portable MINSTD draw — the same
+    # computation dsir_resample runs, re-derived in set-oriented SQL
+    sqls["dsir_resample"] = f"""
+      WITH t AS (SELECT doc_id, lang, {_ltoks} AS toks FROM documents),
+      g AS (
+        SELECT doc_id, lang,
+          CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1]) END AS grams
+        FROM t
+      ),
+      cg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      tg AS (SELECT unnest(grams) AS gram FROM g WHERE lang = 'de'),
+      cc AS (SELECT gram, count(*) AS c_cnt FROM cg GROUP BY gram),
+      tc AS (SELECT gram, count(*) AS t_cnt FROM tg GROUP BY gram),
+      j AS (
+        SELECT coalesce(cc.gram, tc.gram) AS gram,
+               coalesce(c_cnt, 0) AS c_cnt, coalesce(t_cnt, 0) AS t_cnt
+        FROM cc FULL OUTER JOIN tc ON cc.gram = tc.gram
+      ),
+      tot AS (SELECT CAST(sum(c_cnt) AS DOUBLE) AS ct,
+                     CAST(sum(t_cnt) AS DOUBLE) AS tt,
+                     CAST(count(*) AS DOUBLE) AS v FROM j),
+      r AS (
+        SELECT gram,
+               ln((t_cnt + 1.0) / (tt + v)) - ln((c_cnt + 1.0) / (ct + v)) AS log_ratio
+        FROM j, tot WHERE c_cnt > 0
+      ),
+      dw AS (SELECT doc_id, sum(log_ratio) AS log_weight
+             FROM cg JOIN r USING (gram) GROUP BY doc_id),
+      allw AS (
+        SELECT d.doc_id, coalesce(dw.log_weight, 0.0) AS log_weight
+        FROM documents d LEFT JOIN dw ON d.doc_id = dw.doc_id
+      ),
+      s AS (
+        SELECT doc_id, log_weight,
+          round(log_weight - ln(-ln(
+            (CAST(((doc_id + 1) * 48271) % 2147483647 AS DOUBLE) + 0.5)
+              / 2147483647.0)), 9) AS score
+        FROM allw
+      )
+      SELECT doc_id, round(log_weight, 6) AS log_weight, round(score, 6) AS score
+      FROM s ORDER BY score DESC, doc_id LIMIT 100
+    """
 
     # shared by kmeans_assign and ann_ivf: the exact-int64 spherical-k-means
     # index build (k=8 cells, 2 Lloyd iterations, scale 1e6) — integer dots
