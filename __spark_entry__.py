@@ -450,6 +450,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = docs.where(F.col("doc_id") % 41 == 0)
         return curation.decontaminate(docs, ev, n=3)
 
+    def q_incremental_dedup(spark, sf_dir):
+        """New-batch-vs-corpus dedup (odd doc_ids arrive as the batch, even
+        ids are the settled corpus): exact fingerprint + banded-minhash near
+        dup, corpus never shuffled. Oracle recomputes the flags from md5
+        fingerprints and the exact 5-gram Jaccard pair set (recall-complete
+        at this fixture's similarity gap — same argument as minhash_lsh)."""
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        corpus = docs.where(F.col("doc_id") % 2 == 0)
+        batch = docs.where(F.col("doc_id") % 2 == 1)
+        out = dedup.incremental_dedup(
+            batch, corpus, jaccard_threshold=0.45, shingle_size=5
+        )
+        return out.select(
+            "doc_id", "fingerprint", "exact_dup_corpus", "exact_dup_batch",
+            "near_dup_corpus", "keep",
+        )
+
+    def q_source_caps(spark, sf_dir):
+        """C4-style per-source cap: keep the 10 largest docs per source
+        (n_chars desc, doc_id tiebreak)."""
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        out = curation.cap_per_group(
+            docs, "source", 10, order_col="n_chars"
+        )
+        return out.select("doc_id", "source", "n_chars")
+
     def q_quality_classifier(spark, sf_dir):
         """Distributed logistic regression (8 full-batch GD iterations, each
         one aggregation scan) on three engine-portable text features; the
@@ -1319,6 +1345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "quality_classifier": q_quality_classifier,
         "dsir_resample": q_dsir_resample,
+        "incremental_dedup": q_incremental_dedup,
+        "source_caps": q_source_caps,
         "mixture_plan": q_mixture_plan,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -2145,6 +2173,53 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sqls["quality_classifier"] = _lr_oracle_sql(iters=8, lr=1.0)
+
+    # incremental dedup: flags re-derived from first principles — md5
+    # fingerprints for the exact stages, and the EXACT 5-gram Jaccard
+    # batch x corpus pair set for the near stage (candidate recall is
+    # complete at this fixture's similarity gap: true pairs >= 0.92
+    # Jaccard, miss probability (1 - 0.92^4)^16 ~ 2e-9; next-closest
+    # non-dup < 0.45 — the minhash_lsh gate's argument)
+    _fp5 = _ngrams_sql("text", 5)
+    sqls["incremental_dedup"] = f"""
+      WITH fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                       '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+      ),
+      batch AS (SELECT * FROM fp WHERE doc_id % 2 = 1),
+      corpus AS (SELECT * FROM fp WHERE doc_id % 2 = 0),
+      g AS (SELECT doc_id, {_fp5} AS grams FROM documents),
+      near AS (
+        SELECT DISTINCT b.doc_id
+        FROM g b JOIN g c ON b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+        WHERE CAST(len(list_intersect(b.grams, c.grams)) AS DOUBLE)
+              / len(list_distinct(list_concat(b.grams, c.grams))) >= 0.45
+      ),
+      flags AS (
+        SELECT b.doc_id, b.fingerprint,
+          b.fingerprint IN (SELECT fingerprint FROM corpus) AS exact_dup_corpus,
+          row_number() OVER (PARTITION BY b.fingerprint ORDER BY b.doc_id) > 1
+            AS exact_dup_batch,
+          b.doc_id IN (SELECT doc_id FROM near) AS near_dup_corpus
+        FROM batch b
+      )
+      SELECT doc_id, fingerprint, exact_dup_corpus, exact_dup_batch,
+             near_dup_corpus,
+             NOT (exact_dup_corpus OR exact_dup_batch OR near_dup_corpus) AS keep
+      FROM flags
+    """
+
+    sqls["source_caps"] = """
+      SELECT doc_id, source, n_chars
+      FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents
+      ) WHERE rk <= 10
+    """
 
     # DSIR: exact-bigram importance weights (add-1 smoothing over the union
     # vocabulary), Gumbel-top-100 with the portable MINSTD draw — the same

@@ -1014,3 +1014,63 @@ def dsir_resample(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# per-domain / per-source caps
+# ---------------------------------------------------------------------------
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    max_per_group: int,
+    *,
+    order_col: Optional[str] = None,
+    id_col: str = "doc_id",
+    method: str = "exact",
+) -> DataFrame:
+    """Cap the number of rows kept per group — the C4/RefinedWeb-style
+    per-domain limit that stops a handful of giant hosts dominating a web
+    corpus.
+
+    ``method="exact"``: rank within each group (``order_col`` descending —
+    best first — with ``id_col`` as the deterministic tiebreak; plain
+    ``id_col`` order if no ``order_col``) and keep ranks ``<= max_per_group``.
+    One shuffle keyed by group. NOTE the skew caveat: a power-law domain
+    distribution puts the hottest domain on one partition and sorts ALL its
+    rows to rank them (AQE skew handling does not split window partitions).
+
+    ``method="sampled"``: skew-free scale path — one count aggregate per
+    group (tiny), then a pure MINSTD filter at ``max_per_group / count``
+    per group. Keeps ~``max_per_group`` rows per group (binomial, not
+    exact), never sorts, never concentrates a group on one task, and is
+    deterministic and repartition-stable — the right default above ~1k rows
+    per hot group. Groups under the cap pass through unfiltered in both
+    methods.
+    """
+    if method == "exact":
+        order = (
+            [F.col(order_col).desc(), F.col(id_col).asc()]
+            if order_col
+            else [F.col(id_col).asc()]
+        )
+        w = Window.partitionBy(group_col).orderBy(*order)
+        return (
+            df.withColumn("__rank", F.row_number().over(w))
+            .where(F.col("__rank") <= max_per_group)
+            .drop("__rank")
+        )
+    if method == "sampled":
+        counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+        frac = F.least(
+            F.lit(1.0), F.lit(float(max_per_group)) / F.col("__n").cast("double")
+        )
+        thr = (frac * _SAMPLE_MODULUS).cast("bigint")
+        return (
+            df.join(F.broadcast(counts.select(group_col, thr.alias("__thr"))),
+                    group_col)
+            .where(_minstd_bucket(id_col) < F.col("__thr"))
+            .drop("__thr")
+        )
+    raise ValueError("method must be 'exact' or 'sampled'")

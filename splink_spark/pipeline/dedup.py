@@ -731,3 +731,177 @@ def cross_document_span_dedup(
             F.concat_ws(" ", F.transform(kept, lambda s: s["__toks"]))
         ).alias("cleaned_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs an existing corpus
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    near_dup: bool = True,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    jaccard_threshold: float = 0.5,
+    corpus_fingerprints: Optional[DataFrame] = None,
+    corpus_signatures: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Deduplicate a NEW batch of documents against an EXISTING corpus —
+    the shape every ongoing ingestion pipeline needs (yesterday's 100 TB
+    corpus is settled; today's shard must be screened against it without
+    reprocessing it).
+
+    Scale contract: the corpus is never shuffled and never broadcast. Every
+    corpus-side pass is a single scan joined map-side against a BROADCAST
+    batch-derived table (the batch is the small side by construction):
+
+    1. exact stage — normalized-content fingerprints
+       (:func:`splink_spark.pipeline.text.fingerprint`). The corpus scan
+       semi-joins against the broadcast batch fingerprint set; only the
+       matched fingerprints (<= |batch| after distinct) come back, and the
+       batch flags itself against that small set. Pass
+       ``corpus_fingerprints=`` (id, fingerprint) to reuse a stored
+       fingerprint table instead of re-hashing corpus text.
+    2. near-dup stage — banded MinHash: corpus band keys equi-join the
+       broadcast batch band table; candidate pairs (small: batch-bounded)
+       pull ONLY their matched corpus rows back (semi-join against the
+       broadcast candidate id set) for exact-Jaccard verification. Pass
+       ``corpus_signatures=`` (id, minhash array) to reuse stored
+       signatures — then corpus TEXT is touched only for verification
+       candidates.
+
+    Within-batch exact duplicates are also flagged (first occurrence by id
+    kept); within-batch NEAR-dups are out of scope here — run
+    :func:`minhash_lsh_pairs` on the (small) batch for those.
+
+    Returns one row per batch document::
+
+        (id_col, fingerprint, exact_dup_corpus, exact_dup_batch,
+         near_dup_corpus, keep)
+    """
+    from .text import fingerprint
+
+    batch_fp = fingerprint(batch, text_col=text_col, id_col=id_col)
+    corpus_fp = (
+        corpus_fingerprints
+        if corpus_fingerprints is not None
+        else fingerprint(corpus, text_col=text_col, id_col=id_col)
+    )
+
+    # corpus scanned once; broadcast probe side is distinct batch prints
+    batch_prints = batch_fp.select("fingerprint").distinct()
+    hit_prints = (
+        corpus_fp.join(F.broadcast(batch_prints), "fingerprint", "leftsemi")
+        .select("fingerprint")
+        .distinct()
+    )
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    flags = (
+        batch_fp.withColumn(
+            "exact_dup_batch", F.row_number().over(w) > F.lit(1)
+        )
+        .join(
+            F.broadcast(hit_prints.withColumn("__hit", F.lit(True))),
+            "fingerprint",
+            "left",
+        )
+        .select(
+            id_col,
+            "fingerprint",
+            F.coalesce("__hit", F.lit(False)).alias("exact_dup_corpus"),
+            "exact_dup_batch",
+        )
+    )
+
+    if not near_dup:
+        return flags.select(
+            id_col,
+            "fingerprint",
+            "exact_dup_corpus",
+            "exact_dup_batch",
+            F.lit(False).alias("near_dup_corpus"),
+            (~(F.col("exact_dup_corpus") | F.col("exact_dup_batch"))).alias("keep"),
+        )
+
+    rows_per_band = num_hashes // bands
+
+    def _banded(sigs: DataFrame, out_id: str) -> DataFrame:
+        return sigs.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.xxhash64(
+                        F.slice(
+                            F.col("minhash"), b * rows_per_band + 1, rows_per_band
+                        ).cast("string")
+                    ),
+                )
+            ).alias("band", "band_hash"),
+        )
+
+    batch_sigs = minhash_signatures(
+        batch, text_col, id_col, num_hashes, shingle_size
+    )
+    corpus_sigs = (
+        corpus_signatures
+        if corpus_signatures is not None
+        else minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_size)
+    )
+    cand = (
+        _banded(corpus_sigs, "__corpus_id")
+        .join(F.broadcast(_banded(batch_sigs, "__batch_id")), ["band", "band_hash"])
+        .select("__batch_id", "__corpus_id")
+        .distinct()
+    )
+
+    # verification pulls ONLY candidate corpus rows: semi-join the corpus
+    # scan against the broadcast candidate id set
+    cand_corpus_ids = cand.select(F.col("__corpus_id").alias(id_col)).distinct()
+    corpus_cand_grams = (
+        corpus.join(F.broadcast(cand_corpus_ids), id_col, "leftsemi")
+        .select(
+            F.col(id_col).alias("__corpus_id"),
+            char_ngrams(F.col(text_col), shingle_size).alias("__g_c"),
+        )
+    )
+    batch_grams = batch.select(
+        F.col(id_col).alias("__batch_id"),
+        char_ngrams(F.col(text_col), shingle_size).alias("__g_b"),
+    )
+    near = (
+        cand.join(F.broadcast(batch_grams), "__batch_id")
+        .join(corpus_cand_grams, "__corpus_id")
+        .where(
+            F.size(F.array_intersect("__g_b", "__g_c")).cast("double")
+            / F.size(F.array_union("__g_b", "__g_c")).cast("double")
+            >= F.lit(jaccard_threshold)
+        )
+        .select(F.col("__batch_id").alias(id_col))
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+
+    return (
+        flags.join(F.broadcast(near), id_col, "left")
+        .select(
+            id_col,
+            "fingerprint",
+            "exact_dup_corpus",
+            "exact_dup_batch",
+            F.coalesce("__near", F.lit(False)).alias("near_dup_corpus"),
+            (
+                ~(
+                    F.col("exact_dup_corpus")
+                    | F.col("exact_dup_batch")
+                    | F.coalesce("__near", F.lit(False))
+                )
+            ).alias("keep"),
+        )
+    )
