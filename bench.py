@@ -154,6 +154,12 @@ def main() -> None:
         "pii_redact",
         "kmeans_assign",
         "tfidf_top_terms",
+        # round 5 additions
+        "quality_classifier",
+        "dsir_resample",
+        "incremental_dedup",
+        "source_caps",
+        "span_dedup",
     ):
         try:
             t0 = time.time()
