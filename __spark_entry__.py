@@ -476,6 +476,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("doc_id", "source", "n_chars")
 
+    def q_perplexity_filter(spark, sf_dir):
+        """CCNet-style perplexity gate: char-trigram LM fit on the even-id
+        half of the corpus, every document scored (add-1 smoothing,
+        continuation-charset denominator). Oracle re-derives the model and
+        the per-doc mean negative log-likelihood in SQL."""
+        from splink_spark.pipeline import lm
+
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        out = lm.perplexity_filter(
+            docs,
+            lm_docs=docs.where(F.col("doc_id") % 2 == 0),
+            order=3,
+            max_perplexity=15.0,
+        )
+        return out.select(
+            "doc_id",
+            "n_grams",
+            F.round("cross_entropy", 6).alias("cross_entropy"),
+            F.round("perplexity", 6).alias("perplexity"),
+            "keep",
+        )
+
     def q_quality_classifier(spark, sf_dir):
         """Distributed logistic regression (8 full-batch GD iterations, each
         one aggregation scan) on three engine-portable text features; the
@@ -1347,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "incremental_dedup": q_incremental_dedup,
         "source_caps": q_source_caps,
+        "perplexity_filter": q_perplexity_filter,
         "mixture_plan": q_mixture_plan,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -2209,6 +2232,44 @@ def oracle_sql() -> dict[str, str]:
              near_dup_corpus,
              NOT (exact_dup_corpus OR exact_dup_batch OR near_dup_corpus) AS keep
       FROM flags
+    """
+
+    # perplexity_filter: char-trigram LM re-derived in SQL — gram counts
+    # with multiplicity from the even-id training half, context totals as
+    # prefix sums over the gram table (normalizes by construction), V =
+    # distinct continuation chars, add-1 smoothing (alpha = 1 folded into
+    # "+ vs"); unseen grams back off to 1/V via the coalesces
+    sqls["perplexity_filter"] = """
+      WITH tg AS (
+        SELECT unnest(list_transform(generate_series(1, length(text) - 2),
+                                     i -> text[i:i+2])) AS gram
+        FROM documents WHERE doc_id % 2 = 0 AND length(text) >= 3
+      ),
+      gc AS (SELECT gram, count(*) AS gram_count FROM tg GROUP BY gram),
+      cx AS (SELECT gram[1:2] AS ctx, sum(gram_count) AS ctx_total
+             FROM gc GROUP BY gram[1:2]),
+      v AS (SELECT CAST(greatest(count(DISTINCT gram[3:3]), 1) AS DOUBLE) AS vs
+            FROM gc),
+      dg AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 2),
+                                             i -> text[i:i+2])) AS gram
+        FROM documents WHERE length(text) >= 3
+      ),
+      sc AS (
+        SELECT doc_id, count(*) AS n_grams,
+               avg(-ln((CAST(coalesce(gram_count, 0) AS DOUBLE) + 1.0)
+                       / (CAST(coalesce(ctx_total, 0) AS DOUBLE) + vs))) AS ce
+        FROM dg LEFT JOIN gc USING (gram)
+                LEFT JOIN cx ON dg.gram[1:2] = cx.ctx, v
+        GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+             CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+             round(sc.ce, 6) AS cross_entropy,
+             round(exp(sc.ce), 6) AS perplexity,
+             CASE WHEN coalesce(sc.n_grams, 0) = 0 THEN FALSE
+                  ELSE exp(sc.ce) <= 15.0 END AS keep
+      FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
     """
 
     sqls["source_caps"] = """
