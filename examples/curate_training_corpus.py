@@ -74,6 +74,40 @@ def main() -> None:
         "cluster"
     ).show()
 
+    # 6. data selection: DSIR importance resampling toward an English target
+    # (hashed feature space = the web-scale path: B-row broadcast dictionary)
+    target = docs.where(F.col("lang") == "en").limit(50)
+    picked = curation.dsir_resample(
+        docs, target, 50, n=2, hash_buckets=1 << 14
+    )
+    print("DSIR-selected language mix:")
+    picked.join(docs, "doc_id").groupBy("lang").count().orderBy(
+        F.desc("count")
+    ).show()
+
+    # 7. model-based quality: distributed logistic regression (each GD
+    # iteration = one aggregation scan) + CCNet-style perplexity gate
+    from splink_spark.pipeline import classifier as clf
+    from splink_spark.pipeline import lm
+
+    labelled = docs.withColumn("label", (F.col("lang") == "en").cast("int"))
+    clf.quality_classifier(labelled, "label", iterations=8).orderBy(
+        F.desc("p")
+    ).show(3)
+    lm.perplexity_filter(
+        docs, lm_docs=docs.where(F.col("doc_id") % 2 == 0), max_perplexity=15.0
+    ).groupBy("keep").count().show()
+
+    # 8. ongoing ingestion: screen a new shard against the settled corpus
+    # (corpus never shuffled — every pass is one scan vs broadcast batch
+    # artifacts) and cap any over-represented source
+    batch = docs.where(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    settled = docs.where(F.col("doc_id") % 7 != 0)
+    screened = dedup.incremental_dedup(batch, settled, jaccard_threshold=0.45)
+    screened.groupBy("exact_dup_corpus", "near_dup_corpus", "keep").count().show()
+    capped = curation.cap_per_group(docs, "source", 10, order_col="n_chars")
+    print("after per-source cap:", capped.count(), "docs")
+
     spark.stop()
 
 
