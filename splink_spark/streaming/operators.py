@@ -242,3 +242,64 @@ def incremental_link(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_dedup_stream(
+    stream: DataFrame,
+    corpus: DataFrame,
+    sink_fn: Callable[[DataFrame, int], None],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+    grow_corpus: bool = False,
+    **dedup_kwargs,
+):
+    """Screen each micro-batch of NEW documents against the settled corpus
+    (foreachBatch → :func:`splink_spark.pipeline.dedup.incremental_dedup`).
+
+    Every batch inherits incremental_dedup's scale contract: the corpus is
+    scanned, never shuffled, never broadcast; all broadcast tables derive
+    from the (small) micro-batch. ``sink_fn(flags_df, batch_id)`` receives
+    the per-document flags (exact/near dup, keep).
+
+    ``grow_corpus=True`` additionally unions each batch's kept documents
+    into the in-memory view of the corpus for SUBSEQUENT batches — exact
+    within-stream dedup across micro-batches. This accumulates a
+    driver-held plan union per batch, so it is meant for bounded
+    availableNow replays; a production pipeline should instead append kept
+    docs (and their stored fingerprints/signatures) to the corpus tables
+    between runs.
+
+    Returns the started StreamingQuery.
+    """
+    from ..pipeline.dedup import incremental_dedup
+
+    state = {"corpus": corpus}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        flags = incremental_dedup(
+            batch_df,
+            state["corpus"],
+            text_col=text_col,
+            id_col=id_col,
+            **dedup_kwargs,
+        )
+        if grow_corpus:
+            kept = batch_df.join(
+                flags.where(F.col("keep")).select(id_col), id_col, "leftsemi"
+            ).select(*state["corpus"].columns)
+            # localCheckpoint truncates the growing union lineage so batch
+            # N's plan doesn't re-derive batches 1..N-1
+            state["corpus"] = state["corpus"].unionByName(kept).localCheckpoint()
+        sink_fn(flags, batch_id)
+
+    writer = stream.writeStream.foreachBatch(process).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

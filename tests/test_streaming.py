@@ -203,3 +203,77 @@ def test_stream_curation_pipeline(spark, tmp_path):
     assert len(out_stream) == 2  # doc 2 dropped by the word-count rule
     redacted = {r[0]: r[1] for r in out_stream}
     assert "<EMAIL>" in redacted[1] and "<IPV4>" in redacted[1]
+
+
+def test_incremental_dedup_stream(spark, tmp_path):
+    from splink_spark.streaming.operators import incremental_dedup_stream
+
+    corpus_rows = [
+        (i, "the settled corpus document number " + str(i) + " about topic x")
+        for i in range(20)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    batch_rows = [
+        (100, corpus_rows[3][1]),                      # exact dup of corpus
+        (101, "a totally fresh document about llamas and tea ceremonies"),
+        (102, "a totally fresh document about llamas and tea ceremonies"),
+    ]
+    src = str(tmp_path / "docs_in")
+    spark.createDataFrame(batch_rows, ["doc_id", "text"]).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    got = {}
+
+    def sink(df, batch_id):
+        got.update({r["doc_id"]: r for r in df.collect()})
+
+    q = incremental_dedup_stream(
+        stream, corpus, sink, jaccard_threshold=0.45,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert got[100]["exact_dup_corpus"] and not got[100]["keep"]
+    assert got[101]["keep"]
+    assert got[102]["exact_dup_batch"] and not got[102]["keep"]
+
+
+def test_incremental_dedup_stream_grow_corpus(spark, tmp_path):
+    from splink_spark.streaming.operators import incremental_dedup_stream
+
+    corpus = spark.createDataFrame(
+        [(0, "seed document about settled things")], ["doc_id", "text"]
+    )
+    src = str(tmp_path / "docs_grow")
+    # two files -> with maxFilesPerTrigger=1, two micro-batches; the second
+    # batch's doc duplicates a KEPT doc from the first batch
+    spark.createDataFrame(
+        [(10, "first wave novel content entirely new")], ["doc_id", "text"]
+    ).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(20, "first wave novel content entirely new")], ["doc_id", "text"]
+    ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    got = {}
+
+    def sink(df, batch_id):
+        got.update({r["doc_id"]: r for r in df.collect()})
+
+    q = incremental_dedup_stream(
+        stream, corpus, sink, grow_corpus=True, near_dup=False,
+        checkpoint_dir=str(tmp_path / "ckpt_grow"),
+    )
+    q.awaitTermination(120)
+    assert len(got) == 2
+    # exactly one of the twins was kept, the other flagged against the
+    # grown corpus (file->batch order is not guaranteed, flags are)
+    keeps = sorted((d, got[d]["keep"]) for d in got)
+    assert [k for _, k in keeps].count(True) == 1
+    flagged = [d for d in got if not got[d]["keep"]]
+    assert got[flagged[0]]["exact_dup_corpus"]
