@@ -107,6 +107,61 @@ def main() -> None:
                 ),
             ),
         },
+    }
+
+    # round-5 additions: model-based quality + data selection + incremental
+    # screening, each on its scale path
+    from splink_spark.pipeline import classifier as clf
+    from splink_spark.pipeline import dedup as dd
+    from splink_spark.pipeline import lm
+
+    labelled = docs.withColumn(
+        "label", (F.pmod(F.col("doc_id"), F.lit(8)) < 4).cast("int")
+    )
+    t0 = time.time()
+    scored = clf.quality_classifier(labelled, "label", iterations=8)
+    scored.write.format("noop").mode("overwrite").save()
+    results["ops"]["quality_classifier_8iter"] = round(time.time() - t0, 2)
+    print(f"# quality_classifier_8iter: {results['ops']['quality_classifier_8iter']}s",
+          file=sys.stderr)
+
+    t0 = time.time()
+    picked = cu.dsir_resample(
+        docs, docs.where(F.col("lang") == "lang0").limit(10_000),
+        max(1000, n // 100), n=2, hash_buckets=1 << 16,
+    )
+    picked.write.format("noop").mode("overwrite").save()
+    results["ops"]["dsir_resample_hashed"] = round(time.time() - t0, 2)
+    print(f"# dsir_resample_hashed: {results['ops']['dsir_resample_hashed']}s",
+          file=sys.stderr)
+
+    t0 = time.time()
+    ppl = lm.perplexity_filter(docs, max_perplexity=40.0, order=3)
+    ppl.write.format("noop").mode("overwrite").save()
+    results["ops"]["perplexity_filter_char3"] = round(time.time() - t0, 2)
+    print(f"# perplexity_filter_char3: {results['ops']['perplexity_filter_char3']}s",
+          file=sys.stderr)
+
+    t0 = time.time()
+    batch = docs.where(F.pmod(F.col("doc_id"), F.lit(101)) == 0)
+    settled = docs.where(F.pmod(F.col("doc_id"), F.lit(101)) != 0)
+    flags = dd.incremental_dedup(batch, settled, jaccard_threshold=0.6)
+    flags.write.format("noop").mode("overwrite").save()
+    results["ops"]["incremental_dedup_1pct_batch"] = round(time.time() - t0, 2)
+    print(f"# incremental_dedup_1pct_batch: "
+          f"{results['ops']['incremental_dedup_1pct_batch']}s", file=sys.stderr)
+
+    t0 = time.time()
+    capped = cu.cap_per_group(
+        docs, "lang", max(1000, n // 100), method="sampled"
+    )
+    capped.write.format("noop").mode("overwrite").save()
+    results["ops"]["cap_per_group_sampled"] = round(time.time() - t0, 2)
+    print(f"# cap_per_group_sampled: {results['ops']['cap_per_group_sampled']}s",
+          file=sys.stderr)
+
+    results = {
+        **results,
         "jvm_heap_used_gb_after_op": heap_after,
         "note": (
             "%d synthetic docs (~125 tokens/doc avg, ~%dM tokens) generated "
