@@ -967,6 +967,7 @@ def dsir_resample(
     id_col: str = "doc_id",
     target_text_col: Optional[str] = None,
     hash_buckets: Optional[int] = None,
+    exact_topk_max: int = 100_000,
 ) -> DataFrame:
     """Select ``k`` corpus documents by importance resampling against the
     target distribution (DSIR's sampling-without-replacement step).
@@ -981,9 +982,16 @@ def dsir_resample(
 
     ``method="topk"``: plain highest-weight selection (temperature 0).
 
-    The ranking is a global sort limited to ``k`` (Spark's sort-limit
-    pushes the limit into each partition: only k rows per partition
-    survive the shuffle).
+    Selection shape: for ``k <= exact_topk_max`` the ranking is Spark's
+    TakeOrderedAndProject — each partition keeps its local top-k, a single
+    merge keeps the global k. That single merge reads ``partitions * k``
+    rows, so for web-scale selections (k in the millions — DSIR's real
+    regime selects whole training sets) it degenerates into a one-task
+    bottleneck. Above ``exact_topk_max`` the selection switches to a
+    threshold filter: one ``percentile_approx`` aggregate finds the score
+    cutoff and a pure filter keeps rows at or above it — two linear passes,
+    no global sort, ~k rows kept (approximate by the sketch's rank error;
+    exact k matters at small k, where the exact path applies anyway).
     """
     w = dsir_importance_weights(
         corpus,
@@ -1009,11 +1017,17 @@ def dsir_resample(
         score = F.col("log_weight")
     else:
         raise ValueError("method must be 'gumbel' or 'topk'")
-    return (
-        w.select(id_col, "log_weight", F.round(score, 9).alias("score"))
-        .orderBy(F.col("score").desc(), F.col(id_col))
-        .limit(k)
-    )
+    scored = w.select(id_col, "log_weight", F.round(score, 9).alias("score"))
+    if k > exact_topk_max:
+        n_rows = scored.count()
+        if k >= n_rows:
+            return scored
+        frac = 1.0 - float(k) / float(n_rows)
+        cutoff = scored.agg(
+            F.expr(f"percentile_approx(score, {frac!r}, 10000)").alias("c")
+        ).first()["c"]
+        return scored.where(F.col("score") >= F.lit(float(cutoff)))
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
 # ---------------------------------------------------------------------------

@@ -167,3 +167,26 @@ def test_dsir_empty_doc_scores_zero(spark, dsir_frames):
     w = {r["doc_id"]: r["log_weight"] for r in
          curation.dsir_importance_weights(corpus, target, n=2).collect()}
     assert w[1] == 0.0
+
+
+def test_dsir_resample_large_k_threshold_path(dsir_frames):
+    # force the threshold-filter path by shrinking the exact-topk bound;
+    # the approximate selection should still pick ~k docs, all ranked at or
+    # above the exact path's k-th score
+    corpus, target = dsir_frames
+    exact = curation.dsir_resample(corpus, target, 30, method="topk")
+    approx = curation.dsir_resample(
+        corpus, target, 30, method="topk", exact_topk_max=10
+    )
+    exact_scores = sorted((r["score"] for r in exact.collect()), reverse=True)
+    got = approx.collect()
+    assert 30 <= len(got) <= 60  # ties/sketch tolerance, never undershoots far
+    assert all(r["score"] >= exact_scores[-1] - 1e-9 for r in got)
+
+
+def test_dsir_resample_large_k_keeps_all_when_k_exceeds_corpus(dsir_frames):
+    corpus, target = dsir_frames
+    out = curation.dsir_resample(
+        corpus, target, 1000, method="topk", exact_topk_max=10
+    )
+    assert out.count() == 100
