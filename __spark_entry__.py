@@ -476,6 +476,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("doc_id", "source", "n_chars")
 
+    def q_embedding_covariance(spark, sf_dir):
+        """Distributed covariance of the 64-dim embedding column: one scan,
+        per-partition mapInPandas partials (X^T X + column sums + count,
+        emitted once per partition), groupBy(idx) sum. Oracle recomputes
+        every cell as avg(e_i*e_j) - avg(e_i)*avg(e_j)."""
+        from splink_spark.pipeline import embeddings as embmod
+
+        vecs = _session(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = embmod.embedding_covariance(vecs, "embedding")
+        return out.select("i", "j", F.round("cov", 6).alias("cov"))
+
     def q_perplexity_filter(spark, sf_dir):
         """CCNet-style perplexity gate: char-trigram LM fit on the even-id
         half of the corpus, every document scored (add-1 smoothing,
@@ -1370,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "source_caps": q_source_caps,
         "perplexity_filter": q_perplexity_filter,
+        "embedding_covariance": q_embedding_covariance,
         "mixture_plan": q_mixture_plan,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -2232,6 +2244,18 @@ def oracle_sql() -> dict[str, str]:
              near_dup_corpus,
              NOT (exact_dup_corpus OR exact_dup_batch OR near_dup_corpus) AS keep
       FROM flags
+    """
+
+    # embedding_covariance: every cell recomputed independently as
+    # E[e_i e_j] - E[e_i] E[e_j] over the double-cast embedding column
+    sqls["embedding_covariance"] = """
+      WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      idx AS (SELECT unnest(generate_series(1, 64)) AS i)
+      SELECT CAST(a.i - 1 AS INT) AS i, CAST(b.i - 1 AS INT) AS j,
+             round(avg(v.e[a.i] * v.e[b.i]) - avg(v.e[a.i]) * avg(v.e[b.i]),
+                   6) AS cov
+      FROM v, idx a, idx b
+      GROUP BY a.i, b.i
     """
 
     # perplexity_filter: char-trigram LM re-derived in SQL — gram counts

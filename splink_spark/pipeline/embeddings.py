@@ -1,0 +1,190 @@
+"""Embedding-matrix operators: distributed covariance and PCA.
+
+PCA is the standard preprocessing for embedding-space pipeline stages
+(SemDeDup and friends run on PCA-reduced embeddings; IVF coarse quantizers
+train faster in the reduced space).
+
+Scale design — the one-pass partial-aggregate pattern:
+
+- ``embedding_covariance`` computes per-PARTITION partials with
+  ``mapInPandas`` (numpy ``X.T @ X``, column sums, row count accumulated
+  across the partition's Arrow batches, emitted ONCE per partition as
+  ``d*(d+1)/2 + d + 1`` tiny (idx, val) rows), then one groupBy(idx) sum.
+  Data crosses the wire only as ``partitions * O(d^2)`` doubles — the
+  input embeddings are scanned exactly once and never shuffled. This is
+  the shape that survives d in the hundreds where a column-expression
+  formulation (d^2 codegen'd sum expressions) would not compile sensibly.
+- ``pca_fit`` collects the d x d covariance (model state, O(d^2) on the
+  driver by definition) and eigensolves with numpy.
+- ``pca_transform`` projects with pure Column arithmetic (zip_with dot
+  products against literal component vectors) — whole-stage codegen, no
+  Python, applicable to an unbounded scoring stream.
+
+Eigenvector sign is fixed by convention (largest-|coefficient| entry made
+positive) so results are deterministic across runs and platforms up to
+eigenvalue ties.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _partial_schema() -> str:
+    return "idx long, val double"
+
+
+def embedding_covariance(
+    df: DataFrame,
+    embedding_col: str = "embedding",
+    *,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Population covariance matrix of an ``array<float/double>`` column as
+    a (i, j, cov) DataFrame (full d x d, computed from the upper triangle).
+
+    One scan: per-partition numpy partials -> groupBy(idx) sum ->
+    d*(d+1)/2 + d + 1 aggregated cells -> covariance entries. NULL or
+    wrong-length embeddings are dropped (counted out of n).
+    """
+    import numpy as np
+
+    if dim is None:
+        first = df.select(F.size(embedding_col).alias("d")).first()
+        if first is None or first["d"] is None:
+            raise ValueError("cannot infer embedding dimension from empty input")
+        dim = int(first["d"])
+    d = dim
+    n_tri = d * (d + 1) // 2
+    tri_i, tri_j = [], []
+    for i in range(d):
+        for j in range(i, d):
+            tri_i.append(i)
+            tri_j.append(j)
+    tri_i_arr, tri_j_arr = (list(tri_i), list(tri_j))
+
+    src = df.select(F.col(embedding_col).cast("array<double>").alias("e")).where(
+        F.col("e").isNotNull() & (F.size("e") == d)
+    )
+
+    def partials(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        xtx = np.zeros((d, d), dtype=np.float64)
+        colsum = np.zeros(d, dtype=np.float64)
+        count = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf["e"].to_numpy())
+            xtx += x.T @ x
+            colsum += x.sum(axis=0)
+            count += x.shape[0]
+        if count == 0:
+            return
+        idx = list(range(n_tri + d + 1))
+        vals = [xtx[i, j] for i, j in zip(tri_i_arr, tri_j_arr)]
+        vals.extend(colsum.tolist())
+        vals.append(float(count))
+        yield pd.DataFrame({"idx": idx, "val": vals})
+
+    agg = (
+        src.mapInPandas(partials, _partial_schema())
+        .groupBy("idx")
+        .agg(F.sum("val").alias("val"))
+    )
+
+    # decode: one tiny collect of n_tri + d + 1 cells (model state)
+    cells = {r["idx"]: r["val"] for r in agg.collect()}
+    n = cells.get(n_tri + d, 0.0)
+    if not n:
+        raise ValueError("no valid embeddings to aggregate")
+    mean = [cells[n_tri + i] / n for i in range(d)]
+    rows = []
+    for t, (i, j) in enumerate(zip(tri_i_arr, tri_j_arr)):
+        cov = cells[t] / n - mean[i] * mean[j]
+        rows.append((i, j, cov))
+        if i != j:
+            rows.append((j, i, cov))
+    spark = df.sparkSession
+    out = spark.createDataFrame(rows, "i int, j int, cov double")
+    out._splink_cov_meta = {"n": int(n), "mean": mean, "dim": d}  # type: ignore[attr-defined]
+    return out
+
+
+def pca_fit(
+    df: DataFrame,
+    embedding_col: str = "embedding",
+    k: int = 8,
+    *,
+    dim: Optional[int] = None,
+) -> dict:
+    """Fit PCA: distributed covariance + driver eigensolve (numpy.eigh on
+    the d x d matrix — O(d^3) driver work, independent of row count).
+
+    Returns ``{"mean", "components" (k x d, rows = principal axes,
+    descending eigenvalue), "explained_variance", "explained_variance_ratio",
+    "dim", "k", "n"}``.
+    """
+    import numpy as np
+
+    cov_df = embedding_covariance(df, embedding_col, dim=dim)
+    meta = cov_df._splink_cov_meta  # type: ignore[attr-defined]
+    d = meta["dim"]
+    cov = np.zeros((d, d))
+    for r in cov_df.collect():
+        cov[r["i"], r["j"]] = r["cov"]
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = []
+    out_evals = []
+    for ix in order:
+        v = evecs[:, ix]
+        # deterministic sign: largest-|coeff| entry positive
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+        out_evals.append(float(max(evals[ix], 0.0)))
+    total_var = float(max(np.trace(cov), 1e-300))
+    return {
+        "mean": [float(m) for m in meta["mean"]],
+        "components": comps,
+        "explained_variance": out_evals,
+        "explained_variance_ratio": [e / total_var for e in out_evals],
+        "dim": d,
+        "k": len(comps),
+        "n": meta["n"],
+    }
+
+
+def pca_transform(
+    df: DataFrame,
+    model: dict,
+    embedding_col: str = "embedding",
+    output_col: str = "pca",
+) -> DataFrame:
+    """Project embeddings onto the fitted components — pure Column
+    arithmetic (k zip_with dot products against literal axes), no Python."""
+    e = F.col(embedding_col).cast("array<double>")
+    mean = model["mean"]
+    centered = F.zip_with(
+        e, F.array(*[F.lit(m) for m in mean]), lambda a, b: a - b
+    )
+    projections = [
+        F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(c) for c in comp]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for comp in model["components"]
+    ]
+    return df.withColumn(output_col, F.array(*projections))
