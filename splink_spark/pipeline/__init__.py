@@ -1,9 +1,10 @@
 """Training-data pipeline operators: dedup, ANN/k-means, text analysis,
 corpus curation, multimodal column plumbing."""
 
-from . import ann, classifier, curation, dedup, lm, multimodal, text  # noqa: F401
+from . import ann, classifier, curation, dedup, embeddings, lm, multimodal, text  # noqa: F401
 from .classifier import quality_classifier  # noqa: F401
 from .curation import cap_per_group, curate_corpus, dsir_resample  # noqa: F401
 from .dedup import deduplicate_corpus, incremental_dedup, semantic_dedup  # noqa: F401
+from .embeddings import pca_fit, pca_transform  # noqa: F401
 from .lm import perplexity_filter  # noqa: F401
 from .text import dedup_within_document  # noqa: F401
