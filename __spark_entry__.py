@@ -476,6 +476,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("doc_id", "source", "n_chars")
 
+    def q_ann_join(spark, sf_dir):
+        """Cross-table serving ANN: partition-local numpy top-m candidates
+        (mapInPandas, corpus never shuffled) + exact JVM left-assoc cosine
+        re-rank — must equal the all-pairs SQL ranking exactly."""
+        emb = _session(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = ann.topk_join(
+            emb.where(F.col("vec_id") % 50 == 0), emb, k=5
+        )
+        return out.select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbour_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+
     def q_embedding_covariance(spark, sf_dir):
         """Distributed covariance of the 64-dim embedding column: one scan,
         per-partition mapInPandas partials (X^T X + column sums + count,
@@ -1382,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_caps": q_source_caps,
         "perplexity_filter": q_perplexity_filter,
         "embedding_covariance": q_embedding_covariance,
+        "ann_join": q_ann_join,
         "mixture_plan": q_mixture_plan,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -2244,6 +2260,24 @@ def oracle_sql() -> dict[str, str]:
              near_dup_corpus,
              NOT (exact_dup_corpus OR exact_dup_batch OR near_dup_corpus) AS keep
       FROM flags
+    """
+
+    # ann_join: all-pairs exact ranking (same form as ann_topk, query side
+    # vec_id % 50 = 0) — the sharded candidate pass must not change the set
+    sqls["ann_join"] = """
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                 WHERE vec_id % 50 = 0),
+      s AS (
+        SELECT q.query_id, e.vec_id AS neighbour_id,
+               list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+      )
+      SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id ASC) AS BIGINT) AS rank,
+             neighbour_id, round(sim, 6) AS cosine_sim
+      FROM s
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id ASC) <= 5
     """
 
     # embedding_covariance: every cell recomputed independently as

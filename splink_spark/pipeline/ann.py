@@ -493,3 +493,115 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbour_id", "cosine_sim")
     )
+
+
+def topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    candidates_per_partition: Optional[int] = None,
+) -> DataFrame:
+    """Cross-table exact top-k cosine join — the serving shape ("for each of
+    these Q query vectors, the k nearest corpus vectors") at corpus scale.
+
+    :func:`brute_force_topk` shuffles ALL |corpus| x |Q| scored pairs into
+    the ranking window; this variant reduces FIRST: a ``mapInPandas`` pass
+    computes each corpus partition's local top-m per query with one numpy
+    matmul per Arrow batch (the faiss-style sharded search), so only
+    ``partitions x m x |Q|`` candidate rows ever cross the wire. The final
+    exact rank re-computes cosine JVM-side with the same left-assoc
+    ``F.aggregate`` fold the single-table path uses (bit-identical to the
+    DuckDB oracle), so the numpy pass only has to be right about SET
+    membership, with ``m >= 2k`` slack absorbing float-order divergence.
+
+    Contract: the query side is small (it is collected to the driver and
+    closed over by the partition function — the serving regime). The corpus
+    is scanned once and never shuffled; candidate re-rank joins are
+    broadcasts of candidate-derived tables. Output matches
+    ``brute_force_topk`` (query_id, rank, neighbour_id, cosine_sim), self
+    matches excluded.
+    """
+    import numpy as np
+
+    m = candidates_per_partition or max(2 * k, k + 8)
+    q_rows = queries.select(id_col, embedding_col).collect()
+    if not q_rows:
+        raise ValueError("queries side is empty")
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_norm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+
+    def local_topk(batches):
+        import pandas as pd
+
+        ids_acc, sims_acc = [], []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf["e"].to_numpy())
+            ids = pdf["i"].to_numpy(dtype=np.int64)
+            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            sims = xn @ q_norm.T  # (batch, Q)
+            # keep this batch's top-m per query to bound accumulator size
+            take = min(m, sims.shape[0])
+            part = np.argpartition(-sims, take - 1, axis=0)[:take]
+            ids_acc.append(ids[part])            # (take, Q)
+            sims_acc.append(np.take_along_axis(sims, part, axis=0))
+        if not ids_acc:
+            return
+        all_ids = np.concatenate(ids_acc, axis=0)    # (sum_take, Q)
+        all_sims = np.concatenate(sims_acc, axis=0)
+        take = min(m, all_sims.shape[0])
+        part = np.argpartition(-all_sims, take - 1, axis=0)[:take]
+        out_ids = np.take_along_axis(all_ids, part, axis=0)  # (take, Q)
+        qcol = np.broadcast_to(q_ids, out_ids.shape)
+        yield pd.DataFrame(
+            {
+                "query_id": qcol.ravel(),
+                "neighbour_id": out_ids.ravel(),
+            }
+        )
+
+    src = corpus.select(
+        F.col(id_col).cast("bigint").alias("i"),
+        F.col(embedding_col).cast("array<double>").alias("e"),
+    )
+    cand = (
+        src.mapInPandas(local_topk, "query_id long, neighbour_id long")
+        .where(F.col("query_id") != F.col("neighbour_id"))
+        .distinct()
+    )
+
+    # exact JVM re-rank on candidates only; corpus rows fetched by semi-join
+    # against the broadcast candidate id set (corpus never shuffled)
+    cand_ids = cand.select(F.col("neighbour_id").alias(id_col)).distinct()
+    c_emb = (
+        corpus.join(F.broadcast(cand_ids), id_col, "leftsemi")
+        .select(
+            F.col(id_col).cast("bigint").alias("neighbour_id"),
+            F.col(embedding_col).alias("__c_emb"),
+        )
+    )
+    q_emb = queries.select(
+        F.col(id_col).cast("bigint").alias("query_id"),
+        F.col(embedding_col).alias("__q_emb"),
+    )
+    scored = (
+        cand.join(F.broadcast(q_emb), "query_id")
+        .join(F.broadcast(c_emb), "neighbour_id")
+        .select(
+            "query_id",
+            "neighbour_id",
+            _sim(F.col("__q_emb"), F.col("__c_emb")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbour_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbour_id", "cosine_sim")
+    )

@@ -620,3 +620,44 @@ def test_cross_document_span_dedup(spark):
     )
     with pytest.raises(ValueError):
         dedup.cross_document_span_dedup(docs, span_tokens=0)
+
+
+def test_topk_join_matches_brute_force(spark):
+    import numpy as np
+
+    from splink_spark.pipeline import ann
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(200, 16)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    ).repartition(6)
+    queries = corpus.where("vec_id % 40 = 0")  # 5 queries
+
+    fast = ann.topk_join(queries, corpus, k=4)
+    slow = ann.brute_force_topk(corpus, queries, k=4)
+    f = sorted(map(tuple, fast.select("query_id", "rank", "neighbour_id").collect()))
+    s = sorted(map(tuple, slow.select("query_id", "rank", "neighbour_id").collect()))
+    assert f == s
+    # exact sims match the window path too
+    fs = {(r["query_id"], r["neighbour_id"]): r["cosine_sim"] for r in fast.collect()}
+    ss = {(r["query_id"], r["neighbour_id"]): r["cosine_sim"] for r in slow.collect()}
+    assert all(abs(fs[p] - ss[p]) < 1e-12 for p in fs)
+
+
+def test_topk_join_candidate_reduction_bounds_shuffle(spark):
+    import numpy as np
+
+    from splink_spark.pipeline import ann
+
+    rng = np.random.RandomState(4)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(500)],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+    queries = corpus.where("vec_id < 3")
+    out = ann.topk_join(queries, corpus, k=2)
+    rows = out.collect()
+    assert len(rows) == 6  # 3 queries x k=2
+    assert all(r["query_id"] != r["neighbour_id"] for r in rows)
