@@ -160,6 +160,9 @@ def main() -> None:
         "incremental_dedup",
         "source_caps",
         "span_dedup",
+        "perplexity_filter",
+        "embedding_covariance",
+        "ann_join",
     ):
         try:
             t0 = time.time()
