@@ -512,6 +512,20 @@ def _proc_stat() -> list:
         return list(map(int, f.readline().split()[1:]))
 
 
+def _in_subprocess(fn, *args):
+    """Run fn in a fresh python process. Repeated runs in one process
+    accumulate unreclaimable memory (the py4j gateway JVM survives
+    spark.stop(), and at 100M rows spark run 1 OOM'd at a 48g heap where
+    the identical run 0 succeeded; duckdb similarly retains tens of GB of
+    RSS between runs) — a child process per timed run guarantees each run
+    starts from the same cold state."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(1) as pool:
+        return pool.apply(fn, args)
+
+
 def _timed(fn, *args) -> tuple:
     """Run fn, returning (result, cpu_breakdown_pct) from /proc/stat deltas."""
     names = ["user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal"]
@@ -561,12 +575,12 @@ def main() -> None:
     spark_runs = []
     duck_runs = []
     for i in range(repeat):
-        res, stat = _timed(run_spark, path, cpus)
+        res, stat = _timed(_in_subprocess, run_spark, path, cpus)
         res["cpu_pct"] = stat
         spark_runs.append(res)
         print(f"spark run {i}: {res}", file=sys.stderr)
         if not skip_duck:
-            res, stat = _timed(run_duckdb, path)
+            res, stat = _timed(_in_subprocess, run_duckdb, path)
             res["cpu_pct"] = stat
             duck_runs.append(res)
             print(f"duckdb run {i}: {res}", file=sys.stderr)
