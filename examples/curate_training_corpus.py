@@ -69,10 +69,17 @@ def main() -> None:
     curation.mixture_plan(curated, "lang", {"en": 0.5, "de": 0.25, "fr": 0.25}).show()
 
     # 5. embedding-space clustering (exact-integer distributed k-means)
+    # + PCA (one-scan covariance partials, driver eigensolve)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     ann.kmeans_fit_assign(emb, k=8, iterations=2).groupBy("cluster").count().orderBy(
         "cluster"
     ).show()
+    from splink_spark.pipeline import embeddings as embmod
+
+    pca = embmod.pca_fit(emb, k=4)
+    print("PCA explained variance ratio:",
+          [round(r, 3) for r in pca["explained_variance_ratio"]])
+    embmod.pca_transform(emb, pca).select("vec_id", "pca").show(3, truncate=60)
 
     # 6. data selection: DSIR importance resampling toward an English target
     # (hashed feature space = the web-scale path: B-row broadcast dictionary)
