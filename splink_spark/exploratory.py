@@ -17,8 +17,10 @@ from .internals.profile_data import (
     top_n_values,
 )
 from .internals.vertically_concatenate import concat_input_frames as _concat
+from .internals import similarity_analysis  # noqa: F401  (reference:
+# `import splink.exploratory...; similarity_analysis` companion module)
 
-__all__ = ["completeness_chart", "profile_columns"]
+__all__ = ["completeness_chart", "profile_columns", "similarity_analysis"]
 
 
 def completeness_chart(

@@ -654,3 +654,266 @@ def accuracy_chart_spec(
         }
     )
     return ChartSpec(spec)
+
+
+# ---------------------------------------------------------------------------
+# Similarity-analysis heatmaps (reference charts.py:707-752 — the three
+# exploratory comparator charts; encodings mirrored, spec authored here)
+# ---------------------------------------------------------------------------
+
+
+def _comparator_heatmap(
+    values: Sequence[Mapping[str, Any]],
+    title: str,
+    color: dict,
+    text: dict,
+) -> dict:
+    return {
+        "title": title,
+        "data": {"values": [dict(v) for v in values]},
+        "layer": [
+            {
+                "mark": {"type": "rect"},
+                "encoding": {
+                    "color": color,
+                    "x": {"field": "comparator", "type": "ordinal", "title": None},
+                    "y": {"field": "strings_to_compare", "type": "ordinal",
+                          "title": "String comparison"},
+                },
+            },
+            {
+                "mark": {"type": "text", "baseline": "middle"},
+                "encoding": {
+                    "text": text,
+                    "x": {"field": "comparator", "type": "ordinal"},
+                    "y": {"field": "strings_to_compare", "type": "ordinal"},
+                },
+            },
+        ],
+    }
+
+
+def comparator_score_chart_spec(
+    similarity_records: Sequence[Mapping[str, Any]],
+    distance_records: Sequence[Mapping[str, Any]],
+) -> ChartSpec:
+    """Side-by-side similarity (0-1, green-blue) and distance (reversed
+    yellow-orange-red) heatmaps (reference _comparator_score_chart)."""
+    return ChartSpec(
+        {
+            "$schema": VEGA_LITE_SCHEMA,
+            "title": {"text": "Heatmaps of string comparison metrics",
+                      "anchor": "middle", "fontSize": 16},
+            "hconcat": [
+                _comparator_heatmap(
+                    similarity_records,
+                    "Similarity",
+                    {"field": "score", "type": "quantitative", "legend": None,
+                     "scale": {"domain": [0, 1], "scheme": "greenblue"}},
+                    {"field": "score", "type": "quantitative", "format": ".2f"},
+                ),
+                _comparator_heatmap(
+                    distance_records,
+                    "Distance",
+                    {"field": "score", "type": "quantitative", "legend": None,
+                     "scale": {"scheme": "yelloworangered", "reverse": True}},
+                    {"field": "score", "type": "quantitative"},
+                ),
+            ],
+            "resolve": {"scale": {"color": "independent", "y": "shared"}},
+        }
+    )
+
+
+def comparator_score_threshold_chart_spec(
+    similarity_records: Sequence[Mapping[str, Any]],
+    distance_records: Sequence[Mapping[str, Any]],
+    similarity_threshold: Optional[float] = None,
+    distance_threshold: Optional[float] = None,
+) -> ChartSpec:
+    """Binary pass/fail heatmaps at the chosen thresholds (reference
+    _comparator_score_threshold_chart: params carry the thresholds, the
+    subtitle states them, the rect color is a threshold test)."""
+    sim_t = 0.0 if similarity_threshold is None else float(similarity_threshold)
+    dist_t = float("inf") if distance_threshold is None else float(distance_threshold)
+    sim = _comparator_heatmap(
+        similarity_records,
+        {"text": "Similarity", "subtitle": f">= {similarity_threshold}"},
+        {
+            "condition": {"test": f"datum.score >= {sim_t}", "value": _COLOR_FOR},
+            "value": _COLOR_AGAINST,
+        },
+        {"field": "score", "type": "quantitative", "format": ".2f"},
+    )
+    dist = _comparator_heatmap(
+        distance_records,
+        {"text": "Distance", "subtitle": f"<= {distance_threshold}"},
+        {
+            "condition": {
+                "test": "datum.score <= "
+                + ("1e400" if dist_t == float("inf") else str(dist_t)),
+                "value": _COLOR_FOR,
+            },
+            "value": _COLOR_AGAINST,
+        },
+        {"field": "score", "type": "quantitative"},
+    )
+    return ChartSpec(
+        {
+            "$schema": VEGA_LITE_SCHEMA,
+            "title": {"text": "String comparators at chosen thresholds",
+                      "anchor": "middle", "fontSize": 16},
+            "params": [
+                {"name": "similarity_threshold", "value": similarity_threshold},
+                {"name": "distance_threshold", "value": distance_threshold},
+            ],
+            "hconcat": [sim, dist],
+            "resolve": {"scale": {"color": "independent", "y": "shared"}},
+        }
+    )
+
+
+def phonetic_match_chart_spec(
+    records: Sequence[Mapping[str, Any]],
+) -> ChartSpec:
+    """Phonetic-agreement heatmap: green where the two strings share a code
+    under each transform (reference _phonetic_match_chart)."""
+    return ChartSpec(
+        {
+            "$schema": VEGA_LITE_SCHEMA,
+            "title": {"text": "Phonetic matches", "anchor": "middle",
+                      "fontSize": 16},
+            "data": {"values": [dict(v) for v in records]},
+            "layer": [
+                {
+                    "mark": {"type": "rect"},
+                    "encoding": {
+                        "color": {
+                            "condition": {"test": "datum.match === true",
+                                          "value": _COLOR_FOR},
+                            "value": _COLOR_AGAINST,
+                        },
+                        "x": {"field": "phonetic", "type": "ordinal",
+                              "title": None},
+                        "y": {"field": "strings_to_compare", "type": "ordinal",
+                              "title": "String comparison"},
+                    },
+                },
+                {
+                    "mark": {"type": "text", "baseline": "middle",
+                             "fontSize": 9},
+                    "encoding": {
+                        "text": {"field": "transform", "type": "nominal"},
+                        "x": {"field": "phonetic", "type": "ordinal"},
+                        "y": {"field": "strings_to_compare", "type": "ordinal"},
+                    },
+                },
+            ],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# EM training-session iteration-history charts (reference
+# em_training_session.py:432-468 + chart_defs
+# {match_weights,m_u_parameters}_interactive_history.json and
+# probability_two_random_records_match_iteration.json)
+# ---------------------------------------------------------------------------
+
+
+def _iteration_slider(max_iteration: int) -> list:
+    return [
+        {
+            "name": "iteration_number",
+            "value": 0,
+            "bind": {"input": "range", "min": 0, "max": max_iteration, "step": 1},
+        }
+    ]
+
+
+_ITERATION_FILTER = [{"filter": "datum.iteration == iteration_number"}]
+
+
+def match_weights_interactive_history_spec(
+    records: Sequence[Mapping[str, Any]],
+    blocking_rule_text: str = "",
+) -> ChartSpec:
+    """Match weights per level with an iteration slider (reference
+    MatchWeightsInteractiveHistoryChart): the per-iteration records carry an
+    ``iteration`` field; a range param filters to the selected iteration."""
+    max_it = max((r.get("iteration", 0) for r in records), default=0)
+    spec = match_weights_chart_spec(records)
+    spec["params"] = _iteration_slider(max_it)
+    spec["transform"] = list(_ITERATION_FILTER)
+    spec["title"] = {
+        "text": "Match weight iteration history",
+        "subtitle": f"Training session blocked on {blocking_rule_text}"
+        if blocking_rule_text
+        else "",
+    }
+    return spec
+
+
+def m_u_parameters_interactive_history_spec(
+    records: Sequence[Mapping[str, Any]],
+) -> ChartSpec:
+    """m/u per level with an iteration slider (reference
+    MUParametersInteractiveHistoryChart).  Takes the same wide per-iteration
+    records as the match-weights history chart and melts them into the long
+    probability_type/probability format the m/u encoding reads."""
+    max_it = max((r.get("iteration", 0) for r in records), default=0)
+    long_records = []
+    for r in records:
+        for kind in ("m_probability", "u_probability"):
+            long_records.append(
+                {
+                    "iteration": r.get("iteration", 0),
+                    "comparison_name": r["comparison_name"],
+                    "label_for_charts": r["label_for_charts"],
+                    "comparison_vector_value": r.get("comparison_vector_value"),
+                    "probability_type": kind,
+                    "probability": r.get(kind),
+                }
+            )
+    spec = m_u_parameters_chart_spec(long_records)
+    spec["params"] = _iteration_slider(max_it)
+    spec["transform"] = list(_ITERATION_FILTER)
+    spec["title"] = {"text": "m and u parameter iteration history"}
+    return spec
+
+
+def probability_two_random_records_match_iteration_spec(
+    records: Sequence[Mapping[str, Any]],
+) -> ChartSpec:
+    """Lambda per EM iteration (reference
+    ProbabilityTwoRandomRecordsMatchIterationChart): a step line over the
+    iteration axis."""
+    spec = _base(
+        "Probability two random records match, by EM iteration", records
+    )
+    spec.update(
+        {
+            "title": {
+                "text": "Probability two random records match — iteration history"
+            },
+            "mark": {"type": "line", "interpolate": "step-after", "point": True,
+                     "tooltip": True},
+            "width": 400,
+            "height": 200,
+            "encoding": {
+                "x": {"field": "iteration", "type": "quantitative",
+                      "axis": {"tickMinStep": 1}, "title": "Iteration"},
+                "y": {"field": "probability_two_random_records_match",
+                      "type": "quantitative",
+                      "title": "probability_two_random_records_match"},
+                "tooltip": [
+                    {"field": "iteration", "type": "quantitative"},
+                    {"field": "probability_two_random_records_match",
+                     "type": "quantitative", "format": ".6f"},
+                    {"field": "probability_two_random_records_match_reciprocal",
+                     "type": "quantitative", "format": ".2f"},
+                ],
+            },
+        }
+    )
+    return ChartSpec(spec)

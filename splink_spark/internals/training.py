@@ -746,6 +746,12 @@ def estimate_parameters_using_em(
             )
     session_lam = _bayes_factor_to_prob(lam_bf)
 
+    # pre-loop parameter snapshot: the reference's
+    # _core_model_settings_history[0] is the settings BEFORE iteration 1
+    # (em_training_session.py:282-330), which the interactive history charts
+    # show at slider position 0
+    initial_snapshot = {"lambda": session_lam, "m": dict(m), "u": dict(u)}
+
     history = []
     for it in range(max_iterations):
         # E step (predict.py:135-200 semantics)
@@ -871,10 +877,121 @@ def estimate_parameters_using_em(
         s.probability_two_random_records_match = 1.0 / statistics.median(
             linker._em_lambda_recips
         )
-    return {
-        "m": {f"{active[ci].output_column_name}[{k}]": v for (ci, k), v in m.items()},
-        "u": {f"{active[ci].output_column_name}[{k}]": v for (ci, k), v in u.items()},
-        "lambda": session_lam,
-        "history": history,
-        "sample_info": sample_info,
+    # per-level metadata the iteration-history charts need, keyed like the
+    # history's "name[k]" strings (reference parameters_as_detailed_records)
+    level_meta = {}
+    for ci, comp in enumerate(active):
+        for lv in comp.comparison_levels:
+            if lv.is_null_level:
+                continue
+            k = lv.comparison_vector_value
+            level_meta[f"{comp.output_column_name}[{k}]"] = {
+                "comparison_name": comp.output_column_name,
+                "comparison_sort_order": ci,
+                "comparison_vector_value": k,
+                "label_for_charts": lv.label_for_charts,
+                "sql_condition": (lv.spec or {}).get(
+                    "sql_condition", lv.label_for_charts
+                ),
+            }
+
+    session = EMTrainingSession(
+        {
+            "m": {f"{active[ci].output_column_name}[{k}]": v for (ci, k), v in m.items()},
+            "u": {f"{active[ci].output_column_name}[{k}]": v for (ci, k), v in u.items()},
+            "lambda": session_lam,
+            "history": history,
+            "sample_info": sample_info,
+        }
+    )
+    session._initial = {
+        "lambda": initial_snapshot["lambda"],
+        "m": {
+            f"{active[ci].output_column_name}[{k}]": v
+            for (ci, k), v in initial_snapshot["m"].items()
+        },
+        "u": {
+            f"{active[ci].output_column_name}[{k}]": v
+            for (ci, k), v in initial_snapshot["u"].items()
+        },
     }
+    session._level_meta = level_meta
+    session._blocking_rule_text = rule.description
+    return session
+
+
+class EMTrainingSession(dict):
+    """EM session result: the plain result dict every existing caller
+    indexes, plus the reference's three iteration-history chart methods
+    (em_training_session.py:432-468).  Iteration 0 is the pre-loop initial
+    parameters, matching the reference's settings-history convention."""
+
+    _initial: dict
+    _level_meta: dict
+    _blocking_rule_text: str
+
+    def _snapshots(self):
+        yield 0, self._initial
+        for entry in self.get("history", ()):
+            yield entry["iteration"] + 1, entry
+
+    def _iteration_history_records(self) -> list:
+        import math
+
+        out = []
+        for it, snap in self._snapshots():
+            lam = snap["lambda"]
+            for key, meta in self._level_meta.items():
+                mv = snap["m"].get(key)
+                uv = snap["u"].get(key)
+                rec = {
+                    "iteration": it,
+                    "probability_two_random_records_match": lam,
+                    "m_probability": mv,
+                    "u_probability": uv,
+                    "bayes_factor": None,
+                    "log2_bayes_factor": None,
+                    **meta,
+                }
+                if mv is not None and uv is not None:
+                    bf = mv / max(uv, 1e-300)
+                    rec["bayes_factor"] = bf
+                    rec["log2_bayes_factor"] = math.log2(max(bf, 1e-300))
+                out.append(rec)
+        return out
+
+    def _lambda_history_records(self) -> list:
+        return [
+            {
+                "iteration": it,
+                "probability_two_random_records_match": snap["lambda"],
+                "probability_two_random_records_match_reciprocal": (
+                    1.0 / snap["lambda"] if snap["lambda"] else None
+                ),
+            }
+            for it, snap in self._snapshots()
+        ]
+
+    def probability_two_random_records_match_iteration_chart(self):
+        from .chart_specs import (
+            probability_two_random_records_match_iteration_spec,
+        )
+
+        return probability_two_random_records_match_iteration_spec(
+            self._lambda_history_records()
+        )
+
+    def match_weights_interactive_history_chart(self):
+        from .chart_specs import match_weights_interactive_history_spec
+
+        return match_weights_interactive_history_spec(
+            self._iteration_history_records(),
+            blocking_rule_text=self._blocking_rule_text,
+        )
+
+    def m_u_values_interactive_history_chart(self):
+        from .chart_specs import m_u_parameters_interactive_history_spec
+
+        return m_u_parameters_interactive_history_spec(
+            self._iteration_history_records()
+        )
