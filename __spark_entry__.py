@@ -502,6 +502,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = embmod.embedding_covariance(vecs, "embedding")
         return out.select("i", "j", F.round("cov", 6).alias("cov"))
 
+    def q_embedding_quantize(spark, sf_dir):
+        """SQ8 scalar quantization: per-dim absmax calibration (one scan,
+        mapInPandas partials, exact max), then q = round(x / (absmax/127))
+        as a pure codegen projection. Bit-exact cross-engine (max is
+        order-independent, IEEE division, round half-away-from-zero); the
+        oracle replays calibration + quantization in SQL over the unnested
+        embeddings."""
+        from splink_spark.pipeline import embeddings as embmod
+
+        vecs = _session(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = embmod.quantize_embeddings(vecs, "embedding", "vec_id")
+        return out.select(
+            "vec_id", F.posexplode("q").alias("pos", "q_val")
+        ).select("vec_id", "pos", "q_val")
+
+    def q_shard_corpus(spark, sf_dir):
+        """Deterministic corpus shuffle + sharding: MINSTD hash of
+        (doc_id + seed) orders the corpus, shard = hash mod n, position =
+        rank within shard. Oracle reproduces the hash and the row_number
+        in SQL."""
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        out = curation.shard_corpus(docs, num_shards=8, seed=7)
+        return out.select("doc_id", "shard", "position")
+
     def q_perplexity_filter(spark, sf_dir):
         """CCNet-style perplexity gate: char-trigram LM fit on the even-id
         half of the corpus, every document scored (add-1 smoothing,
@@ -1397,6 +1421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_caps": q_source_caps,
         "perplexity_filter": q_perplexity_filter,
         "embedding_covariance": q_embedding_covariance,
+        "embedding_quantize": q_embedding_quantize,
+        "shard_corpus": q_shard_corpus,
         "ann_join": q_ann_join,
         "mixture_plan": q_mixture_plan,
         "stratified_sample": q_stratified_sample,
@@ -2290,6 +2316,36 @@ def oracle_sql() -> dict[str, str]:
                    6) AS cov
       FROM v, idx a, idx b
       GROUP BY a.i, b.i
+    """
+
+    # embedding_quantize: calibration (per-dim max |x|) + quantization
+    # (round(x / (absmax/127))) replayed over the unnested embeddings;
+    # the scale division is grouped exactly as the engine computes it
+    sqls["embedding_quantize"] = """
+      WITH u AS (
+        SELECT vec_id, CAST(i - 1 AS INT) AS pos, CAST(e[i] AS DOUBLE) AS x
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             generate_series(1, 64) AS t(i)
+      ),
+      am AS (SELECT pos, max(abs(x)) / 127.0 AS scale FROM u GROUP BY pos)
+      SELECT u.vec_id, u.pos,
+             CASE WHEN am.scale = 0 THEN 0
+                  ELSE CAST(round(u.x / am.scale) AS INT) END AS q_val
+      FROM u JOIN am USING (pos)
+    """
+
+    # shard_corpus: the MINSTD shuffle key and per-shard rank in SQL
+    sqls["shard_corpus"] = """
+      WITH k AS (
+        SELECT doc_id,
+               ((CAST(doc_id AS BIGINT) + 7) * 48271) % 2147483647 AS skey
+        FROM documents
+      )
+      SELECT doc_id, CAST(skey % 8 AS INT) AS shard,
+             CAST(row_number() OVER (PARTITION BY skey % 8
+                                     ORDER BY skey, doc_id) - 1 AS BIGINT)
+               AS position
+      FROM k
     """
 
     # perplexity_filter: char-trigram LM re-derived in SQL — gram counts

@@ -3,8 +3,20 @@ corpus curation, multimodal column plumbing."""
 
 from . import ann, classifier, curation, dedup, embeddings, lm, multimodal, text  # noqa: F401
 from .classifier import quality_classifier  # noqa: F401
-from .curation import cap_per_group, curate_corpus, dsir_resample  # noqa: F401
+from .curation import (  # noqa: F401
+    cap_per_group,
+    curate_corpus,
+    dsir_resample,
+    shard_corpus,
+    shard_stats,
+)
 from .dedup import deduplicate_corpus, incremental_dedup, semantic_dedup  # noqa: F401
-from .embeddings import pca_fit, pca_transform  # noqa: F401
+from .embeddings import (  # noqa: F401
+    absmax_fit,
+    dequantize_expr,
+    pca_fit,
+    pca_transform,
+    quantize_embeddings,
+)
 from .lm import perplexity_filter  # noqa: F401
 from .text import dedup_within_document  # noqa: F401

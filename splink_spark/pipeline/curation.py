@@ -1088,3 +1088,60 @@ def cap_per_group(
             .drop("__thr")
         )
     raise ValueError("method must be 'exact' or 'sampled'")
+
+
+def shard_corpus(
+    df: DataFrame,
+    num_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    with_position: bool = True,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data output:
+    every document gets a ``shard`` in [0, num_shards) and (optionally) a
+    0-based ``position`` within its shard, both pure functions of
+    ``(id, seed)`` — re-running on a repartitioned / differently-ordered
+    corpus yields the identical layout, and changing ``seed`` gives an
+    independent shuffle (epoch reshuffling).
+
+    Mechanics: a MINSTD multiplicative hash of ``id + seed`` (the same
+    portable int64 sampler as ``stratified_sample`` — any engine reproduces
+    it bit-for-bit) orders the corpus pseudo-randomly; ``shard`` is the
+    hash mod num_shards, ``position`` the rank of the hash within the
+    shard (ties broken by id).
+
+    Scale design: the shard assignment is a pure projection (no shuffle);
+    ``with_position`` adds one hash-partition shuffle on ``shard`` and a
+    per-shard sort.  Each shard's rank runs as one task, so parallelism ==
+    num_shards — which matches how training shards are sized in practice
+    (thousands of shards of a few GB each, each sorted comfortably within
+    a task).  For layout-only use (writers that just need balanced files),
+    ``with_position=False`` keeps it shuffle-free.
+    """
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    key = F.pmod(
+        (F.col(id_col).cast("bigint") + F.lit(int(seed))) * F.lit(_MINSTD_A),
+        F.lit(_MINSTD_M),
+    )
+    out = df.withColumn("__shuffle_key", key).withColumn(
+        "shard", F.pmod(F.col("__shuffle_key"), F.lit(int(num_shards))).cast("int")
+    )
+    if with_position:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shard").orderBy("__shuffle_key", id_col)
+        out = out.withColumn("position", (F.row_number().over(w) - 1).cast("bigint"))
+    return out.drop("__shuffle_key")
+
+
+def shard_stats(
+    sharded: DataFrame,
+    token_count_col: Optional[str] = None,
+) -> DataFrame:
+    """Per-shard balance check: document count (and token sum when a token
+    count column is named) per ``shard`` — one map-side-combining groupBy."""
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if token_count_col is not None:
+        aggs.append(F.sum(token_count_col).alias("n_tokens"))
+    return sharded.groupBy("shard").agg(*aggs).orderBy("shard")

@@ -188,3 +188,113 @@ def pca_transform(
         for comp in model["components"]
     ]
     return df.withColumn(output_col, F.array(*projections))
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (per-dimension symmetric int8/intN)
+# ---------------------------------------------------------------------------
+
+
+def absmax_fit(
+    df: DataFrame,
+    embedding_col: str = "embedding",
+    *,
+    dim: Optional[int] = None,
+) -> list:
+    """Per-dimension max(|x|) over the corpus — the scalar-quantization
+    calibration pass.  Same one-scan partial-aggregate shape as
+    ``embedding_covariance``: per-partition numpy partials (d tiny rows on
+    the wire per partition), one groupBy(idx) max, one d-row collect.
+    max() is order-independent, so the result is bit-exact in any engine.
+    """
+    if dim is None:
+        first = df.select(F.size(embedding_col).alias("d")).first()
+        if first is None or first["d"] is None:
+            raise ValueError("cannot infer embedding dimension from empty input")
+        dim = int(first["d"])
+    d = dim
+    src = df.select(F.col(embedding_col).cast("array<double>").alias("e")).where(
+        F.col("e").isNotNull() & (F.size("e") == d)
+    )
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        am = np.zeros(d, dtype=np.float64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf["e"].to_numpy())
+            am = np.maximum(am, np.abs(x).max(axis=0))
+            seen = True
+        if seen:
+            yield pd.DataFrame({"idx": list(range(d)), "val": am.tolist()})
+
+    agg = (
+        src.mapInPandas(partials, _partial_schema())
+        .groupBy("idx")
+        .agg(F.max("val").alias("val"))
+    )
+    cells = {r["idx"]: r["val"] for r in agg.collect()}
+    if not cells:
+        raise ValueError("no valid embeddings to calibrate")
+    return [float(cells[i]) for i in range(d)]
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    bits: int = 8,
+    absmax: Optional[list] = None,
+    output_col: str = "q",
+) -> DataFrame:
+    """Symmetric per-dimension scalar quantization of an embedding column
+    to ``bits``-bit integers: ``q_i = round(x_i / (absmax_i / L))`` with
+    ``L = 2^(bits-1) - 1`` (127 for int8) — the standard SQ8 storage format
+    for billion-vector ANN corpora (4x smaller than float32, integer dot
+    products).
+
+    Scale design: calibration is one corpus scan (``absmax_fit``); the
+    quantization itself is a pure codegen projection — ``F.transform`` of
+    the array against a d-element literal scale vector, no Python, no
+    shuffle, applicable to an unbounded stream.  The d scales are the only
+    driver state.  Cross-engine exactness: max is order-independent, the
+    scale division and round-half-away-from-zero match any SQL engine
+    (Spark HALF_UP == DuckDB round), so q is bit-identical — the
+    ``embedding_quantize`` oracle gate replays the whole pipeline in SQL.
+
+    Returns the input columns plus ``output_col`` (array<int>); the fitted
+    scales are attached as ``result._splink_sq_meta`` and accepted back via
+    ``absmax=`` to quantize new batches against a frozen calibration.
+    """
+    levels = (1 << (bits - 1)) - 1
+    if absmax is None:
+        absmax = absmax_fit(df, embedding_col)
+    scales = [a / float(levels) for a in absmax]
+    scale_arr = F.array(*[F.lit(s) for s in scales])
+    e = F.col(embedding_col).cast("array<double>")
+    q = F.zip_with(
+        e,
+        scale_arr,
+        lambda x, s: F.when(s == 0.0, F.lit(0)).otherwise(
+            F.round(x / s).cast("int")
+        ),
+    )
+    out = df.withColumn(output_col, q)
+    out._splink_sq_meta = {"absmax": absmax, "scales": scales, "bits": bits}  # type: ignore[attr-defined]
+    return out
+
+
+def dequantize_expr(q_col, scales: list):
+    """Reconstruction expression for a quantized column: ``q_i * scale_i``
+    (pure Column arithmetic)."""
+    scale_arr = F.array(*[F.lit(float(s)) for s in scales])
+    return F.zip_with(
+        F.col(q_col) if isinstance(q_col, str) else q_col,
+        scale_arr,
+        lambda v, s: v.cast("double") * s,
+    )

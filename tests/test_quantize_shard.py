@@ -1,0 +1,143 @@
+"""Scalar quantization (SQ8) and deterministic corpus sharding."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from splink_spark.pipeline.curation import shard_corpus, shard_stats
+from splink_spark.pipeline.embeddings import (
+    absmax_fit,
+    dequantize_expr,
+    quantize_embeddings,
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-2.0, 2.0) for _ in range(8)]) for i in range(200)
+    ]
+    rows.append((200, [0.0] * 8))  # all-zero vector must quantize to zeros
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_absmax_fit_exact(vecs):
+    am = absmax_fit(vecs, "embedding")
+    rows = vecs.select("embedding").collect()
+    expected = [
+        max(abs(r["embedding"][i]) for r in rows) for i in range(8)
+    ]
+    assert am == expected  # max is order-independent -> exact equality
+
+
+def test_quantize_range_and_roundtrip(vecs):
+    out = quantize_embeddings(vecs, "embedding", "vec_id")
+    meta = out._splink_sq_meta
+    assert meta["bits"] == 8 and len(meta["scales"]) == 8
+    pdf = out.select("vec_id", "embedding", "q").toPandas()
+    scales = meta["scales"]
+    for _, row in pdf.iterrows():
+        for i, (x, q) in enumerate(zip(row["embedding"], row["q"])):
+            assert -127 <= q <= 127
+            # reconstruction error bounded by half a quantization step
+            assert abs(q * scales[i] - x) <= scales[i] / 2 + 1e-12
+
+
+def test_quantize_zero_dimension(spark):
+    # a dimension that is zero everywhere has scale 0 -> q = 0, no div error
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-2.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    q = quantize_embeddings(df, "embedding", "vec_id").select("q").collect()
+    assert all(r["q"][1] == 0 for r in q)
+
+
+def test_quantize_frozen_calibration(vecs, spark):
+    # quantizing a new batch against a frozen absmax matches quantizing the
+    # union — the serving path for incremental corpora
+    am = absmax_fit(vecs, "embedding")
+    batch = spark.createDataFrame(
+        [(999, [0.5] * 8)], "vec_id bigint, embedding array<double>"
+    )
+    q = (
+        quantize_embeddings(batch, "embedding", "vec_id", absmax=am)
+        .select("q")
+        .first()["q"]
+    )
+    scales = [a / 127.0 for a in am]
+    assert q == [round(0.5 / s) if s else 0 for s in scales]
+
+
+def test_dequantize_expr(vecs):
+    out = quantize_embeddings(vecs, "embedding", "vec_id")
+    scales = out._splink_sq_meta["scales"]
+    rec = out.select(
+        "vec_id", dequantize_expr("q", scales).alias("rec"), "embedding"
+    ).first()
+    for x, r in zip(rec["embedding"], rec["rec"]):
+        assert abs(x - r) < max(scales) / 2 + 1e-12
+
+
+# -- sharding -----------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"doc {i}", (i % 13) + 1) for i in range(500)],
+        "doc_id bigint, text string, n_tokens int",
+    )
+
+
+def test_shard_corpus_deterministic(docs):
+    a = shard_corpus(docs, 8, seed=3).select("doc_id", "shard", "position")
+    b = (
+        shard_corpus(docs.repartition(7), 8, seed=3)
+        .select("doc_id", "shard", "position")
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_shard_corpus_partition_of_input(docs):
+    out = shard_corpus(docs, 8, seed=3)
+    assert out.count() == 500
+    shards = out.select("shard").distinct().collect()
+    assert set(r["shard"] for r in shards) <= set(range(8))
+    # positions are a dense 0..k-1 sequence within each shard
+    per = (
+        out.groupBy("shard")
+        .agg(F.count("*").alias("n"), F.max("position").alias("mx"),
+             F.min("position").alias("mn"))
+        .collect()
+    )
+    for r in per:
+        assert r["mn"] == 0 and r["mx"] == r["n"] - 1
+
+
+def test_shard_seed_changes_layout(docs):
+    a = {r["doc_id"]: r["shard"] for r in shard_corpus(docs, 8, seed=1).collect()}
+    b = {r["doc_id"]: r["shard"] for r in shard_corpus(docs, 8, seed=2).collect()}
+    assert any(a[k] != b[k] for k in a)
+
+
+def test_shard_stats_balance(docs):
+    out = shard_corpus(docs, 8, seed=3, with_position=False)
+    stats = shard_stats(out, "n_tokens").collect()
+    assert sum(r["n_docs"] for r in stats) == 500
+    assert sum(r["n_tokens"] for r in stats) == sum(
+        (i % 13) + 1 for i in range(500)
+    )
+    # hash sharding keeps shards within a loose balance band
+    counts = [r["n_docs"] for r in stats]
+    assert max(counts) < 3 * (500 // 8)
+
+
+def test_shard_corpus_validation(docs):
+    with pytest.raises(ValueError):
+        shard_corpus(docs, 0)
