@@ -163,6 +163,8 @@ def main() -> None:
         "perplexity_filter",
         "embedding_covariance",
         "ann_join",
+        "embedding_quantize",
+        "shard_corpus",
     ):
         try:
             t0 = time.time()

@@ -12,6 +12,7 @@ from . import blocking_rule_library  # noqa: F401
 from . import clustering  # noqa: F401
 from . import comparison_level_library  # noqa: F401
 from . import comparison_library  # noqa: F401
+from . import exceptions  # noqa: F401
 from . import exploratory  # noqa: F401
 from .internals.blocking import (  # noqa: F401
     BlockingRule,

@@ -636,7 +636,11 @@ def estimate_parameters_using_em(
         if not (c.input_columns and rule_cols and set(c.input_columns) & rule_cols)
     ]
     if not active:
-        raise ValueError("training rule consumes every comparison's columns")
+        from ..exceptions import EMTrainingException
+
+        raise EMTrainingException(
+            "training rule consumes every comparison's columns"
+        )
     deactivated = [c for c in s.comparisons if c not in active]
     if deactivated:
         logger.info(

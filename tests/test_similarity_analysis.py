@@ -210,3 +210,29 @@ def test_m_u_interactive_history_chart(em_session):
     chart = em_session.m_u_values_interactive_history_chart()
     assert chart["params"][0]["name"] == "iteration_number"
     json.dumps(chart)
+
+
+# -- exceptions facade ---------------------------------------------------------
+
+
+def test_exception_hierarchy(spark, persons):
+    from splink_spark.exceptions import EMTrainingException, SplinkException
+    from splink_spark.internals.exceptions import (
+        EMTrainingException as InternalAlias,
+    )
+
+    assert InternalAlias is EMTrainingException
+    settings = SettingsCreator(
+        link_type="dedupe_only",
+        comparisons=[cl.ExactMatch("first_name")],
+        blocking_rules_to_generate_predictions=[block_on("surname")],
+    )
+    linker = Linker(persons, settings)
+    # training on the only comparison's column deactivates everything
+    with pytest.raises(EMTrainingException) as exc_info:
+        linker.training.estimate_parameters_using_expectation_maximisation(
+            block_on("first_name")
+        )
+    # backward compat: the same error still catches as ValueError
+    assert isinstance(exc_info.value, ValueError)
+    assert isinstance(exc_info.value, SplinkException)
