@@ -115,6 +115,20 @@ def main() -> None:
     capped = curation.cap_per_group(docs, "source", 10, order_col="n_chars")
     print("after per-source cap:", capped.count(), "docs")
 
+    # 9. training output: deterministic shuffle + sharding (epoch = seed);
+    # per-shard balance check before writing
+    sharded = curation.shard_corpus(docs, num_shards=4, seed=0)
+    curation.shard_stats(sharded.withColumn("n_tokens", F.lit(1))).show()
+    # sharded.write.partitionBy("shard").parquet(...) is the write path
+
+    # 10. embedding storage: SQ8 scalar quantization (4x smaller, integer
+    # dot products) with a frozen calibration for later batches
+    from splink_spark.pipeline import embeddings as emb
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.quantize_embeddings(vecs, "embedding", "vec_id")
+    print("SQ8 sample:", q.select("vec_id", "q").first()["q"][:8])
+
     spark.stop()
 
 

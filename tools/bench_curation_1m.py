@@ -160,6 +160,34 @@ def main() -> None:
     print(f"# cap_per_group_sampled: {results['ops']['cap_per_group_sampled']}s",
           file=sys.stderr)
 
+    t0 = time.time()
+    sharded = cu.shard_corpus(docs, num_shards=256, seed=1)
+    sharded.write.format("noop").mode("overwrite").save()
+    results["ops"]["shard_corpus_256"] = round(time.time() - t0, 2)
+    print(f"# shard_corpus_256: {results['ops']['shard_corpus_256']}s",
+          file=sys.stderr)
+
+    # SQ8 quantization over synthetic 64-dim vectors (deterministic,
+    # generated JVM-side): calibration scan + quantize scan
+    from splink_spark.pipeline import embeddings as emb
+
+    vecs = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda j: (
+                F.pmod(F.col("doc_id") * 37 + j * 101, F.lit(997)).cast("double")
+                / 498.5 - 1.0
+            ),
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    q = emb.quantize_embeddings(vecs, "embedding", "vec_id")
+    q.write.format("noop").mode("overwrite").save()
+    results["ops"]["sq8_quantize_64d"] = round(time.time() - t0, 2)
+    print(f"# sq8_quantize_64d: {results['ops']['sq8_quantize_64d']}s",
+          file=sys.stderr)
+
     results = {
         **results,
         "jvm_heap_used_gb_after_op": heap_after,
