@@ -917,3 +917,148 @@ def probability_two_random_records_match_iteration_spec(
         }
     )
     return ChartSpec(spec)
+
+
+def threshold_selection_tool_spec(
+    rows: Sequence[Mapping[str, Any]],
+) -> ChartSpec:
+    """Interactive threshold-selection tool (reference chart_defs/
+    threshold_selection_tool.json + accuracy.py): hover a threshold on the
+    metric-lines panel and the confusion-count panel follows.  One record
+    per distinct score threshold; ``match_probability`` derived from the
+    match-weight threshold (p = 2^t / (1 + 2^t))."""
+    recs = []
+    for i, r in enumerate(
+        sorted((dict(r) for r in rows), key=lambda r: r["truth_threshold"])
+    ):
+        t = float(r["truth_threshold"])
+        if t > 1000:
+            p = 1.0
+        elif t < -1000:
+            p = 0.0
+        else:
+            odds = 2.0 ** t
+            p = odds / (1.0 + odds)
+        recs.append({**r, "score_index": i, "match_probability": p})
+    init = recs[len(recs) // 2]["truth_threshold"] if recs else 0.0
+
+    point_select = {
+        "name": "threshold",
+        "select": {
+            "type": "point",
+            "encodings": ["x"],
+            "fields": ["truth_threshold"],
+            "nearest": True,
+            "on": "mouseover",
+            "toggle": False,
+        },
+        "value": [{"truth_threshold": init}],
+    }
+    tooltip = [
+        {"field": "truth_threshold", "type": "quantitative", "format": ".3f",
+         "title": "Match weight threshold"},
+        {"field": "match_probability", "type": "quantitative", "format": ".3%",
+         "title": "Match probability threshold"},
+        {"field": "precision", "type": "quantitative", "format": ".4f"},
+        {"field": "recall", "type": "quantitative", "format": ".4f"},
+        {"field": "f1", "type": "quantitative", "format": ".4f"},
+        {"field": "accuracy", "type": "quantitative", "format": ".4f"},
+    ]
+    metrics_panel = {
+        "width": 450,
+        "height": 300,
+        "description": "Accuracy metrics by threshold (hover to select)",
+        "layer": [
+            {
+                # invisible full-height selection targets + hover rule
+                "mark": {"type": "point", "size": 100},
+                "params": [point_select],
+                "encoding": {
+                    "x": {"field": "truth_threshold", "type": "quantitative",
+                          "title": "Match weight threshold"},
+                    "opacity": {
+                        "condition": {"param": "threshold", "value": 1,
+                                      "empty": False},
+                        "value": 0,
+                    },
+                    "tooltip": tooltip,
+                },
+            },
+            {
+                "mark": {"type": "rule", "color": _COLOR_NEUTRAL},
+                "encoding": {
+                    "x": {"field": "truth_threshold", "type": "quantitative"},
+                    "opacity": {
+                        "condition": {"param": "threshold", "value": 0.4,
+                                      "empty": False},
+                        "value": 0,
+                    },
+                },
+            },
+            {
+                "transform": [
+                    {"fold": ["precision", "recall", "f1", "accuracy"],
+                     "as": ["metric", "value"]}
+                ],
+                "mark": {"type": "line", "interpolate": "step-after"},
+                "encoding": {
+                    "x": {"field": "truth_threshold", "type": "quantitative"},
+                    "y": {"field": "value", "type": "quantitative",
+                          "scale": {"domain": [0, 1]}, "title": "Metric value"},
+                    "color": {"field": "metric", "type": "nominal",
+                              "title": "Metric"},
+                },
+            },
+        ],
+    }
+    confusion_panel = {
+        "width": 200,
+        "height": 300,
+        "description": "Confusion counts at the selected threshold",
+        "transform": [
+            {"filter": {"param": "threshold", "empty": False}},
+            {"fold": ["tp", "fn", "fp", "tn"],
+             "as": ["confusion_label", "count"]},
+        ],
+        "layer": [
+            {
+                "mark": "bar",
+                "encoding": {
+                    "x": {"field": "count", "type": "quantitative",
+                          "title": "Record pairs"},
+                    "y": {"field": "confusion_label", "type": "nominal",
+                          "sort": ["tp", "fn", "fp", "tn"], "title": None},
+                    "color": {
+                        "condition": {
+                            "test": "datum.confusion_label === 'tp' || "
+                                    "datum.confusion_label === 'tn'",
+                            "value": _COLOR_FOR,
+                        },
+                        "value": _COLOR_AGAINST,
+                    },
+                    "tooltip": [
+                        {"field": "confusion_label", "type": "nominal"},
+                        {"field": "count", "type": "quantitative"},
+                    ],
+                },
+            },
+            {
+                "mark": {"type": "text", "align": "left", "dx": 3},
+                "encoding": {
+                    "x": {"field": "count", "type": "quantitative"},
+                    "y": {"field": "confusion_label", "type": "nominal",
+                          "sort": ["tp", "fn", "fp", "tn"]},
+                    "text": {"field": "count", "type": "quantitative"},
+                },
+            },
+        ],
+    }
+    return ChartSpec(
+        {
+            "$schema": VEGA_LITE_SCHEMA,
+            "title": {"text": "Threshold selection tool", "anchor": "middle"},
+            "data": {"values": recs},
+            "hconcat": [metrics_panel, confusion_panel],
+            "resolve": {"scale": {"color": "independent"}},
+        }
+    )

@@ -897,15 +897,17 @@ class LinkerEvaluation:
     def _accuracy_output(table: DataFrame, output_type: str):
         """Reference evaluation.py output_type switch: 'table' returns the
         truth-space DataFrame; the chart types return a Vega-Lite spec built
-        from it ('threshold_selection' maps to the accuracy-metrics chart —
-        the data half of the reference's interactive selection tool). The
-        collect is bounded: one row per distinct score threshold."""
+        from it ('threshold_selection' is the reference's interactive
+        two-panel tool: metric lines with hover selection driving the
+        confusion-count panel). The collect is bounded: one row per distinct
+        score threshold."""
         if output_type == "table":
             return table
         from .internals.chart_specs import (
             accuracy_chart_spec,
             precision_recall_chart_spec,
             roc_chart_spec,
+            threshold_selection_tool_spec,
         )
 
         rows = [r.asDict() for r in table.collect()]
@@ -913,7 +915,9 @@ class LinkerEvaluation:
             return roc_chart_spec(rows)
         if output_type == "precision_recall":
             return precision_recall_chart_spec(rows)
-        if output_type in ("accuracy", "threshold_selection"):
+        if output_type == "threshold_selection":
+            return threshold_selection_tool_spec(rows)
+        if output_type == "accuracy":
             return accuracy_chart_spec(rows)
         raise ValueError(
             "output_type must be one of 'threshold_selection', 'roc', "

@@ -49,22 +49,35 @@ def validate_spec(spec):
     assert isinstance(values, list)
     json.dumps(spec)  # round-trippable — no Spark/Column objects leaked in
 
-    units = []
-    if "facet" in spec:
-        assert "spec" in spec
-        units.append(spec["spec"])
-        for f in spec["facet"].values():
-            if isinstance(f, dict) and "field" in f:
-                assert any(f["field"] in row for row in values), f["field"]
-    elif "layer" in spec:
-        units.extend(spec["layer"])
-    else:
-        units.append(spec)
-    for unit in units:
+    def walk(node, derived):
+        """Yield (mark-unit, derived-field-set) leaves; fold/calculate
+        transforms introduce fields not present in the raw data rows."""
+        derived = set(derived)
+        for t in node.get("transform", ()):
+            if "fold" in t:
+                derived.update(t.get("as", ()))
+            if "calculate" in t:
+                derived.add(t.get("as"))
+        for key in ("hconcat", "vconcat", "layer"):
+            if key in node:
+                for child in node[key]:
+                    yield from walk(child, derived)
+                return
+        if "facet" in node:
+            for f in node["facet"].values():
+                if isinstance(f, dict) and "field" in f:
+                    assert any(f["field"] in row for row in values), f["field"]
+            yield from walk(node["spec"], derived)
+            return
+        yield node, derived
+
+    units = list(walk(spec, set()))
+    assert units
+    for unit, derived in units:
         assert "mark" in unit, unit
         fields = _encoded_fields(unit.get("encoding", {}))
         for field in fields:
-            assert any(field in row for row in values), (
+            assert field in derived or any(field in row for row in values), (
                 f"encoding references field {field!r} absent from the data"
             )
     return spec
