@@ -29,7 +29,9 @@ from .internals.materialize import MaterializationPolicy  # noqa: F401
 from .internals.settings import Settings, SettingsCreator  # noqa: F401
 from .datasets import (  # noqa: F401
     SplinkDatasets,
+    SplinkDataUtils,
     list_downloadable_datasets,
+    splink_dataset_utils,
     splink_datasets,
 )
 from .database_api import SparkAPI  # noqa: F401

@@ -377,3 +377,51 @@ def splink_datasets(
             "splink_datasets(spark)"
         )
     return SplinkDatasets(spark, cache_dir=cache_dir)
+
+
+class SplinkDataUtils:
+    """Cache management for the dataset catalog (reference
+    internals/datasets/utils.py SplinkDataUtils)."""
+
+    def __init__(self, cache_dir: Optional[str] = None):
+        self.cache_dir = cache_dir or os.environ.get(
+            "SPLINK_SPARK_DATASET_DIR",
+            os.path.join(os.path.expanduser("~"), ".splink_spark_datasets"),
+        )
+
+    def _list_downloaded_data_files(self) -> list:
+        if not os.path.isdir(self.cache_dir):
+            return []
+        return sorted(os.listdir(self.cache_dir))
+
+    def list_downloaded_datasets(self) -> list:
+        """Datasets already present in the local cache."""
+        return [f.split(".")[0] for f in self._list_downloaded_data_files()]
+
+    def list_all_datasets(self) -> list:
+        """Every dataset the catalog knows, downloaded or not."""
+        return [m.dataset_name for m in DATASETS.values()]
+
+    def list_all_dataset_labels(self) -> list:
+        """Every labels dataset the catalog knows."""
+        return [m.dataset_name for m in DATASET_LABELS.values()]
+
+    def show_downloaded_data(self) -> None:
+        print(
+            "Datasets already downloaded and available:\n"
+            + ",\n".join(self.list_downloaded_datasets())
+        )
+
+    def clear_downloaded_data(self, datasets: Optional[list] = None) -> None:
+        """Delete cached downloads (all catalog datasets when None)."""
+        known = set(self.list_all_datasets()) | set(self.list_all_dataset_labels())
+        targets = known if datasets is None else set(datasets) & known
+        for f in self._list_downloaded_data_files():
+            if f.split(".")[0] in targets:
+                os.remove(os.path.join(self.cache_dir, f))
+
+
+def splink_dataset_utils(cache_dir: Optional[str] = None) -> SplinkDataUtils:
+    """Name-parity factory for the reference's ``splink_dataset_utils``
+    singleton (internals/datasets/__init__.py)."""
+    return SplinkDataUtils(cache_dir=cache_dir)

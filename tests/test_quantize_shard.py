@@ -141,3 +141,20 @@ def test_shard_stats_balance(docs):
 def test_shard_corpus_validation(docs):
     with pytest.raises(ValueError):
         shard_corpus(docs, 0)
+
+
+def test_splink_dataset_utils(tmp_path):
+    from splink_spark import splink_dataset_utils
+
+    u = splink_dataset_utils(cache_dir=str(tmp_path))
+    assert u.list_downloaded_datasets() == []
+    assert "fake_1000" in u.list_all_datasets()
+    assert "fake_1000_labels" in u.list_all_dataset_labels()
+    # simulate a cached download, then clear it
+    (tmp_path / "fake_1000.csv").write_text("unique_id\n1\n")
+    (tmp_path / "not_a_dataset.csv").write_text("x\n1\n")
+    assert u.list_downloaded_datasets() == ["fake_1000", "not_a_dataset"]
+    u.clear_downloaded_data()
+    # only catalog datasets are deleted; unknown files are left alone
+    assert u.list_downloaded_datasets() == ["not_a_dataset"]
+    u.show_downloaded_data()
