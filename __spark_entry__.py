@@ -517,6 +517,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id", F.posexplode("q").alias("pos", "q_val")
         ).select("vec_id", "pos", "q_val")
 
+    def q_ann_sq8(spark, sf_dir):
+        """SQ8 search: int8-quantized int-dot candidate ranking (exact
+        int64 — bit-identical cross-engine), exact-cosine re-rank of the
+        survivors. Oracle replays quantization, int dot and re-rank."""
+        vecs = _session(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = ann.sq8_topk(vecs, vecs.where(F.col("vec_id") < 10), k=5)
+        return out.select(
+            "query_id", "rank", "neighbour_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+
     def q_shard_corpus(spark, sf_dir):
         """Deterministic corpus shuffle + sharding: MINSTD hash of
         (doc_id + seed) orders the corpus, shard = hash mod n, position =
@@ -1422,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_filter": q_perplexity_filter,
         "embedding_covariance": q_embedding_covariance,
         "embedding_quantize": q_embedding_quantize,
+        "ann_sq8": q_ann_sq8,
         "shard_corpus": q_shard_corpus,
         "ann_join": q_ann_join,
         "mixture_plan": q_mixture_plan,
@@ -2316,6 +2328,34 @@ def oracle_sql() -> dict[str, str]:
                    6) AS cov
       FROM v, idx a, idx b
       GROUP BY a.i, b.i
+    """
+
+    # ann_sq8: int8 quantization (round(x/||x||*127)), exact-int candidate
+    # ranking, exact-cosine re-rank — the whole index replayed in SQL
+    sqls["ann_sq8"] = """
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+e1 AS (SELECT vec_id, d, greatest(sqrt(list_sum(list_transform(d, y -> y*y))), 1e-12) AS nrm FROM e0),
+e AS (SELECT vec_id, list_transform(d, x -> CAST(round(x / nrm * 127) AS BIGINT)) AS q FROM e1),
+qs AS (SELECT vec_id AS query_id, q FROM e WHERE vec_id < 10),
+cand AS (
+  SELECT query_id, neighbour_id FROM (
+    SELECT qs.query_id, e.vec_id AS neighbour_id,
+      row_number() OVER (PARTITION BY qs.query_id
+        ORDER BY list_inner_product(e.q, qs.q) DESC, e.vec_id ASC) AS rn
+    FROM e CROSS JOIN qs WHERE e.vec_id != qs.query_id) WHERE rn <= 13
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbour_id,
+    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                           CAST(ce.embedding AS DOUBLE[])) AS sim
+  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+            JOIN embeddings ce ON ce.vec_id = cand.neighbour_id
+)
+SELECT query_id,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id ASC) AS BIGINT) AS rank,
+  neighbour_id, round(sim, 6) AS cosine_sim
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id ASC) <= 5
     """
 
     # embedding_quantize: calibration (per-dim max |x|) + quantization

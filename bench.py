@@ -164,6 +164,7 @@ def main() -> None:
         "embedding_covariance",
         "ann_join",
         "embedding_quantize",
+        "ann_sq8",
         "shard_corpus",
     ):
         try:
