@@ -383,10 +383,14 @@ def cluster_studio_sample(
         cluster_ids = [r["cluster_id"] for r in picked.select("cluster_id").collect()]
     nodes = df_clustered.where(F.col("cluster_id").isin(list(cluster_ids)))
     members = nodes.select(F.col(uid).alias("__member_id"), "cluster_id")
-    edges = (
-        df_predict.where(
+    # deterministic-link predictions carry no score column — keep every edge
+    # (reference cluster_studio.py handles the same case)
+    if "match_probability" in df_predict.columns:
+        df_predict = df_predict.where(
             F.col("match_probability") >= threshold_match_probability
         )
+    edges = (
+        df_predict
         .join(
             F.broadcast(members.withColumnRenamed("__member_id", "__edge_l")),
             F.col(f"{uid}_l") == F.col("__edge_l"),

@@ -347,10 +347,14 @@ def join_assignments_onto_nodes(
 def cluster_pairwise_predictions_at_threshold(
     linker,
     df_predict: DataFrame,
-    threshold_match_probability: float = 0.5,
+    threshold_match_probability: "float | None" = None,
 ) -> DataFrame:
     """linker_components/clustering.py:43-179: threshold the edges, solve CC,
-    join cluster ids back onto the input columns."""
+    join cluster ids back onto the input columns.
+
+    Reference semantics (clustering.py:102-118): ``None`` keeps every edge —
+    the deterministic-link output has no ``match_probability`` column and
+    clusters as-is; providing a threshold against such a frame raises."""
     s = linker.settings
     uid = s.unique_id_column_name
     concat = linker.df_concat()
@@ -377,9 +381,18 @@ def cluster_pairwise_predictions_at_threshold(
         edge_l = F.col(f"{uid}_l")
         edge_r = F.col(f"{uid}_r")
 
-    edges = (
-        df_predict.where(F.col("match_probability") >= threshold_match_probability)
-        .select(edge_l.alias("node_id_l"), edge_r.alias("node_id_r"))
+    has_match_prob = "match_probability" in df_predict.columns
+    if threshold_match_probability is not None and not has_match_prob:
+        raise ValueError(
+            "df_predict must have a column called 'match_probability' if "
+            "threshold_match_probability is provided"
+        )
+    if threshold_match_probability is not None:
+        df_predict = df_predict.where(
+            F.col("match_probability") >= threshold_match_probability
+        )
+    edges = df_predict.select(
+        edge_l.alias("node_id_l"), edge_r.alias("node_id_r")
     )
 
     # assignments_only: the solver returns rows only for edge-endpoint nodes

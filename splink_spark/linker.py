@@ -740,10 +740,27 @@ class LinkerClustering:
         self._l = linker
 
     def cluster_pairwise_predictions_at_threshold(
-        self, df_predict: DataFrame, threshold_match_probability: float = 0.5
+        self,
+        df_predict: DataFrame,
+        threshold_match_probability: Optional[float] = None,
+        threshold_match_weight: Optional[float] = None,
     ) -> DataFrame:
+        """Reference clustering.py:43-179: threshold defaults to None (keep
+        every edge — the deterministic-link output has no score column);
+        a match-weight threshold converts via p = 2^w / (1 + 2^w)."""
         from .internals.connected_components import cluster_pairwise_predictions_at_threshold
 
+        if (
+            threshold_match_probability is not None
+            and threshold_match_weight is not None
+        ):
+            raise ValueError(
+                "Cannot provide both threshold_match_probability and "
+                "threshold_match_weight. Please specify only one."
+            )
+        if threshold_match_weight is not None:
+            odds = 2.0 ** float(threshold_match_weight)
+            threshold_match_probability = odds / (1.0 + odds)
         return cluster_pairwise_predictions_at_threshold(
             self._l, df_predict, threshold_match_probability
         )

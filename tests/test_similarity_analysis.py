@@ -236,3 +236,53 @@ def test_exception_hierarchy(spark, persons):
     # backward compat: the same error still catches as ValueError
     assert isinstance(exc_info.value, ValueError)
     assert isinstance(exc_info.value, SplinkException)
+
+
+def test_is_in_level_reference_matrix(spark):
+    """The reference's test_testing_fns.py::test_is_in_level matrix."""
+    from datetime import datetime
+
+    cases = [
+        (cll.ExactMatchLevel("name"),
+         [({"name_l": "John", "name_r": "John"}, True),
+          ({"name_l": "John", "name_r": "Jane"}, False)]),
+        (cll.NullLevel("name"),
+         [({"name_l": None, "name_r": "John"}, True),
+          ({"name_l": "John", "name_r": None}, True),
+          ({"name_l": "John", "name_r": "Jane"}, False)]),
+        (cll.AbsoluteDateDifferenceLevel(
+            "date", input_is_string=False, threshold=3, metric="day"),
+         [({"date_l": datetime(2023, 1, 1), "date_r": datetime(2023, 1, 3)}, True),
+          ({"date_l": datetime(2023, 1, 1), "date_r": datetime(2023, 1, 5)}, False)]),
+        (cll.ArrayIntersectLevel("tags", 2),
+         [({"tags_l": [1, 2, 3], "tags_r": [2, 3, 4]}, True),
+          ({"tags_l": [1, 2, 3], "tags_r": [4, 5, 6]}, False)]),
+        (cll.ElseLevel(),
+         [({"name_l": "John", "name_r": "Jane"}, True)]),
+    ]
+    for level, inputs in cases:
+        records = [rec for rec, _ in inputs]
+        expected = [exp for _, exp in inputs]
+        assert is_in_level(level, records, spark) == expected, level
+
+
+def test_comparison_vector_value_reference_matrix(spark):
+    """The reference's test_testing_fns.py::test_comparison_vector_value."""
+    cases = [
+        (cl.ExactMatch("name"),
+         [({"name_l": "John", "name_r": "John"}, 1, "Exact match on name"),
+          ({"name_l": "John", "name_r": "Jane"}, 0, "All other comparisons"),
+          ({"name_l": None, "name_r": "John"}, -1, "name is NULL")]),
+        (cl.ArrayIntersectAtSizes("tags", [3, 2, 1]),
+         [({"tags_l": [1, 2, 3, 4], "tags_r": [2, 3, 4, 5]}, 3,
+           "Array intersection size >= 3"),
+          ({"tags_l": [1, 2, 3], "tags_r": [2, 3]}, 2,
+           "Array intersection size >= 2"),
+          ({"tags_l": [1], "tags_r": [1]}, 1,
+           "Array intersection size >= 1")]),
+    ]
+    for comp, inputs in cases:
+        res = comparison_vector_value(comp, [rec for rec, *_ in inputs], spark)
+        for r, (_, exp_val, exp_label) in zip(res, inputs):
+            assert r["comparison_vector_value"] == exp_val
+            assert r["label_for_charts"] == exp_label
