@@ -27,6 +27,7 @@ from .internals.comparison_level import ComparisonLevel  # noqa: F401
 from .internals.functions import register_udfs  # noqa: F401
 from .internals.materialize import MaterializationPolicy  # noqa: F401
 from .internals.settings import Settings, SettingsCreator  # noqa: F401
+from .internals.splink_dataframe import SplinkDataFrame  # noqa: F401
 from .datasets import (  # noqa: F401
     SplinkDatasets,
     SplinkDataUtils,

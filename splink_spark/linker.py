@@ -113,6 +113,25 @@ class Linker:
         self.table_management = LinkerTableManagement(self)
         self.visualisations = LinkerVisualisations(self)
 
+        # every public namespace method that returns a DataFrame returns it
+        # re-typed as a SplinkDataFrame (still a native Spark DataFrame, plus
+        # the reference's result-handle API: as_pandas_dataframe /
+        # as_record_list / to_parquet / query_sql / drop_table_... —
+        # reference internals/splink_dataframe.py:19-295)
+        from .internals.splink_dataframe import wrap_namespace_outputs
+
+        for _ns in (
+            self.inference,
+            self.training,
+            self.clustering,
+            self.evaluation,
+            self.blocking_analysis,
+            self.misc,
+            self.table_management,
+            self.visualisations,
+        ):
+            wrap_namespace_outputs(_ns)
+
     # -- shared intermediates --------------------------------------------------
     def df_concat(self) -> DataFrame:
         """``__splink__df_concat`` (vertically_concatenate.py:84-93).
@@ -1095,8 +1114,25 @@ class LinkerMisc:
             df.createOrReplaceTempView(name)
         return self._l.spark.sql(sql)
 
-    def save_model_to_json(self, path: str) -> str:
-        return self._l.settings.to_json(path)
+    def save_model_to_json(
+        self, out_path: Optional[str] = None, overwrite: bool = False
+    ) -> dict:
+        """Save the model settings+parameters as JSON and return the dict
+        (reference linker_components/misc.py:19-48: ``out_path=None`` means
+        return-only; refuses to clobber unless ``overwrite=True``)."""
+        d = self._l.settings.as_dict()
+        if out_path is not None:
+            import json
+            import os
+
+            if os.path.exists(out_path) and not overwrite:
+                raise ValueError(
+                    f"The path {out_path} already exists. Please provide a "
+                    "different path or set overwrite=True."
+                )
+            with open(out_path, "w") as f:
+                json.dump(d, f, indent=4)
+        return d
 
     def invalidate_cache(self) -> None:
         """Drop cached intermediates (table_management cache invalidation)."""

@@ -249,6 +249,10 @@ def test_no_unbounded_cartesian_nodes_in_gate_queries(spark):
         "prediction_errors", "predict_chunked",
         # deliberate broadcast of the (small) query side:
         "ann_topk",
+        # same shape for the SQ8 candidate pass: corpus crossJoin
+        # broadcast(quantized query side), candidates cut to |Q|*m before
+        # the exact re-rank
+        "ann_sq8",
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
