@@ -113,7 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from splink_spark.internals.vertically_concatenate import vertically_concatenate
     from splink_spark.internals.connected_components import solve_connected_components
     from splink_spark.internals.accuracy import truth_space_table
-    from splink_spark.pipeline import ann, curation, dedup, text
+    from splink_spark.pipeline import ann, curation, dedup, sketches, text
 
     def q_concat_union(spark, sf_dir):
         cust = _customer(_session(spark), sf_dir)
@@ -466,6 +466,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "fingerprint", "exact_dup_corpus", "exact_dup_batch",
             "near_dup_corpus", "keep",
         )
+
+    def q_cms_frequencies(spark, sf_dir):
+        """Count-min sketch point frequencies (pipeline/sketches.py): build
+        a 4x1024 sketch over every corpus token, then estimate the count of
+        each distinct token in the probe slice (docs with doc_id % 97 == 0).
+        All cells are md5 integer arithmetic, so the oracle replays the
+        sketch AND the estimates bit-exactly (CMS never undercounts; at
+        this width the heavy tokens come back exact)."""
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        nonempty = docs.where(
+            F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+        )
+        toks = nonempty.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("key")
+        )
+        sketch = sketches.cms_build(toks, depth=4, width=1024)
+        probe = (
+            nonempty.where(F.col("doc_id") % 97 == 0)
+            .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("key"))
+            .distinct()
+        )
+        est = sketches.cms_estimate(sketch, probe, depth=4, width=1024)
+        return est.select(F.col("key").alias("token"), "est_count")
+
+    def q_bloom_screen(spark, sf_dir):
+        """Bloom-filter membership screen (pipeline/sketches.py): filter
+        built over the md5 fingerprints of the eval slice (doc_id % 41 == 0,
+        2^16 bits, 5 hashes), every document probed via broadcast-only
+        joins. The flag set — INCLUDING any false positives — is a pure
+        function of the md5 hash family, so the oracle reproduces it
+        exactly from the set-bit positions."""
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        fp = docs.where(F.col("text").isNotNull()).select(
+            "doc_id", F.md5("text").alias("key")
+        )
+        members = fp.where(F.col("doc_id") % 41 == 0).select("key")
+        bloom = sketches.bloom_build(members, num_bits=1 << 16, num_hashes=5)
+        out = sketches.bloom_probe(fp, bloom, num_bits=1 << 16, num_hashes=5)
+        return out.select("doc_id", "maybe_member")
 
     def q_source_caps(spark, sf_dir):
         """C4-style per-source cap: keep the 10 largest docs per source
@@ -1430,6 +1469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "incremental_dedup": q_incremental_dedup,
         "source_caps": q_source_caps,
+        "cms_frequencies": q_cms_frequencies,
+        "bloom_screen": q_bloom_screen,
         "perplexity_filter": q_perplexity_filter,
         "embedding_covariance": q_embedding_covariance,
         "embedding_quantize": q_embedding_quantize,
@@ -2911,6 +2952,62 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
         CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
         coalesce(ov.n, 0) > 0 AS contaminated
       FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+    """
+
+    # cms_frequencies: replay the 4x1024 count-min sketch and the probe-set
+    # estimates from the same md5 integer arithmetic (Spark
+    # conv(substr(md5,1,15),16,10) == DuckDB ('0x'||substr(md5,1,15))::BIGINT)
+    sqls["cms_frequencies"] = f"""
+      WITH t AS (
+        SELECT {_ltoks} AS toks FROM documents
+        WHERE text IS NOT NULL AND length(trim(text)) > 0
+      ),
+      tok AS (SELECT unnest(toks) AS key FROM t),
+      rows_i AS (SELECT unnest([0, 1, 2, 3]) AS sketch_row),
+      cells AS (
+        SELECT sketch_row,
+               ('0x' || substr(md5(key || ':' || sketch_row), 1, 15))::BIGINT
+                 % 1024 AS cell,
+               count(*) AS cnt
+        FROM tok, rows_i GROUP BY 1, 2
+      ),
+      probe AS (
+        SELECT DISTINCT unnest(toks) AS token FROM (
+          SELECT {_ltoks} AS toks FROM documents
+          WHERE doc_id % 97 = 0 AND text IS NOT NULL
+            AND length(trim(text)) > 0
+        )
+      )
+      SELECT p.token,
+             min(coalesce(c.cnt, 0)) AS est_count
+      FROM probe p CROSS JOIN rows_i r
+      LEFT JOIN cells c ON c.sketch_row = r.sketch_row
+        AND c.cell = ('0x' || substr(md5(p.token || ':' || r.sketch_row), 1, 15))::BIGINT % 1024
+      GROUP BY p.token
+    """
+
+    # bloom_screen: membership flags re-derived from the set-bit POSITION set
+    # (position-set semantics == packed-int64-word semantics: a probe bit is
+    # set iff some member hashed to that position)
+    sqls["bloom_screen"] = """
+      WITH fp AS (
+        SELECT doc_id, md5(text) AS key FROM documents WHERE text IS NOT NULL
+      ),
+      h AS (SELECT unnest([0, 1, 2, 3, 4]) AS i),
+      positions AS (
+        SELECT DISTINCT
+          ('0x' || substr(md5(m.key || '#' || h.i), 1, 15))::BIGINT % 65536 AS pos
+        FROM (SELECT key FROM fp WHERE doc_id % 41 = 0) m, h
+      ),
+      probe AS (
+        SELECT f.doc_id,
+          ('0x' || substr(md5(f.key || '#' || h.i), 1, 15))::BIGINT % 65536 AS pos
+        FROM fp f, h
+      )
+      SELECT p.doc_id,
+             (count(s.pos) = 5) AS maybe_member
+      FROM probe p LEFT JOIN positions s ON p.pos = s.pos
+      GROUP BY p.doc_id
     """
 
     sqls["mixture_plan"] = """

@@ -166,6 +166,8 @@ def main() -> None:
         "embedding_quantize",
         "ann_sq8",
         "shard_corpus",
+        "cms_frequencies",
+        "bloom_screen",
     ):
         try:
             t0 = time.time()

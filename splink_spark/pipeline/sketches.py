@@ -1,0 +1,271 @@
+"""Mergeable sketches for corpus-scale statistics: count-min sketch
+(point-frequency estimates over unbounded key spaces) and Bloom filter
+(membership screening without a join against the full reference set).
+
+Why sketches at 100 TB: an exact token-frequency table over a web corpus
+is itself huge (vocabulary grows with the corpus) and must be re-derived
+per corpus version; a CMS is a FIXED-SIZE artifact (depth x width cells)
+built in one scan whose shuffle is bounded by depth*width per mapper
+regardless of corpus size or key skew, and two corpora's sketches merge
+by cell-wise addition. A Bloom filter plays the same role for membership
+(e.g. "was this fingerprint in the eval set / the previous crawl?"):
+k*|keys| set bits packed into fixed-width int64 words, probed without
+shuffling the probe side.
+
+All hashing is md5-derived integer arithmetic (same family as
+pipeline/dedup.py's span keys): ``conv(substr(md5(key||':'||i)),16,10)``
+— bit-identical in any engine with md5 + string concat, which is what
+makes the driver's DuckDB oracles able to replay every cell and bit.
+
+Honesty note on heavy hitters: in Spark, *enumerating* keys above a
+frequency floor is best done by the engine itself — ``groupBy(key)
+.count().where(>= T)`` already performs Misra-Gries-style local
+compression via map-side partial aggregation, so a sketch-based
+candidate pass would only add scans. The sketch's value is point
+queries, cross-shard merging, and screening NEW batches against an
+already-summarized corpus (the ``incremental_dedup`` pattern) — not
+replacing the one-shuffle exact aggregate. ``heavy_hitters`` therefore
+IS the exact aggregate, and ``cms_estimate`` exists for the lookups
+that shouldn't rescan the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "cms_build",
+    "cms_estimate",
+    "cms_merge",
+    "heavy_hitters",
+    "bloom_build",
+    "bloom_probe",
+    "bloom_merge",
+]
+
+
+def _md5_int(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint — the cross-engine
+    portable hash (DuckDB: ``('0x' || substr(md5(x),1,15))::bigint``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str = "key",
+    depth: int = 4,
+    width: int = 8192,
+    weight_col: Optional[str] = None,
+) -> DataFrame:
+    """Build a count-min sketch over a key column (one occurrence = count 1,
+    or ``weight_col`` for weighted counts). Returns rows
+    ``(sketch_row, cell, count)`` — at most ``depth * width`` of them.
+
+    Scale design: the posexplode makes ``depth`` rows per occurrence, but
+    they immediately enter a hash aggregate whose key space is capped at
+    depth*width, so map-side partial aggregation collapses everything
+    before the exchange — the shuffle carries at most depth*width rows
+    per mapper no matter how large or skewed the corpus is. The output is
+    broadcastable by construction (32k cells at the defaults).
+
+    Estimate error: with probability 1 - (1/2)^depth, an estimate
+    overshoots the true count by at most (total_count / width); CMS never
+    undercounts.
+    """
+    k = F.col(key_col).cast("string")
+    cells = F.array(
+        *[
+            F.pmod(_md5_int(F.concat(k, F.lit(f":{i}"))), F.lit(width))
+            for i in range(depth)
+        ]
+    )
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col
+        else F.lit(1).cast("bigint")
+    )
+    return (
+        df.select(w.alias("__w"), F.posexplode(cells).alias("sketch_row", "cell"))
+        .groupBy("sketch_row", "cell")
+        .agg(F.sum("__w").alias("count"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str = "key",
+    depth: int = 4,
+    width: int = 8192,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` from a built sketch: the min
+    over the key's ``depth`` cells (absent cell = 0). ``depth``/``width``
+    must match the build.
+
+    Scale design: the sketch is <= depth*width rows and is explicitly
+    broadcast — the (possibly huge) key side is never shuffled; each key
+    reads its depth cells map-side and folds them with one bounded
+    groupBy on the key itself (depth rows per key in, one out).
+    """
+    k = F.col(key_col).cast("string")
+    probes = keys.select(
+        F.col(key_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(_md5_int(F.concat(k, F.lit(f":{i}"))), F.lit(width))
+                    for i in range(depth)
+                ]
+            )
+        ).alias("sketch_row", "cell"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["sketch_row", "cell"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("count"), F.lit(0))).alias("est_count"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with identical (depth, width): cell-wise sum.
+    This is the cross-shard / cross-day composition path — each shard
+    summarizes locally, only depth*width rows per shard move."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("sketch_row", "cell").agg(F.sum("count").alias("count"))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str = "key",
+    min_count: int = 2,
+    weight_col: Optional[str] = None,
+) -> DataFrame:
+    """Exact keys with total count >= min_count. Deliberately NOT
+    sketch-based (see module docstring): Spark's hash aggregate with
+    map-side partial aggregation is already the optimal single-pass plan —
+    per-partition partial counts are the Misra-Gries summary, the exchange
+    carries one row per (partition, distinct-key-in-partition), and AQE
+    handles skewed reducers."""
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col
+        else F.lit(1).cast("bigint")
+    )
+    return (
+        df.select(F.col(key_col), w.alias("__w"))
+        .groupBy(key_col)
+        .agg(F.sum("__w").alias("count"))
+        .where(F.col("count") >= F.lit(min_count))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970), packed into int64 words
+# ---------------------------------------------------------------------------
+
+
+def _bloom_word_mask(key: Column, i: int, num_bits: int) -> tuple[Column, Column]:
+    pos = F.pmod(_md5_int(F.concat(key, F.lit(f"#{i}"))), F.lit(num_bits))
+    word = (pos / F.lit(64)).cast("bigint")
+    # F.shiftleft only accepts a literal shift; the SQL function takes a column
+    mask = F.call_function(
+        "shiftleft", F.lit(1).cast("bigint"), F.pmod(pos, F.lit(64)).cast("int")
+    )
+    return word, mask
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str = "key",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Build a Bloom filter over a key set, packed as int64 words:
+    rows ``(word, bits)`` with at most ``num_bits/64`` rows.
+
+    Scale design: each key emits its ``num_hashes`` (word, bit) pairs and
+    a bounded-key-space hash aggregate ORs them — the shuffle is capped at
+    num_bits/64 rows per mapper (16k words at the 1M-bit default). The
+    result is a fixed-size, broadcastable, mergeable artifact: false
+    positive rate ~= (1 - e^(-k*n/m))^k, zero false negatives.
+    """
+    k = F.col(key_col).cast("string")
+    pairs = F.array(
+        *[
+            F.struct(
+                _bloom_word_mask(k, i, num_bits)[0].alias("word"),
+                _bloom_word_mask(k, i, num_bits)[1].alias("mask"),
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    ex = keys.select(F.explode(pairs).alias("p")).select("p.word", "p.mask")
+    # bit_or partial-aggregates map-side exactly like sum
+    return ex.groupBy("word").agg(
+        F.bit_or(F.col("mask")).alias("bits")
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "key",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    result_col: str = "maybe_member",
+) -> DataFrame:
+    """Screen rows against a built filter: adds ``result_col`` true iff
+    EVERY probe bit is set (possible member — definite members always
+    pass; non-members pass only at the filter's false-positive rate).
+    ``num_bits``/``num_hashes`` must match the build.
+
+    Scale design: the probe side is NEVER shuffled and never grows — the
+    plan is ``num_hashes`` chained broadcast-hash left joins of the same
+    <= num_bits/64-row word table (128 KiB at the defaults), all map-side
+    in one stage, followed by a pure Column AND over the joined bits. For
+    the decontamination use this replaces a join against the full
+    reference key set with joins against a fixed-size artifact.
+    """
+    k = F.col(key_col).cast("string")
+    out = df
+    hit_cols = []
+    for i in range(num_hashes):
+        word, mask = _bloom_word_mask(k, i, num_bits)
+        side = bloom.select(
+            F.col("word").alias(f"__bw{i}"), F.col("bits").alias(f"__bb{i}")
+        )
+        out = (
+            out.withColumn(f"__w{i}", word)
+            .withColumn(f"__m{i}", mask)
+            .join(F.broadcast(side), F.col(f"__w{i}") == F.col(f"__bw{i}"), "left")
+        )
+        hit_cols.append(
+            F.coalesce(F.col(f"__bb{i}"), F.lit(0)).bitwiseAND(F.col(f"__m{i}")) != 0
+        )
+    flag = hit_cols[0]
+    for h in hit_cols[1:]:
+        flag = flag & h
+    drop = [c for i in range(num_hashes) for c in (f"__w{i}", f"__m{i}", f"__bw{i}", f"__bb{i}")]
+    return out.withColumn(result_col, flag).drop(*drop)
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """OR together filters built with identical (num_bits, num_hashes)."""
+    if not filters:
+        raise ValueError("bloom_merge needs at least one filter")
+    out = filters[0]
+    for f in filters[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("word").agg(F.bit_or(F.col("bits")).alias("bits"))
