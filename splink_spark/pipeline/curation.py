@@ -361,6 +361,9 @@ def decontaminate(
     eval_text_col: Optional[str] = None,
     broadcast_eval: Optional[bool] = None,
     broadcast_max_grams: int = 5_000_000,
+    bloom_prescreen: Optional[bool] = None,
+    bloom_bits: int = 1 << 27,
+    bloom_hashes: int = 4,
 ) -> DataFrame:
     """Flag corpus documents sharing any word ``n``-gram with the eval set
     (the published GPT-2/3 train-test-overlap decontamination procedure).
@@ -382,6 +385,17 @@ def decontaminate(
     optimizer (a shuffled hash/sort-merge join keyed by gram). Pass
     ``broadcast_eval=True/False`` to skip the probe when the eval side's
     size is known.
+
+    On the non-broadcast path a Bloom-filter prescreen
+    (``bloom_prescreen=None`` → auto-on; force with True/False) cuts the
+    shuffled join's input EXACTLY: corpus grams are screened map-side
+    against a fixed-size filter over the eval dictionary (``bloom_bits``
+    bits — 16 MiB of packed words at the default — via zero-shuffle
+    broadcast joins, pipeline/sketches.py). Bloom filters have no false
+    negatives, so every truly-overlapping gram survives the screen, and
+    the exact join removes the false positives — output identical, but
+    only ~fpr of the non-overlapping corpus grams (the overwhelming
+    majority at web scale) ever reach the exchange.
     """
     eval_text_col = eval_text_col or text_col
     eval_grams = (
@@ -398,6 +412,26 @@ def decontaminate(
         F.col(id_col),
         F.explode(F.array_distinct(F.col("grams"))).alias("gram"),
     )
+    if bloom_prescreen is None:
+        bloom_prescreen = not broadcast_eval
+    if bloom_prescreen and not broadcast_eval:
+        from .sketches import bloom_build, bloom_probe
+
+        bloom = bloom_build(
+            eval_grams.select(F.col("gram").alias("key")),
+            num_bits=bloom_bits,
+            num_hashes=bloom_hashes,
+        )
+        corpus_grams = (
+            bloom_probe(
+                corpus_grams.withColumnRenamed("gram", "key"),
+                bloom,
+                num_bits=bloom_bits,
+                num_hashes=bloom_hashes,
+            )
+            .where(F.col("maybe_member"))
+            .select(F.col(id_col), F.col("key").alias("gram"))
+        )
     eval_side = F.broadcast(eval_grams) if broadcast_eval else eval_grams
     overlap = (
         corpus_grams.join(eval_side, "gram", "inner")

@@ -85,10 +85,14 @@ def test_decontaminate_large_eval_dictionary_not_broadcast(spark, docs):
     ev = spark.createDataFrame(
         [(100, "the data of a run that we have built")], ["doc_id", "text"]
     )
-    big = cu.decontaminate(docs, ev, n=5, broadcast_max_grams=1)
+    big = cu.decontaminate(
+        docs, ev, n=5, broadcast_max_grams=1, bloom_prescreen=False
+    )
     plan = big._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan
-    forced_off = cu.decontaminate(docs, ev, n=5, broadcast_eval=False)
+    forced_off = cu.decontaminate(
+        docs, ev, n=5, broadcast_eval=False, bloom_prescreen=False
+    )
     default = cu.decontaminate(docs, ev, n=5)
     assert sorted(map(tuple, big.collect()), key=lambda t: t[0]) == sorted(
         map(tuple, default.collect()), key=lambda t: t[0]
@@ -96,6 +100,26 @@ def test_decontaminate_large_eval_dictionary_not_broadcast(spark, docs):
     assert sorted(map(tuple, forced_off.collect()), key=lambda t: t[0]) == sorted(
         map(tuple, default.collect()), key=lambda t: t[0]
     )
+
+
+def test_decontaminate_bloom_prescreen_identical_output(spark, docs):
+    """The non-broadcast path auto-enables a Bloom prescreen of corpus grams
+    (no false negatives → exact join output unchanged); the dictionary join
+    itself must still not be a driver broadcast."""
+    ev = spark.createDataFrame(
+        [(100, "the data of a run that we have built")], ["doc_id", "text"]
+    )
+    default = cu.decontaminate(docs, ev, n=5)
+    screened = cu.decontaminate(docs, ev, n=5, broadcast_max_grams=1,
+                                bloom_bits=1 << 14, bloom_hashes=4)
+    assert sorted(map(tuple, screened.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, default.collect()), key=lambda t: t[0]
+    )
+    plan = screened._jdf.queryExecution().executedPlan().toString()
+    # the prescreen's word-table joins are broadcast; the gram-dictionary
+    # join is not (it stays a shuffled join on gram)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
 def test_stratified_sample_deterministic_and_exclusive(spark):
