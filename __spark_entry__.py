@@ -1170,6 +1170,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("total_value", 6).alias("total_value"),
         )
 
+    def q_streaming_cms(spark, sf_dir):
+        """Streaming count-min sketch maintenance (streaming/operators.py
+        sketch_update_stream) run to completion with availableNow over the
+        documents table staged as 4 files (maxFilesPerTrigger=1 → 4
+        micro-batches): each batch appends its partial sketch to parquet
+        state; read_sketch_state merges by cell-wise sum. The CMS merge
+        law makes the result order- and batching-independent, so the
+        full-table DuckDB replay is an exact oracle."""
+        import os
+        import shutil
+
+        from splink_spark.streaming.operators import (
+            read_sketch_state,
+            sketch_update_stream,
+        )
+
+        spark = _session(spark)
+        src = f"{sf_dir}/documents.parquet"
+        static = spark.read.parquet(src)
+        base = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".stream_cache",
+            os.path.basename(sf_dir.rstrip("/")),
+        )
+        stream_path = os.path.join(base, "documents_4files")
+        if not os.path.isdir(stream_path):
+            static.repartition(4).write.mode("overwrite").parquet(stream_path)
+        state_path = os.path.join(base, "cms_state")
+        if os.path.isdir(state_path):
+            shutil.rmtree(state_path)
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_path)
+        )
+        toks = stream.where(
+            F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+        ).select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("key"))
+        q = sketch_update_stream(toks, state_path, depth=4, width=512)
+        q.awaitTermination()
+        return read_sketch_state(spark, state_path)
+
     def q_streaming_neardupe(spark, sf_dir):
         """Custom stateful streaming operator (applyInPandasWithState):
         incremental near-dup assignment over the documents stream. The
@@ -1489,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": q_streaming_sessions,
         "streaming_windows": q_streaming_windows,
         "streaming_neardupe": q_streaming_neardupe,
+        "streaming_cms": q_streaming_cms,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -2984,6 +3027,22 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
       LEFT JOIN cells c ON c.sketch_row = r.sketch_row
         AND c.cell = ('0x' || substr(md5(p.token || ':' || r.sketch_row), 1, 15))::BIGINT % 1024
       GROUP BY p.token
+    """
+
+    # streaming_cms: the merged streaming sketch state == the batch CMS over
+    # the whole table (merge law), replayed cell-for-cell
+    sqls["streaming_cms"] = f"""
+      WITH t AS (
+        SELECT {_ltoks} AS toks FROM documents
+        WHERE text IS NOT NULL AND length(trim(text)) > 0
+      ),
+      tok AS (SELECT unnest(toks) AS key FROM t),
+      rows_i AS (SELECT unnest([0, 1, 2, 3]) AS sketch_row)
+      SELECT sketch_row,
+             ('0x' || substr(md5(key || ':' || sketch_row), 1, 15))::BIGINT
+               % 512 AS cell,
+             count(*) AS "count"
+      FROM tok, rows_i GROUP BY 1, 2
     """
 
     # bloom_screen: membership flags re-derived from the set-bit POSITION set

@@ -115,6 +115,30 @@ def main() -> None:
     capped = curation.cap_per_group(docs, "source", 10, order_col="n_chars")
     print("after per-source cap:", capped.count(), "docs")
 
+    # 8b. corpus-scale statistics without corpus-scale state: a count-min
+    # sketch summarizes token frequencies in a fixed 4x8192-cell artifact
+    # (mergeable across shards; probes never rescan the corpus), and a
+    # Bloom filter screens any future batch's fingerprints against the
+    # settled corpus with zero shuffle on the batch side
+    from splink_spark.pipeline import sketches
+
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("key")
+    )
+    sketch = sketches.cms_build(toks, depth=4, width=8192)
+    common = sketches.heavy_hitters(toks, min_count=n // 4)
+    sketches.cms_estimate(sketch, common.select("key"), depth=4, width=8192).join(
+        common, "key"
+    ).orderBy(F.desc("count")).show(5)
+    corpus_bloom = sketches.bloom_build(
+        settled.select(F.md5("text").alias("key")), num_bits=1 << 18
+    )
+    sketches.bloom_probe(
+        batch.select("doc_id", F.md5("text").alias("key")),
+        corpus_bloom,
+        num_bits=1 << 18,
+    ).groupBy("maybe_member").count().show()
+
     # 9. training output: deterministic shuffle + sharding (epoch = seed);
     # per-shard balance check before writing
     sharded = curation.shard_corpus(docs, num_shards=4, seed=0)

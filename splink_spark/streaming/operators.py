@@ -303,3 +303,104 @@ def incremental_dedup_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sketch_update_stream(
+    stream: DataFrame,
+    state_path: str,
+    *,
+    key_col: str = "key",
+    depth: int = 4,
+    width: int = 8192,
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """Maintain a count-min sketch over an unbounded stream
+    (pipeline/sketches.py): each micro-batch builds its own partial
+    sketch — the bounded cms_build plan, <= depth*width rows however large
+    or skewed the batch — and APPENDS it (tagged with ``batch_id``) to the
+    parquet state at ``state_path``.
+
+    Append-only state is the point: every commit is a plain file append
+    (no read-modify-write race with concurrent readers), and because a
+    batch's partial sketch is a pure function of its rows, a foreachBatch
+    retry re-appends IDENTICAL rows — :func:`read_sketch_state` drops
+    per-batch duplicates before summing, making the merged sketch
+    exactly-once under retries. Compaction (read, merge, overwrite) is an
+    optional periodic batch job; the CMS merge law (cell-wise sum) makes
+    the compacted and uncompacted reads identical.
+    """
+    from ..pipeline.sketches import cms_build
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            cms_build(batch_df, key_col=key_col, depth=depth, width=width)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(state_path)
+        )
+
+    writer = stream.writeStream.foreachBatch(process).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_sketch_state(spark, state_path: str) -> DataFrame:
+    """Merge the appended per-batch partial sketches into the current
+    sketch: retry-duplicate batches collapse first (a batch's partial is
+    deterministic, so duplicates are row-identical), then cells sum."""
+    return (
+        spark.read.parquet(state_path)
+        .dropDuplicates(["batch_id", "sketch_row", "cell"])
+        .groupBy("sketch_row", "cell")
+        .agg(F.sum("count").alias("count"))
+    )
+
+
+def bloom_update_stream(
+    stream: DataFrame,
+    state_path: str,
+    *,
+    key_col: str = "key",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """Maintain a Bloom filter over a stream of keys: per-batch partial
+    filters append to parquet state; read-side merge is a bit_or, which is
+    idempotent — retries and duplicate appends cannot corrupt membership
+    (same append-only design as :func:`sketch_update_stream`)."""
+    from ..pipeline.sketches import bloom_build
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            bloom_build(
+                batch_df, key_col=key_col, num_bits=num_bits, num_hashes=num_hashes
+            )
+            .write.mode("append")
+            .parquet(state_path)
+        )
+
+    writer = stream.writeStream.foreachBatch(process).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_bloom_state(spark, state_path: str) -> DataFrame:
+    """Merge appended per-batch filters: bit_or per word (idempotent)."""
+    return (
+        spark.read.parquet(state_path)
+        .groupBy("word")
+        .agg(F.bit_or(F.col("bits")).alias("bits"))
+    )

@@ -277,3 +277,77 @@ def test_incremental_dedup_stream_grow_corpus(spark, tmp_path):
     assert [k for _, k in keeps].count(True) == 1
     flagged = [d for d in got if not got[d]["keep"]]
     assert got[flagged[0]]["exact_dup_corpus"]
+
+
+def test_sketch_update_stream_matches_batch_cms(spark, tmp_path):
+    """Per-micro-batch partial sketches appended to parquet state must merge
+    to exactly the batch CMS over all rows (merge law), and a duplicated
+    (retried) batch append must not change the merged result."""
+    from splink_spark.pipeline.sketches import cms_build
+    from splink_spark.streaming import read_sketch_state, sketch_update_stream
+
+    rows = [(f"k{i % 13}",) for i in range(300)]
+    src = str(tmp_path / "src_cms")
+    spark.createDataFrame(rows, ["key"]).repartition(3).write.mode(
+        "overwrite"
+    ).parquet(src)
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "cms_state")
+    q = sketch_update_stream(
+        stream, state, depth=4, width=256,
+        checkpoint_dir=str(tmp_path / "ckpt_cms"),
+    )
+    q.awaitTermination()
+    merged = {
+        (r["sketch_row"], r["cell"]): r["count"]
+        for r in read_sketch_state(spark, state).collect()
+    }
+    direct = {
+        (r["sketch_row"], r["cell"]): r["count"]
+        for r in cms_build(static, depth=4, width=256).collect()
+    }
+    assert merged == direct
+    # simulate a foreachBatch retry: re-append batch 0's partial verbatim
+    batch0 = spark.read.parquet(state).where("batch_id = 0")
+    batch0.write.mode("append").parquet(state)
+    again = {
+        (r["sketch_row"], r["cell"]): r["count"]
+        for r in read_sketch_state(spark, state).collect()
+    }
+    assert again == direct
+
+
+def test_bloom_update_stream_matches_batch_filter(spark, tmp_path):
+    from splink_spark.pipeline.sketches import bloom_build
+    from splink_spark.streaming import bloom_update_stream, read_bloom_state
+
+    rows = [(f"m{i}",) for i in range(50)]
+    src = str(tmp_path / "src_bloom")
+    spark.createDataFrame(rows, ["key"]).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "bloom_state")
+    q = bloom_update_stream(
+        stream, state, num_bits=4096, num_hashes=3,
+        checkpoint_dir=str(tmp_path / "ckpt_bloom"),
+    )
+    q.awaitTermination()
+    merged = {
+        r["word"]: r["bits"] for r in read_bloom_state(spark, state).collect()
+    }
+    direct = {
+        r["word"]: r["bits"]
+        for r in bloom_build(static, num_bits=4096, num_hashes=3).collect()
+    }
+    assert merged == direct
