@@ -490,6 +490,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         est = sketches.cms_estimate(sketch, probe, depth=4, width=1024)
         return est.select(F.col("key").alias("token"), "est_count")
 
+    def q_heavy_hitters(spark, sf_dir):
+        """Exact frequency floor over corpus tokens (pipeline/sketches.py
+        heavy_hitters — deliberately the one-shuffle partial-aggregated
+        groupBy, see module docstring)."""
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        toks = docs.where(
+            F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+        ).select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("key"))
+        return sketches.heavy_hitters(toks, min_count=50)
+
     def q_bloom_screen(spark, sf_dir):
         """Bloom-filter membership screen (pipeline/sketches.py): filter
         built over the md5 fingerprints of the eval slice (doc_id % 41 == 0,
@@ -1513,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_caps": q_source_caps,
         "cms_frequencies": q_cms_frequencies,
         "bloom_screen": q_bloom_screen,
+        "heavy_hitters": q_heavy_hitters,
         "perplexity_filter": q_perplexity_filter,
         "embedding_covariance": q_embedding_covariance,
         "embedding_quantize": q_embedding_quantize,
@@ -3043,6 +3054,16 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
                % 512 AS cell,
              count(*) AS "count"
       FROM tok, rows_i GROUP BY 1, 2
+    """
+
+    sqls["heavy_hitters"] = f"""
+      WITH t AS (
+        SELECT {_ltoks} AS toks FROM documents
+        WHERE text IS NOT NULL AND length(trim(text)) > 0
+      ),
+      tok AS (SELECT unnest(toks) AS key FROM t)
+      SELECT key, count(*) AS "count" FROM tok
+      GROUP BY key HAVING count(*) >= 50
     """
 
     # bloom_screen: membership flags re-derived from the set-bit POSITION set
