@@ -100,6 +100,23 @@ def _predict_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entry + queries
 # ---------------------------------------------------------------------------
 
+#: fixed BPE merge table for the `bpe_tokens` gate (trained once with
+#: pipeline/bpe.bpe_train, num_merges=40, on the normalized sf0.01 corpus —
+#: the gate tests ENCODING with a constant table, so it is corpus/sf
+#: independent; bpe_train itself is pinned by tests/test_bpe.py against an
+#: independent naive implementation)
+_BPE_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"), ("o", "w"),
+    ("ow", "</w>"), ("o", "r"), ("s", "t"), ("h", "</w>"), ("a", "t"),
+    ("l", "u"), ("i", "n"), ("a", "</w>"), ("g", "</w>"), ("y", "</w>"),
+    ("a", "r"), ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"),
+    ("r", "ow</w>"), ("at", "c"), ("atc", "h</w>"), ("b", "atch</w>"),
+    ("a", "n</w>"), ("c", "an</w>"), ("s", "can</w>"), ("c", "o"),
+    ("c", "u"), ("co", "lu"), ("colu", "m"), ("colum", "n</w>"),
+    ("cu", "st"), ("cust", "o"), ("custo", "m"), ("custom", "er</w>"),
+]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: customer dedupe predict."""
@@ -489,6 +506,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         est = sketches.cms_estimate(sketch, probe, depth=4, width=1024)
         return est.select(F.col("key").alias("token"), "est_count")
+
+    def q_bpe_tokens(spark, sf_dir):
+        """BPE encoding with the fixed merge table (pipeline/bpe.bpe_apply,
+        Arrow mapInPandas): per-doc token count + md5 of the '|'-joined
+        token stream. The DuckDB oracle replays the greedy encoder as a
+        recursive CTE over boundary-delimited symbol strings — one
+        replace() per step applies the lowest-ranked present merge to all
+        its occurrences, exactly the left-to-right merge law."""
+        from splink_spark.pipeline import bpe
+
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        norm = docs.select(
+            "doc_id",
+            F.array_join(
+                F.filter(
+                    F.split(F.lower(F.trim("text")), r"\s+"),
+                    lambda w: w.rlike("^[a-z0-9]+$"),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        out = bpe.bpe_apply(norm, _BPE_MERGES, text_col="text", id_col="doc_id")
+        return out.select(
+            "doc_id",
+            "n_bpe_tokens",
+            F.md5(F.concat_ws("|", "bpe_tokens")).alias("toks_md5"),
+        )
 
     def q_heavy_hitters(spark, sf_dir):
         """Exact frequency floor over corpus tokens (pipeline/sketches.py
@@ -1524,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_frequencies": q_cms_frequencies,
         "bloom_screen": q_bloom_screen,
         "heavy_hitters": q_heavy_hitters,
+        "bpe_tokens": q_bpe_tokens,
         "perplexity_filter": q_perplexity_filter,
         "embedding_covariance": q_embedding_covariance,
         "embedding_quantize": q_embedding_quantize,
@@ -3054,6 +3099,65 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
                % 512 AS cell,
              count(*) AS "count"
       FROM tok, rows_i GROUP BY 1, 2
+    """
+
+    # bpe_tokens: the greedy BPE encoder replayed as a recursive CTE.
+    # Symbol strings are boundary-delimited ('|a|b|</w>|'), so a merge
+    # pattern '|a|b|' can only match FULL adjacent symbols, and a single
+    # replace() applies the best-ranked merge to all its occurrences
+    # left-to-right (shared delimiters make overlaps consume correctly) —
+    # bit-equal to pipeline/bpe.bpe_encode_word.
+    _bpe_vals = ", ".join(
+        f"('{a}', '{b}', {i})" for i, (a, b) in enumerate(_BPE_MERGES)
+    )
+    sqls["bpe_tokens"] = f"""
+      WITH RECURSIVE merges(pat, rep, rank) AS (
+        SELECT '|' || a || '|' || b || '|', '|' || a || b || '|', rank
+        FROM (VALUES {_bpe_vals}) AS m(a, b, rank)
+      ),
+      t AS (
+        SELECT doc_id,
+               list_filter({_ltoks}, w -> regexp_matches(w, '^[a-z0-9]+$')) AS toks
+        FROM documents
+      ),
+      docw AS (
+        SELECT doc_id, unnest(
+          list_transform(generate_series(1, len(toks)),
+                         i -> {{'pos': i, 'word': toks[i]}}),
+          recursive := true)
+        FROM t
+      ),
+      init AS (
+        SELECT DISTINCT word,
+               '|' || regexp_replace(word, '(.)', '\\1|', 'g') || '</w>|' AS s
+        FROM docw
+      ),
+      rec AS (
+        SELECT word, s FROM init
+        UNION ALL
+        SELECT rec.word, replace(rec.s, m.pat, m.rep)
+        FROM rec JOIN LATERAL (
+          SELECT pat, rep FROM merges WHERE position(pat IN rec.s) > 0
+          ORDER BY rank LIMIT 1
+        ) m ON true
+      ),
+      final AS (
+        SELECT word, trim(s, '|') AS enc FROM rec
+        WHERE NOT EXISTS (
+          SELECT 1 FROM merges WHERE position(merges.pat IN rec.s) > 0
+        )
+      ),
+      docenc AS (
+        SELECT d.doc_id,
+               string_agg(f.enc, '|' ORDER BY d.pos) AS toks_str,
+               sum(len(string_split(f.enc, '|'))) AS n
+        FROM docw d JOIN final f USING (word)
+        GROUP BY d.doc_id
+      )
+      SELECT doc.doc_id,
+             CAST(coalesce(e.n, 0) AS INT) AS n_bpe_tokens,
+             md5(coalesce(e.toks_str, '')) AS toks_md5
+      FROM documents doc LEFT JOIN docenc e ON doc.doc_id = e.doc_id
     """
 
     sqls["heavy_hitters"] = f"""
