@@ -198,3 +198,45 @@ def dedup_within_document(
 def _sql(col: Column) -> str:
     # Column -> SQL fragment for embedding in F.expr strings
     return col._jc.toString()  # type: ignore[attr-defined]
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    classic cheap junk detector: highly repetitive or templated text
+    compresses far below natural prose (ratio < ~0.3 on UTF-8 English is a
+    strong machine-generated/boilerplate signal; random or encrypted bytes
+    sit near 1.0). Complements the token-level repetition metrics
+    (curation.repetition_metrics), which miss long-range structure.
+
+    Arrow-batched ``mapInPandas`` over stdlib zlib — BUILT-IN expressions
+    cannot express DEFLATE, so this is the documented Python path: pure
+    map, no shuffle, ~100 MB/s/core. Empty/null text → ratio null.
+    """
+    import zlib
+
+    out_schema = f"{id_col} bigint, raw_bytes int, compressed_bytes int, compression_ratio double"
+
+    def measure(batches):
+        for pdf in batches:
+            raws, comps, ratios = [], [], []
+            for t in pdf[text_col]:
+                if t is None or len(t) == 0:
+                    raws.append(0)
+                    comps.append(0)
+                    ratios.append(None)
+                    continue
+                b = t.encode("utf-8")
+                c = len(zlib.compress(b, level))
+                raws.append(len(b))
+                comps.append(c)
+                ratios.append(c / len(b))
+            yield pdf.assign(
+                raw_bytes=raws, compressed_bytes=comps, compression_ratio=ratios
+            )[[id_col, "raw_bytes", "compressed_bytes", "compression_ratio"]]
+
+    return df.select(id_col, text_col).mapInPandas(measure, out_schema)

@@ -118,3 +118,28 @@ def test_bpe_apply_plan_is_single_arrow_stage(docs):
     )
     assert "MapInPandas" in plan
     assert "Exchange" not in plan  # pure map: no shuffle
+
+
+def test_compression_ratio_orders_repetitive_below_prose(spark):
+    from splink_spark.pipeline.text import compression_ratio
+
+    rows = [
+        (0, "spam " * 400),                      # degenerate repetition
+        (1, "the quick brown fox jumps over the lazy dog and then "
+            "wanders through seventeen distinct meadows describing "
+            "each flower it encounters in novel unrepeated words " * 4),
+        (2, ""),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert out[0]["compression_ratio"] < 0.05
+    assert out[1]["compression_ratio"] > out[0]["compression_ratio"] * 3
+    assert out[2]["compression_ratio"] is None and out[2]["raw_bytes"] == 0
+    assert out[3]["compression_ratio"] is None
+    # exact zlib parity with the local library
+    import zlib
+    t = rows[1][1].encode("utf-8")
+    assert out[1]["compressed_bytes"] == len(zlib.compress(t, 6))
+    plan = compression_ratio(df)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "Exchange" not in plan
