@@ -507,6 +507,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         est = sketches.cms_estimate(sketch, probe, depth=4, width=1024)
         return est.select(F.col("key").alias("token"), "est_count")
 
+    def q_asof_join(spark, sf_dir):
+        """Backward inclusive as-of join (pipeline/temporal.py — union +
+        single window pass, zero join operators): odd events look up the
+        most recent even event per user. The right side is deduplicated
+        per (user, ts) with max_by, so the match is fully deterministic;
+        the oracle is DuckDB's NATIVE ASOF LEFT JOIN — an independent
+        implementation of the same semantics."""
+        from splink_spark.pipeline.temporal import asof_join
+
+        ev = _session(spark).read.parquet(f"{sf_dir}/events.parquet")
+        if dict(ev.dtypes).get("ts") != "bigint":
+            ev = ev.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+            )
+        norm = ev.select("event_id", "user_id", F.col("ts").alias("tsn"), "value")
+        l = norm.where(F.col("event_id") % 2 == 1).select(
+            "event_id", "user_id", "tsn"
+        )
+        r = (
+            norm.where(F.col("event_id") % 2 == 0)
+            .groupBy("user_id", "tsn")
+            .agg(
+                F.max("event_id").alias("q_event_id"),
+                F.max_by("value", "event_id").alias("q_value"),
+            )
+        )
+        out = asof_join(l, r, on="tsn", by="user_id")
+        return out.select(
+            "event_id",
+            "user_id",
+            "r_tsn",
+            "r_q_event_id",
+            F.round("r_q_value", 6).alias("r_q_value"),
+        )
+
+    def q_range_join(spark, sf_dir):
+        """Bin-accelerated point-in-interval join (pipeline/temporal.py —
+        interval replication into covering bins turns the inequality join
+        into an equi-join). Intervals = even events extended 1-7 h;
+        points = odd events; oracle is the plain inequality join."""
+        from splink_spark.pipeline.temporal import range_join
+
+        ev = _session(spark).read.parquet(f"{sf_dir}/events.parquet")
+        if dict(ev.dtypes).get("ts") != "bigint":
+            ev = ev.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+            )
+        hour = 3600 * 1_000_000_000
+        pts = ev.where(F.col("event_id") % 2 == 1).select(
+            F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("t")
+        )
+        iv = ev.where(F.col("event_id") % 2 == 0).select(
+            F.col("event_id").alias("iid"),
+            "user_id",
+            F.col("ts").alias("lo"),
+            (F.col("ts") + (F.lit(1) + F.col("event_id") % 7) * hour).alias("hi"),
+        )
+        out = range_join(pts, iv, "t", "lo", "hi", by="user_id", bin_size=hour)
+        return out.select("pid", "iid", "user_id")
+
     def q_bpe_tokens(spark, sf_dir):
         """BPE encoding with the fixed merge table (pipeline/bpe.bpe_apply,
         Arrow mapInPandas): per-doc token count + md5 of the '|'-joined
@@ -1569,6 +1629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_screen": q_bloom_screen,
         "heavy_hitters": q_heavy_hitters,
         "bpe_tokens": q_bpe_tokens,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "perplexity_filter": q_perplexity_filter,
         "embedding_covariance": q_embedding_covariance,
         "embedding_quantize": q_embedding_quantize,
@@ -3363,6 +3425,46 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
         ON l.label = r.label AND l.vec_id < r.vec_id
       WHERE list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
                                    CAST(r.embedding AS DOUBLE[])) >= 0.25
+    """
+
+    # asof_join: DuckDB's NATIVE ASOF LEFT JOIN is an independent
+    # implementation of the backward-inclusive semantics (greatest right ts
+    # <= left ts); right side pre-deduplicated per (user, ts) in both
+    sqls["asof_join"] = """
+      WITH norm AS (
+        SELECT event_id, user_id, epoch_ns(ts) AS tsn, value FROM events
+      ),
+      l AS (
+        SELECT event_id, user_id, tsn FROM norm WHERE event_id % 2 = 1
+      ),
+      r AS (
+        SELECT user_id, tsn,
+               max(event_id) AS q_event_id,
+               max_by(value, event_id) AS q_value
+        FROM norm WHERE event_id % 2 = 0 GROUP BY user_id, tsn
+      )
+      SELECT l.event_id, l.user_id,
+             r.tsn AS r_tsn,
+             r.q_event_id AS r_q_event_id,
+             round(r.q_value, 6) AS r_q_value
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.tsn >= r.tsn
+    """
+
+    # range_join: the bin acceleration must emit EXACTLY the inequality join
+    sqls["range_join"] = """
+      WITH norm AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn FROM events),
+      pts AS (
+        SELECT event_id AS pid, user_id, tsn AS t FROM norm WHERE event_id % 2 = 1
+      ),
+      iv AS (
+        SELECT event_id AS iid, user_id, tsn AS lo,
+               tsn + (1 + event_id % 7) * 3600000000000 AS hi
+        FROM norm WHERE event_id % 2 = 0
+      )
+      SELECT p.pid, i.iid, p.user_id
+      FROM pts p JOIN iv i
+        ON p.user_id = i.user_id AND p.t >= i.lo AND p.t < i.hi
     """
 
     sqls["events_window"] = """

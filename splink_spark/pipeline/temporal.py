@@ -1,0 +1,196 @@
+"""Temporal joins Spark lacks as built-ins: as-of join (point-in-time
+lookup) and bounded range join — the event-table companions to the
+sessionization/window operators.
+
+Scale design: NO join at all. The classic as-of formulations (inequality
+join, per-key collect) either explode into range joins or hold unbounded
+per-key state; the union trick needs exactly ONE shuffle of
+left ∪ right by the key — each row crosses the wire once — then a single
+ordered window pass carries the most recent right payload forward
+(``last(..., ignorenulls=True)``). Per-key skew behaves exactly like any
+window aggregation (AQE handles it); memory is one row of carried state
+per partition stream, not per key.
+
+Determinism contract: when several right rows share the same ``on``
+value, the winner is decided by ``tie_break_col`` (max wins for
+backward, min for forward). Without a tie-break column, pre-deduplicate
+the right side per (key, on) — the oracle-gated driver query does
+exactly that.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join"]
+
+
+def _as_list(x: Union[str, Sequence[str], None]) -> list[str]:
+    if x is None:
+        return []
+    return [x] if isinstance(x, str) else list(x)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: Union[str, Sequence[str], None] = None,
+    direction: str = "backward",
+    tolerance: Optional[int] = None,
+    prefix: str = "r_",
+    tie_break_col: Optional[str] = None,
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest ``on``
+    <= left's (``backward``, inclusive), the least ``on`` >= left's
+    (``forward``, inclusive), or whichever of the two is closer
+    (``nearest``, ties to backward) — pandas ``merge_asof`` semantics,
+    DuckDB ``ASOF JOIN`` semantics for the backward case.
+
+    One shuffle total: both sides union (right payload packed into a
+    struct), partition by ``by``, one ordered window carries the latest
+    payload to each left row. Right rows sort before left rows at equal
+    ``on`` so the match is inclusive. ``tolerance`` (same units as ``on``,
+    which must be numeric for ``tolerance``/``nearest``) nulls matches
+    farther than the bound. Unmatched left rows keep null payload columns
+    (left join semantics).
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
+    keys = _as_list(by)
+
+    if direction == "nearest":
+        # two passes, no join: the backward output (left cols + prefixed
+        # backward match) is itself the left side of the forward pass — its
+        # extra columns just ride along in the carried left-row struct, so
+        # both candidate matches land on one row deterministically
+        f_cols = [c for c in right.columns if c not in keys]
+        b = asof_join(left, right, on, by, "backward", tolerance, prefix,
+                      tie_break_col)
+        both = asof_join(b, right, on, by, "forward", tolerance, "__fwd_",
+                         tie_break_col)
+        on_val = F.col(on).cast("double")
+        bdelta = F.abs(on_val - F.col(f"{prefix}{on}").cast("double"))
+        fdelta = F.abs(on_val - F.col(f"__fwd_{on}").cast("double"))
+        use_fwd = F.col(f"{prefix}{on}").isNull() | (
+            F.col(f"__fwd_{on}").isNotNull() & (fdelta < bdelta)
+        )
+        return both.select(
+            *[c for c in left.columns],
+            *[
+                F.when(use_fwd, F.col(f"__fwd_{c}"))
+                .otherwise(F.col(f"{prefix}{c}"))
+                .alias(f"{prefix}{c}")
+                for c in f_cols
+            ],
+        )
+
+    payload_cols = [c for c in right.columns if c not in keys]
+    marker = "__asof_is_left"
+    payload = "__asof_payload"
+    lhs = left.select(
+        *keys,
+        F.col(on).alias("__asof_on"),
+        F.lit(1).alias(marker),
+        F.lit(None).cast("string").alias("__asof_tb"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__asof_lrow"),
+        F.lit(None)
+        .cast(
+            right.select(
+                F.struct(*[F.col(c) for c in payload_cols]).alias("s")
+            ).schema["s"].dataType
+        )
+        .alias(payload),
+    )
+    tb = (
+        F.col(tie_break_col).cast("string")
+        if tie_break_col
+        else F.lit(None).cast("string")
+    )
+    rhs = right.select(
+        *keys,
+        F.col(on).alias("__asof_on"),
+        F.lit(0).alias(marker),
+        tb.alias("__asof_tb"),
+        F.lit(None).cast(
+            left.select(
+                F.struct(*[F.col(c) for c in left.columns]).alias("s")
+            ).schema["s"].dataType
+        ).alias("__asof_lrow"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias(payload),
+    )
+    u = lhs.unionByName(rhs)
+    if direction == "backward":
+        order = [F.asc("__asof_on"), F.asc(marker), F.asc("__asof_tb")]
+    else:  # forward
+        order = [F.desc("__asof_on"), F.asc(marker), F.desc("__asof_tb")]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn(
+        "__asof_match", F.last(payload, ignorenulls=True).over(w)
+    ).where(F.col(marker) == 1)
+    m = F.col("__asof_match")
+    if tolerance is not None:
+        delta = F.abs(
+            F.col("__asof_on").cast("double") - m[on].cast("double")
+        )
+        carried = carried.withColumn(
+            "__asof_match", F.when(delta <= F.lit(tolerance), m)
+        )
+        m = F.col("__asof_match")
+    return carried.select(
+        *[F.col(f"__asof_lrow.{c}").alias(c) for c in left.columns],
+        *[m[c].alias(f"{prefix}{c}") for c in payload_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lower: str,
+    right_upper: str,
+    by: Union[str, Sequence[str], None] = None,
+    bin_size: Optional[int] = None,
+) -> DataFrame:
+    """Join left points into right [lower, upper) intervals. Without help
+    Catalyst plans point-in-interval predicates as a nested loop; binning
+    turns it into an equi-join: each interval replicates into its
+    ceil(len/bin) covering bins, each point hashes to exactly one bin, and
+    the exact predicate filters within the bin bucket. ``bin_size``
+    defaults to a coarse guess (1h in nanos) — set it near the TYPICAL
+    interval length: replication factor is interval_len/bin_size + 1.
+    """
+    keys = _as_list(by)
+    if bin_size is None:
+        bin_size = 3600 * 1_000_000_000
+    pt = F.col(left_point).cast("bigint")
+    lo = F.col(right_lower).cast("bigint")
+    hi = F.col(right_upper).cast("bigint")
+    r_binned = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                (lo / bin_size).cast("bigint"),
+                ((hi - 1) / bin_size).cast("bigint"),
+            )
+        ),
+    )
+    l_binned = left.withColumn("__bin", (pt / bin_size).cast("bigint"))
+    cond = [l_binned["__bin"] == r_binned["__bin"]] + [
+        l_binned[k] == r_binned[k] for k in keys
+    ]
+    joined = l_binned.join(r_binned, cond, "inner").where(
+        (l_binned[left_point].cast("bigint") >= r_binned[right_lower].cast("bigint"))
+        & (l_binned[left_point].cast("bigint") < r_binned[right_upper].cast("bigint"))
+    )
+    return joined.select(
+        *[l_binned[c] for c in left.columns],
+        *[r_binned[c] for c in right.columns if c not in keys],
+    )

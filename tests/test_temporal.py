@@ -1,0 +1,122 @@
+"""as-of join and range join: literal semantics (pandas merge_asof
+conventions), tie-breaks, tolerance, and plan-shape pins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from splink_spark.pipeline.temporal import asof_join, range_join
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            ("a", 10, "t1"), ("a", 25, "t2"), ("a", 30, "t3"),
+            ("b", 5, "t4"), ("b", 100, "t5"),
+            ("c", 50, "t6"),  # key with no quotes at all
+        ],
+        "sym string, ts long, trade string",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("a", 8, 1.0, 100), ("a", 25, 2.0, 101), ("a", 25, 2.5, 102),
+            ("a", 40, 3.0, 103),
+            ("b", 50, 9.0, 104),
+        ],
+        "sym string, ts long, px double, qid long",
+    )
+    return trades, quotes
+
+
+def _rows(df, *cols):
+    return {
+        r["trade"]: tuple(r[c] for c in cols)
+        for r in df.collect()
+    }
+
+
+def test_asof_backward_inclusive_with_tiebreak(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="ts", by="sym", tie_break_col="qid")
+    got = _rows(out, "r_ts", "r_px", "r_qid")
+    assert got["t1"] == (8, 1.0, 100)     # greatest quote ts <= 10
+    assert got["t2"] == (25, 2.5, 102)    # inclusive equality; max qid wins
+    assert got["t3"] == (25, 2.5, 102)
+    assert got["t4"] == (None, None, None)  # nothing at or before ts=5
+    assert got["t5"] == (50, 9.0, 104)
+    assert got["t6"] == (None, None, None)  # key never quoted
+
+
+def test_asof_forward_and_nearest(trades_quotes):
+    trades, quotes = trades_quotes
+    fwd = _rows(
+        asof_join(trades, quotes, on="ts", by="sym", direction="forward",
+                  tie_break_col="qid"),
+        "r_ts", "r_qid",
+    )
+    assert fwd["t1"] == (25, 101)   # least quote ts >= 10; min qid wins ties
+    assert fwd["t2"] == (25, 101)   # inclusive
+    assert fwd["t3"] == (40, 103)
+    assert fwd["t4"] == (50, 104)
+    assert fwd["t5"] == (None, None)
+    near = _rows(
+        asof_join(trades, quotes, on="ts", by="sym", direction="nearest",
+                  tie_break_col="qid"),
+        "r_ts",
+    )
+    assert near["t1"] == (8,)     # |10-8| < |10-25|
+    assert near["t3"] == (25,)    # |30-25| < |30-40|
+    assert near["t4"] == (50,)    # only a forward match exists
+    assert near["t5"] == (50,)    # only a backward match exists
+
+
+def test_asof_tolerance_nulls_far_matches(trades_quotes):
+    trades, quotes = trades_quotes
+    out = _rows(
+        asof_join(trades, quotes, on="ts", by="sym", tolerance=5,
+                  tie_break_col="qid"),
+        "r_ts",
+    )
+    assert out["t1"] == (8,)       # delta 2 <= 5
+    assert out["t5"] == (None,)    # delta 50 > 5
+
+
+def test_asof_single_shuffle_no_join_nodes(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="ts", by="sym", tie_break_col="qid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # union + window, never a join operator
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_matches_naive_inequality_join(spark):
+    points = spark.createDataFrame(
+        [(i, i * 37 % 500) for i in range(80)], "pid long, t long"
+    )
+    intervals = spark.createDataFrame(
+        [(j, j * 53 % 400, j * 53 % 400 + 25 + j % 90) for j in range(40)],
+        "iid long, lo long, hi long",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(points, intervals, "t", "lo", "hi", bin_size=32).collect()
+    )
+    want = sorted(
+        (r["pid"], r["iid"])
+        for r in points.join(
+            intervals, (points["t"] >= intervals["lo"]) & (points["t"] < intervals["hi"])
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_range_join_plan_is_equi_join(spark):
+    points = spark.createDataFrame([(1, 10)], "pid long, t long")
+    intervals = spark.createDataFrame([(1, 5, 40)], "iid long, lo long, hi long")
+    plan = (
+        range_join(points, intervals, "t", "lo", "hi", bin_size=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
