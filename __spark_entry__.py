@@ -567,6 +567,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = range_join(pts, iv, "t", "lo", "hi", by="user_id", bin_size=hour)
         return out.select("pid", "iid", "user_id")
 
+    def q_time_rollup(spark, sf_dir):
+        """Hypertable-style multi-granularity rollup (pipeline/temporal.py
+        time_rollup): hourly + daily value aggregates per user in ONE pass
+        (GROUPING SETS — one Expand, one exchange, plan-pinned in
+        tests/test_temporal.py). Oracle = UNION ALL of per-granularity
+        groupBys."""
+        from splink_spark.pipeline.temporal import time_rollup
+
+        ev = _session(spark).read.parquet(f"{sf_dir}/events.parquet")
+        if dict(ev.dtypes).get("ts") != "bigint":
+            ev = ev.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+            )
+        hour = 3600 * 1_000_000_000
+        return time_rollup(
+            ev, "ts", "value", granularities=(hour, 24 * hour), by="user_id"
+        )
+
     def q_bpe_tokens(spark, sf_dir):
         """BPE encoding with the fixed merge table (pipeline/bpe.bpe_apply,
         Arrow mapInPandas): per-doc token count + md5 of the '|'-joined
@@ -1631,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "time_rollup": q_time_rollup,
         "perplexity_filter": q_perplexity_filter,
         "embedding_covariance": q_embedding_covariance,
         "embedding_quantize": q_embedding_quantize,
@@ -3465,6 +3484,24 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
       SELECT p.pid, i.iid, p.user_id
       FROM pts p JOIN iv i
         ON p.user_id = i.user_id AND p.t >= i.lo AND p.t < i.hi
+    """
+
+    # time_rollup: one-pass GROUPING SETS rollup == UNION ALL of plain
+    # per-granularity aggregates
+    sqls["time_rollup"] = """
+      WITH norm AS (
+        SELECT user_id, epoch_ns(ts) AS tsn, value FROM events
+      ),
+      g AS (SELECT unnest([3600000000000, 86400000000000]) AS granularity)
+      SELECT user_id, granularity,
+             (tsn // granularity) * granularity AS bucket_start,
+             count(*) AS n,
+             round(sum(value), 6) AS sum_value,
+             round(min(value), 6) AS min_value,
+             round(max(value), 6) AS max_value,
+             round(avg(value), 6) AS avg_value
+      FROM norm, g
+      GROUP BY user_id, granularity, bucket_start
     """
 
     sqls["events_window"] = """

@@ -25,7 +25,7 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "time_rollup"]
 
 
 def _as_list(x: Union[str, Sequence[str], None]) -> list[str]:
@@ -193,4 +193,61 @@ def range_join(
     return joined.select(
         *[l_binned[c] for c in left.columns],
         *[r_binned[c] for c in right.columns if c not in keys],
+    )
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    granularities: Sequence[int] = (3600 * 1_000_000_000, 86400 * 1_000_000_000),
+    by: Union[str, Sequence[str], None] = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: per-bucket
+    count/sum/min/max/avg of ``value_col`` at EVERY requested granularity
+    (same units as ``ts_col``, e.g. epoch-nanos) in ONE pass.
+
+    Scale design: one scan + one shuffle for all granularities via
+    GROUPING SETS — the Expand node emits one row per (input row,
+    granularity) into a single partial-aggregated exchange, instead of N
+    scans/N shuffles for N granularities. At 100 TB the scan dominates, so
+    rollup cost is ~independent of how many granularities you keep.
+    Buckets are ``floor(ts / g) * g`` — deterministic integer arithmetic,
+    engine-portable. Coarser rollups are NOT derived from finer ones (that
+    would be a second shuffle); all levels share the one Expand.
+    """
+    keys = _as_list(by)
+    ts = F.col(ts_col).cast("bigint")
+    bucket_cols = []
+    for g in granularities:
+        name = f"__bucket_{g}"
+        df = df.withColumn(name, (ts / F.lit(int(g))).cast("bigint") * F.lit(int(g)))
+        bucket_cols.append(name)
+    sets = [tuple(keys + [b]) for b in bucket_cols]
+    grouped = df.groupingSets(
+        [list(s) for s in sets], *[F.col(c) for c in keys + bucket_cols]
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(value_col), round_to).alias("sum_value"),
+        F.round(F.min(value_col), round_to).alias("min_value"),
+        F.round(F.max(value_col), round_to).alias("max_value"),
+        F.round(F.avg(value_col), round_to).alias("avg_value"),
+    )
+    # each output row belongs to exactly one grouping set: its granularity
+    # is the single non-null bucket column
+    gran = F.lit(None).cast("bigint")
+    bucket = F.lit(None).cast("bigint")
+    for g, b in zip(granularities, bucket_cols):
+        gran = F.when(F.col(b).isNotNull(), F.lit(int(g))).otherwise(gran)
+        bucket = F.when(F.col(b).isNotNull(), F.col(b)).otherwise(bucket)
+    return grouped.select(
+        *keys,
+        gran.alias("granularity"),
+        bucket.alias("bucket_start"),
+        "n",
+        "sum_value",
+        "min_value",
+        "max_value",
+        "avg_value",
     )

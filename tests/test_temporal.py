@@ -120,3 +120,47 @@ def test_range_join_plan_is_equi_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_time_rollup_matches_per_granularity_groupbys(spark):
+    from splink_spark.pipeline.temporal import time_rollup
+
+    df = spark.createDataFrame(
+        [(i, "u%d" % (i % 3), i * 7919 % 1000, float(i % 13)) for i in range(500)],
+        "event_id long, user string, t long, v double",
+    )
+    out = time_rollup(df, "t", "v", granularities=(10, 100), by="user")
+    got = {
+        (r["user"], r["granularity"], r["bucket_start"]):
+            (r["n"], r["sum_value"], r["min_value"], r["max_value"], r["avg_value"])
+        for r in out.collect()
+    }
+    want = {}
+    for g in (10, 100):
+        agg = (
+            df.withColumn("b", (F.col("t") / g).cast("long") * g)
+            .groupBy("user", "b")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("v"), 6).alias("s"),
+                F.round(F.min("v"), 6).alias("mn"),
+                F.round(F.max("v"), 6).alias("mx"),
+                F.round(F.avg("v"), 6).alias("av"),
+            )
+        )
+        for r in agg.collect():
+            want[(r["user"], g, r["b"])] = (r["n"], r["s"], r["mn"], r["mx"], r["av"])
+    assert got == want
+
+
+def test_time_rollup_single_expand_single_aggregate_exchange(spark):
+    from splink_spark.pipeline.temporal import time_rollup
+
+    df = spark.createDataFrame([(1, "u", 5, 1.0)], "e long, user string, t long, v double")
+    plan = (
+        time_rollup(df, "t", "v", granularities=(10, 100, 1000), by="user")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # all three granularities share ONE Expand and ONE aggregation exchange
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
