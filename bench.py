@@ -168,6 +168,11 @@ def main() -> None:
         "shard_corpus",
         "cms_frequencies",
         "bloom_screen",
+        "heavy_hitters",
+        "bpe_tokens",
+        "asof_join",
+        "range_join",
+        "time_rollup",
     ):
         try:
             t0 = time.time()
