@@ -43,6 +43,7 @@ def asof_join(
     tolerance: Optional[int] = None,
     prefix: str = "r_",
     tie_break_col: Optional[str] = None,
+    bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """For every left row, attach the right row with the greatest ``on``
     <= left's (``backward``, inclusive), the least ``on`` >= left's
@@ -57,6 +58,14 @@ def asof_join(
     which must be numeric for ``tolerance``/``nearest``) nulls matches
     farther than the bound. Unmatched left rows keep null payload columns
     (left join semantics).
+
+    ``bucket_size`` (same units as ``on``) is the SKEW lever: a plain
+    per-key window puts one hot key's whole timeline in one task;
+    bucketing salts the window partition to (key, on div bucket_size)
+    and stitches buckets back with a per-key carry window over bucket
+    summaries (one row per bucket — tiny) plus a co-partitioned join.
+    Output is identical (tested); use it when single keys hold millions
+    of rows.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
@@ -69,9 +78,9 @@ def asof_join(
         # both candidate matches land on one row deterministically
         f_cols = [c for c in right.columns if c not in keys]
         b = asof_join(left, right, on, by, "backward", tolerance, prefix,
-                      tie_break_col)
+                      tie_break_col, bucket_size)
         both = asof_join(b, right, on, by, "forward", tolerance, "__fwd_",
-                         tie_break_col)
+                         tie_break_col, bucket_size)
         on_val = F.col(on).cast("double")
         bdelta = F.abs(on_val - F.col(f"{prefix}{on}").cast("double"))
         fdelta = F.abs(on_val - F.col(f"__fwd_{on}").cast("double"))
@@ -127,14 +136,71 @@ def asof_join(
         order = [F.asc("__asof_on"), F.asc(marker), F.asc("__asof_tb")]
     else:  # forward
         order = [F.desc("__asof_on"), F.asc(marker), F.desc("__asof_tb")]
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = u.withColumn(
-        "__asof_match", F.last(payload, ignorenulls=True).over(w)
-    ).where(F.col(marker) == 1)
+    if bucket_size is None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = u.withColumn(
+            "__asof_match", F.last(payload, ignorenulls=True).over(w)
+        ).where(F.col(marker) == 1)
+    else:
+        # skew-proof variant: salt the window by time bucket so one hot key
+        # parallelizes across its timeline. Local pass carries matches
+        # WITHIN each (key, bucket); a bucket-level summary (one row per
+        # (key, bucket): the bucket's winning right payload) is windowed
+        # per key — #buckets rows, trivially small — to produce the
+        # carry-in from all earlier (later, for forward) buckets; left rows
+        # with no local match take the carry. Output identical to the
+        # unbucketed pass (tested), cost = one extra tiny window + one
+        # co-partitioned join.
+        bucket = "__asof_bucket"
+        u = u.withColumn(
+            bucket, (F.col("__asof_on").cast("bigint") / F.lit(int(bucket_size))).cast("bigint")
+        )
+        wloc = (
+            Window.partitionBy(*keys, bucket)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = u.withColumn(
+            "__asof_match", F.last(payload, ignorenulls=True).over(wloc)
+        )
+        # per-bucket winner among RIGHT rows: what carries OUT of a bucket
+        # is the right row sorting last in the window order — backward:
+        # (max on, then max tie); forward: (min on, then min tie)
+        ord_struct = F.struct(F.col("__asof_on"), F.col("__asof_tb"))
+        winner = (
+            F.max_by(payload, ord_struct)
+            if direction == "backward"
+            else F.min_by(payload, ord_struct)
+        )
+        rb = (
+            u.where(F.col(marker) == 0)
+            .groupBy(*keys, bucket)
+            .agg(winner.alias("__asof_bwin"))
+        )
+        # carry must cover EVERY bucket that has rows (a left-only bucket
+        # still inherits from earlier right-bearing buckets)
+        all_buckets = u.select(*keys, bucket).distinct()
+        rb_full = all_buckets.join(rb, keys + [bucket], "left")
+        wb = (
+            Window.partitionBy(*keys)
+            .orderBy(F.asc(bucket) if direction == "backward" else F.desc(bucket))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = rb_full.withColumn(
+            "__asof_carry", F.last("__asof_bwin", ignorenulls=True).over(wb)
+        ).select(*keys, bucket, "__asof_carry")
+        carried = (
+            local.where(F.col(marker) == 1)
+            .join(carry, keys + [bucket], "left")
+            .withColumn(
+                "__asof_match",
+                F.coalesce(F.col("__asof_match"), F.col("__asof_carry")),
+            )
+        )
     m = F.col("__asof_match")
     if tolerance is not None:
         delta = F.abs(

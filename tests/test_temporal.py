@@ -164,3 +164,40 @@ def test_time_rollup_single_expand_single_aggregate_exchange(spark):
     # all three granularities share ONE Expand and ONE aggregation exchange
     assert plan.count("Expand") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_bucketed_identical_to_plain(spark, direction):
+    """The skew-salted (bucketed) as-of must produce EXACTLY the plain
+    window's output, including cross-bucket matches and left-only and
+    empty buckets."""
+    from splink_spark.pipeline.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("k%d" % (i % 3), i * 17 % 1000, i) for i in range(200)],
+        "key string, ts long, lid long",
+    )
+    right = spark.createDataFrame(
+        [("k%d" % (j % 4), j * 61 % 900, float(j), j) for j in range(60)],
+        "key string, ts long, px double, rid long",
+    )
+    plain = asof_join(left, right, on="ts", by="key", direction=direction,
+                      tie_break_col="rid")
+    bucketed = asof_join(left, right, on="ts", by="key", direction=direction,
+                         tie_break_col="rid", bucket_size=50)
+    k = lambda r: (r["key"], r["lid"])
+    got = {k(r): (r["r_ts"], r["r_px"], r["r_rid"]) for r in bucketed.collect()}
+    want = {k(r): (r["r_ts"], r["r_px"], r["r_rid"]) for r in plain.collect()}
+    assert got == want
+
+
+def test_asof_bucketed_window_partitions_include_bucket(spark):
+    from splink_spark.pipeline.temporal import asof_join
+
+    left = spark.createDataFrame([("a", 10, 1)], "key string, ts long, lid long")
+    right = spark.createDataFrame([("a", 5, 1.0)], "key string, ts long, px double")
+    plan = (
+        asof_join(left, right, on="ts", by="key", bucket_size=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "__asof_bucket" in plan  # the hot-key salt is in the partition key
