@@ -585,6 +585,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, "ts", "value", granularities=(hour, 24 * hour), by="user_id"
         )
 
+    def q_event_funnel(spark, sf_dir):
+        """Ordered funnel view → click → error within 6h (pipeline/
+        temporal.py funnel — greedy-earliest chain, k per-step aggregations
+        + user equi-joins, no full-stream window). Oracle unrolls the same
+        chain in SQL."""
+        from splink_spark.pipeline.temporal import funnel
+
+        ev = _session(spark).read.parquet(f"{sf_dir}/events.parquet")
+        if dict(ev.dtypes).get("ts") != "bigint":
+            ev = ev.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+            )
+        return funnel(
+            ev, ["view", "click", "error"], within=6 * 3600 * 1_000_000_000
+        )
+
     def q_bpe_tokens(spark, sf_dir):
         """BPE encoding with the fixed merge table (pipeline/bpe.bpe_apply,
         Arrow mapInPandas): per-doc token count + md5 of the '|'-joined
@@ -1650,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
+        "event_funnel": q_event_funnel,
         "perplexity_filter": q_perplexity_filter,
         "embedding_covariance": q_embedding_covariance,
         "embedding_quantize": q_embedding_quantize,
@@ -3502,6 +3519,45 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
              round(avg(value), 6) AS avg_value
       FROM norm, g
       GROUP BY user_id, granularity, bucket_start
+    """
+
+    # event_funnel: greedy-earliest ordered chain unrolled step by step
+    sqls["event_funnel"] = """
+      WITH norm AS (
+        SELECT user_id, epoch_ns(ts) AS t, event_type FROM events
+      ),
+      s1 AS (
+        SELECT user_id, min(t) AS t1 FROM norm
+        WHERE event_type = 'view' GROUP BY user_id
+      ),
+      s2 AS (
+        SELECT n.user_id, s1.t1, min(n.t) AS t2
+        FROM norm n JOIN s1 ON n.user_id = s1.user_id
+        WHERE n.event_type = 'click' AND n.t >= s1.t1
+          AND n.t <= s1.t1 + 21600000000000
+        GROUP BY n.user_id, s1.t1
+      ),
+      s3 AS (
+        SELECT n.user_id, min(n.t) AS t3
+        FROM norm n JOIN s2 ON n.user_id = s2.user_id
+        WHERE n.event_type = 'error' AND n.t >= s2.t2
+          AND n.t <= s2.t1 + 21600000000000
+        GROUP BY n.user_id
+      ),
+      counts AS (
+        SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+               (SELECT count(*) FROM s1) AS users
+        UNION ALL
+        SELECT 2, 'click', (SELECT count(*) FROM s2)
+        UNION ALL
+        SELECT 3, 'error', (SELECT count(*) FROM s3)
+      )
+      SELECT step, step_name, users,
+             round(CAST(users AS DOUBLE) / greatest(
+               first_value(users) OVER (ORDER BY step
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 1),
+               6) AS conversion
+      FROM counts
     """
 
     sqls["events_window"] = """

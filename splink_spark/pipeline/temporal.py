@@ -25,7 +25,7 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "time_rollup"]
+__all__ = ["asof_join", "range_join", "time_rollup", "funnel"]
 
 
 def _as_list(x: Union[str, Sequence[str], None]) -> list[str]:
@@ -316,4 +316,62 @@ def time_rollup(
         "min_value",
         "max_value",
         "avg_value",
+    )
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    within: Optional[int] = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the earliest completion chain of
+    ``steps`` (greedy-earliest semantics: step k's time is the first
+    occurrence at or after step k-1's time; optional ``within`` bounds the
+    WHOLE chain relative to step 1, in ``ts_col`` units). Returns one row
+    per step: ``step``, ``step_name``, ``users`` (count who reached it),
+    ``conversion`` (fraction of step-1 users).
+
+    Scale design: k tiny aggregations, each a map-side-combined
+    groupBy(user) over ONLY that step's events (filter pushed to the
+    scan), chained by broadcast-or-shuffled equi-joins on user — no
+    window over the full event stream, no per-user state. k is the
+    funnel length (single digits); each stage's output is one row per
+    surviving user.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    ts = F.col(ts_col).cast("bigint")
+    reached = None  # DataFrame(user, t_k, t_1)
+    counts = []
+    for k, step in enumerate(steps):
+        ev_k = df.where(F.col(type_col) == step).select(
+            F.col(user_col).alias("user"), ts.alias("t")
+        )
+        if reached is None:
+            reached = ev_k.groupBy("user").agg(F.min("t").alias("t_k"))
+            reached = reached.withColumn("t_1", F.col("t_k"))
+        else:
+            j = ev_k.join(reached, "user").where(F.col("t") >= F.col("t_k"))
+            if within is not None:
+                j = j.where(F.col("t") <= F.col("t_1") + F.lit(int(within)))
+            reached = j.groupBy("user", "t_1").agg(F.min("t").alias("t_k"))
+        counts.append(
+            reached.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(k + 1).alias("step"),
+                F.lit(step).alias("step_name"),
+                "users",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    w_first = F.first("users").over(
+        Window.orderBy("step").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return out.withColumn(
+        "conversion",
+        F.round(F.col("users").cast("double") / F.greatest(w_first, F.lit(1)).cast("double"), 6),
     )

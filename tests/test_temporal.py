@@ -201,3 +201,27 @@ def test_asof_bucketed_window_partitions_include_bucket(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "__asof_bucket" in plan  # the hot-key salt is in the partition key
+
+
+def test_funnel_greedy_earliest_with_window(spark):
+    from splink_spark.pipeline.temporal import funnel
+
+    rows = [
+        # u1 completes view->click->buy in order
+        ("u1", 10, "view"), ("u1", 20, "click"), ("u1", 30, "buy"),
+        # u2 clicks BEFORE viewing: click at 5 doesn't count; second click ok
+        ("u2", 5, "click"), ("u2", 10, "view"), ("u2", 15, "click"),
+        # u3 views only
+        ("u3", 1, "view"),
+        # u4 completes but too slowly for within=25
+        ("u4", 0, "view"), ("u4", 10, "click"), ("u4", 40, "buy"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts long, event_type string")
+    out = {r["step_name"]: (r["users"], r["conversion"])
+           for r in funnel(df, ["view", "click", "buy"]).collect()}
+    assert out["view"] == (4, 1.0)
+    assert out["click"] == (3, 0.75)   # u1, u2 (second click), u4
+    assert out["buy"] == (2, 0.5)      # u1, u4
+    bounded = {r["step_name"]: r["users"]
+               for r in funnel(df, ["view", "click", "buy"], within=25).collect()}
+    assert bounded["buy"] == 1         # u4's buy at 40 > 0+25
