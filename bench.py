@@ -173,6 +173,7 @@ def main() -> None:
         "asof_join",
         "range_join",
         "time_rollup",
+        "event_funnel",
     ):
         try:
             t0 = time.time()

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, ".")
 
-from splink_spark.pipeline.temporal import asof_join, range_join, time_rollup  # noqa: E402
+from splink_spark.pipeline.temporal import asof_join, funnel, range_join, time_rollup  # noqa: E402
 from splink_spark.streaming.operators import stream_session_aggregate  # noqa: E402,F401
 
 
@@ -61,6 +61,9 @@ def main() -> None:
     later = ev.select(F.col("event_id").alias("eid"), "user_id", F.col("ts").alias("t"))
     attributed = range_join(later, views, "t", "lo", "hi", by="user_id", bin_size=hour)
     print("events inside a view's 2h window:", attributed.count())
+
+    # 2b. conversion funnel: view -> click -> error within 6h
+    funnel(ev, ["view", "click", "error"], within=6 * hour).show()
 
     # 3. hourly + daily value rollups in ONE pass (grouping sets)
     roll = time_rollup(ev, "ts", "value", granularities=(hour, 24 * hour), by="user_id")
