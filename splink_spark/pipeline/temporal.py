@@ -25,7 +25,7 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "time_rollup", "funnel"]
+__all__ = ["asof_join", "range_join", "time_rollup", "funnel", "sessionize"]
 
 
 def _as_list(x: Union[str, Sequence[str], None]) -> list[str]:
@@ -375,3 +375,30 @@ def funnel(
         "conversion",
         F.round(F.col("users").cast("double") / F.greatest(w_first, F.lit(1)).cast("double"), 6),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: int = 1800 * 1_000_000_000,
+    order_cols: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Gaps-and-islands sessionization: assign every event a per-user
+    ``session_idx`` (1-based), a new session starting when the gap to the
+    previous event EXCEEDS ``gap`` (same units as ``ts_col`` — the batch
+    twin of ``streaming.stream_session_aggregate``, whose
+    ``F.session_window`` splits at >=; both are oracle-gated).
+
+    One shuffle (the per-user window); ``order_cols`` breaks ordering ties
+    deterministically (defaults to the timestamp only).
+    """
+    ts = F.col(ts_col).cast("bigint")
+    order = [ts.asc()] + [F.col(c).asc() for c in _as_list(order_cols)]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev = F.lag(ts).over(w)
+    is_new = (prev.isNull() | ((ts - prev) > F.lit(int(gap)))).cast("int")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("__is_new", is_new).withColumn(
+        "session_idx", F.sum("__is_new").over(wc)
+    ).drop("__is_new")

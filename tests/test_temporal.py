@@ -225,3 +225,17 @@ def test_funnel_greedy_earliest_with_window(spark):
     bounded = {r["step_name"]: r["users"]
                for r in funnel(df, ["view", "click", "buy"], within=25).collect()}
     assert bounded["buy"] == 1         # u4's buy at 40 > 0+25
+
+
+def test_sessionize_matches_gate_semantics(spark):
+    from splink_spark.pipeline.temporal import sessionize
+
+    rows = [
+        ("u1", 0, 1), ("u1", 100, 2), ("u1", 1101, 3),  # gap 1001 > 1000 → new
+        ("u1", 2101, 4),                                  # gap exactly 1000 → same
+        ("u2", 50, 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts long, event_id long")
+    out = {r["event_id"]: r["session_idx"]
+           for r in sessionize(df, gap=1000, order_cols="event_id").collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
