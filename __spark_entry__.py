@@ -628,6 +628,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5(F.concat_ws("|", "bpe_tokens")).alias("toks_md5"),
         )
 
+    def q_decontaminate_spans(spark, sf_dir):
+        """Surgical span-level decontamination (pipeline/curation.py
+        decontaminate_spans): remove only the 3-token spans shared with
+        the eval slice (doc_id % 41 == 0) and rebuild the text. Oracle
+        replays span keys, position unions, and the rebuilt string."""
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        ev = docs.where(F.col("doc_id") % 41 == 0)
+        return curation.decontaminate_spans(docs, ev, n=3)
+
     def q_heavy_hitters(spark, sf_dir):
         """Exact frequency floor over corpus tokens (pipeline/sketches.py
         heavy_hitters — deliberately the one-shuffle partial-aggregated
@@ -1659,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "incremental_dedup": q_incremental_dedup,
         "source_caps": q_source_caps,
+        "decontaminate_spans": q_decontaminate_spans,
         "cms_frequencies": q_cms_frequencies,
         "bloom_screen": q_bloom_screen,
         "heavy_hitters": q_heavy_hitters,
@@ -3149,6 +3160,52 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
         CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
         coalesce(ov.n, 0) > 0 AS contaminated
       FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+    """
+
+    # decontaminate_spans: span keys (md5 of lowercased 3-token windows),
+    # eval dictionary membership, covered-position unions, HOF rebuild —
+    # same replay machinery as span_dedup
+    sqls["decontaminate_spans"] = f"""
+      WITH t AS (SELECT doc_id, {_toks} AS toks FROM documents),
+      ev AS (
+        SELECT DISTINCT unnest(list_transform(
+          generate_series(1, greatest(len(toks) - 2, 0)),
+          i -> md5(lower(array_to_string(toks[i:i+2], ' '))))) AS key
+        FROM (SELECT {_toks} AS toks FROM documents WHERE doc_id % 41 = 0)
+      ),
+      spans AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(toks) - 2, 0)),
+                 i -> {{'gpos': i,
+                        'key': md5(lower(array_to_string(toks[i:i+2], ' ')))}}
+               )) AS sp
+        FROM t
+      ),
+      flat AS (SELECT doc_id, sp.gpos AS gpos, sp.key AS key FROM spans),
+      rem AS (
+        SELECT f.doc_id, f.key,
+               unnest(generate_series(f.gpos, f.gpos + 2)) AS pos
+        FROM flat f JOIN ev USING (key)
+      ),
+      perdoc AS (
+        SELECT doc_id,
+               count(DISTINCT pos) AS n_removed,
+               count(DISTINCT key) AS n_spans,
+               list(DISTINCT pos) AS rpos
+        FROM rem GROUP BY doc_id
+      )
+      SELECT t.doc_id,
+        CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        CAST(coalesce(p.n_removed, 0) AS BIGINT) AS n_removed_tokens,
+        CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_contaminated_spans,
+        coalesce(array_to_string(
+          list_transform(
+            list_filter(generate_series(1, len(t.toks)),
+                        i -> NOT coalesce(list_contains(p.rpos, i), FALSE)),
+            i -> t.toks[i]),
+          ' '), '') AS cleaned_text
+      FROM t LEFT JOIN perdoc p ON t.doc_id = p.doc_id
     """
 
     # cms_frequencies: replay the 4x1024 count-min sketch and the probe-set

@@ -449,6 +449,104 @@ def decontaminate(
     )
 
 
+def decontaminate_spans(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: Optional[str] = None,
+    broadcast_eval: Optional[bool] = None,
+    broadcast_max_grams: int = 5_000_000,
+) -> DataFrame:
+    """SURGICAL decontamination: instead of flagging/dropping whole
+    documents that share an eval ``n``-gram (:func:`decontaminate`), remove
+    only the overlapping ``n``-token spans and rebuild the text — the
+    treatment used when contaminated documents are too valuable to drop
+    wholesale. Matching is case-insensitive (span keys are md5 of the
+    lowercased window); the rebuilt text keeps the original tokens,
+    space-joined (same whitespace simplification as
+    ``dedup.cross_document_span_dedup``, whose removal/rebuild machinery
+    this mirrors).
+
+    Scale shape: one tokenize per corpus doc (staged behind the optimizer
+    barrier), posexplode of fixed-width md5 span keys, a key join against
+    the distinct eval span dictionary (broadcast when small, probed like
+    :func:`decontaminate`), one groupBy back on the doc id, and a pure
+    per-doc HOF rebuild. Overlapping contaminated spans union their
+    covered positions.
+
+    Output: one row per corpus document —
+    (``id_col``, n_tokens, n_removed_tokens, n_contaminated_spans,
+    cleaned_text).
+    """
+    from ..internals.misc import optimizer_barrier
+
+    eval_text_col = eval_text_col or text_col
+    nn = int(n)
+    if nn < 1:
+        raise ValueError("n must be >= 1")
+
+    def span_keys(toks):
+        return F.when(
+            F.size(toks) < nn, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (nn - 1)),
+                lambda i: F.md5(F.lower(F.concat_ws(" ", F.slice(toks, i, nn)))),
+            )
+        )
+
+    eval_keys = (
+        eval_df.select(_tokens(F.col(eval_text_col)).alias("__etoks"))
+        .select(F.explode(span_keys(F.col("__etoks"))).alias("__key"))
+        .distinct()
+    )
+    if broadcast_eval is None:
+        broadcast_eval = eval_keys.count() <= broadcast_max_grams
+    eval_side = F.broadcast(eval_keys) if broadcast_eval else eval_keys
+
+    staged = corpus.select(
+        F.col(id_col), optimizer_barrier(_tokens(F.col(text_col))).alias("__toks")
+    ).persist()
+    toks = F.col("__toks")
+    doc_spans = staged.select(
+        F.col(id_col), F.posexplode(span_keys(toks)).alias("__gpos", "__key")
+    )
+    removals = doc_spans.join(eval_side, "__key").select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("__gpos"), F.col("__gpos") + F.lit(nn - 1))
+        ).alias("__pos"),
+        F.col("__key"),
+    )
+    per_doc = removals.groupBy(id_col).agg(
+        F.collect_set("__pos").alias("__remove_pos"),
+        F.count_distinct("__key").alias("n_spans"),
+    )
+    out = staged.join(per_doc, on=id_col, how="left")
+    remove_pos = F.coalesce(F.col("__remove_pos"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.arrays_zip(
+            toks, F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)))
+        ),
+        lambda s: ~F.array_contains(remove_pos, s["1"].cast("int")),
+    )
+    return out.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.size(F.col("__remove_pos")), F.lit(0))
+        .cast("bigint")
+        .alias("n_removed_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0))
+        .cast("bigint")
+        .alias("n_contaminated_spans"),
+        F.when(F.size(toks) == 0, F.lit("")).otherwise(
+            F.concat_ws(" ", F.transform(kept, lambda s: s["__toks"]))
+        ).alias("cleaned_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic stratified sampling / mixture planning
 # ---------------------------------------------------------------------------

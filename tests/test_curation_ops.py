@@ -361,3 +361,35 @@ def test_dedup_within_document(spark):
         delimiter=" ",
     ).collect()[0]
     assert tok["text"] == "a b c" and tok["n_removed"] == 2
+
+
+def test_decontaminate_spans_removes_only_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "one two three four"),
+            (2, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(9, "BETA GAMMA delta")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in cu.decontaminate_spans(corpus, ev, n=3).collect()}
+    # case-insensitive match removes tokens 1..3 of doc 0, keeps the rest
+    assert out[0]["n_removed_tokens"] == 3
+    assert out[0]["n_contaminated_spans"] == 1
+    assert out[0]["cleaned_text"] == "alpha epsilon zeta"
+    assert out[1]["n_removed_tokens"] == 0
+    assert out[1]["cleaned_text"] == "one two three four"
+    assert out[2]["n_tokens"] == 0 and out[2]["cleaned_text"] == ""
+
+
+def test_decontaminate_spans_overlapping_spans_union(spark):
+    corpus = spark.createDataFrame(
+        [(0, "a b c d e")], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame([(9, "a b c"), (10, "c d e")], ["doc_id", "text"])
+    r = cu.decontaminate_spans(corpus, ev, n=3).collect()[0]
+    # spans [0..2] and [2..4] union to all five positions
+    assert r["n_removed_tokens"] == 5
+    assert r["n_contaminated_spans"] == 2
+    assert r["cleaned_text"] == ""
