@@ -174,6 +174,7 @@ def main() -> None:
         "range_join",
         "time_rollup",
         "event_funnel",
+        "decontaminate_spans",
     ):
         try:
             t0 = time.time()

@@ -64,6 +64,13 @@ def main() -> None:
         F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens")
     ).orderBy("lang", "bin_id").show(5)
 
+    # 3b. surgical alternative: keep contaminated documents but excise the
+    # shared spans (same eval slice)
+    surgical = curation.decontaminate_spans(docs, eval_split, n=3)
+    surgical.where("n_removed_tokens > 0").orderBy(
+        F.desc("n_removed_tokens")
+    ).show(3, truncate=50)
+
     # 4. salient terms + mixture plan for the survivors
     curation.tfidf_top_terms(curated, k=3).where("rank = 1").show(5)
     curation.mixture_plan(curated, "lang", {"en": 0.5, "de": 0.25, "fr": 0.25}).show()
