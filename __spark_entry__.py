@@ -585,6 +585,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, "ts", "value", granularities=(hour, 24 * hour), by="user_id"
         )
 
+    def q_sessionize(spark, sf_dir):
+        """Library sessionize (pipeline/temporal.py — the user-callable
+        gaps-and-islands twin of the events_sessions gate): per-event
+        session index, strict > gap semantics, event_id tie-break."""
+        from splink_spark.pipeline.temporal import sessionize
+
+        ev = _session(spark).read.parquet(f"{sf_dir}/events.parquet")
+        if dict(ev.dtypes).get("ts") != "bigint":
+            ev = ev.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+            )
+        out = sessionize(
+            ev, gap=1800 * 1_000_000_000, order_cols="event_id"
+        )
+        return out.select("event_id", "user_id", "session_idx")
+
     def q_event_funnel(spark, sf_dir):
         """Ordered funnel view → click → error within 6h (pipeline/
         temporal.py funnel — greedy-earliest chain, k per-step aggregations
@@ -1678,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
         "event_funnel": q_event_funnel,
+        "sessionize": q_sessionize,
         "perplexity_filter": q_perplexity_filter,
         "embedding_covariance": q_embedding_covariance,
         "embedding_quantize": q_embedding_quantize,
@@ -3576,6 +3593,26 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
              round(avg(value), 6) AS avg_value
       FROM norm, g
       GROUP BY user_id, granularity, bucket_start
+    """
+
+    # sessionize: gaps-and-islands window replay (strict > gap)
+    sqls["sessionize"] = """
+      WITH flagged AS (
+        SELECT event_id, user_id, epoch_ns(ts) AS t,
+               CASE WHEN lag(epoch_ns(ts)) OVER
+                      (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+                      IS NULL
+                    OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+                      (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+                      > 1800000000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      )
+      SELECT event_id, user_id,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_idx
+      FROM flagged
     """
 
     # event_funnel: greedy-earliest ordered chain unrolled step by step

@@ -239,3 +239,43 @@ def test_sessionize_matches_gate_semantics(spark):
     out = {r["event_id"]: r["session_idx"]
            for r in sessionize(df, gap=1000, order_cols="event_id").collect()}
     assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_matches_pandas_merge_asof(spark, direction):
+    """Independent-reference cross-check: pandas.merge_asof implements the
+    same semantics (inclusive, per-key, tolerance). Right side deduped per
+    (key, ts) so tie order cannot differ."""
+    import pandas as pd
+
+    from splink_spark.pipeline.temporal import asof_join
+
+    left_pd = pd.DataFrame({
+        "key": [f"k{i % 4}" for i in range(120)],
+        "ts": [(i * 37) % 500 for i in range(120)],
+        "lid": range(120),
+    })
+    right_pd = pd.DataFrame({
+        "key": [f"k{j % 5}" for j in range(50)],
+        "ts": [(j * 91) % 450 for j in range(50)],
+        "px": [float(j) for j in range(50)],
+    }).drop_duplicates(subset=["key", "ts"], keep="last")
+
+    want_pd = pd.merge_asof(
+        left_pd.sort_values("ts", kind="stable"),
+        right_pd.sort_values("ts", kind="stable").rename(columns={"ts": "r_ts"}),
+        left_on="ts", right_on="r_ts", by="key",
+        direction=direction, tolerance=120,
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.r_ts) else int(r.r_ts),
+                     None if pd.isna(r.px) else float(r.px))
+        for r in want_pd.itertuples()
+    }
+    out = asof_join(
+        spark.createDataFrame(left_pd),
+        spark.createDataFrame(right_pd),
+        on="ts", by="key", direction=direction, tolerance=120,
+    )
+    got = {int(r["lid"]): (r["r_ts"], r["r_px"]) for r in out.collect()}
+    assert got == want
