@@ -601,6 +601,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("event_id", "user_id", "session_idx")
 
+    def q_retention(spark, sf_dir):
+        """Daily cohort retention over the events table (pipeline/
+        temporal.py retention — per-user reductions + bounded-key final
+        aggregate). Oracle re-derives cohorts and cells in SQL."""
+        from splink_spark.pipeline.temporal import retention
+
+        ev = _session(spark).read.parquet(f"{sf_dir}/events.parquet")
+        if dict(ev.dtypes).get("ts") != "bigint":
+            ev = ev.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+            )
+        day = 24 * 3600 * 1_000_000_000
+        return retention(ev, period=day, max_periods=14)
+
     def q_event_funnel(spark, sf_dir):
         """Ordered funnel view → click → error within 6h (pipeline/
         temporal.py funnel — greedy-earliest chain, k per-step aggregations
@@ -1695,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "event_funnel": q_event_funnel,
         "sessionize": q_sessionize,
+        "retention": q_retention,
         "perplexity_filter": q_perplexity_filter,
         "embedding_covariance": q_embedding_covariance,
         "embedding_quantize": q_embedding_quantize,
@@ -3613,6 +3628,29 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
                AS session_idx
       FROM flagged
+    """
+
+    # retention: cohort = first active day; cell (cohort, k) distinct users
+    sqls["retention"] = """
+      WITH p AS (
+        SELECT user_id, epoch_ns(ts) // 86400000000000 AS p FROM events
+      ),
+      firsts AS (SELECT user_id, min(p) AS cohort FROM p GROUP BY user_id),
+      active AS (SELECT DISTINCT user_id, p FROM p),
+      cells AS (
+        SELECT f.cohort, CAST(a.p - f.cohort AS INT) AS k,
+               count(DISTINCT a.user_id) AS n_users
+        FROM active a JOIN firsts f USING (user_id)
+        WHERE a.p - f.cohort BETWEEN 0 AND 14
+        GROUP BY f.cohort, k
+      ),
+      base AS (SELECT cohort, n_users AS b FROM cells WHERE k = 0)
+      SELECT c.cohort * 86400000000000 AS cohort_start,
+             c.k AS period_index,
+             c.n_users,
+             round(CAST(c.n_users AS DOUBLE) / CAST(b.b AS DOUBLE), 6)
+               AS retention_frac
+      FROM cells c JOIN base b USING (cohort)
     """
 
     # event_funnel: greedy-earliest ordered chain unrolled step by step

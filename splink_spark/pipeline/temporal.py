@@ -25,7 +25,7 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "time_rollup", "funnel", "sessionize"]
+__all__ = ["asof_join", "range_join", "time_rollup", "funnel", "sessionize", "retention"]
 
 
 def _as_list(x: Union[str, Sequence[str], None]) -> list[str]:
@@ -402,3 +402,55 @@ def sessionize(
     return df.withColumn("__is_new", is_new).withColumn(
         "session_idx", F.sum("__is_new").over(wc)
     ).drop("__is_new")
+
+
+def retention(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    period: int = 7 * 24 * 3600 * 1_000_000_000,
+    max_periods: int = 8,
+) -> DataFrame:
+    """Cohort retention: a user's cohort is the period of their FIRST
+    activity; cell (cohort, k) counts the cohort's users active in period
+    cohort+k, with ``retention_frac`` relative to the cohort size (k = 0
+    row). Periods are ``floor(ts / period)`` — deterministic integer
+    arithmetic in ``ts_col`` units.
+
+    Scale shape: first-activity and distinct-activity both reduce BY USER
+    (map-side combined; output one row per user / per user-period), the
+    cohort attach is a co-partitioned equi-join on the user, and the final
+    aggregate's key space is at most cohorts x max_periods. No windows, no
+    per-user state beyond the aggregates.
+    """
+    ts = F.col(ts_col).cast("bigint")
+    p = (ts / F.lit(int(period))).cast("bigint")
+    firsts = (
+        df.select(F.col(user_col).alias("user"), p.alias("p"))
+        .groupBy("user")
+        .agg(F.min("p").alias("cohort"))
+    )
+    active = (
+        df.select(F.col(user_col).alias("user"), p.alias("p")).distinct()
+    )
+    cells = (
+        active.join(firsts, "user")
+        .withColumn("k", (F.col("p") - F.col("cohort")).cast("int"))
+        .where((F.col("k") >= 0) & (F.col("k") <= F.lit(int(max_periods))))
+        .groupBy("cohort", "k")
+        .agg(F.count_distinct("user").alias("n_users"))
+    )
+    base = cells.where(F.col("k") == 0).select(
+        "cohort", F.col("n_users").alias("__base")
+    )
+    return (
+        cells.join(base, "cohort")
+        .select(
+            (F.col("cohort") * F.lit(int(period))).alias("cohort_start"),
+            F.col("k").alias("period_index"),
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("__base").cast("double"), 6
+            ).alias("retention_frac"),
+        )
+    )

@@ -279,3 +279,25 @@ def test_asof_matches_pandas_merge_asof(spark, direction):
     )
     got = {int(r["lid"]): (r["r_ts"], r["r_px"]) for r in out.collect()}
     assert got == want
+
+
+def test_retention_cohort_literals(spark):
+    from splink_spark.pipeline.temporal import retention
+
+    rows = [
+        # cohort 0: u1 active periods 0,1,2; u2 active 0,2; u3 active 0 only
+        ("u1", 5), ("u1", 15), ("u1", 25),
+        ("u2", 7), ("u2", 21),
+        ("u3", 9),
+        # cohort 1: u4 active periods 1,2
+        ("u4", 12), ("u4", 27),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts long")
+    out = {(r["cohort_start"], r["period_index"]): (r["n_users"], r["retention_frac"])
+           for r in retention(df, period=10, max_periods=4).collect()}
+    assert out[(0, 0)] == (3, 1.0)
+    assert out[(0, 1)] == (1, pytest.approx(1 / 3, abs=1e-6))
+    assert out[(0, 2)] == (2, pytest.approx(2 / 3, abs=1e-6))
+    assert out[(10, 0)] == (1, 1.0)
+    assert out[(10, 1)] == (1, 1.0)
+    assert (0, 3) not in out  # nobody active period 3
