@@ -668,6 +668,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = docs.where(F.col("doc_id") % 41 == 0)
         return curation.decontaminate_spans(docs, ev, n=3)
 
+    def q_skew_report(spark, sf_dir):
+        """Shuffle-key skew diagnostic on documents.source (pipeline/
+        curation.py skew_report): heaviest keys, row share, multiple of a
+        uniform key's share."""
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        return curation.skew_report(docs, "source", top_n=20)
+
     def q_heavy_hitters(spark, sf_dir):
         """Exact frequency floor over corpus tokens (pipeline/sketches.py
         heavy_hitters — deliberately the one-shuffle partial-aggregated
@@ -1703,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_frequencies": q_cms_frequencies,
         "bloom_screen": q_bloom_screen,
         "heavy_hitters": q_heavy_hitters,
+        "skew_report": q_skew_report,
         "bpe_tokens": q_bpe_tokens,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -3345,6 +3353,22 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
              CAST(coalesce(e.n, 0) AS INT) AS n_bpe_tokens,
              md5(coalesce(e.toks_str, '')) AS toks_md5
       FROM documents doc LEFT JOIN docenc e ON doc.doc_id = e.doc_id
+    """
+
+    sqls["skew_report"] = """
+      WITH counts AS (
+        SELECT source AS key, count(*) AS n FROM documents GROUP BY source
+      ),
+      tot AS (SELECT sum(n) AS total, count(*) AS nkeys FROM counts),
+      r AS (
+        SELECT key, n,
+               CAST(row_number() OVER (ORDER BY n DESC, key) AS INT) AS rank
+        FROM counts
+      )
+      SELECT rank, key, n,
+             round(CAST(n AS DOUBLE) / total, 6) AS row_share,
+             round(CAST(n AS DOUBLE) / total * nkeys, 3) AS x_uniform
+      FROM r, tot WHERE rank <= 20
     """
 
     sqls["heavy_hitters"] = f"""

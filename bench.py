@@ -175,6 +175,8 @@ def main() -> None:
         "time_rollup",
         "event_funnel",
         "decontaminate_spans",
+        "sessionize",
+        "retention",
     ):
         try:
             t0 = time.time()

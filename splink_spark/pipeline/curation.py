@@ -1277,3 +1277,38 @@ def shard_stats(
     if token_count_col is not None:
         aggs.append(F.sum(token_count_col).alias("n_tokens"))
     return sharded.groupBy("shard").agg(*aggs).orderBy("shard")
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostic: the ``top_n`` heaviest keys
+    with their share of all rows and the multiple of a perfectly uniform
+    key's share — the number that predicts whether a shuffle on this key
+    needs salting (``blocking.py`` salting / ``temporal.asof_join``
+    bucket_size). One map-side-combined count per key plus two one-row
+    scalar aggregates; only ``top_n`` rows ever reach the driver.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("key"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "rank",
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("__total"), 6).alias("row_share"),
+            F.round(
+                (F.col("n") / F.col("__total")) * F.col("__nkeys"), 3
+            ).alias("x_uniform"),
+        )
+    )

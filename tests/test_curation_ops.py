@@ -393,3 +393,16 @@ def test_decontaminate_spans_overlapping_spans_union(spark):
     assert r["n_removed_tokens"] == 5
     assert r["n_contaminated_spans"] == 2
     assert r["cleaned_text"] == ""
+
+
+def test_skew_report_shares_and_uniform_multiple(spark):
+    df = spark.createDataFrame(
+        [("hot",)] * 60 + [("a",)] * 20 + [("b",)] * 15 + [("c",)] * 5,
+        ["k"],
+    )
+    out = {r["key"]: r for r in cu.skew_report(df, "k", top_n=3).collect()}
+    assert set(out) == {"hot", "a", "b"}
+    assert out["hot"]["rank"] == 1 and out["hot"]["n"] == 60
+    assert out["hot"]["row_share"] == pytest.approx(0.6, abs=1e-6)
+    # 4 distinct keys, uniform share would be 0.25 → hot is 2.4x uniform
+    assert out["hot"]["x_uniform"] == pytest.approx(2.4, abs=1e-3)
