@@ -247,6 +247,8 @@ def test_no_unbounded_cartesian_nodes_in_gate_queries(spark):
         "em_patterns", "truth_space", "unlinkables", "tfidf_top_terms",
         "cv_distribution", "mw_histogram", "score_pairs", "predict_between",
         "prediction_errors", "predict_chunked",
+        # one-row totals aggregate crossJoined onto the top-n keys
+        "skew_report",
         # deliberate broadcast of the (small) query side:
         "ann_topk",
         # same shape for the SQ8 candidate pass: corpus crossJoin
