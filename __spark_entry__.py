@@ -668,6 +668,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = docs.where(F.col("doc_id") % 41 == 0)
         return curation.decontaminate_spans(docs, ev, n=3)
 
+    def q_pagerank(spark, sf_dir):
+        """Exact-int64 PageRank (pipeline/graph.py) over the customer ↔
+        supplier bipartite graph (orders ⨝ lineitem; supplier ids offset by
+        1e6). 3 iterations; every rank is integer millionths, so the
+        oracle's unrolled replay matches bit-for-bit."""
+        from splink_spark.pipeline.graph import pagerank
+
+        s = _session(spark)
+        orders = s.read.parquet(f"{sf_dir}/orders.parquet")
+        li = s.read.parquet(f"{sf_dir}/lineitem.parquet")
+        edges = (
+            orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+            .select(
+                F.col("o_custkey").alias("src"),
+                (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
+            )
+            .distinct()
+        )
+        return pagerank(edges, iterations=3)
+
     def q_skew_report(spark, sf_dir):
         """Shuffle-key skew diagnostic on documents.source (pipeline/
         curation.py skew_report): heaviest keys, row share, multiple of a
@@ -1711,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_screen": q_bloom_screen,
         "heavy_hitters": q_heavy_hitters,
         "skew_report": q_skew_report,
+        "pagerank": q_pagerank,
         "bpe_tokens": q_bpe_tokens,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -3353,6 +3374,50 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
              CAST(coalesce(e.n, 0) AS INT) AS n_bpe_tokens,
              md5(coalesce(e.toks_str, '')) AS toks_md5
       FROM documents doc LEFT JOIN docenc e ON doc.doc_id = e.doc_id
+    """
+
+    # pagerank: 3 integer-arithmetic iterations unrolled — `//` (DuckDB) and
+    # `div` (Spark) agree on truncation for the non-negative units here
+    sqls["pagerank"] = """
+      WITH e0 AS (
+        SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      ),
+      e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      c1 AS (
+        SELECT e.dst, sum(r0.r // d.deg) AS s
+        FROM e JOIN deg d USING (src) JOIN r0 ON r0.node = e.src
+        GROUP BY e.dst
+      ),
+      r1 AS (
+        SELECT n.node,
+               CAST(150000 + (850000 * coalesce(c1.s, 0)) // 1000000 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN c1 ON n.node = c1.dst
+      ),
+      c2 AS (
+        SELECT e.dst, sum(r1.r // d.deg) AS s
+        FROM e JOIN deg d USING (src) JOIN r1 ON r1.node = e.src
+        GROUP BY e.dst
+      ),
+      r2 AS (
+        SELECT n.node,
+               CAST(150000 + (850000 * coalesce(c2.s, 0)) // 1000000 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN c2 ON n.node = c2.dst
+      ),
+      c3 AS (
+        SELECT e.dst, sum(r2.r // d.deg) AS s
+        FROM e JOIN deg d USING (src) JOIN r2 ON r2.node = e.src
+        GROUP BY e.dst
+      ),
+      r3 AS (
+        SELECT n.node,
+               CAST(150000 + (850000 * coalesce(c3.s, 0)) // 1000000 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN c3 ON n.node = c3.dst
+      )
+      SELECT node, r AS rank_units, round(r / 1000000.0, 6) AS rank FROM r3
     """
 
     sqls["skew_report"] = """

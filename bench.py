@@ -177,6 +177,8 @@ def main() -> None:
         "decontaminate_spans",
         "sessionize",
         "retention",
+        "skew_report",
+        "pagerank",
     ):
         try:
             t0 = time.time()

@@ -1,7 +1,7 @@
 """Training-data pipeline operators: dedup, ANN/k-means, text analysis,
 corpus curation, multimodal column plumbing."""
 
-from . import ann, bpe, classifier, curation, dedup, embeddings, lm, multimodal, sketches, temporal, text  # noqa: F401
+from . import ann, bpe, classifier, curation, dedup, embeddings, graph, lm, multimodal, sketches, temporal, text  # noqa: F401
 from .classifier import quality_classifier  # noqa: F401
 from .curation import (  # noqa: F401
     cap_per_group,

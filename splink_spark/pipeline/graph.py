@@ -1,0 +1,89 @@
+"""Iterative graph algorithms beyond connected components: PageRank over
+an edge table (e.g. the near-duplicate graph from ``dedup`` — centrality
+picks better canonical documents than min-id when clusters are large).
+
+Exactness trick (same family as the engine's exact-int64 k-means and
+TF-IDF micro-units): ranks live in integer MILLIONTHS and every update
+uses integer division with truncation — no float summation order to
+diverge, so any SQL engine replays the iteration bit-for-bit and the
+driver's DuckDB oracle can unroll the loop exactly.
+
+Scale shape per iteration: one equi-join of the (degree-annotated,
+persisted) edge list against the current rank table on the source id,
+one map-side-combined groupBy on the destination id. The edge list is
+read once per iteration from cache; iteration count is a small constant
+(PageRank needs ~10-20 for convergence; the default 5 is a ranking, not
+a fixpoint). Driver holds nothing but the loop counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+UNIT = 1_000_000  # rank fixed-point denominator (millionths)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_millionths: int = 850_000,
+    undirected: bool = True,
+) -> DataFrame:
+    """Integer-quantized PageRank. Returns (node, rank_units, rank) where
+    ``rank_units`` is the exact int64 fixed-point value (millionths; the
+    cross-engine-reproducible number) and ``rank`` its float rendering.
+
+    Update rule per node v:
+    ``r'(v) = (UNIT - d) + d * sum_{u->v} (r(u) div deg(u)) div UNIT``
+    with all divisions truncating integer division. Isolated sources
+    contribute nothing; every node listed in the edge table receives the
+    teleport term. ``undirected=True`` mirrors each edge.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    d = int(damping_millionths)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if undirected:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    # degree-annotated edges are the loop invariant: persist once, reuse
+    ed = e.join(deg, "src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    ranks = nodes.select("node", F.lit(UNIT).cast("bigint").alias("__r"))
+    for _ in range(int(iterations)):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(
+                F.col("dst"),
+                F.expr("__r div __deg").alias("__c"),
+            )
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("__c").alias("__s"))
+        ranks = (
+            nodes.join(sums, nodes["node"] == sums["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(UNIT - d).cast("bigint")
+                    + F.expr(f"({d} * coalesce(__s, 0)) div {UNIT}")
+                ).alias("__r"),
+            )
+        )
+    return ranks.select(
+        "node",
+        F.col("__r").alias("rank_units"),
+        F.round(F.col("__r") / F.lit(float(UNIT)), 6).alias("rank"),
+    )

@@ -301,3 +301,41 @@ def test_retention_cohort_literals(spark):
     assert out[(10, 0)] == (1, 1.0)
     assert out[(10, 1)] == (1, 1.0)
     assert (0, 3) not in out  # nobody active period 3
+
+
+def test_pagerank_matches_pure_python_integer_reference(spark):
+    """The exact-int64 update must match a serial Python implementation of
+    the same integer arithmetic, and a hub must outrank leaves."""
+    from splink_spark.pipeline.graph import UNIT, pagerank
+
+    edge_list = [(0, i) for i in range(1, 6)] + [(1, 2), (3, 4), (5, 6)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["node"]: r["rank_units"]
+           for r in pagerank(edges, iterations=4).collect()}
+
+    # serial reference with identical truncating integer arithmetic
+    und = set()
+    for a, b in edge_list:
+        und.add((a, b)); und.add((b, a))
+    nodes = sorted({x for e in und for x in e})
+    deg = {n: sum(1 for s, _ in und if s == n) for n in nodes}
+    r = {n: UNIT for n in nodes}
+    d = 850_000
+    for _ in range(4):
+        s = {n: 0 for n in nodes}
+        for a, b in und:
+            s[b] += r[a] // deg[a]
+        r = {n: (UNIT - d) + (d * s[n]) // UNIT for n in nodes}
+    assert got == r
+    assert got[0] == max(got.values())  # the hub
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    from splink_spark.pipeline.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 50) for i in range(300)], "src long, dst long"
+    ).where("src != dst")
+    a = sorted(map(tuple, pagerank(edges, iterations=5).collect()))
+    b = sorted(map(tuple, pagerank(edges, iterations=5).collect()))
+    assert a == b
