@@ -688,6 +688,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pagerank(edges, iterations=3)
 
+    def q_label_propagation(spark, sf_dir):
+        """Synchronous min-tie label propagation (pipeline/graph.py) over
+        the customer ↔ supplier bipartite graph, 3 iterations — label
+        updates are deterministic (most-frequent neighbour label, smallest
+        on ties), so the oracle's unrolled replay matches exactly."""
+        from splink_spark.pipeline.graph import label_propagation
+
+        s = _session(spark)
+        orders = s.read.parquet(f"{sf_dir}/orders.parquet")
+        li = s.read.parquet(f"{sf_dir}/lineitem.parquet")
+        edges = (
+            orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+            .select(
+                F.col("o_custkey").alias("src"),
+                (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
+            )
+            .distinct()
+        )
+        return label_propagation(edges, iterations=3)
+
     def q_skew_report(spark, sf_dir):
         """Shuffle-key skew diagnostic on documents.source (pipeline/
         curation.py skew_report): heaviest keys, row share, multiple of a
@@ -1732,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "skew_report": q_skew_report,
         "pagerank": q_pagerank,
+        "label_propagation": q_label_propagation,
         "bpe_tokens": q_bpe_tokens,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -3418,6 +3439,42 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
         FROM nodes n LEFT JOIN c3 ON n.node = c3.dst
       )
       SELECT node, r AS rank_units, round(r / 1000000.0, 6) AS rank FROM r3
+    """
+
+    # label_propagation: synchronous min-tie LPA unrolled (iterations built
+    # programmatically — same structure each round)
+    _lpa_rounds = []
+    _prev = "l0"
+    for _i in (1, 2, 3):
+        _lpa_rounds.append(f"""
+      c{_i} AS (
+        SELECT e.dst, {_prev}.label, count(*) AS c
+        FROM e JOIN {_prev} ON {_prev}.node = e.src
+        GROUP BY e.dst, {_prev}.label
+      ),
+      b{_i} AS (
+        SELECT dst, label AS new_label FROM (
+          SELECT dst, label,
+                 row_number() OVER (PARTITION BY dst
+                                    ORDER BY c DESC, label ASC) AS rn
+          FROM c{_i}
+        ) WHERE rn = 1
+      ),
+      l{_i} AS (
+        SELECT n.node, coalesce(b{_i}.new_label, n.node) AS label
+        FROM nodes n LEFT JOIN b{_i} ON n.node = b{_i}.dst
+      )""")
+        _prev = f"l{_i}"
+    sqls["label_propagation"] = f"""
+      WITH e0 AS (
+        SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      ),
+      e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      l0 AS (SELECT node, node AS label FROM nodes),
+      {",".join(_lpa_rounds)}
+      SELECT node, label FROM l3
     """
 
     sqls["skew_report"] = """

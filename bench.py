@@ -179,6 +179,7 @@ def main() -> None:
         "retention",
         "skew_report",
         "pagerank",
+        "label_propagation",
     ):
         try:
             t0 = time.time()

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "label_propagation"]
 
 UNIT = 1_000_000  # rank fixed-point denominator (millionths)
 
@@ -87,3 +87,57 @@ def pagerank(
         F.col("__r").alias("rank_units"),
         F.round(F.col("__r") / F.lit(float(UNIT)), 6).alias("rank"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    undirected: bool = True,
+) -> DataFrame:
+    """Synchronous label-propagation community detection: labels start as
+    the node id; each iteration every node adopts its neighbours' most
+    frequent label, ties broken by the SMALLEST label — fully
+    deterministic, so the driver oracle replays the unrolled iterations
+    exactly. (Classic asynchronous LPA is order-dependent; the synchronous
+    + min-tie variant trades a little convergence speed for
+    reproducibility, the same determinism bargain as the engine's
+    single-best-links tie rules.)
+
+    Per iteration: one join of the cached edge list against the current
+    label table, one map-side-combined count per (node, label), one
+    max_by per node. Isolated nodes keep their own label.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if undirected:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(int(iterations)):
+        neigh = e.join(labels, e["src"] == labels["node"]).select(
+            F.col("dst"), F.col("label")
+        )
+        counts = neigh.groupBy("dst", "label").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        # most frequent label, smallest label on ties: maximize (c, -label)
+        best = counts.groupBy("dst").agg(
+            F.max_by(
+                "label", F.struct(F.col("__c"), (-F.col("label")).alias("nl"))
+            ).alias("new_label")
+        )
+        labels = nodes.join(best, nodes["node"] == best["dst"], "left").select(
+            "node", F.coalesce("new_label", F.col("node")).alias("label")
+        )
+    return labels

@@ -339,3 +339,38 @@ def test_pagerank_deterministic_across_runs(spark):
     a = sorted(map(tuple, pagerank(edges, iterations=5).collect()))
     b = sorted(map(tuple, pagerank(edges, iterations=5).collect()))
     assert a == b
+
+
+def test_label_propagation_matches_serial_reference(spark):
+    """Synchronous LPA with min-label ties must match a serial Python
+    replay, and two cliques joined by one bridge edge must settle into two
+    communities."""
+    from splink_spark.pipeline.graph import label_propagation
+
+    clique1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edge_list = clique1 + clique2 + [(3, 10)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["node"]: r["label"]
+           for r in label_propagation(edges, iterations=3).collect()}
+
+    und = set()
+    for a, b in edge_list:
+        und.add((a, b)); und.add((b, a))
+    nodes = sorted({x for p in und for x in p})
+    lab = {n: n for n in nodes}
+    for _ in range(3):
+        new = {}
+        for v in nodes:
+            cnt = {}
+            for a, b in und:
+                if b == v:
+                    cnt[lab[a]] = cnt.get(lab[a], 0) + 1
+            new[v] = (min((k for k, c in cnt.items()
+                           if c == max(cnt.values())))
+                      if cnt else v)
+        lab = new
+    assert got == lab
+    # both cliques collapse to single labels
+    assert len({got[n] for n in range(4)}) == 1
+    assert len({got[n] for n in range(10, 14)}) == 1
