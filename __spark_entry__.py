@@ -708,6 +708,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return label_propagation(edges, iterations=3)
 
+    def q_weighted_sample(spark, sf_dir):
+        """Deterministic weighted sampling without replacement
+        (pipeline/curation.py weighted_sample — Efraimidis–Spirakis via
+        Gumbel-top-k, two-step MINSTD draw): 100 documents ∝ n_chars."""
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        return curation.weighted_sample(docs, 100, "n_chars")
+
     def q_skew_report(spark, sf_dir):
         """Shuffle-key skew diagnostic on documents.source (pipeline/
         curation.py skew_report): heaviest keys, row share, multiple of a
@@ -1751,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_screen": q_bloom_screen,
         "heavy_hitters": q_heavy_hitters,
         "skew_report": q_skew_report,
+        "weighted_sample": q_weighted_sample,
         "pagerank": q_pagerank,
         "label_propagation": q_label_propagation,
         "bpe_tokens": q_bpe_tokens,
@@ -2805,7 +2813,8 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
       s AS (
         SELECT doc_id, log_weight,
           round(log_weight - ln(-ln(
-            (CAST(((doc_id + 1) * 48271) % 2147483647 AS DOUBLE) + 0.5)
+            (CAST(((((doc_id + 1) * 48271) % 2147483647) * 48271)
+               % 2147483647 AS DOUBLE) + 0.5)
               / 2147483647.0)), 9) AS score
         FROM allw
       )
@@ -3475,6 +3484,22 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
       l0 AS (SELECT node, node AS label FROM nodes),
       {",".join(_lpa_rounds)}
       SELECT node, label FROM l3
+    """
+
+    # weighted_sample: Gumbel-top-k with the two-step MINSTD draw replayed
+    sqls["weighted_sample"] = """
+      WITH w AS (
+        SELECT doc_id, CAST(n_chars AS DOUBLE) AS wt FROM documents
+        WHERE n_chars > 0
+      ),
+      s AS (
+        SELECT doc_id,
+          round(ln(wt) - ln(-ln(
+            (CAST(((((doc_id + 1) * 48271) % 2147483647) * 48271)
+               % 2147483647 AS DOUBLE) + 0.5) / 2147483647.0)), 9) AS score
+        FROM w
+      )
+      SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 100
     """
 
     sqls["skew_report"] = """

@@ -1136,14 +1136,11 @@ def dsir_resample(
         hash_buckets=hash_buckets,
     )
     if method == "gumbel":
-        # u in (0,1): MINSTD over id+1 (avoids the 0 fixpoint), never 0 or 1
-        u = (
-            F.pmod(
-                (F.col(id_col).cast("bigint") + F.lit(1)) * F.lit(_MINSTD_A),
-                F.lit(_MINSTD_M),
-            ).cast("double")
-            + F.lit(0.5)
-        ) / F.lit(float(_MINSTD_M))
+        # u in (0,1): TWO MINSTD steps over id+1 (avoids the 0 fixpoint;
+        # never 0 or 1). A single step is monotone in id below M/A ≈ 44k,
+        # which would make the Gumbel noise systematically favor high ids —
+        # the second multiplication wraps for every id and mixes properly.
+        u = (_minstd_u01_state(F.col(id_col).cast("bigint") + F.lit(1)))
         score = F.col("log_weight") / F.lit(float(temperature)) - F.log(-F.log(u))
     elif method == "topk":
         score = F.col("log_weight")
@@ -1160,6 +1157,45 @@ def dsir_resample(
         ).first()["c"]
         return scored.where(F.col("score") >= F.lit(float(cutoff)))
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def _minstd_u01_state(state: Column) -> Column:
+    """u in (0,1) from two MINSTD multiplicative steps over an int64 state —
+    engine-portable (plain * and mod), and well-mixed even for small
+    sequential ids (one step stays monotone below M/A ≈ 44k). The
+    intermediate fits int64: (M-1) * A < 2^47."""
+    x1 = F.pmod(state * F.lit(_MINSTD_A), F.lit(_MINSTD_M))
+    x2 = F.pmod(x1 * F.lit(_MINSTD_A), F.lit(_MINSTD_M))
+    return (x2.cast("double") + F.lit(0.5)) / F.lit(float(_MINSTD_M))
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, probability
+    proportional to ``weight_col`` (the Efraimidis–Spirakis scheme via the
+    Gumbel-top-k identity, the same estimator ``dsir_resample`` uses
+    internally): score = ln(weight) + g, g = -ln(-ln(u)), u the portable
+    MINSTD hash of (id, seed) — reproducible, engine-portable, and
+    re-drawable per epoch by changing ``seed``. Rows with weight <= 0 are
+    excluded. Returns the k winners as (id, score).
+
+    Scale shape: the score is a pure projection; selection is a top-k
+    (sort-limit per partition, k-row merge on the driver side of the
+    exchange) — no full sort, nothing else moves.
+    """
+    u = _minstd_u01_state(F.col(id_col).cast("bigint") + F.lit(1 + int(seed)))
+    score = F.log(F.col(weight_col).cast("double")) - F.log(-F.log(u))
+    return (
+        df.where(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.round(score, 9).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(int(k))
+    )
 
 
 # ---------------------------------------------------------------------------

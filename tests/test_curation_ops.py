@@ -406,3 +406,25 @@ def test_skew_report_shares_and_uniform_multiple(spark):
     assert out["hot"]["row_share"] == pytest.approx(0.6, abs=1e-6)
     # 4 distinct keys, uniform share would be 0.25 → hot is 2.4x uniform
     assert out["hot"]["x_uniform"] == pytest.approx(2.4, abs=1e-3)
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, 100.0).otherwise(1.0).alias("w"),
+    )
+    a = sorted(r["doc_id"] for r in cu.weighted_sample(df, 200, "w").collect())
+    b = sorted(r["doc_id"] for r in cu.weighted_sample(df, 200, "w").collect())
+    assert a == b and len(a) == 200
+    # the 100 heavy rows (100x weight) should dominate the sample
+    heavy = sum(1 for i in a if i < 100)
+    assert heavy >= 80
+    # a different seed draws a different (but still deterministic) sample
+    c = sorted(r["doc_id"] for r in cu.weighted_sample(df, 200, "w", seed=7).collect())
+    assert c != a
+    # zero/negative weights are excluded
+    z = cu.weighted_sample(
+        df.withColumn("w", F.when(F.col("doc_id") < 1999, 0.0).otherwise(1.0)),
+        10, "w",
+    ).collect()
+    assert [r["doc_id"] for r in z] == [1999]
