@@ -160,7 +160,9 @@ def bpe_apply(
     import pandas as pd  # noqa: F401 (mapInPandas contract)
 
     ranks = {tuple(p): i for i, p in enumerate(merges)}
-    out_schema = f"{id_col} bigint, {tokens_col} array<string>, n_bpe_tokens int"
+    # the id column keeps its INPUT type (string UUIDs etc., not just int64)
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, {tokens_col} array<string>, n_bpe_tokens int"
 
     def encode_partition(batches: Iterator) -> Iterator:
         cache: dict[str, list[str]] = {}

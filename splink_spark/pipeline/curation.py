@@ -1333,10 +1333,14 @@ def skew_report(
     totals = counts.agg(
         F.sum("n").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
     )
+    # top-n via orderBy().limit() — planned as TakeOrderedAndProject
+    # (per-partition heaps + driver merge of top_n rows), NOT a global
+    # row_number window, which would single-task-sort the full key
+    # cardinality; rank is then derived over the <= top_n survivors
+    top = counts.orderBy(F.desc("n"), F.asc("key")).limit(int(top_n))
     w = Window.orderBy(F.desc("n"), F.asc("key"))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_n)
+        top.withColumn("rank", F.row_number().over(w))
         .crossJoin(F.broadcast(totals))
         .select(
             "rank",

@@ -100,11 +100,16 @@ def asof_join(
     payload_cols = [c for c in right.columns if c not in keys]
     marker = "__asof_is_left"
     payload = "__asof_payload"
+    # the tie-break column keeps its NATIVE type end-to-end: casting to
+    # string would make numeric tie-breaks lexicographic (9 > 10)
+    tb_type = (
+        right.schema[tie_break_col].dataType if tie_break_col else None
+    )
     lhs = left.select(
         *keys,
         F.col(on).alias("__asof_on"),
         F.lit(1).alias(marker),
-        F.lit(None).cast("string").alias("__asof_tb"),
+        (F.lit(None).cast(tb_type) if tb_type else F.lit(None).cast("string")).alias("__asof_tb"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__asof_lrow"),
         F.lit(None)
         .cast(
@@ -115,7 +120,7 @@ def asof_join(
         .alias(payload),
     )
     tb = (
-        F.col(tie_break_col).cast("string")
+        F.col(tie_break_col)
         if tie_break_col
         else F.lit(None).cast("string")
     )
@@ -156,8 +161,11 @@ def asof_join(
         # unbucketed pass (tested), cost = one extra tiny window + one
         # co-partitioned join.
         bucket = "__asof_bucket"
+        # true integer division (Spark `div`): `/` is double division and
+        # loses integer precision above 2^53 (epoch-nanos territory)
         u = u.withColumn(
-            bucket, (F.col("__asof_on").cast("bigint") / F.lit(int(bucket_size))).cast("bigint")
+            bucket,
+            F.expr(f"cast(__asof_on as bigint) div {int(bucket_size)}"),
         )
         wloc = (
             Window.partitionBy(*keys, bucket)
@@ -236,19 +244,21 @@ def range_join(
     keys = _as_list(by)
     if bin_size is None:
         bin_size = 3600 * 1_000_000_000
-    pt = F.col(left_point).cast("bigint")
-    lo = F.col(right_lower).cast("bigint")
-    hi = F.col(right_upper).cast("bigint")
+    # bins via true integer division (`div`): `/` is double division and
+    # mis-bins values above 2^53 (epoch-nanos) near bucket boundaries
+    b = int(bin_size)
     r_binned = right.withColumn(
         "__bin",
         F.explode(
             F.sequence(
-                (lo / bin_size).cast("bigint"),
-                ((hi - 1) / bin_size).cast("bigint"),
+                F.expr(f"cast(`{right_lower}` as bigint) div {b}"),
+                F.expr(f"(cast(`{right_upper}` as bigint) - 1) div {b}"),
             )
         ),
     )
-    l_binned = left.withColumn("__bin", (pt / bin_size).cast("bigint"))
+    l_binned = left.withColumn(
+        "__bin", F.expr(f"cast(`{left_point}` as bigint) div {b}")
+    )
     cond = [l_binned["__bin"] == r_binned["__bin"]] + [
         l_binned[k] == r_binned[k] for k in keys
     ]
@@ -284,11 +294,16 @@ def time_rollup(
     would be a second shuffle); all levels share the one Expand.
     """
     keys = _as_list(by)
-    ts = F.col(ts_col).cast("bigint")
     bucket_cols = []
     for g in granularities:
         name = f"__bucket_{g}"
-        df = df.withColumn(name, (ts / F.lit(int(g))).cast("bigint") * F.lit(int(g)))
+        # floor(ts/g)*g via true integer division — `/` is double division
+        # and rounds ts just below a boundary INTO the next bucket once
+        # values pass 2^53 (epoch-nanos)
+        df = df.withColumn(
+            name,
+            F.expr(f"(cast(`{ts_col}` as bigint) div {int(g)}) * {int(g)}"),
+        )
         bucket_cols.append(name)
     sets = [tuple(keys + [b]) for b in bucket_cols]
     grouped = df.groupingSets(
@@ -423,8 +438,9 @@ def retention(
     aggregate's key space is at most cohorts x max_periods. No windows, no
     per-user state beyond the aggregates.
     """
-    ts = F.col(ts_col).cast("bigint")
-    p = (ts / F.lit(int(period))).cast("bigint")
+    # true integer division — see time_rollup: double `/` mis-buckets
+    # epoch-nanos (> 2^53) at bucket boundaries
+    p = F.expr(f"cast(`{ts_col}` as bigint) div {int(period)}")
     firsts = (
         df.select(F.col(user_col).alias("user"), p.alias("p"))
         .groupBy("user")

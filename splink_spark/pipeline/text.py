@@ -219,7 +219,12 @@ def compression_ratio(
     """
     import zlib
 
-    out_schema = f"{id_col} bigint, raw_bytes int, compressed_bytes int, compression_ratio double"
+    # the id column keeps its INPUT type (string UUIDs etc., not just int64)
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"`{id_col}` {id_type}, raw_bytes int, compressed_bytes int,"
+        " compression_ratio double"
+    )
 
     def measure(batches):
         for pdf in batches:

@@ -143,3 +143,25 @@ def test_compression_ratio_orders_repetitive_below_prose(spark):
     assert out[1]["compressed_bytes"] == len(zlib.compress(t, 6))
     plan = compression_ratio(df)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan and "Exchange" not in plan
+
+
+def test_bpe_apply_preserves_string_doc_ids(spark):
+    """Non-int64 document ids (string UUIDs) must survive the Arrow
+    round-trip — the output schema derives the id type from the input."""
+    docs = spark.createDataFrame(
+        [("u-9", "low low"), ("u-10", "newest low")], "doc_id string, text string"
+    )
+    merges = bpe_train(docs, num_merges=3)
+    out = {r["doc_id"]: r for r in bpe_apply(docs, merges).collect()}
+    assert set(out) == {"u-9", "u-10"}
+    assert out["u-9"]["n_bpe_tokens"] == len(out["u-9"]["bpe_tokens"])
+
+
+def test_compression_ratio_preserves_string_doc_ids(spark):
+    from splink_spark.pipeline.text import compression_ratio
+
+    df = spark.createDataFrame(
+        [("u-1", "hello hello hello")], "doc_id string, text string"
+    )
+    row = compression_ratio(df).collect()[0]
+    assert row["doc_id"] == "u-1" and row["raw_bytes"] > 0

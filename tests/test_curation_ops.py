@@ -428,3 +428,15 @@ def test_weighted_sample_deterministic_and_weight_biased(spark):
         10, "w",
     ).collect()
     assert [r["doc_id"] for r in z] == [1999]
+
+
+def test_skew_report_plan_is_take_ordered_not_global_window(spark):
+    """The top-n must plan as TakeOrderedAndProject (per-partition heaps),
+    never a single-task global row_number window over the full key
+    cardinality — that is the exact skew this diagnostic exists to find."""
+    df = spark.createDataFrame([(str(i % 7),) for i in range(100)], ["k"])
+    plan = (
+        cu.skew_report(df, "k", top_n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan

@@ -374,3 +374,105 @@ def test_label_propagation_matches_serial_reference(spark):
     # both cliques collapse to single labels
     assert len({got[n] for n in range(4)}) == 1
     assert len({got[n] for n in range(10, 14)}) == 1
+
+
+def test_asof_tiebreak_numeric_across_digit_lengths(spark):
+    """Numeric tie-break ids with different digit counts: max wins for
+    backward must pick 10 over 9 (a string cast would compare
+    lexicographically and pick "9"); forward's min must pick 9 over 10."""
+    trades = spark.createDataFrame(
+        [("a", 20, "t1")], "sym string, ts long, trade string"
+    )
+    quotes = spark.createDataFrame(
+        [("a", 20, 1.0, 9), ("a", 20, 2.0, 10)],
+        "sym string, ts long, px double, qid long",
+    )
+    for bucket in (None, 7):
+        back = asof_join(
+            trades, quotes, on="ts", by="sym", tie_break_col="qid",
+            bucket_size=bucket,
+        ).collect()[0]
+        assert back["r_qid"] == 10 and back["r_px"] == 2.0
+        fwd = asof_join(
+            trades, quotes, on="ts", by="sym", direction="forward",
+            tie_break_col="qid", bucket_size=bucket,
+        ).collect()[0]
+        assert fwd["r_qid"] == 9 and fwd["r_px"] == 1.0
+
+
+def test_asof_tiebreak_keeps_native_column_type(spark):
+    """A genuinely-string tie-break column still works (native type kept,
+    no forced cast either way)."""
+    trades = spark.createDataFrame(
+        [("a", 20, "t1")], "sym string, ts long, trade string"
+    )
+    quotes = spark.createDataFrame(
+        [("a", 20, 1.0, "x"), ("a", 20, 2.0, "y")],
+        "sym string, ts long, px double, qid string",
+    )
+    back = asof_join(
+        trades, quotes, on="ts", by="sym", tie_break_col="qid"
+    ).collect()[0]
+    assert back["r_qid"] == "y"
+
+
+def test_time_rollup_integer_buckets_above_double_precision(spark):
+    """Epoch-nanos sit above 2^53: a timestamp one nano BELOW a bucket
+    boundary must stay in the earlier bucket. Double division rounds
+    k*g - 1 up to k*g (ulp ~256 ns at 1.7e18) and mis-buckets it."""
+    from splink_spark.pipeline.temporal import time_rollup
+
+    g = 3_600_000_000_000  # 1h in nanos
+    k = 472_223            # k*g ~ 1.70000280e18 epoch-nanos (> 2^53)
+    ts = k * g - 1
+    df = spark.createDataFrame([(ts, 1.0)], "ts long, value double")
+    row = time_rollup(df, "ts", "value", granularities=(g,)).collect()[0]
+    assert row["bucket_start"] == (k - 1) * g
+    assert row["n"] == 1
+
+
+def test_retention_integer_periods_above_double_precision(spark):
+    """Same boundary at retention's cohort math: first activity one nano
+    below a period boundary belongs to the EARLIER period."""
+    from splink_spark.pipeline.temporal import retention
+
+    day = 86_400_000_000_000
+    k = 19_676             # k*day ~ 1.70000640e18 (> 2^53)
+    df = spark.createDataFrame(
+        [(1, k * day - 1), (1, k * day + 5)], "user_id long, ts long"
+    )
+    rows = {r["period_index"]: r for r in retention(df, period=day).collect()}
+    # cohort anchored at period k-1; second event lands in period k => k=1
+    assert rows[0]["cohort_start"] == (k - 1) * day
+    assert set(rows) == {0, 1}
+
+
+def test_asof_bucketed_integer_bucketing_above_double_precision(spark):
+    """Bucketed as-of at epoch-nanos magnitudes: output must still equal
+    the unbucketed pass when ts values straddle a double-rounding
+    boundary."""
+    g = 3_600_000_000_000
+    k = 472_223
+    base = k * g
+    trades = spark.createDataFrame(
+        [("a", base - 1, "t1"), ("a", base + 5, "t2")],
+        "sym string, ts long, trade string",
+    )
+    quotes = spark.createDataFrame(
+        [("a", base - 3, 1.0, 1), ("a", base + 2, 2.0, 2)],
+        "sym string, ts long, px double, qid long",
+    )
+    plain = {
+        r["trade"]: r["r_qid"]
+        for r in asof_join(
+            trades, quotes, on="ts", by="sym", tie_break_col="qid"
+        ).collect()
+    }
+    bucketed = {
+        r["trade"]: r["r_qid"]
+        for r in asof_join(
+            trades, quotes, on="ts", by="sym", tie_break_col="qid",
+            bucket_size=g,
+        ).collect()
+    }
+    assert plain == bucketed == {"t1": 1, "t2": 2}
