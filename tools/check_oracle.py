@@ -45,8 +45,14 @@ def main():
 
     import __spark_entry__ as entrymod
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -67,6 +73,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    records = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -78,10 +85,21 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             failures.append(name)
+            records[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"spark {type(e).__name__}: {e}"[:300],
+            }
             continue
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, no oracle) "
                   f"[{time.time()-t0:.1f}s]")
+            records[name] = {
+                "rows_match": True, "schema_match": None,
+                "hash_match": None, "spark_rows": len(srows),
+                "oracle_rows": None, "err": "no_oracle",
+            }
             continue
         try:
             res = con.execute(oracles[name])
@@ -90,6 +108,12 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
             failures.append(name)
+            records[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(srows),
+                "oracle_rows": None,
+                "err": f"duckdb {type(e).__name__}: {e}"[:300],
+            }
             continue
         s_cols, s_ms = frame_to_multiset(scols, srows)
         o_cols, o_ms = frame_to_multiset(ocols, orows)
@@ -104,12 +128,26 @@ def main():
             status.append(f"values differ in {ndiff}/{len(s_ms)} rows, e.g.\n"
                           f"    spark:  {example[0][:200]}\n"
                           f"    duckdb: {example[1][:200]}")
+        records[name] = {
+            "rows_match": len(srows) == len(orows),
+            "schema_match": s_cols == o_cols,
+            "hash_match": not status and s_ms == o_ms,
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            "err": "; ".join(s[:200] for s in status) or None,
+        }
         if status:
             print(f"FAIL {name}: " + "; ".join(status))
             failures.append(name)
         else:
             print(f"PASS {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
     print()
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"wrote {len(records)} records to {json_path}")
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")
         sys.exit(1)
