@@ -1712,7 +1712,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rounded = narrow.select(F.round("match_weight", 6).alias("match_weight"))
         return match_weights_histogram_data(rounded, num_bins=20)
 
+    def q_bm25_topk(spark, sf_dir):
+        """BM25 top-k full-text retrieval over the documents corpus
+        (pipeline/search.py — inverted-index build, query-restricted
+        document frequencies, EXACT-INT64 quantized scoring so the
+        per-(query, doc) sum is associative). The oracle replays
+        tokenization, the Lucene idf, the integer quantization, and the
+        deterministic ranking in pure SQL."""
+        from splink_spark.pipeline.search import bm25_index, bm25_search
+
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        idx = bm25_index(docs.select("doc_id", "text"))
+        qs = spark.createDataFrame(
+            [
+                (1, "spark window agg"),
+                (2, "merge join table"),
+                (3, "stream batch vector"),
+                (4, "hash scan filter"),
+                (5, "customer order line"),
+            ],
+            "query_id long, query string",
+        )
+        return bm25_search(idx, qs, k=5)
+
+    def q_top_k_per_group(spark, sf_dir):
+        """Exact top-3 orders per customer by total price via the
+        sketch-prefiltered top-k plan (pipeline/analytics.py — cutoff
+        prefilter + survivor guard + exact window; output bit-identical
+        to a plain row_number window, which is the oracle)."""
+        from splink_spark.pipeline.analytics import top_k_per_group
+
+        orders = _session(spark).read.parquet(f"{sf_dir}/orders.parquet")
+        out = top_k_per_group(
+            orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+            ["o_custkey"],
+            "o_totalprice",
+            3,
+            tie_cols=["o_orderkey"],
+            method="prefilter",
+            margin=1,
+        )
+        return out.select(
+            "o_custkey",
+            F.col("__rank").alias("rank"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+
     d = {
+        "bm25_topk": q_bm25_topk,
+        "top_k_per_group": q_top_k_per_group,
         "concat_union": q_concat_union,
         "tf_mktsegment": q_tf_mktsegment,
         "block_single": q_block_single,
@@ -1826,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver evidence for every gate (full local sweeps over all entries:
     # tools/check_oracle.py, artifact CORRECTNESS_FULL_r06.json).
     lead = [
+        "bm25_topk", "top_k_per_group",
         "range_join", "time_rollup", "event_funnel", "sessionize",
         "retention", "perplexity_filter", "embedding_covariance",
         "embedding_quantize", "ann_sq8", "shard_corpus", "ann_join",
@@ -4444,6 +4494,83 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
              count(*) AS count_rows,
              CAST(lo + width AS DOUBLE) AS splink_score_bin_high
       FROM binned GROUP BY lo, width
+    """
+
+    # bm25_topk: full SQL replay of the inverted index, the Lucene idf
+    # ln(1 + (N - df + 0.5)/(df + 0.5)), the integer-millionths
+    # contribution quantization (associative sum == Spark's), and the
+    # deterministic (score desc, doc_id asc) ranking
+    sqls["bm25_topk"] = """
+      WITH q(query_id, query) AS (
+        VALUES (1, 'spark window agg'), (2, 'merge join table'),
+               (3, 'stream batch vector'), (4, 'hash scan filter'),
+               (5, 'customer order line')
+      ),
+      toks AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                 regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                 x -> x <> '')) AS term
+        FROM documents
+      ),
+      postings AS (
+        SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id
+      ),
+      dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+      qtok AS (
+        SELECT query_id,
+               unnest(list_filter(
+                 regexp_split_to_array(lower(trim(query)), '[^a-z0-9]+'),
+                 x -> x <> '')) AS term
+        FROM q
+      ),
+      qterms AS (SELECT DISTINCT query_id, term FROM qtok),
+      dfreq AS (
+        SELECT term, count(*) AS df FROM postings
+        WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY term
+      ),
+      contrib AS (
+        SELECT qt.query_id, p.doc_id,
+               CAST(round(
+                 ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                 * p.tf * 2.2
+                 / (p.tf + 1.2 * (1 - 0.75
+                    + 0.75 * d.dl / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))
+                 * 1000000, 0) AS BIGINT) AS c
+        FROM postings p
+        JOIN qterms qt ON p.term = qt.term
+        JOIN dfreq f ON p.term = f.term
+        JOIN dl d ON p.doc_id = d.doc_id
+        CROSS JOIN stats s
+      ),
+      scores AS (
+        SELECT query_id, doc_id, sum(c) AS s_int
+        FROM contrib GROUP BY query_id, doc_id
+      ),
+      ranked AS (
+        SELECT query_id, doc_id, s_int,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s_int DESC, doc_id) AS rank
+        FROM scores
+      )
+      SELECT query_id, rank, doc_id,
+             round(CAST(s_int AS DOUBLE) / 1000000, 6) AS score
+      FROM ranked WHERE rank <= 5
+    """
+
+    # top_k_per_group: the sketch prefilter is plan-only — the oracle is
+    # the plain exact window the operator must reproduce bit-for-bit
+    sqls["top_k_per_group"] = """
+      SELECT o_custkey, rank, o_orderkey,
+             round(o_totalprice, 2) AS total_price
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey)
+                 AS rank
+        FROM orders
+      ) WHERE rank <= 3
     """
 
     return sqls

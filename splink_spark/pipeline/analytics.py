@@ -1,0 +1,136 @@
+"""Generic distributed analytics primitives. Currently: exact top-k per
+group with a scale-safe physical plan.
+
+Spark has a global top-k physical operator (TakeOrderedAndProject) but
+nothing per-group: the idiomatic ``row_number() OVER (PARTITION BY g ORDER
+BY v)`` sorts EVERY group in full — for a group holding 100M rows that is
+a 100M-row sort (and spill) to keep k=10 rows. ``top_k_per_group`` keeps
+the exact semantics but bounds the sorted input: an approximate per-group
+cutoff (one map-side-combined sketch aggregation) pre-filters each group
+to ~k·margin candidate rows, a survivor-count check detects any group
+where the sketch over-cut (then that group falls back to its full rows),
+and one exact window ranks the survivors. Output is bit-identical to the
+plain window for every input — the sketch only shapes the PLAN.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["top_k_per_group"]
+
+# percentile grid for the prefilter cutoff: the chosen fraction is the
+# DEEPEST grid point at or below the needed depth, so the cutoff can only
+# be too permissive (more survivors), never silently too aggressive —
+# the survivor-count check catches sketch rank error on top of that
+_GRID = [
+    0.0, 0.25, 0.5, 0.75, 0.9, 0.95, 0.98, 0.99,
+    0.995, 0.998, 0.999, 0.9995, 0.9999,
+]
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    tie_cols: Optional[Sequence[str]] = None,
+    method: str = "auto",
+    margin: int = 8,
+    large_group_rows: int = 1_000_000,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Exactly the top ``k`` rows of every group by ``order_col`` (desc by
+    default), with ``__rank`` (1-based) added; ties broken by ``tie_cols``
+    ascending — deterministic when the tie columns are a per-group key.
+
+    ``method``: ``"window"`` = plain row_number (right for many small
+    groups); ``"prefilter"`` = sketch-cutoff plan above (right when single
+    groups are huge); ``"auto"`` probes max group size with one cheap
+    aggregate and routes (same auto-router pattern as
+    ``dedup.embedding_near_duplicates``). All three return identical rows.
+    """
+    groups = list(group_cols)
+    ties = list(tie_cols) if tie_cols else []
+    ordv = F.col(order_col)
+    order = [ordv.asc() if ascending else ordv.desc()] + [
+        F.col(t).asc() for t in ties
+    ]
+    w = Window.partitionBy(*groups).orderBy(*order)
+
+    def plain(frame: DataFrame) -> DataFrame:
+        return (
+            frame.withColumn("__rank", F.row_number().over(w))
+            .where(F.col("__rank") <= k)
+        )
+
+    if method == "auto":
+        probe = (
+            df.groupBy(*groups)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("mx"))
+            .collect()
+        )
+        mx = probe[0]["mx"] if probe else 0
+        method = "prefilter" if (mx or 0) > large_group_rows else "window"
+    if method == "window":
+        return plain(df)
+    if method != "prefilter":
+        raise ValueError(f"unknown method {method!r}")
+
+    depth = k * margin
+    cut = (
+        df.groupBy(*groups).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.percentile_approx(
+                order_col, [float(g) for g in _GRID], accuracy
+            ).alias("__pcts"),
+        )
+    )
+    # needed cutoff: keep ~depth rows per group — descending wants the
+    # LARGEST grid fraction <= 1 - depth/n (deeper grid point => more
+    # survivors => permissive), ascending the SMALLEST grid fraction
+    # >= depth/n. A 13-arm CASE chain over the fixed grid, walked so the
+    # last matching arm wins; no match => null cutoff => keep the whole
+    # group (n <= depth: nothing to prune).
+    n = F.col("__n").cast("double")
+    cutoff = F.lit(None).cast(df.schema[order_col].dataType)
+    walk = reversed(range(len(_GRID))) if ascending else range(len(_GRID))
+    for i in walk:
+        g = F.lit(float(_GRID[i]))
+        cond = (
+            g >= F.lit(float(depth)) / n
+            if ascending
+            else g <= F.lit(1.0) - F.lit(float(depth)) / n
+        )
+        cutoff = F.when(cond, F.element_at("__pcts", i + 1)).otherwise(cutoff)
+    cut = cut.select(*groups, "__n", cutoff.alias("__cutoff"))
+
+    joined = df.join(F.broadcast(cut), groups)
+    keep = (
+        F.col("__cutoff").isNull()
+        | (ordv <= F.col("__cutoff") if ascending else ordv >= F.col("__cutoff"))
+    )
+    survivors = joined.where(keep)
+    # sketch-error guard: a group is GOOD iff it kept at least min(k, n)
+    # rows — otherwise the cutoff overshot and that group re-runs in full
+    scount = survivors.groupBy(*groups).agg(F.count(F.lit(1)).alias("__s"))
+    flags = cut.join(scount, groups, "left").select(
+        *groups,
+        (
+            F.coalesce(F.col("__s"), F.lit(0))
+            >= F.least(F.lit(int(k)), F.col("__n"))
+        ).alias("__good"),
+    )
+    good = survivors.join(
+        F.broadcast(flags.where(F.col("__good")).select(*groups)), groups
+    )
+    bad = joined.join(
+        F.broadcast(flags.where(~F.col("__good")).select(*groups)), groups
+    )
+    pool = good.unionByName(bad).drop("__cutoff", "__n")
+    return plain(pool)

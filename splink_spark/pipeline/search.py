@@ -1,0 +1,156 @@
+"""Distributed full-text search: inverted-index build + BM25 top-k — the
+retrieval primitive a training-data pipeline needs for quality-biased
+sampling, dedup triage, and eval-set contamination queries.
+
+Scale design (100 TB corpus):
+- ``bm25_index`` is one scan + two map-side-combined aggregations: explode
+  tokens -> groupBy(term, doc) tf, then doc lengths as a groupBy(doc) over
+  the SAME exploded data; the postings table is the only large output and
+  is partitioned by term — exactly the layout the search join wants.
+- ``bm25_search`` never moves the postings: the query-term table (small by
+  definition) joins broadcast, as does the (query-term ∩ vocabulary)
+  document-frequency slice — the full vocabulary DF table is NEVER
+  broadcast (web-scale vocabularies don't fit; only terms the queries
+  mention matter).
+- Scoring is EXACT-INT64: each (term, doc) contribution is quantized to
+  integer millionths before the per-(query, doc) sum, so the reduction is
+  associative — no float summation-order nondeterminism across partitions,
+  and any SQL engine replays it bit-for-bit (same trick as
+  ``graph.pagerank``).
+- Per-query top-k runs through ``analytics.top_k_per_group`` (prefilter
+  plan for huge per-query hit sets, plain window for small ones).
+
+BM25 variant: Lucene/ATIRE ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``
+(non-negative), ``k1``/``b`` defaults 1.2/0.75, query term frequency
+ignored (terms deduplicated per query — standard for short queries).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["tokenize_terms", "bm25_index", "bm25_search"]
+
+_SCALE = 1_000_000
+
+
+def tokenize_terms(col: Column) -> Column:
+    """Search tokenization: lowercase, split on non-alphanumeric runs,
+    drop empties. Deliberately engine-portable (same regex replays in any
+    SQL dialect) and consistent with ``text.fingerprint``'s a-z0-9
+    normalization."""
+    toks = F.split(F.lower(F.trim(col)), r"[^a-z0-9]+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def bm25_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Build the inverted index: one row per (term, doc) with the term
+    frequency ``tf`` and the document's token length ``dl`` attached
+    (denormalized so search needs no second doc-stats join).
+
+    One scan; ``tf`` and ``dl`` are both map-side-combined aggregations of
+    the same exploded projection; the join putting them back together is
+    an equi-join on the doc id that AQE plans narrow (doc-lengths is one
+    row per doc).
+    """
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize_terms(F.col(text_col))).alias("term"),
+    )
+    postings = exploded.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    doclens = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    return postings.join(doclens, "doc_id").select("term", "doc_id", "tf", "dl")
+
+
+def bm25_search(
+    index: DataFrame,
+    queries: DataFrame,
+    query_col: str = "query",
+    qid_col: str = "query_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+    topk_method: str = "auto",
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25 over a ``bm25_index`` table.
+    Returns (``query_id``, ``rank``, ``doc_id``, ``score``), rank 1-based,
+    ties broken by ascending ``doc_id`` — fully deterministic.
+
+    The corpus-level stats (N docs, average doc length) are a one-row
+    aggregate crossJoin-broadcast into the scoring expression; document
+    frequencies are computed only for the terms the queries mention
+    (broadcast query terms -> postings groupBy) so the vocabulary table is
+    never materialized driver-side or broadcast whole.
+    """
+    qterms = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.explode(tokenize_terms(F.col(query_col))).alias("term"),
+    ).distinct()
+
+    # stats over the index: docs appear once per (term, doc); reduce to one
+    # row per doc first (map-side combined), then a one-row global agg
+    per_doc = index.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+
+    # document frequency ONLY for query terms: semi-restrict postings by
+    # the (small) query-term set, then count rows per term
+    q_vocab = qterms.select("term").distinct()
+    dfreq = (
+        index.join(F.broadcast(q_vocab), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+    hits = (
+        index.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("total_dl").cast("double") / n
+    dfv = F.col("df").cast("double")
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    idf = F.log(F.lit(1.0) + (n - dfv + 0.5) / (dfv + 0.5))
+    denom = tf + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * dl / avgdl)
+    contrib = idf * tf * F.lit(k1 + 1.0) / denom
+    # integer millionths BEFORE the sum: associative, engine-portable
+    c_int = F.round(contrib * F.lit(_SCALE), 0).cast("bigint")
+
+    scores = (
+        hits.withColumn("__c", c_int)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("__c").alias("__s_int"))
+    )
+    from splink_spark.pipeline.analytics import top_k_per_group
+
+    top = top_k_per_group(
+        scores,
+        group_cols=["query_id"],
+        order_col="__s_int",
+        k=k,
+        ascending=False,
+        tie_cols=["doc_id"],
+        method=topk_method,
+    )
+    return top.select(
+        "query_id",
+        F.col("__rank").alias("rank"),
+        "doc_id",
+        F.round(F.col("__s_int").cast("double") / F.lit(float(_SCALE)), round_to).alias(
+            "score"
+        ),
+    )

@@ -1,0 +1,168 @@
+"""BM25 search and exact top-k-per-group: reference-literal semantics,
+method equivalence (the sketch prefilter must be plan-only), fallback
+guard, and plan pins."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from splink_spark.pipeline.analytics import top_k_per_group
+from splink_spark.pipeline.search import bm25_index, bm25_search
+
+
+def _key(rows):
+    return sorted(tuple(r[c] for c in ("g", "__rank", "v", "rid")) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def grouped(spark):
+    import random
+
+    random.seed(7)
+    rows = [(g, random.randint(0, 1000), i) for i in range(3000) for g in ("a", "b")]
+    rows += [("tiny", 5, 9001), ("tiny", 3, 9002)]  # group smaller than k
+    return spark.createDataFrame(rows, "g string, v long, rid long")
+
+
+def test_topk_methods_identical(grouped):
+    outs = [
+        _key(
+            top_k_per_group(
+                grouped, ["g"], "v", 5, method=m, tie_cols=["rid"]
+            ).collect()
+        )
+        for m in ("window", "prefilter", "auto")
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    # tiny group returns all its rows, ranked
+    tiny = [t for t in outs[0] if t[0] == "tiny"]
+    assert [t[1] for t in tiny] == [1, 2]
+
+
+def test_topk_ascending_identical(grouped):
+    a = _key(
+        top_k_per_group(
+            grouped, ["g"], "v", 4, ascending=True, method="window",
+            tie_cols=["rid"],
+        ).collect()
+    )
+    b = _key(
+        top_k_per_group(
+            grouped, ["g"], "v", 4, ascending=True, method="prefilter",
+            tie_cols=["rid"],
+        ).collect()
+    )
+    assert a == b
+    assert all(t[2] <= 20 for t in a if t[0] != "tiny")  # genuinely smallest
+
+
+def test_topk_guard_catches_overshot_cutoff(grouped):
+    """margin=0 snaps the cutoff to the deepest grid point (0.9999), which
+    keeps ~n/10000 rows — fewer than k for this group size. The survivor
+    guard must detect it and fall back to the full group: output stays
+    exactly the plain-window answer."""
+    want = _key(
+        top_k_per_group(
+            grouped, ["g"], "v", 5, method="window", tie_cols=["rid"]
+        ).collect()
+    )
+    got = _key(
+        top_k_per_group(
+            grouped, ["g"], "v", 5, method="prefilter", margin=0,
+            tie_cols=["rid"],
+        ).collect()
+    )
+    assert got == want
+
+
+def test_topk_rank_is_deterministic_on_ties(spark):
+    df = spark.createDataFrame(
+        [("g", 7, i) for i in range(20)], "g string, v long, rid long"
+    )
+    out = {
+        r["rid"]: r["__rank"]
+        for r in top_k_per_group(
+            df, ["g"], "v", 3, tie_cols=["rid"], method="prefilter"
+        ).collect()
+    }
+    assert out == {0: 1, 1: 2, 2: 3}
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the lazy dog sleeps all day long"),
+            (3, "quick quick quick foxes everywhere"),
+            (4, "an unrelated document about spark and parquet"),
+            (5, "dog dog dog dog dog"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _py_bm25(docs, query, k1=1.2, b=0.75):
+    """Independent pure-python BM25 (same Lucene idf variant), with the
+    engine's integer-millionths quantization applied per contribution."""
+    toks = {d: [t for t in txt.lower().split() if t] for d, txt in docs}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    scores = {}
+    for term in dict.fromkeys(query.lower().split()):
+        df = sum(1 for v in toks.values() if term in v)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for d, v in toks.items():
+            tf = v.count(term)
+            if not tf:
+                continue
+            contrib = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+            scores[d] = scores.get(d, 0) + round(contrib * 1_000_000)
+    return {d: s / 1_000_000 for d, s in scores.items()}
+
+
+def test_bm25_matches_pure_python_reference(spark, corpus):
+    docs = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    idx = bm25_index(corpus)
+    qs = spark.createDataFrame(
+        [(1, "quick fox"), (2, "lazy dog"), (3, "parquet")],
+        "query_id long, query string",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_search(idx, qs, k=10).collect()
+    }
+    for qid, q in [(1, "quick fox"), (2, "lazy dog"), (3, "parquet")]:
+        want = _py_bm25(docs, q)
+        mine = {d: s for (g, d), s in got.items() if g == qid}
+        assert mine == pytest.approx(want, abs=1e-6), (qid, mine, want)
+
+
+def test_bm25_rank_and_tie_break(spark, corpus):
+    idx = bm25_index(corpus)
+    qs = spark.createDataFrame([(1, "lazy dog")], "query_id long, query string")
+    rows = bm25_search(idx, qs, k=3).orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    assert rows[0]["score"] >= rows[1]["score"] >= rows[2]["score"]
+
+
+def test_bm25_unknown_terms_yield_no_rows(spark, corpus):
+    idx = bm25_index(corpus)
+    qs = spark.createDataFrame([(1, "zzzzz qqqqq")], "query_id long, query string")
+    assert bm25_search(idx, qs, k=3).count() == 0
+
+
+def test_bm25_plan_is_jvm_side_and_broadcasts_queries_not_postings(corpus, spark):
+    idx = bm25_index(corpus)
+    qs = spark.createDataFrame([(1, "quick fox")], "query_id long, query string")
+    plan = (
+        bm25_search(idx, qs, k=3, topk_method="window")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastHashJoin" in plan
