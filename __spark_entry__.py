@@ -1759,9 +1759,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("o_totalprice", 2).alias("total_price"),
         )
 
+    def q_triangle_count(spark, sf_dir):
+        """Per-node triangle counts + local clustering coefficient of the
+        part co-purchase graph (parts sharing an order), via
+        degree-oriented wedge closing (pipeline/graph.py triangle_count —
+        out-degree bounded O(sqrt(m)) under orientation, so hub skew
+        cannot blow up the wedge join). Oracle replays orientation,
+        wedges, and closure in SQL."""
+        from splink_spark.pipeline.graph import triangle_count
+
+        li = _session(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+        l1 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+        l2 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+        edges = (
+            l1.join(l2, "ok")
+            .where(F.col("p1") < F.col("p2"))
+            .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+            .distinct()
+        )
+        return triangle_count(edges, per_node=True)
+
+    def _doc_urls(spark, sf_dir):
+        # deterministic synthetic URLs over documents (the testdata has no
+        # URL column): scheme/port/params vary by doc_id residues so
+        # normalization has real work and duplicates exist per source
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        return docs.select(
+            "doc_id",
+            F.concat(
+                F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://WWW."))
+                .otherwise(F.lit("http://")),
+                F.col("source"),
+                F.lit(".Example.com"),
+                F.when(F.col("doc_id") % 2 == 0, F.lit(":443"))
+                .otherwise(F.lit(":80")),
+                F.lit("/Docs/"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.lit("/?utm_source=feed&b=2&a=1#top"),
+                ).otherwise(F.lit("?a=1&b=2")),
+            ).alias("url"),
+        )
+
+    def q_url_dedup(spark, sf_dir):
+        """URL-level dedup after normalization (pipeline/web.py — scheme/
+        host lowering, default-port drop, trailing-slash strip, tracking-
+        param removal + param sort, fragment drop; keeper = min doc_id).
+        Oracle replays the construction and every normalization step in
+        SQL."""
+        from splink_spark.pipeline.web import url_dedup
+
+        return url_dedup(_doc_urls(spark, sf_dir))
+
+    def q_domain_stats(spark, sf_dir):
+        """Documents per registered domain with corpus share (pipeline/
+        web.py domain_stats — host minus leading www., one groupBy plus a
+        one-row total broadcast)."""
+        from splink_spark.pipeline.web import domain_stats
+
+        return domain_stats(_doc_urls(spark, sf_dir))
+
     d = {
         "bm25_topk": q_bm25_topk,
         "top_k_per_group": q_top_k_per_group,
+        "triangle_count": q_triangle_count,
+        "url_dedup": q_url_dedup,
+        "domain_stats": q_domain_stats,
         "concat_union": q_concat_union,
         "tf_mktsegment": q_tf_mktsegment,
         "block_single": q_block_single,
@@ -1875,7 +1939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver evidence for every gate (full local sweeps over all entries:
     # tools/check_oracle.py, artifact CORRECTNESS_FULL_r06.json).
     lead = [
-        "bm25_topk", "top_k_per_group",
+        "bm25_topk", "top_k_per_group", "triangle_count",
+        "url_dedup", "domain_stats",
         "range_join", "time_rollup", "event_funnel", "sessionize",
         "retention", "perplexity_filter", "embedding_covariance",
         "embedding_quantize", "ann_sq8", "shard_corpus", "ann_join",
@@ -4557,6 +4622,114 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
       SELECT query_id, rank, doc_id,
              round(CAST(s_int AS DOUBLE) / 1000000, 6) AS score
       FROM ranked WHERE rank <= 5
+    """
+
+    # triangle_count: full SQL replay of the degree orientation, the
+    # wedge self-join at each node's outgoing pairs, and the closure join
+    sqls["triangle_count"] = """
+      WITH canon AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        WHERE l1.l_partkey < l2.l_partkey
+      ),
+      und AS (SELECT a, b FROM canon UNION ALL SELECT b, a FROM canon),
+      deg AS (SELECT a AS node, count(*) AS d FROM und GROUP BY a),
+      withdeg AS (
+        SELECT c.a, c.b, da.d AS da, db.d AS db
+        FROM canon c
+        JOIN deg da ON c.a = da.node
+        JOIN deg db ON c.b = db.node
+      ),
+      oriented AS (
+        SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+               CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v
+        FROM withdeg
+      ),
+      wedges AS (
+        SELECT o1.u, o1.v AS x, o2.v AS y
+        FROM oriented o1 JOIN oriented o2 ON o1.u = o2.u AND o1.v < o2.v
+      ),
+      tris AS (
+        SELECT w.u, w.x, w.y
+        FROM wedges w JOIN canon c ON w.x = c.a AND w.y = c.b
+      ),
+      corners AS (
+        SELECT u AS node FROM tris
+        UNION ALL SELECT x FROM tris
+        UNION ALL SELECT y FROM tris
+      ),
+      tc AS (SELECT node, count(*) AS triangles FROM corners GROUP BY node)
+      SELECT d.node, d.d AS degree,
+             COALESCE(tc.triangles, 0) AS triangles,
+             CASE WHEN d.d >= 2
+                  THEN round(2.0 * COALESCE(tc.triangles, 0)
+                             / (d.d * (d.d - 1.0)), 6)
+                  ELSE 0.0 END AS lcc
+      FROM deg d LEFT JOIN tc ON d.node = tc.node
+    """
+
+    # url_dedup / domain_stats: SQL replay of the URL construction and of
+    # every normalization step (scheme/host lower, default-port drop,
+    # trailing-slash strip, tracking filter + param sort, fragment drop)
+    _URLS_CTE = """
+      urls AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END
+          || source || '.Example.com'
+          || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+          || '/Docs/' || CAST(doc_id % 5 AS VARCHAR)
+          || CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&b=2&a=1#top'
+                  ELSE '?a=1&b=2' END AS url
+        FROM documents
+      ),
+      parts AS (
+        SELECT doc_id,
+          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+            AS scheme,
+          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+            AS host_port,
+          regexp_replace(
+            regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+            '/+$', '') AS path,
+          regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+        FROM urls
+      ),
+      comp AS (
+        SELECT doc_id, scheme,
+          lower(split_part(host_port, ':', 1)) AS host,
+          split_part(host_port, ':', 2) AS port,
+          path,
+          array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+                 '^(utm_[^=]*|gclid|fbclid|msclkid|ref)='))), '&') AS q
+        FROM parts
+      ),
+      normed AS (
+        SELECT doc_id,
+          scheme || '://' || host
+          || CASE WHEN port <> ''
+                   AND NOT ((scheme = 'http' AND port = '80')
+                         OR (scheme = 'https' AND port = '443'))
+              THEN ':' || port ELSE '' END
+          || path
+          || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS url_norm,
+          regexp_replace(host, '^www\\.', '') AS domain
+        FROM comp
+      )
+    """
+    sqls["url_dedup"] = f"""
+      WITH {_URLS_CTE}
+      SELECT url_norm, min(doc_id) AS doc_id, count(*) AS n_dupes
+      FROM normed GROUP BY url_norm
+    """
+    sqls["domain_stats"] = f"""
+      WITH {_URLS_CTE}
+      SELECT domain, count(*) AS n_docs,
+             round(CAST(count(*) AS DOUBLE)
+                   / (SELECT CAST(count(*) AS DOUBLE) FROM normed), 6)
+               AS share
+      FROM normed GROUP BY domain
     """
 
     # top_k_per_group: the sketch prefilter is plan-only — the oracle is

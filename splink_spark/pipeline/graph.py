@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "label_propagation"]
+__all__ = ["pagerank", "label_propagation", "triangle_count"]
 
 UNIT = 1_000_000  # rank fixed-point denominator (millionths)
 
@@ -141,3 +141,79 @@ def label_propagation(
             "node", F.coalesce("new_label", F.col("node")).alias("label")
         )
     return labels
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    per_node: bool = False,
+) -> DataFrame:
+    """Exact triangle counting by degree orientation (the MapReduce
+    wedge-closing scheme of Suri & Vassilvitskii, WWW'11): orient every
+    undirected edge from its lower (degree, id) endpoint to the higher
+    one, build wedges only at each node's OUTGOING pairs, and close them
+    against the oriented edge set. Every triangle is counted exactly once
+    (at its minimum-(degree, id) vertex).
+
+    Why this survives power-law skew at 100 TB: naive wedge counting
+    generates deg² wedges at every hub — a 1M-degree node alone yields
+    5·10¹¹ join rows. Under degree orientation a node's OUT-degree is
+    O(√m) for any graph, so the wedge join (the only superlinear step) is
+    bounded regardless of hubs; everything else is equi-joins and
+    map-side-combined aggregations on the edge key.
+
+    Returns one row ``(n_triangles)``, or with ``per_node=True`` one row
+    per node: ``(node, degree, triangles, lcc)`` where ``lcc`` is the
+    local clustering coefficient ``2·t / (d·(d-1))`` (0.0 for degree < 2),
+    rounded to 6 dp.
+    """
+    a = F.least(F.col(src), F.col(dst)).alias("a")
+    b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    canon = (
+        edges.select(a, b).where(F.col("a") != F.col("b")).distinct()
+    )
+    und = canon.unionByName(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("a").alias("node"), "d"
+    )
+    # orient u -> v iff (deg(u), u) < (deg(v), v): join both endpoint
+    # degrees onto the canonical edge, pick direction by struct comparison
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    withdeg = canon.join(da, "a").join(db, "b")
+    lower_first = F.struct(F.col("da"), F.col("a")) < F.struct(
+        F.col("db"), F.col("b")
+    )
+    oriented = withdeg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    o1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = o1.join(o2, "u").where(F.col("x") < F.col("y"))
+    closing = canon.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tris = wedges.join(closing, ["x", "y"])  # (u, x, y) per triangle
+    if not per_node:
+        return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    corners = (
+        tris.select(F.col("u").alias("node"))
+        .unionByName(tris.select(F.col("x").alias("node")))
+        .unionByName(tris.select(F.col("y").alias("node")))
+    )
+    tcount = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+    out = deg.join(tcount, "node", "left")
+    t = F.coalesce(F.col("triangles"), F.lit(0)).cast("bigint")
+    d = F.col("d").cast("double")
+    lcc = F.when(
+        F.col("d") >= 2,
+        F.round(F.lit(2.0) * t.cast("double") / (d * (d - F.lit(1.0))), 6),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "node",
+        F.col("d").alias("degree"),
+        t.alias("triangles"),
+        lcc.alias("lcc"),
+    )

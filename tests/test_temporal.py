@@ -476,3 +476,50 @@ def test_asof_bucketed_integer_bucketing_above_double_precision(spark):
         ).collect()
     }
     assert plain == bucketed == {"t1": 1, "t2": 2}
+
+
+def test_triangle_count_matches_networkx(spark):
+    """Global and per-node triangle counts + local clustering coefficient
+    against networkx on a random graph (independent implementation)."""
+    import random
+
+    import networkx as nx
+
+    from splink_spark.pipeline.graph import triangle_count
+
+    random.seed(3)
+    edges = set()
+    while len(edges) < 400:
+        a, b = random.randint(0, 60), random.randint(0, 60)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    g = nx.Graph()
+    g.add_edges_from(edges)
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = triangle_count(df).collect()[0]["n_triangles"]
+    assert got == sum(nx.triangles(g).values()) // 3
+    per = {
+        r["node"]: (r["degree"], r["triangles"], r["lcc"])
+        for r in triangle_count(df, per_node=True).collect()
+    }
+    tri, cc = nx.triangles(g), nx.clustering(g)
+    for n in g.nodes:
+        d, t, l = per[n]
+        assert d == g.degree[n] and t == tri[n]
+        assert abs(l - round(cc[n], 6)) < 1e-9
+
+
+def test_triangle_count_literals_and_edge_cases(spark):
+    from splink_spark.pipeline.graph import triangle_count
+
+    # triangle + pendant edge + self loop + duplicate/reversed edges
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1), (3, 4), (5, 5)],
+        "src long, dst long",
+    )
+    assert triangle_count(df).collect()[0]["n_triangles"] == 1
+    per = {r["node"]: r for r in triangle_count(df, per_node=True).collect()}
+    assert per[1]["triangles"] == per[2]["triangles"] == per[3]["triangles"] == 1
+    assert per[4]["triangles"] == 0 and per[4]["lcc"] == 0.0
+    assert 5 not in per  # self-loop-only node has no real edges
+    assert per[3]["degree"] == 3 and per[3]["lcc"] == round(2 * 1 / (3 * 2), 6)

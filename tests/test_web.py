@@ -1,0 +1,61 @@
+"""URL normalization / dedup / domain stats: literal semantics and
+JVM-side plan pins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from splink_spark.pipeline.web import domain_stats, url_dedup, url_normalize
+
+
+@pytest.fixture(scope="module")
+def urls(spark):
+    return spark.createDataFrame(
+        [
+            (1, "HTTPS://WWW.Example.COM:443/Docs/A/?b=2&utm_source=x&a=1#frag"),
+            (2, "https://www.example.com/Docs/A?a=1&b=2"),
+            (3, "http://example.com:80/"),
+            (4, "http://example.com"),
+            (5, "https://other.org:8443/p/?gclid=9"),
+            (6, "ftp://Files.example.com:21/pub/"),
+        ],
+        "doc_id long, url string",
+    )
+
+
+def test_url_normalize_literals(urls):
+    got = {r["doc_id"]: r["url_norm"] for r in url_normalize(urls).collect()}
+    # scheme+host lowered, default port dropped, trailing slash stripped,
+    # tracking params removed, rest sorted, fragment dropped
+    assert got[1] == "https://www.example.com/Docs/A?a=1&b=2"
+    assert got[1] == got[2]
+    assert got[3] == got[4] == "http://example.com"
+    assert got[5] == "https://other.org:8443/p"  # non-default port kept
+    assert got[6] == "ftp://files.example.com:21/pub"  # unknown scheme: port kept
+
+
+def test_url_normalize_domain_strips_www(urls):
+    got = {r["doc_id"]: r["domain"] for r in url_normalize(urls).collect()}
+    assert got[1] == got[3] == "example.com"
+    assert got[6] == "files.example.com"  # only LEADING www. strips
+
+
+def test_url_dedup_keeps_min_id(urls):
+    got = {r["url_norm"]: (r["doc_id"], r["n_dupes"]) for r in url_dedup(urls).collect()}
+    assert got["https://www.example.com/Docs/A?a=1&b=2"] == (1, 2)
+    assert got["http://example.com"] == (3, 2)
+    assert len(got) == 4
+
+
+def test_domain_stats_shares(urls):
+    got = {r["domain"]: (r["n_docs"], r["share"]) for r in domain_stats(urls).collect()}
+    assert got["example.com"] == (4, pytest.approx(4 / 6, abs=1e-6))
+    assert got["other.org"][0] == 1
+
+
+def test_url_ops_are_pure_codegen(urls):
+    plan = url_dedup(urls)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    # one partial+final hash aggregate on the normalized key, nothing else
+    assert "HashAggregate" in plan and "partial_min" in plan
