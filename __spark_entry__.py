@@ -1820,12 +1820,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return domain_stats(_doc_urls(spark, sf_dir))
 
+    def q_boilerplate_lines(spark, sf_dir):
+        """Corpus-wide repeated-segment removal (pipeline/text.py
+        remove_boilerplate_lines — blocklist = heavy-hitter aggregate,
+        removal = anti-join, order-preserving reassembly). Space-delimited
+        segments here (the synthetic docs have no newlines): every word
+        present in >= 78% of docs is boilerplate (the 31-word synthetic
+        vocabulary splits ~half-half at that line). Oracle replays
+        blocklist + ordered filter via list HOFs."""
+        from splink_spark.pipeline.text import remove_boilerplate_lines
+
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        return remove_boilerplate_lines(
+            docs.select("doc_id", "text"), delimiter=" ", min_count=int(docs.count() * 0.78)
+        )
+
     d = {
         "bm25_topk": q_bm25_topk,
         "top_k_per_group": q_top_k_per_group,
         "triangle_count": q_triangle_count,
         "url_dedup": q_url_dedup,
         "domain_stats": q_domain_stats,
+        "boilerplate_lines": q_boilerplate_lines,
         "concat_union": q_concat_union,
         "tf_mktsegment": q_tf_mktsegment,
         "block_single": q_block_single,
@@ -1940,7 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_oracle.py, artifact CORRECTNESS_FULL_r06.json).
     lead = [
         "bm25_topk", "top_k_per_group", "triangle_count",
-        "url_dedup", "domain_stats",
+        "url_dedup", "domain_stats", "boilerplate_lines",
         "range_join", "time_rollup", "event_funnel", "sessionize",
         "retention", "perplexity_filter", "embedding_covariance",
         "embedding_quantize", "ann_sq8", "shard_corpus", "ann_join",
@@ -4730,6 +4746,32 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
                    / (SELECT CAST(count(*) AS DOUBLE) FROM normed), 6)
                AS share
       FROM normed GROUP BY domain
+    """
+
+    # boilerplate_lines: blocklist (words in >= 300 distinct docs) as a
+    # scalar LIST, then an ORDER-PRESERVING list_filter per document —
+    # independent of the engine's posexplode/anti-join/reassemble plan
+    sqls["boilerplate_lines"] = """
+      WITH parts AS (
+        SELECT doc_id, string_split(text, ' ') AS segs FROM documents
+      ),
+      lines AS (SELECT doc_id, unnest(segs) AS line FROM parts),
+      bl AS (
+        SELECT trim(line) AS key FROM lines
+        GROUP BY trim(line)
+        HAVING count(DISTINCT doc_id)
+               >= CAST(floor((SELECT count(*) FROM documents) * 0.78) AS BIGINT)
+      ),
+      blarr AS (SELECT coalesce(list(key), []) AS keys FROM bl)
+      SELECT p.doc_id,
+        coalesce(array_to_string(
+          list_filter(p.segs, s -> NOT list_contains(b.keys, trim(s))),
+          ' '), '') AS cleaned_text,
+        len(p.segs) AS n_lines,
+        len(p.segs)
+          - len(list_filter(p.segs, s -> NOT list_contains(b.keys, trim(s))))
+          AS n_removed_lines
+      FROM parts p, blarr b
     """
 
     # top_k_per_group: the sketch prefilter is plan-only — the oracle is

@@ -41,7 +41,7 @@ def top_k_per_group(
     tie_cols: Optional[Sequence[str]] = None,
     method: str = "auto",
     margin: int = 8,
-    large_group_rows: int = 1_000_000,
+    large_group_rows: int = 100_000_000,
     accuracy: int = 10_000,
 ) -> DataFrame:
     """Exactly the top ``k`` rows of every group by ``order_col`` (desc by
@@ -53,6 +53,15 @@ def top_k_per_group(
     groups are huge); ``"auto"`` probes max group size with one cheap
     aggregate and routes (same auto-router pattern as
     ``dedup.embedding_near_duplicates``). All three return identical rows.
+
+    The ``large_group_rows`` default is deliberately high: MEASURED on
+    local[32] (BENCH_SEARCH.json), the plain window's per-group sort beats
+    the prefilter's three extra shuffles up to at least a 50M-row group
+    (4.7s vs 13.9s) because 50M narrow rows still sort in executor memory.
+    The prefilter pays off only when a single group's sort buffer exceeds
+    executor memory (spill/OOM territory) — size the threshold to roughly
+    ``executor_memory / row_width``, it is a memory bound, not a speed
+    knob.
     """
     groups = list(group_cols)
     ties = list(tie_cols) if tie_cols else []

@@ -32,7 +32,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["tokenize_terms", "bm25_index", "bm25_search"]
+__all__ = ["tokenize_terms", "bm25_index", "bm25_corpus_stats", "bm25_search"]
 
 _SCALE = 1_000_000
 
@@ -71,6 +71,18 @@ def bm25_index(
     return postings.join(doclens, "doc_id").select("term", "doc_id", "tf", "dl")
 
 
+def bm25_corpus_stats(index: DataFrame) -> tuple:
+    """(n_docs, total_dl) for an index — compute ONCE per index and pass
+    to every ``bm25_search`` call to skip its per-call stats scan."""
+    row = (
+        index.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t"))
+        .collect()[0]
+    )
+    return int(row["n"]), int(row["t"])
+
+
 def bm25_search(
     index: DataFrame,
     queries: DataFrame,
@@ -81,6 +93,7 @@ def bm25_search(
     b: float = 0.75,
     round_to: int = 6,
     topk_method: str = "auto",
+    stats: Optional[tuple] = None,
 ) -> DataFrame:
     """Top-``k`` documents per query by BM25 over a ``bm25_index`` table.
     Returns (``query_id``, ``rank``, ``doc_id``, ``score``), rank 1-based,
@@ -91,19 +104,31 @@ def bm25_search(
     frequencies are computed only for the terms the queries mention
     (broadcast query terms -> postings groupBy) so the vocabulary table is
     never materialized driver-side or broadcast whole.
+
+    ``stats``: optional precomputed ``(n_docs, total_dl)`` — corpus stats
+    are a property of the INDEX, so repeated search calls should compute
+    them once (``bm25_corpus_stats``) instead of re-reducing the postings
+    table per call (one full index scan saved per search).
     """
     qterms = queries.select(
         F.col(qid_col).alias("query_id"),
         F.explode(tokenize_terms(F.col(query_col))).alias("term"),
     ).distinct()
 
-    # stats over the index: docs appear once per (term, doc); reduce to one
-    # row per doc first (map-side combined), then a one-row global agg
-    per_doc = index.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-    stats = per_doc.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("total_dl"),
-    )
+    spark = index.sparkSession
+    if stats is not None:
+        n_docs, total_dl = int(stats[0]), int(stats[1])
+        stats_df = spark.createDataFrame(
+            [(n_docs, total_dl)], "n_docs bigint, total_dl bigint"
+        )
+    else:
+        # stats over the index: docs appear once per (term, doc); reduce
+        # to one row per doc first (map-side combined), then a one-row agg
+        per_doc = index.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+        stats_df = per_doc.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_dl"),
+        )
 
     # document frequency ONLY for query terms: semi-restrict postings by
     # the (small) query-term set, then count rows per term
@@ -117,7 +142,7 @@ def bm25_search(
     hits = (
         index.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(stats_df))
     )
     n = F.col("n_docs").cast("double")
     avgdl = F.col("total_dl").cast("double") / n

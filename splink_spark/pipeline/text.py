@@ -245,3 +245,71 @@ def compression_ratio(
             )[[id_col, "raw_bytes", "compressed_bytes", "compression_ratio"]]
 
     return df.select(id_col, text_col).mapInPandas(measure, out_schema)
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-WIDE repeated-line removal (the RefinedWeb/C4 boilerplate
+    pass): any line (``delimiter``-separated segment, trimmed for
+    counting) appearing in at least ``min_count`` documents is dropped
+    from every document; surviving lines keep their original order.
+    Complements ``dedup_within_document`` (per-doc repeats) and
+    ``dedup.corpus_dedup`` (whole-doc dupes).
+
+    Scale design: the blocklist (lines with count >= min_count) is by
+    construction the HEAVY-HITTER set — usually tiny (nav bars, cookie
+    banners) — so removal is a broadcast-or-AQE anti-join against it,
+    never a join carrying the full line-frequency table; the hot line
+    keys that would skew a count-table join never leave the blocklist
+    aggregate. Reassembly is one groupBy(doc) over surviving
+    (position, line) pairs. Returns (id, cleaned_text,
+    n_lines, n_removed_lines); docs whose every line is boilerplate come
+    back with empty text (left join keeps them).
+    """
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(delimiter))).alias(
+            "__pos", "__line"
+        ),
+    )
+    key = F.trim(F.col("__line"))
+    blocklist = (
+        lines.groupBy(key.alias("__key"))
+        .agg(F.count_distinct("__id").alias("__n"))
+        .where(F.col("__n") >= int(min_count))
+        .select("__key")
+    )
+    kept = lines.join(
+        blocklist, key == blocklist["__key"], "left_anti"
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__line")))
+                ),
+                lambda s: s["__line"],
+            ),
+            delimiter,
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    totals = lines.groupBy("__id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("__kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed_lines"),
+        )
+    )

@@ -166,3 +166,18 @@ def test_bm25_plan_is_jvm_side_and_broadcasts_queries_not_postings(corpus, spark
     )
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_precomputed_stats_identical(spark, corpus):
+    from splink_spark.pipeline.search import bm25_corpus_stats
+
+    idx = bm25_index(corpus)
+    qs = spark.createDataFrame(
+        [(1, "quick fox"), (2, "lazy dog")], "query_id long, query string"
+    )
+    st = bm25_corpus_stats(idx)
+    assert st == (5, sum(len(t.split()) for _, t in [
+        (r["doc_id"], r["text"]) for r in corpus.collect()]))
+    a = sorted(map(tuple, bm25_search(idx, qs, k=5).collect()))
+    b = sorted(map(tuple, bm25_search(idx, qs, k=5, stats=st).collect()))
+    assert a == b

@@ -59,3 +59,53 @@ def test_url_ops_are_pure_codegen(urls):
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     # one partial+final hash aggregate on the normalized key, nothing else
     assert "HashAggregate" in plan and "partial_min" in plan
+
+
+def test_remove_boilerplate_lines_literals(spark):
+    from splink_spark.pipeline.text import remove_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "cookie banner\nreal content one\nnav bar"),
+            (2, "cookie banner\nunique thoughts\nnav bar"),
+            (3, "cookie banner\nmore real text"),
+            (4, "cookie banner\nnav bar"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_lines"], r["n_removed_lines"])
+        for r in remove_boilerplate_lines(df, min_count=3).collect()
+    }
+    # 'cookie banner' in 4 docs, 'nav bar' in 3 -> both removed everywhere
+    assert got[1] == ("real content one", 3, 2)
+    assert got[2] == ("unique thoughts", 3, 2)
+    assert got[3] == ("more real text", 2, 1)
+    assert got[4] == ("", 2, 2)  # fully-boilerplate doc kept, emptied
+
+
+def test_remove_boilerplate_counts_documents_not_occurrences(spark):
+    from splink_spark.pipeline.text import remove_boilerplate_lines
+
+    # 'x' appears 3 times but in ONE doc: per-document counting keeps it
+    df = spark.createDataFrame(
+        [(1, "x\nx\nx"), (2, "y\nz")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_removed_lines"]
+        for r in remove_boilerplate_lines(df, min_count=2).collect()
+    }
+    assert got == {1: 0, 2: 0}
+
+
+def test_remove_boilerplate_regex_delimiter_is_literal(spark):
+    from splink_spark.pipeline.text import remove_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [(1, "a.b"), (2, "a.c")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in remove_boilerplate_lines(df, delimiter=".", min_count=2).collect()
+    }
+    assert got == {1: "b", 2: "c"}  # '.' split literally, 'a' removed
