@@ -1,7 +1,23 @@
 """Training-data pipeline operators: dedup, ANN/k-means, text analysis,
 corpus curation, multimodal column plumbing."""
 
-from . import ann, bpe, classifier, curation, dedup, embeddings, graph, lm, multimodal, sketches, temporal, text  # noqa: F401
+from . import (  # noqa: F401
+    analytics,
+    ann,
+    bpe,
+    classifier,
+    curation,
+    dedup,
+    embeddings,
+    graph,
+    lm,
+    multimodal,
+    search,
+    sketches,
+    temporal,
+    text,
+    web,
+)
 from .classifier import quality_classifier  # noqa: F401
 from .curation import (  # noqa: F401
     cap_per_group,
@@ -19,4 +35,8 @@ from .embeddings import (  # noqa: F401
     quantize_embeddings,
 )
 from .lm import perplexity_filter  # noqa: F401
-from .text import dedup_within_document  # noqa: F401
+from .analytics import top_k_per_group  # noqa: F401
+from .graph import label_propagation, pagerank, triangle_count  # noqa: F401
+from .search import bm25_corpus_stats, bm25_index, bm25_search  # noqa: F401
+from .text import dedup_within_document, remove_boilerplate_lines  # noqa: F401
+from .web import domain_stats, url_dedup, url_normalize  # noqa: F401

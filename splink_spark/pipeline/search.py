@@ -94,6 +94,7 @@ def bm25_search(
     round_to: int = 6,
     topk_method: str = "auto",
     stats: Optional[tuple] = None,
+    cache_slice: bool = True,
 ) -> DataFrame:
     """Top-``k`` documents per query by BM25 over a ``bm25_index`` table.
     Returns (``query_id``, ``rank``, ``doc_id``, ``score``), rank 1-based,
@@ -130,17 +131,22 @@ def bm25_search(
             F.sum("dl").alias("total_dl"),
         )
 
-    # document frequency ONLY for query terms: semi-restrict postings by
-    # the (small) query-term set, then count rows per term
+    # restrict the index to the query vocabulary ONCE and persist the
+    # (small) slice: document frequencies and the scoring join both read
+    # it — without the persist each branch re-probes the full postings
+    # table (measured: the second probe, not the stats scan, dominated
+    # per-call cost at 60M postings)
+    # (``cache_slice=False`` opts out for callers managing storage memory
+    # across many query batches — each call's slice otherwise stays cached
+    # until evicted LRU or the session ends; identical results either way)
     q_vocab = qterms.select("term").distinct()
-    dfreq = (
-        index.join(F.broadcast(q_vocab), "term")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    relevant = index.join(F.broadcast(q_vocab), "term")
+    if cache_slice:
+        relevant = relevant.persist()
+    dfreq = relevant.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     hits = (
-        index.join(F.broadcast(qterms), "term")
+        relevant.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats_df))
     )
