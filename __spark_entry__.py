@@ -1835,8 +1835,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs.select("doc_id", "text"), delimiter=" ", min_count=int(docs.count() * 0.78)
         )
 
+    def q_streaming_bm25(spark, sf_dir):
+        """Streaming BM25 index maintenance (streaming/operators.py
+        bm25_index_update_stream): documents staged as 4 files ->
+        4 micro-batches, each appending its partial postings to parquet
+        state; read_bm25_index_state merges (distinct over retry-tagged
+        rows). The merged index must EQUAL the batch build, so searching
+        it reuses bm25_topk's full-replay oracle verbatim."""
+        import os
+        import shutil
+
+        from splink_spark.pipeline.search import bm25_search
+        from splink_spark.streaming.operators import (
+            bm25_index_update_stream,
+            read_bm25_index_state,
+        )
+
+        spark = _session(spark)
+        static = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        base = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".stream_cache",
+            os.path.basename(sf_dir.rstrip("/")),
+        )
+        stream_path = os.path.join(base, "documents_bm25_4files")
+        if not os.path.isdir(stream_path):
+            static.repartition(4).write.mode("overwrite").parquet(stream_path)
+        state_path = os.path.join(base, "bm25_state")
+        if os.path.isdir(state_path):
+            shutil.rmtree(state_path)
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_path)
+        )
+        q = bm25_index_update_stream(stream, state_path)
+        q.awaitTermination()
+        idx = read_bm25_index_state(spark, state_path)
+        qs = spark.createDataFrame(
+            [
+                (1, "spark window agg"),
+                (2, "merge join table"),
+                (3, "stream batch vector"),
+                (4, "hash scan filter"),
+                (5, "customer order line"),
+            ],
+            "query_id long, query string",
+        )
+        return bm25_search(idx, qs, k=5)
+
+    def q_common_neighbors(spark, sf_dir):
+        """Common-neighbour / Jaccard link prediction (pipeline/graph.py
+        common_neighbors — wedge self-join + pair count + degree joins)
+        over a deterministic modular graph on customer keys (each node
+        wired to 2c mod m and 3c mod m). Oracle replays wedges, counts,
+        and the Jaccard in SQL."""
+        from splink_spark.pipeline.graph import common_neighbors
+
+        cust = _session(spark).read.parquet(f"{sf_dir}/customer.parquet")
+        c = F.col("c_custkey")
+        m = cust.agg(F.max("c_custkey")).collect()[0][0]
+        e1 = cust.select(c.alias("src"), ((c * 2) % m + 1).alias("dst"))
+        e2 = cust.select(c.alias("src"), ((c * 3) % m + 1).alias("dst"))
+        return common_neighbors(e1.unionByName(e2), min_common=1)
+
     d = {
         "bm25_topk": q_bm25_topk,
+        "streaming_bm25": q_streaming_bm25,
+        "common_neighbors": q_common_neighbors,
         "top_k_per_group": q_top_k_per_group,
         "triangle_count": q_triangle_count,
         "url_dedup": q_url_dedup,
@@ -1955,7 +2023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver evidence for every gate (full local sweeps over all entries:
     # tools/check_oracle.py, artifact CORRECTNESS_FULL_r06.json).
     lead = [
-        "bm25_topk", "top_k_per_group", "triangle_count",
+        "bm25_topk", "streaming_bm25", "common_neighbors", "top_k_per_group",
+        "triangle_count",
         "url_dedup", "domain_stats", "boilerplate_lines",
         "range_join", "time_rollup", "event_funnel", "sessionize",
         "retention", "perplexity_filter", "embedding_covariance",
@@ -4772,6 +4841,42 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
           - len(list_filter(p.segs, s -> NOT list_contains(b.keys, trim(s))))
           AS n_removed_lines
       FROM parts p, blarr b
+    """
+
+    # streaming_bm25: the merged streamed index must equal the batch
+    # build, so the oracle is bm25_topk's full SQL replay verbatim
+    sqls["streaming_bm25"] = sqls["bm25_topk"]
+
+    # common_neighbors: SQL replay of the modular edge construction, the
+    # wedge self-join, the pair count, and the degree-based Jaccard
+    sqls["common_neighbors"] = """
+      WITH m AS (SELECT max(c_custkey) AS m FROM customer),
+      raw AS (
+        SELECT c_custkey AS src, (c_custkey * 2) % (SELECT m FROM m) + 1 AS dst
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, (c_custkey * 3) % (SELECT m FROM m) + 1 FROM customer
+      ),
+      canon AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM raw WHERE src <> dst
+      ),
+      und AS (SELECT a, b FROM canon UNION ALL SELECT b, a FROM canon),
+      deg AS (SELECT a AS node, count(*) AS d FROM und GROUP BY a),
+      wedges AS (
+        SELECT n1.b AS x, n2.b AS y
+        FROM und n1 JOIN und n2 ON n1.a = n2.a AND n1.b < n2.b
+      ),
+      pairs AS (
+        SELECT x AS node_a, y AS node_b, count(*) AS n_common
+        FROM wedges GROUP BY x, y HAVING count(*) >= 1
+      )
+      SELECT p.node_a, p.node_b, p.n_common,
+             round(CAST(p.n_common AS DOUBLE)
+                   / (da.d + db.d - p.n_common), 6) AS jaccard
+      FROM pairs p
+      JOIN deg da ON p.node_a = da.node
+      JOIN deg db ON p.node_b = db.node
     """
 
     # top_k_per_group: the sketch prefilter is plan-only — the oracle is

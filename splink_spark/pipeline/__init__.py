@@ -36,7 +36,12 @@ from .embeddings import (  # noqa: F401
 )
 from .lm import perplexity_filter  # noqa: F401
 from .analytics import top_k_per_group  # noqa: F401
-from .graph import label_propagation, pagerank, triangle_count  # noqa: F401
+from .graph import (  # noqa: F401
+    common_neighbors,
+    label_propagation,
+    pagerank,
+    triangle_count,
+)
 from .search import bm25_corpus_stats, bm25_index, bm25_search  # noqa: F401
 from .text import dedup_within_document, remove_boilerplate_lines  # noqa: F401
 from .web import domain_stats, url_dedup, url_normalize  # noqa: F401

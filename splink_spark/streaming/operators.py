@@ -404,3 +404,59 @@ def read_bloom_state(spark, state_path: str) -> DataFrame:
         .groupBy("word")
         .agg(F.bit_or(F.col("bits")).alias("bits"))
     )
+
+
+def bm25_index_update_stream(
+    stream: DataFrame,
+    state_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """Maintain a BM25 inverted index (pipeline/search.py) over an
+    unbounded document stream: each micro-batch builds its own partial
+    postings table — ``bm25_index`` over just the batch, tagged with
+    ``batch_id`` — and APPENDS it to the parquet state.
+
+    Same append-only contract as ``sketch_update_stream``: a partial index
+    is a pure function of the batch's rows, so a foreachBatch retry
+    re-appends IDENTICAL rows and :func:`read_bm25_index_state` drops the
+    duplicates — exactly-once under retries. Contract: each DOCUMENT
+    arrives in exactly one logical batch (an append-only corpus); a doc's
+    ``tf``/``dl`` are complete within its batch, so the merged index is the
+    row-union of per-batch postings — no cross-batch recombination, which
+    is what makes the merge embarrassingly parallel and the streamed index
+    EQUAL to a batch build over the full corpus (gate-checked).
+    """
+    from ..pipeline.search import bm25_index
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            bm25_index(batch_df, text_col=text_col, id_col=id_col)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(state_path)
+        )
+
+    writer = stream.writeStream.foreachBatch(process).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_bm25_index_state(spark, state_path: str) -> DataFrame:
+    """Merge appended per-batch partial indexes: retry duplicates are
+    bit-identical rows, so a distinct over the tagged rows removes them;
+    the result drops the tag and is a regular ``bm25_index`` table."""
+    return (
+        spark.read.parquet(state_path)
+        .select("batch_id", "term", "doc_id", "tf", "dl")
+        .distinct()
+        .drop("batch_id")
+    )

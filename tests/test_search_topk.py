@@ -181,3 +181,26 @@ def test_bm25_precomputed_stats_identical(spark, corpus):
     a = sorted(map(tuple, bm25_search(idx, qs, k=5).collect()))
     b = sorted(map(tuple, bm25_search(idx, qs, k=5, stats=st).collect()))
     assert a == b
+
+
+def test_streaming_bm25_state_retry_append_law(spark, corpus, tmp_path):
+    """A foreachBatch retry re-appends bit-identical partial-index rows;
+    the read-side distinct must collapse them so the merged index equals
+    the batch build exactly."""
+    from splink_spark.pipeline.search import bm25_index
+    from splink_spark.streaming.operators import read_bm25_index_state
+
+    state = str(tmp_path / "bm25_state")
+    half1 = corpus.where("doc_id <= 2")
+    half2 = corpus.where("doc_id > 2")
+    for batch_id, part in ((0, half1), (1, half2), (1, half2)):  # batch 1 retried
+        (
+            bm25_index(part)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(state)
+        )
+    merged = read_bm25_index_state(spark, state)
+    want = sorted(map(tuple, bm25_index(corpus).collect()))
+    got = sorted(map(tuple, merged.collect()))
+    assert got == want

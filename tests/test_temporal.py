@@ -523,3 +523,44 @@ def test_triangle_count_literals_and_edge_cases(spark):
     assert per[4]["triangles"] == 0 and per[4]["lcc"] == 0.0
     assert 5 not in per  # self-loop-only node has no real edges
     assert per[3]["degree"] == 3 and per[3]["lcc"] == round(2 * 1 / (3 * 2), 6)
+
+
+def test_common_neighbors_matches_networkx(spark):
+    import random
+    from itertools import combinations
+
+    import networkx as nx
+
+    from splink_spark.pipeline.graph import common_neighbors
+
+    random.seed(5)
+    edges = set()
+    while len(edges) < 300:
+        a, b = random.randint(0, 50), random.randint(0, 50)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    g = nx.Graph()
+    g.add_edges_from(edges)
+    want = {}
+    for a, b in combinations(sorted(g.nodes), 2):
+        cn = len(set(g[a]) & set(g[b]))
+        if cn >= 2:
+            want[(a, b)] = (cn, round(cn / len(set(g[a]) | set(g[b])), 6))
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {
+        (r["node_a"], r["node_b"]): (r["n_common"], r["jaccard"])
+        for r in common_neighbors(df, min_common=2).collect()
+    }
+    assert got == want
+
+
+def test_common_neighbors_max_degree_drops_hub_apex(spark):
+    from splink_spark.pipeline.graph import common_neighbors
+
+    # star: hub 0 connected to 1..5; spokes share ONLY the hub
+    star = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    full = common_neighbors(df, min_common=1).collect()
+    assert len(full) == 10  # C(5,2) spoke pairs via the hub
+    capped = common_neighbors(df, min_common=1, max_degree=3).collect()
+    assert capped == []  # hub (deg 5) removed as apex -> no wedges
