@@ -1901,10 +1901,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e2 = cust.select(c.alias("src"), ((c * 3) % m + 1).alias("dst"))
         return common_neighbors(e1.unionByName(e2), min_common=1)
 
+    def q_k_core(spark, sf_dir):
+        """80-core of the part co-purchase graph (pipeline/graph.py
+        k_core — iterative peeling to the unique fixpoint; converges in
+        ~5 rounds here). Oracle unrolls 12 peeling iterations as chained
+        CTEs — past the fixpoint each extra iteration is a no-op, so the
+        generous unroll stays exact."""
+        from splink_spark.pipeline.graph import k_core
+
+        li = _session(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+        l1 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+        l2 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+        edges = (
+            l1.join(l2, "ok")
+            .where(F.col("p1") < F.col("p2"))
+            .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+            .distinct()
+        )
+        return k_core(edges, k=80)
+
     d = {
         "bm25_topk": q_bm25_topk,
         "streaming_bm25": q_streaming_bm25,
         "common_neighbors": q_common_neighbors,
+        "k_core": q_k_core,
         "top_k_per_group": q_top_k_per_group,
         "triangle_count": q_triangle_count,
         "url_dedup": q_url_dedup,
@@ -2023,7 +2043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver evidence for every gate (full local sweeps over all entries:
     # tools/check_oracle.py, artifact CORRECTNESS_FULL_r06.json).
     lead = [
-        "bm25_topk", "streaming_bm25", "common_neighbors", "top_k_per_group",
+        "bm25_topk", "streaming_bm25", "common_neighbors", "k_core",
+        "top_k_per_group",
         "triangle_count",
         "url_dedup", "domain_stats", "boilerplate_lines",
         "range_join", "time_rollup", "event_funnel", "sessionize",
@@ -4877,6 +4898,155 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
       FROM pairs p
       JOIN deg da ON p.node_a = da.node
       JOIN deg db ON p.node_b = db.node
+    """
+
+    # k_core: 12 unrolled peeling iterations (fixpoint is reached in ~5;
+    # extra rounds are no-ops) — generated as chained CTEs
+    sqls["k_core"] = """
+      WITH
+      canon AS MATERIALIZED (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        WHERE l1.l_partkey < l2.l_partkey
+      ),
+      e0 AS MATERIALIZED (SELECT a, b FROM canon),
+      d1 AS MATERIALIZED (
+        SELECT a AS node, count(*) AS d
+        FROM (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0)
+        GROUP BY a
+      ),
+      k1 AS MATERIALIZED (SELECT node FROM d1 WHERE d >= 80),
+      e1 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e0 e
+        JOIN k1 x ON e.a = x.node
+        JOIN k1 y ON e.b = y.node
+      ),
+      d2 AS MATERIALIZED (
+        SELECT a AS node, count(*) AS d
+        FROM (SELECT a, b FROM e1 UNION ALL SELECT b, a FROM e1)
+        GROUP BY a
+      ),
+      k2 AS MATERIALIZED (SELECT node FROM d2 WHERE d >= 80),
+      e2 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e1 e
+        JOIN k2 x ON e.a = x.node
+        JOIN k2 y ON e.b = y.node
+      ),
+      d3 AS MATERIALIZED (
+        SELECT a AS node, count(*) AS d
+        FROM (SELECT a, b FROM e2 UNION ALL SELECT b, a FROM e2)
+        GROUP BY a
+      ),
+      k3 AS MATERIALIZED (SELECT node FROM d3 WHERE d >= 80),
+      e3 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e2 e
+        JOIN k3 x ON e.a = x.node
+        JOIN k3 y ON e.b = y.node
+      ),
+      d4 AS MATERIALIZED (
+        SELECT a AS node, count(*) AS d
+        FROM (SELECT a, b FROM e3 UNION ALL SELECT b, a FROM e3)
+        GROUP BY a
+      ),
+      k4 AS MATERIALIZED (SELECT node FROM d4 WHERE d >= 80),
+      e4 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e3 e
+        JOIN k4 x ON e.a = x.node
+        JOIN k4 y ON e.b = y.node
+      ),
+      d5 AS MATERIALIZED (
+        SELECT a AS node, count(*) AS d
+        FROM (SELECT a, b FROM e4 UNION ALL SELECT b, a FROM e4)
+        GROUP BY a
+      ),
+      k5 AS MATERIALIZED (SELECT node FROM d5 WHERE d >= 80),
+      e5 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e4 e
+        JOIN k5 x ON e.a = x.node
+        JOIN k5 y ON e.b = y.node
+      ),
+      d6 AS MATERIALIZED (
+        SELECT a AS node, count(*) AS d
+        FROM (SELECT a, b FROM e5 UNION ALL SELECT b, a FROM e5)
+        GROUP BY a
+      ),
+      k6 AS MATERIALIZED (SELECT node FROM d6 WHERE d >= 80),
+      e6 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e5 e
+        JOIN k6 x ON e.a = x.node
+        JOIN k6 y ON e.b = y.node
+      ),
+      d7 AS MATERIALIZED (
+        SELECT a AS node, count(*) AS d
+        FROM (SELECT a, b FROM e6 UNION ALL SELECT b, a FROM e6)
+        GROUP BY a
+      ),
+      k7 AS MATERIALIZED (SELECT node FROM d7 WHERE d >= 80),
+      e7 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e6 e
+        JOIN k7 x ON e.a = x.node
+        JOIN k7 y ON e.b = y.node
+      ),
+      d8 AS MATERIALIZED (
+        SELECT a AS node, count(*) AS d
+        FROM (SELECT a, b FROM e7 UNION ALL SELECT b, a FROM e7)
+        GROUP BY a
+      ),
+      k8 AS MATERIALIZED (SELECT node FROM d8 WHERE d >= 80),
+      e8 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e7 e
+        JOIN k8 x ON e.a = x.node
+        JOIN k8 y ON e.b = y.node
+      ),
+      d9 AS MATERIALIZED (
+        SELECT a AS node, count(*) AS d
+        FROM (SELECT a, b FROM e8 UNION ALL SELECT b, a FROM e8)
+        GROUP BY a
+      ),
+      k9 AS MATERIALIZED (SELECT node FROM d9 WHERE d >= 80),
+      e9 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e8 e
+        JOIN k9 x ON e.a = x.node
+        JOIN k9 y ON e.b = y.node
+      ),
+      d10 AS MATERIALIZED (
+        SELECT a AS node, count(*) AS d
+        FROM (SELECT a, b FROM e9 UNION ALL SELECT b, a FROM e9)
+        GROUP BY a
+      ),
+      k10 AS MATERIALIZED (SELECT node FROM d10 WHERE d >= 80),
+      e10 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e9 e
+        JOIN k10 x ON e.a = x.node
+        JOIN k10 y ON e.b = y.node
+      ),
+      d11 AS MATERIALIZED (
+        SELECT a AS node, count(*) AS d
+        FROM (SELECT a, b FROM e10 UNION ALL SELECT b, a FROM e10)
+        GROUP BY a
+      ),
+      k11 AS MATERIALIZED (SELECT node FROM d11 WHERE d >= 80),
+      e11 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e10 e
+        JOIN k11 x ON e.a = x.node
+        JOIN k11 y ON e.b = y.node
+      ),
+      d12 AS MATERIALIZED (
+        SELECT a AS node, count(*) AS d
+        FROM (SELECT a, b FROM e11 UNION ALL SELECT b, a FROM e11)
+        GROUP BY a
+      ),
+      k12 AS MATERIALIZED (SELECT node FROM d12 WHERE d >= 80),
+      e12 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e11 e
+        JOIN k12 x ON e.a = x.node
+        JOIN k12 y ON e.b = y.node
+      )
+      SELECT node, degree FROM (
+        SELECT a AS node, count(*) AS degree
+        FROM (SELECT a, b FROM e12 UNION ALL SELECT b, a FROM e12)
+        GROUP BY a
+      ) WHERE degree >= 80
     """
 
     # top_k_per_group: the sketch prefilter is plan-only — the oracle is

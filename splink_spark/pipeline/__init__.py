@@ -38,6 +38,7 @@ from .lm import perplexity_filter  # noqa: F401
 from .analytics import top_k_per_group  # noqa: F401
 from .graph import (  # noqa: F401
     common_neighbors,
+    k_core,
     label_propagation,
     pagerank,
     triangle_count,

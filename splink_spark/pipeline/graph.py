@@ -23,7 +23,13 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "label_propagation", "triangle_count", "common_neighbors"]
+__all__ = [
+    "pagerank",
+    "label_propagation",
+    "triangle_count",
+    "common_neighbors",
+    "k_core",
+]
 
 UNIT = 1_000_000  # rank fixed-point denominator (millionths)
 
@@ -289,4 +295,69 @@ def common_neighbors(
                 round_to,
             ).alias("jaccard"),
         )
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """The k-core: the maximal subgraph where every node has degree >= k,
+    by iterative peeling — drop all nodes with degree < k, recompute
+    degrees on the induced subgraph, repeat to fixpoint. Deterministic
+    (the fixpoint is unique regardless of peel order). Returns surviving
+    ``(node, degree)`` with the degree WITHIN the core.
+
+    Scale shape per iteration: one map-side-combined degree count + one
+    semi-join of the edge list against surviving nodes (both endpoints);
+    the edge list shrinks monotonically, so later iterations are cheaper.
+    Iteration count is bounded by the peeling depth (typically small;
+    ``max_iterations`` is a safety stop, convergence is detected by the
+    surviving-node count reaching a fixpoint). The driver holds only the
+    loop counter and one count per iteration.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    a = F.least(F.col(src), F.col(dst)).alias("a")
+    b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    # each iteration references the previous edge set THREE times (the
+    # degree union reads it twice, the filter join once), so carrying the
+    # logical plan forward grows it 3^i — localCheckpoint (eager) truncates
+    # lineage every round, exactly like the CC iteration loop
+    cur = (
+        edges.select(a, b)
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_nodes = -1
+    for _ in range(int(max_iterations)):
+        und = cur.unionByName(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= int(k)).select(F.col("a").alias("n"))
+        n_keep = keep.count()
+        if n_keep == prev_nodes or n_keep == 0:
+            if n_keep == 0:
+                cur = cur.where(F.lit(False))
+            break
+        prev_nodes = n_keep
+        cur = (
+            cur.join(keep.withColumnRenamed("n", "a"), "a")
+            .join(keep.withColumnRenamed("n", "b"), "b")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    und = cur.unionByName(
+        cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    return (
+        und.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .where(F.col("degree") >= int(k))
+        .select(F.col("a").alias("node"), "degree")
     )

@@ -249,6 +249,12 @@ def test_no_unbounded_cartesian_nodes_in_gate_queries(spark):
         "prediction_errors", "predict_chunked",
         # one-row totals aggregate crossJoined onto the top-n keys
         "skew_report",
+        # one-row corpus-stats (N docs, total dl) crossJoin-broadcast into
+        # the BM25 scoring expression; same stats shape for the streamed
+        # index variant
+        "bm25_topk", "streaming_bm25",
+        # one-row corpus-total crossJoined onto the per-domain counts
+        "domain_stats",
         # deliberate broadcast of the (small) query side:
         "ann_topk",
         # same shape for the SQ8 candidate pass: corpus crossJoin

@@ -564,3 +564,38 @@ def test_common_neighbors_max_degree_drops_hub_apex(spark):
     assert len(full) == 10  # C(5,2) spoke pairs via the hub
     capped = common_neighbors(df, min_common=1, max_degree=3).collect()
     assert capped == []  # hub (deg 5) removed as apex -> no wedges
+
+
+def test_k_core_matches_networkx(spark):
+    import random
+
+    import networkx as nx
+
+    from splink_spark.pipeline.graph import k_core
+
+    random.seed(11)
+    edges = set()
+    while len(edges) < 500:
+        a, b = random.randint(0, 80), random.randint(0, 80)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    g = nx.Graph()
+    g.add_edges_from(edges)
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    for k in (3, 8, 30):  # partial core, deep core, empty core
+        got = {r["node"]: r["degree"] for r in k_core(df, k).collect()}
+        assert got == dict(nx.k_core(g, k).degree()), k
+
+
+def test_k_core_plan_stays_bounded_across_iterations(spark):
+    """The per-iteration localCheckpoint must truncate lineage: after
+    peeling, the result's logical plan size is independent of how many
+    iterations ran (3^i blowup otherwise — the bug this pins)."""
+    from splink_spark.pipeline.graph import k_core
+
+    chain = [(i, i + 1) for i in range(50)]  # path graph: 1-core = all
+    df = spark.createDataFrame(chain, "src long, dst long")
+    out = k_core(df, 2)  # path peels from both ends, many iterations
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 4, plan.count("Join")
+    assert out.count() == 0  # a path has no 2-core
