@@ -1920,11 +1920,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return k_core(edges, k=80)
 
+    def q_expectations(spark, sf_dir):
+        """Data-quality expectations report (pipeline/quality.py — every
+        rule compiles into ONE aggregation pass; inline(array(struct))
+        fans the single row out to one row per rule). Six rule types over
+        customer; oracle replays each conditional count in SQL."""
+        from splink_spark.pipeline.quality import expectations_report
+
+        cust = _session(spark).read.parquet(f"{sf_dir}/customer.parquet")
+        rules = [
+            {"name": "custkey_not_null", "type": "not_null",
+             "column": "c_custkey"},
+            {"name": "custkey_unique", "type": "unique",
+             "column": "c_custkey"},
+            {"name": "acctbal_range", "type": "in_range",
+             "column": "c_acctbal", "min": 0, "max": 5000},
+            {"name": "name_format", "type": "matches",
+             "column": "c_name", "pattern": "^Customer#[0-9]{9}$"},
+            {"name": "segment_values", "type": "accepted_values",
+             "column": "c_mktsegment",
+             "values": ["MACHINERY", "AUTOMOBILE", "HOUSEHOLD"]},
+            {"name": "bal_vs_key", "type": "expression",
+             "predicate": "c_acctbal > c_custkey"},
+        ]
+        return expectations_report(cust, rules)
+
     d = {
         "bm25_topk": q_bm25_topk,
         "streaming_bm25": q_streaming_bm25,
         "common_neighbors": q_common_neighbors,
         "k_core": q_k_core,
+        "expectations": q_expectations,
         "top_k_per_group": q_top_k_per_group,
         "triangle_count": q_triangle_count,
         "url_dedup": q_url_dedup,
@@ -2044,7 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_oracle.py, artifact CORRECTNESS_FULL_r06.json).
     lead = [
         "bm25_topk", "streaming_bm25", "common_neighbors", "k_core",
-        "top_k_per_group",
+        "expectations", "top_k_per_group",
         "triangle_count",
         "url_dedup", "domain_stats", "boilerplate_lines",
         "range_join", "time_rollup", "event_funnel", "sessionize",
@@ -5047,6 +5073,48 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
         FROM (SELECT a, b FROM e12 UNION ALL SELECT b, a FROM e12)
         GROUP BY a
       ) WHERE degree >= 80
+    """
+
+    # expectations: each rule's conditional count replayed in one SQL agg
+    sqls["expectations"] = """
+      WITH agg AS (
+        SELECT count(*) AS n,
+          sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS v0,
+          count(c_custkey) - count(DISTINCT c_custkey) AS v1,
+          sum(CASE WHEN c_acctbal IS NULL OR c_acctbal < 0
+                     OR c_acctbal > 5000 THEN 1 ELSE 0 END) AS v2,
+          sum(CASE WHEN c_name IS NULL
+                     OR NOT regexp_matches(c_name, '^Customer#[0-9]{9}$')
+                   THEN 1 ELSE 0 END) AS v3,
+          sum(CASE WHEN c_mktsegment IS NULL
+                     OR c_mktsegment NOT IN
+                        ('MACHINERY', 'AUTOMOBILE', 'HOUSEHOLD')
+                   THEN 1 ELSE 0 END) AS v4,
+          sum(CASE WHEN NOT coalesce(c_acctbal > c_custkey, false)
+                   THEN 1 ELSE 0 END) AS v5
+        FROM customer
+      ),
+      rules(idx, rule_name, rule_type, col) AS (
+        VALUES (0, 'custkey_not_null', 'not_null', 'c_custkey'),
+               (1, 'custkey_unique', 'unique', 'c_custkey'),
+               (2, 'acctbal_range', 'in_range', 'c_acctbal'),
+               (3, 'name_format', 'matches', 'c_name'),
+               (4, 'segment_values', 'accepted_values', 'c_mktsegment'),
+               (5, 'bal_vs_key', 'expression', '')
+      )
+      SELECT r.rule_name, r.rule_type, r.col AS "column",
+             a.n AS n_rows,
+             CASE r.idx WHEN 0 THEN a.v0 WHEN 1 THEN a.v1 WHEN 2 THEN a.v2
+                        WHEN 3 THEN a.v3 WHEN 4 THEN a.v4 ELSE a.v5 END
+               AS n_violations,
+             round(CAST(CASE r.idx WHEN 0 THEN a.v0 WHEN 1 THEN a.v1
+                                   WHEN 2 THEN a.v2 WHEN 3 THEN a.v3
+                                   WHEN 4 THEN a.v4 ELSE a.v5 END AS DOUBLE)
+                   / greatest(a.n, 1), 6) AS violation_frac,
+             (CASE r.idx WHEN 0 THEN a.v0 WHEN 1 THEN a.v1 WHEN 2 THEN a.v2
+                         WHEN 3 THEN a.v3 WHEN 4 THEN a.v4 ELSE a.v5 END
+              = 0) AS passed
+      FROM rules r, agg a
     """
 
     # top_k_per_group: the sketch prefilter is plan-only — the oracle is

@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     graph,
     lm,
     multimodal,
+    quality,
     search,
     sketches,
     temporal,
@@ -35,6 +36,7 @@ from .embeddings import (  # noqa: F401
     quantize_embeddings,
 )
 from .lm import perplexity_filter  # noqa: F401
+from .quality import expectations_report  # noqa: F401
 from .analytics import top_k_per_group  # noqa: F401
 from .graph import (  # noqa: F401
     common_neighbors,

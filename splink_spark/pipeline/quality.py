@@ -1,0 +1,95 @@
+"""Data-quality expectations: declare rules against a table, get a
+one-row-per-rule violation report from a SINGLE aggregation pass — the
+dbt-test / Great-Expectations shape, engine-native.
+
+Scale design: every rule compiles to a conditional-count expression
+inside ONE global aggregate (map-side combined, no per-rule scans);
+``unique`` rules add ``count_distinct`` terms to the same aggregate —
+the only shuffling terms, and Spark plans them as expand+two-phase
+aggregation in the same job. A 100-rule report over 100 TB is still one
+scan.
+
+Rule forms (dicts):
+  {"name": ..., "type": "not_null",        "column": c}
+  {"name": ..., "type": "unique",          "column": c}
+  {"name": ..., "type": "in_range",        "column": c, "min": x, "max": y}
+  {"name": ..., "type": "matches",         "column": c, "pattern": regex}
+  {"name": ..., "type": "accepted_values", "column": c, "values": [...]}
+  {"name": ..., "type": "expression",      "predicate": sql_bool}
+``unique`` counts every row beyond the first occurrence of a non-null
+value as a violation (nulls are not duplicates of each other, matching
+SQL DISTINCT semantics would — they are simply excluded).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["expectations_report"]
+
+
+def _violation_expr(rule: Mapping) -> Column:
+    t = rule["type"]
+    c = F.col(rule["column"]) if "column" in rule else None
+    if t == "not_null":
+        return c.isNull()
+    if t == "in_range":
+        lo, hi = rule["min"], rule["max"]
+        return c.isNull() | (c < F.lit(lo)) | (c > F.lit(hi))
+    if t == "matches":
+        return c.isNull() | ~c.rlike(rule["pattern"])
+    if t == "accepted_values":
+        return c.isNull() | ~c.isin(list(rule["values"]))
+    if t == "expression":
+        # three-valued logic: a row where the predicate is NULL did NOT
+        # satisfy it — that's a violation, not a silent pass
+        return ~F.coalesce(F.expr(rule["predicate"]), F.lit(False))
+    raise ValueError(f"unknown rule type {t!r}")
+
+
+def expectations_report(
+    df: DataFrame,
+    rules: Sequence[Mapping],
+    round_to: int = 6,
+) -> DataFrame:
+    """One row per rule: (``rule_name``, ``rule_type``, ``column``,
+    ``n_rows``, ``n_violations``, ``violation_frac``, ``passed``).
+    Deterministic; a single aggregation job regardless of rule count.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, r in enumerate(rules):
+        if r["type"] == "unique":
+            c = F.col(r["column"])
+            aggs.append(
+                (F.count(c) - F.count_distinct(c)).alias(f"__v{i}")
+            )
+        else:
+            aggs.append(
+                F.sum(_violation_expr(r).cast("bigint")).alias(f"__v{i}")
+            )
+    one = df.agg(*aggs)
+    # one row -> one row per rule via inline(array(struct...)): the
+    # aggregate is evaluated ONCE (a per-rule union of selects would plan
+    # one aggregation per rule)
+    structs = []
+    for i, r in enumerate(rules):
+        v = F.coalesce(F.col(f"__v{i}"), F.lit(0)).cast("bigint")
+        structs.append(
+            F.struct(
+                F.lit(r["name"]).alias("rule_name"),
+                F.lit(r["type"]).alias("rule_type"),
+                F.lit(r.get("column", "")).alias("column"),
+                F.col("__n").alias("n_rows"),
+                v.alias("n_violations"),
+                F.round(
+                    v.cast("double")
+                    / F.greatest(F.col("__n"), F.lit(1)).cast("double"),
+                    round_to,
+                ).alias("violation_frac"),
+                (v == 0).alias("passed"),
+            )
+        )
+    return one.select(F.inline(F.array(*structs)))

@@ -109,3 +109,49 @@ def test_remove_boilerplate_regex_delimiter_is_literal(spark):
         for r in remove_boilerplate_lines(df, delimiter=".", min_count=2).collect()
     }
     assert got == {1: "b", 2: "c"}  # '.' split literally, 'a' removed
+
+
+def test_expectations_report_literals(spark):
+    from splink_spark.pipeline.quality import expectations_report
+
+    df = spark.createDataFrame(
+        [(1, "a@x.com", 10.0), (2, None, 5.0), (3, "bad", 200.0),
+         (3, "c@y.org", None)],
+        "id long, email string, amount double",
+    )
+    rules = [
+        {"name": "id_not_null", "type": "not_null", "column": "id"},
+        {"name": "id_unique", "type": "unique", "column": "id"},
+        {"name": "email_format", "type": "matches", "column": "email",
+         "pattern": r"^[^@]+@[^@]+\.[a-z]+$"},
+        {"name": "amount_range", "type": "in_range", "column": "amount",
+         "min": 0, "max": 100},
+        {"name": "seg_values", "type": "accepted_values", "column": "email",
+         "values": ["a@x.com", "c@y.org"]},
+        {"name": "amount_gt_id", "type": "expression",
+         "predicate": "amount > id"},
+    ]
+    got = {r["rule_name"]: r for r in expectations_report(df, rules).collect()}
+    assert got["id_not_null"]["n_violations"] == 0 and got["id_not_null"]["passed"]
+    assert got["id_unique"]["n_violations"] == 1  # 3 appears twice
+    assert got["email_format"]["n_violations"] == 2  # null + 'bad'
+    assert got["amount_range"]["n_violations"] == 2  # 200 + null
+    assert got["seg_values"]["n_violations"] == 2
+    # NULL predicate = not satisfied = violation (row amount=None)
+    assert got["amount_gt_id"]["n_violations"] == 1
+    assert got["id_unique"]["violation_frac"] == 0.25
+
+
+def test_expectations_report_is_single_aggregation_job(spark):
+    from splink_spark.pipeline.quality import expectations_report
+
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    rules = [
+        {"name": f"r{i}", "type": "expression", "predicate": f"id > {i}"}
+        for i in range(20)
+    ]
+    out = expectations_report(df, rules)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # 20 rules still plan ONE aggregate pair (partial+final), not 20 scans
+    assert plan.count("Scan ") <= 1
+    assert len(out.collect()) == 20
