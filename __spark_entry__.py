@@ -1945,9 +1945,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return expectations_report(cust, rules)
 
+    def q_streaming_rollup(spark, sf_dir):
+        """Continuous aggregate maintenance (streaming/operators.py
+        rollup_update_stream): hourly per-user rollups appended per
+        micro-batch (integer-micro-unit partials — associative merge, so
+        the streamed state is bit-equal to a batch build however the rows
+        were batched). 4 file-batches over events; oracle replays the
+        quantized arithmetic over the full table."""
+        import os
+        import shutil
+
+        from splink_spark.streaming.operators import (
+            read_rollup_state,
+            rollup_update_stream,
+        )
+
+        spark = _session(spark)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(ev.dtypes).get("ts") != "bigint":
+            ev = ev.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+            )
+        static = ev.select("user_id", "ts", "value")
+        base = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".stream_cache",
+            os.path.basename(sf_dir.rstrip("/")),
+        )
+        stream_path = os.path.join(base, "events_rollup_4files")
+        if not os.path.isdir(stream_path):
+            static.repartition(4).write.mode("overwrite").parquet(stream_path)
+        state_path = os.path.join(base, "rollup_state")
+        if os.path.isdir(state_path):
+            shutil.rmtree(state_path)
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_path)
+        )
+        q = rollup_update_stream(
+            stream, state_path, granularities=(3600 * 1_000_000_000,),
+            by="user_id",
+        )
+        q.awaitTermination()
+        return read_rollup_state(spark, state_path, by="user_id")
+
     d = {
         "bm25_topk": q_bm25_topk,
         "streaming_bm25": q_streaming_bm25,
+        "streaming_rollup": q_streaming_rollup,
         "common_neighbors": q_common_neighbors,
         "k_core": q_k_core,
         "expectations": q_expectations,
@@ -2069,8 +2115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver evidence for every gate (full local sweeps over all entries:
     # tools/check_oracle.py, artifact CORRECTNESS_FULL_r06.json).
     lead = [
-        "bm25_topk", "streaming_bm25", "common_neighbors", "k_core",
-        "expectations", "top_k_per_group",
+        "bm25_topk", "streaming_bm25", "streaming_rollup", "common_neighbors",
+        "k_core", "expectations", "top_k_per_group",
         "triangle_count",
         "url_dedup", "domain_stats", "boilerplate_lines",
         "range_join", "time_rollup", "event_funnel", "sessionize",
@@ -5115,6 +5161,25 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
                          WHEN 3 THEN a.v3 WHEN 4 THEN a.v4 ELSE a.v5 END
               = 0) AS passed
       FROM rules r, agg a
+    """
+
+    # streaming_rollup: full-table replay of the integer-micro-unit
+    # continuous aggregate (quantize -> bucket -> count/sum/min/max)
+    sqls["streaming_rollup"] = """
+      WITH norm AS (
+        SELECT user_id, epoch_ns(ts) AS tsn,
+               CAST(round(value * 1000000, 0) AS BIGINT) AS v
+        FROM events
+      )
+      SELECT user_id,
+             CAST(3600000000000 AS BIGINT) AS granularity,
+             (tsn // 3600000000000) * 3600000000000 AS bucket_start,
+             count(*) AS n,
+             round(sum(v) / 1000000.0, 6) AS sum_value,
+             round(min(v) / 1000000.0, 6) AS min_value,
+             round(max(v) / 1000000.0, 6) AS max_value,
+             round(sum(v) / 1000000.0 / count(*), 6) AS avg_value
+      FROM norm GROUP BY user_id, bucket_start
     """
 
     # top_k_per_group: the sketch prefilter is plan-only — the oracle is

@@ -19,7 +19,7 @@ All operators return the transformed streaming DataFrame (or a query via
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -459,4 +459,114 @@ def read_bm25_index_state(spark, state_path: str) -> DataFrame:
         .select("batch_id", "term", "doc_id", "tf", "dl")
         .distinct()
         .drop("batch_id")
+    )
+
+
+def rollup_update_stream(
+    stream: DataFrame,
+    state_path: str,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    granularities: Sequence[int] = (3600 * 1_000_000_000,),
+    by: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """Continuous aggregate (the streaming twin of
+    ``pipeline.temporal.time_rollup``): each micro-batch reduces to one
+    partial row per (key, granularity, bucket) — count / sum / min / max
+    — and APPENDS it (tagged with ``batch_id``) to parquet state; the
+    read side merges by the aggregates' own merge laws.
+
+    Exactness contract: values are quantized to integer MILLIONTHS before
+    summation, so the cross-batch merge is associative — the merged state
+    is bit-equal to a batch build over the full table regardless of how
+    rows were split into batches (float partial sums would drift with
+    batch boundaries). Buckets use true integer division (epoch-safe).
+    Retry law as everywhere in this module: a batch's partial is a pure
+    function of its rows; read-side drops duplicate (batch_id, key,
+    granularity, bucket) rows before merging.
+    """
+
+    def partial(batch_df: DataFrame) -> DataFrame:
+        keys = [by] if by else []
+        pieces = []
+        v_micro = F.expr(
+            f"cast(round(`{value_col}` * 1000000, 0) as bigint)"
+        )
+        for g in granularities:
+            bucket = F.expr(
+                f"(cast(`{ts_col}` as bigint) div {int(g)}) * {int(g)}"
+            )
+            pieces.append(
+                batch_df.select(
+                    *keys,
+                    F.lit(int(g)).alias("granularity"),
+                    bucket.alias("bucket_start"),
+                    v_micro.alias("__v"),
+                )
+                .groupBy(*keys, "granularity", "bucket_start")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("__v").alias("sum_micro"),
+                    F.min("__v").alias("min_micro"),
+                    F.max("__v").alias("max_micro"),
+                )
+            )
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            partial(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(state_path)
+        )
+
+    writer = stream.writeStream.foreachBatch(process).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_rollup_state(
+    spark,
+    state_path: str,
+    by: Optional[str] = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Merge appended partial rollups: retry duplicates dropped by
+    distinct, then count/sum merge by +, min/max by min/max — all
+    associative on the integer micro-units. Emits the ``time_rollup``
+    column shape (sum/min/max/avg as rounded doubles)."""
+    keys = [by] if by else []
+    merged = (
+        spark.read.parquet(state_path)
+        .distinct()
+        .groupBy(*keys, "granularity", "bucket_start")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_micro").alias("__s"),
+            F.min("min_micro").alias("__mn"),
+            F.max("max_micro").alias("__mx"),
+        )
+    )
+    m = 1_000_000.0
+    return merged.select(
+        *keys,
+        "granularity",
+        "bucket_start",
+        "n",
+        F.round(F.col("__s") / m, round_to).alias("sum_value"),
+        F.round(F.col("__mn") / m, round_to).alias("min_value"),
+        F.round(F.col("__mx") / m, round_to).alias("max_value"),
+        F.round(F.col("__s") / m / F.col("n"), round_to).alias("avg_value"),
     )

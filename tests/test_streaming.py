@@ -351,3 +351,55 @@ def test_bloom_update_stream_matches_batch_filter(spark, tmp_path):
         for r in bloom_build(static, num_bits=4096, num_hashes=3).collect()
     }
     assert merged == direct
+
+
+def test_rollup_state_retry_append_and_batch_split_invariance(spark, tmp_path):
+    """Two laws at once: (1) a retried batch re-appends identical partial
+    rows and the read-side distinct collapses them; (2) the merged state
+    is identical regardless of HOW rows were split into batches (the
+    integer-micro-unit partials make the merge associative)."""
+    from pyspark.sql import functions as F
+
+    hour = 3_600_000_000_000
+    rows = [(i % 3, i * 7_000_000_000_000 % (50 * hour), (i % 13) / 7.0)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+
+    def write_partials(path, splits, retry_batch=None):
+        from splink_spark.streaming import operators as ops
+        import pyspark.sql.functions as F
+
+        for bid, part in enumerate(splits):
+            partial = (
+                part.select(
+                    "user_id",
+                    F.lit(hour).alias("granularity"),
+                    F.expr(f"(cast(ts as bigint) div {hour}) * {hour}").alias(
+                        "bucket_start"
+                    ),
+                    F.expr("cast(round(value * 1000000, 0) as bigint)").alias("__v"),
+                )
+                .groupBy("user_id", "granularity", "bucket_start")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("__v").alias("sum_micro"),
+                    F.min("__v").alias("min_micro"),
+                    F.max("__v").alias("max_micro"),
+                )
+                .withColumn("batch_id", F.lit(bid))
+            )
+            partial.write.mode("append").parquet(path)
+            if retry_batch == bid:
+                partial.write.mode("append").parquet(path)  # simulated retry
+
+    from splink_spark.streaming.operators import read_rollup_state
+
+    p1 = str(tmp_path / "s1")
+    write_partials(p1, [df.where("user_id = 0"), df.where("user_id != 0")],
+                   retry_batch=1)
+    p2 = str(tmp_path / "s2")
+    write_partials(p2, [df.where("ts < 20 * %d" % hour),
+                        df.where("ts >= 20 * %d" % hour)])
+    a = sorted(map(tuple, read_rollup_state(spark, p1, by="user_id").collect()))
+    b = sorted(map(tuple, read_rollup_state(spark, p2, by="user_id").collect()))
+    assert a == b and len(a) > 0
