@@ -1990,10 +1990,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q.awaitTermination()
         return read_rollup_state(spark, state_path, by="user_id")
 
+    def q_zorder_key(spark, sf_dir):
+        """Morton (Z-order) clustering keys over three lineitem columns
+        (pipeline/layout.py — exact integer quantize + bit interleave,
+        the multi-column data-skipping layout key). Oracle replays the
+        min/max quantization and all 30 bit terms in SQL."""
+        from splink_spark.pipeline.layout import quantize_uniform, zorder_key
+
+        li = _session(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+        cols = ["l_orderkey", "l_partkey", "l_suppkey"]
+        st = li.agg(
+            *[F.min(c).cast("bigint").alias(f"mn_{c}") for c in cols],
+            *[F.max(c).cast("bigint").alias(f"mx_{c}") for c in cols],
+        ).collect()[0]
+        qs = [
+            quantize_uniform(F.col(c), st[f"mn_{c}"], st[f"mx_{c}"], 10)
+            for c in cols
+        ]
+        return li.select(
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.col("l_partkey"),
+            F.col("l_suppkey"),
+            zorder_key(qs, 10).alias("z_value"),
+        )
+
     d = {
         "bm25_topk": q_bm25_topk,
         "streaming_bm25": q_streaming_bm25,
         "streaming_rollup": q_streaming_rollup,
+        "zorder_key": q_zorder_key,
         "common_neighbors": q_common_neighbors,
         "k_core": q_k_core,
         "expectations": q_expectations,
@@ -2115,7 +2141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver evidence for every gate (full local sweeps over all entries:
     # tools/check_oracle.py, artifact CORRECTNESS_FULL_r06.json).
     lead = [
-        "bm25_topk", "streaming_bm25", "streaming_rollup", "common_neighbors",
+        "bm25_topk", "streaming_bm25", "streaming_rollup", "zorder_key",
+        "common_neighbors",
         "k_core", "expectations", "top_k_per_group",
         "triangle_count",
         "url_dedup", "domain_stats", "boilerplate_lines",
@@ -5180,6 +5207,56 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
              round(max(v) / 1000000.0, 6) AS max_value,
              round(sum(v) / 1000000.0 / count(*), 6) AS avg_value
       FROM norm GROUP BY user_id, bucket_start
+    """
+
+    # zorder_key: SQL replay of the exact integer quantization and all
+    # 30 Morton bit-interleave terms (generated)
+    sqls["zorder_key"] = """
+      WITH s AS (
+        SELECT min(l_orderkey) AS mn_l_orderkey, max(l_orderkey) AS mx_l_orderkey,
+               min(l_partkey) AS mn_l_partkey, max(l_partkey) AS mx_l_partkey,
+               min(l_suppkey) AS mn_l_suppkey, max(l_suppkey) AS mx_l_suppkey
+        FROM lineitem
+      ),
+      q AS (
+        SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+          ((greatest(s.mn_l_orderkey, least(s.mx_l_orderkey, l.l_orderkey)) - s.mn_l_orderkey) * 1023) // greatest(1, s.mx_l_orderkey - s.mn_l_orderkey) AS q0,
+          ((greatest(s.mn_l_partkey, least(s.mx_l_partkey, l.l_partkey)) - s.mn_l_partkey) * 1023) // greatest(1, s.mx_l_partkey - s.mn_l_partkey) AS q1,
+          ((greatest(s.mn_l_suppkey, least(s.mx_l_suppkey, l.l_suppkey)) - s.mn_l_suppkey) * 1023) // greatest(1, s.mx_l_suppkey - s.mn_l_suppkey) AS q2
+        FROM lineitem l, s
+      )
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             CAST((((q0 >> 0) & 1) << 0)
+             | (((q1 >> 0) & 1) << 1)
+             | (((q2 >> 0) & 1) << 2)
+             | (((q0 >> 1) & 1) << 3)
+             | (((q1 >> 1) & 1) << 4)
+             | (((q2 >> 1) & 1) << 5)
+             | (((q0 >> 2) & 1) << 6)
+             | (((q1 >> 2) & 1) << 7)
+             | (((q2 >> 2) & 1) << 8)
+             | (((q0 >> 3) & 1) << 9)
+             | (((q1 >> 3) & 1) << 10)
+             | (((q2 >> 3) & 1) << 11)
+             | (((q0 >> 4) & 1) << 12)
+             | (((q1 >> 4) & 1) << 13)
+             | (((q2 >> 4) & 1) << 14)
+             | (((q0 >> 5) & 1) << 15)
+             | (((q1 >> 5) & 1) << 16)
+             | (((q2 >> 5) & 1) << 17)
+             | (((q0 >> 6) & 1) << 18)
+             | (((q1 >> 6) & 1) << 19)
+             | (((q2 >> 6) & 1) << 20)
+             | (((q0 >> 7) & 1) << 21)
+             | (((q1 >> 7) & 1) << 22)
+             | (((q2 >> 7) & 1) << 23)
+             | (((q0 >> 8) & 1) << 24)
+             | (((q1 >> 8) & 1) << 25)
+             | (((q2 >> 8) & 1) << 26)
+             | (((q0 >> 9) & 1) << 27)
+             | (((q1 >> 9) & 1) << 28)
+             | (((q2 >> 9) & 1) << 29) AS BIGINT) AS z_value
+      FROM q
     """
 
     # top_k_per_group: the sketch prefilter is plan-only — the oracle is

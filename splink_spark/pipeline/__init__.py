@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     dedup,
     embeddings,
     graph,
+    layout,
     lm,
     multimodal,
     quality,
@@ -36,6 +37,7 @@ from .embeddings import (  # noqa: F401
     quantize_embeddings,
 )
 from .lm import perplexity_filter  # noqa: F401
+from .layout import zorder_key, zorder_sort  # noqa: F401
 from .quality import expectations_report  # noqa: F401
 from .analytics import top_k_per_group  # noqa: F401
 from .graph import (  # noqa: F401
