@@ -2015,11 +2015,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             zorder_key(qs, 10).alias("z_value"),
         )
 
+    def q_gap_fill(spark, sf_dir):
+        """Dense-grid gap fill with LOCF (pipeline/temporal.py gap_fill —
+        per-bucket micro-unit means, per-key sequence+explode grid, one
+        carry window). 6-hour buckets per user over events; oracle
+        replays the grid (generate_series) and the IGNORE NULLS carry."""
+        from splink_spark.pipeline.temporal import gap_fill
+
+        ev = _session(spark).read.parquet(f"{sf_dir}/events.parquet")
+        if dict(ev.dtypes).get("ts") != "bigint":
+            ev = ev.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+            )
+        return gap_fill(
+            ev, bucket=6 * 3600 * 1_000_000_000, by="user_id"
+        )
+
     d = {
         "bm25_topk": q_bm25_topk,
         "streaming_bm25": q_streaming_bm25,
         "streaming_rollup": q_streaming_rollup,
         "zorder_key": q_zorder_key,
+        "gap_fill": q_gap_fill,
         "common_neighbors": q_common_neighbors,
         "k_core": q_k_core,
         "expectations": q_expectations,
@@ -2142,7 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_oracle.py, artifact CORRECTNESS_FULL_r06.json).
     lead = [
         "bm25_topk", "streaming_bm25", "streaming_rollup", "zorder_key",
-        "common_neighbors",
+        "gap_fill", "common_neighbors",
         "k_core", "expectations", "top_k_per_group",
         "triangle_count",
         "url_dedup", "domain_stats", "boilerplate_lines",
@@ -5257,6 +5274,45 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
              | (((q1 >> 9) & 1) << 28)
              | (((q2 >> 9) & 1) << 29) AS BIGINT) AS z_value
       FROM q
+    """
+
+    # gap_fill: grid via generate_series + IGNORE NULLS carry window,
+    # micro-unit means replayed exactly
+    sqls["gap_fill"] = """
+      WITH norm AS (
+        SELECT user_id, epoch_ns(ts) AS tsn,
+               CAST(round(value * 1000000, 0) AS BIGINT) AS v
+        FROM events
+      ),
+      pb AS (
+        SELECT user_id,
+               (tsn // 21600000000000) * 21600000000000 AS bucket_start,
+               sum(v) AS s, count(*) AS n
+        FROM norm GROUP BY user_id, bucket_start
+      ),
+      spans AS (
+        SELECT user_id, min(bucket_start) AS lo, max(bucket_start) AS hi
+        FROM pb GROUP BY user_id
+      ),
+      grid AS (
+        SELECT user_id,
+               unnest(generate_series(lo, hi, 21600000000000)) AS bucket_start
+        FROM spans
+      ),
+      j AS (
+        SELECT g.user_id, g.bucket_start,
+               round(pb.s / 1000000.0 / pb.n, 6) AS mean_v,
+               pb.n IS NOT NULL AS observed
+        FROM grid g
+        LEFT JOIN pb ON g.user_id = pb.user_id
+                    AND g.bucket_start = pb.bucket_start
+      )
+      SELECT user_id, bucket_start,
+             last_value(mean_v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket_start
+               ROWS UNBOUNDED PRECEDING) AS value,
+             observed
+      FROM j
     """
 
     # top_k_per_group: the sketch prefilter is plan-only — the oracle is

@@ -39,6 +39,7 @@ from .embeddings import (  # noqa: F401
 from .lm import perplexity_filter  # noqa: F401
 from .layout import zorder_key, zorder_sort  # noqa: F401
 from .quality import expectations_report  # noqa: F401
+from .temporal import asof_join, gap_fill, range_join, sessionize, time_rollup  # noqa: F401
 from .analytics import top_k_per_group  # noqa: F401
 from .graph import (  # noqa: F401
     common_neighbors,

@@ -25,7 +25,7 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "time_rollup", "funnel", "sessionize", "retention"]
+__all__ = ["asof_join", "range_join", "time_rollup", "funnel", "sessionize", "retention", "gap_fill"]
 
 
 def _as_list(x: Union[str, Sequence[str], None]) -> list[str]:
@@ -469,4 +469,72 @@ def retention(
                 F.col("n_users").cast("double") / F.col("__base").cast("double"), 6
             ).alias("retention_frac"),
         )
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: int = 3600 * 1_000_000_000,
+    by: Union[str, Sequence[str], None] = None,
+    method: str = "locf",
+    round_to: int = 6,
+) -> DataFrame:
+    """Regularize a sparse per-key time series onto a dense bucket grid
+    (the hypertable ``time_bucket_gapfill`` shape): one row per (key,
+    bucket) from each key's first to last observed bucket, with missing
+    buckets filled by ``method``:
+
+    - ``"locf"``: last observation carried forward (null before the
+      first observation — none exist by construction of the grid);
+    - ``"zero"``: 0.0;
+    - ``"null"``: left null (just the dense grid).
+
+    Multiple observations in one bucket reduce to their MEAN before
+    filling (deterministic: computed from an exact integer micro-unit
+    sum). Scale shape: one aggregate to buckets, one per-key min/max
+    aggregate, ``sequence``+``explode`` to generate each key's grid (rows
+    generated distributed, proportional to the output), one equi-join
+    back, and for locf one per-key ordered window. No driver loops.
+    """
+    if method not in ("locf", "zero", "null"):
+        raise ValueError(f"unknown method {method!r}")
+    keys = _as_list(by)
+    b = F.expr(f"(cast(`{ts_col}` as bigint) div {int(bucket)}) * {int(bucket)}")
+    v_micro = F.expr(f"cast(round(`{value_col}` * 1000000, 0) as bigint)")
+    per_bucket = (
+        df.select(*keys, b.alias("bucket_start"), v_micro.alias("__v"))
+        .groupBy(*keys, "bucket_start")
+        .agg(
+            F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__n")
+        )
+    )
+    spans = per_bucket.groupBy(*keys).agg(
+        F.min("bucket_start").alias("__lo"), F.max("bucket_start").alias("__hi")
+    )
+    grid = spans.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(int(bucket)))
+        ).alias("bucket_start"),
+    )
+    joined = grid.join(per_bucket, keys + ["bucket_start"], "left")
+    mean = F.round(F.col("__s") / F.lit(1_000_000.0) / F.col("__n"), round_to)
+    if method == "locf":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("bucket_start")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = F.last(mean, ignorenulls=True).over(w)
+    elif method == "zero":
+        filled = F.coalesce(mean, F.lit(0.0))
+    else:
+        filled = mean
+    return joined.select(
+        *keys,
+        "bucket_start",
+        filled.alias("value"),
+        F.col("__n").isNotNull().alias("observed"),
     )

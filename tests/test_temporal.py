@@ -599,3 +599,34 @@ def test_k_core_plan_stays_bounded_across_iterations(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") <= 4, plan.count("Join")
     assert out.count() == 0  # a path has no 2-core
+
+
+def test_gap_fill_locf_literals(spark):
+    from splink_spark.pipeline.temporal import gap_fill
+
+    rows = [("a", 10, 1.0), ("a", 11, 2.0), ("a", 45, 3.0),
+            ("b", 100, 7.0), ("a", 12, 4.0)]
+    df = spark.createDataFrame(rows, "k string, ts long, value double")
+    got = {(r["k"], r["bucket_start"]): (r["value"], r["observed"])
+           for r in gap_fill(df, bucket=10, by="k").collect()}
+    # bucket 10 holds three obs -> mean (1+2+4)/3; gaps 20,30 carry it
+    assert got[("a", 10)] == (pytest.approx(2.333333), True)
+    assert got[("a", 20)] == (pytest.approx(2.333333), False)
+    assert got[("a", 30)] == (pytest.approx(2.333333), False)
+    assert got[("a", 40)] == (3.0, True)
+    assert got[("b", 100)] == (7.0, True)
+    assert len(got) == 5  # grid spans first..last bucket per key only
+
+
+def test_gap_fill_zero_and_null_methods(spark):
+    from splink_spark.pipeline.temporal import gap_fill
+
+    df = spark.createDataFrame(
+        [("a", 5, 1.0), ("a", 25, 2.0)], "k string, ts long, value double"
+    )
+    z = {r["bucket_start"]: r["value"]
+         for r in gap_fill(df, bucket=10, by="k", method="zero").collect()}
+    assert z == {0: 1.0, 10: 0.0, 20: 2.0}
+    n = {r["bucket_start"]: r["value"]
+         for r in gap_fill(df, bucket=10, by="k", method="null").collect()}
+    assert n[10] is None
