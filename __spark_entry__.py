@@ -2031,12 +2031,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, bucket=6 * 3600 * 1_000_000_000, by="user_id"
         )
 
+    def q_group_quantiles(spark, sf_dir):
+        """Exact per-group quantiles by rank SELECTION (pipeline/
+        analytics.py group_quantiles — type-1/inverted-CDF; integer
+        micro-unit target ranks dodge the ceil(0.9*100)=91 float trap;
+        one window pass for all fractions). Oracle replays the identical
+        rank selection."""
+        from splink_spark.pipeline.analytics import group_quantiles
+
+        li = _session(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+        return group_quantiles(
+            li.select("l_returnflag", "l_quantity"),
+            ["l_returnflag"],
+            "l_quantity",
+            [0.25, 0.5, 0.9, 0.99],
+        )
+
     d = {
         "bm25_topk": q_bm25_topk,
         "streaming_bm25": q_streaming_bm25,
         "streaming_rollup": q_streaming_rollup,
         "zorder_key": q_zorder_key,
         "gap_fill": q_gap_fill,
+        "group_quantiles": q_group_quantiles,
         "common_neighbors": q_common_neighbors,
         "k_core": q_k_core,
         "expectations": q_expectations,
@@ -2159,7 +2176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_oracle.py, artifact CORRECTNESS_FULL_r06.json).
     lead = [
         "bm25_topk", "streaming_bm25", "streaming_rollup", "zorder_key",
-        "gap_fill", "common_neighbors",
+        "gap_fill", "group_quantiles", "common_neighbors",
         "k_core", "expectations", "top_k_per_group",
         "triangle_count",
         "url_dedup", "domain_stats", "boilerplate_lines",
@@ -5313,6 +5330,28 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
                ROWS UNBOUNDED PRECEDING) AS value,
              observed
       FROM j
+    """
+
+    # group_quantiles: identical rank-selection replay (micro-unit targets)
+    sqls["group_quantiles"] = """
+      WITH base AS (
+        SELECT l_returnflag, l_quantity AS v FROM lineitem
+        WHERE l_quantity IS NOT NULL
+      ),
+      ranked AS (
+        SELECT l_returnflag, v,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS r,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM base
+      ),
+      fr(qm, q) AS (
+        VALUES (250000, 0.25), (500000, 0.5), (900000, 0.9), (990000, 0.99)
+      )
+      SELECT l_returnflag, CAST(q AS DOUBLE) AS fraction,
+             v AS value, n
+      FROM ranked, fr
+      WHERE greatest(1, CAST(floor((qm * n + 999999) / 1000000.0) AS BIGINT))
+            = r
     """
 
     # top_k_per_group: the sketch prefilter is plan-only — the oracle is

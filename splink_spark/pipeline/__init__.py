@@ -40,7 +40,7 @@ from .lm import perplexity_filter  # noqa: F401
 from .layout import zorder_key, zorder_sort  # noqa: F401
 from .quality import expectations_report  # noqa: F401
 from .temporal import asof_join, gap_fill, range_join, sessionize, time_rollup  # noqa: F401
-from .analytics import top_k_per_group  # noqa: F401
+from .analytics import group_quantiles, top_k_per_group  # noqa: F401
 from .graph import (  # noqa: F401
     common_neighbors,
     k_core,

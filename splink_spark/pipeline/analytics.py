@@ -20,7 +20,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["top_k_per_group"]
+__all__ = ["top_k_per_group", "group_quantiles"]
 
 # percentile grid for the prefilter cutoff: the chosen fraction is the
 # DEEPEST grid point at or below the needed depth, so the cutoff can only
@@ -143,3 +143,76 @@ def top_k_per_group(
     )
     pool = good.unionByName(bad).drop("__cutoff", "__n")
     return plain(pool)
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    fractions: Sequence[float] = (0.5, 0.9, 0.99),
+    method: str = "lower",
+) -> DataFrame:
+    """EXACT per-group quantiles by rank selection: the q-quantile is the
+    value at rank ``ceil(q * n)`` (``method="lower"``, type-1/inverted-CDF
+    in the Hyndman–Fan taxonomy) or ``floor(q * n) + 1`` capped at n
+    (``"upper"``). Selection, not interpolation — the result is an actual
+    data value, so it is bit-identical in every engine (interpolated
+    quantiles differ across engines in last-ulp float arithmetic).
+
+    One ordered window per group (rank + group size in the same pass);
+    each requested fraction filters to exactly one row per group.
+    Output: (group cols…, ``fraction``, ``value``, ``n``). Nulls in
+    ``value_col`` are excluded. For monster groups see
+    ``top_k_per_group``'s notes — a quantile needs the middle of the
+    sort, so there is no top-k shortcut; this is the honest full-sort
+    per group.
+    """
+    if method not in ("lower", "upper"):
+        raise ValueError(f"unknown method {method!r}")
+    groups = list(group_cols)
+    base = df.where(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*groups).orderBy(F.col(value_col).asc())
+    ranked = base.select(
+        *groups,
+        F.col(value_col).alias("value"),
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(Window.partitionBy(*groups)).alias("n"),
+    )
+    fracs = [float(q) for q in fractions]
+    if any(not 0.0 < q <= 1.0 for q in fracs):
+        raise ValueError("fractions must be in (0, 1]")
+    # ONE pass for every fraction: each ranked row explodes the (usually
+    # empty) set of fractions whose target rank equals its own — a
+    # per-fraction union of filters would re-run the window per fraction.
+    # Target ranks use integer MICRO-UNIT arithmetic: ceil(0.9 * 100) is
+    # 91 in binary floats; (900000 * 100 + 999999) div 1000000 is the
+    # exact 90.
+    farr = F.array(*[F.lit(round(q * 1_000_000)).alias("qm") for q in fracs])
+    qlabel = {round(q * 1_000_000): q for q in fracs}
+
+    def hits(qm):
+        # exact while qm*n < 2^53, i.e. groups under ~9e9 rows — far past
+        # where a full per-group sort is sane anyway
+        prod = qm.cast("bigint") * F.col("n").cast("bigint")
+        if method == "lower":
+            target = F.greatest(
+                F.lit(1).cast("bigint"),
+                F.floor((prod + F.lit(999_999)) / F.lit(1_000_000)).cast("bigint"),
+            )
+        else:
+            target = F.least(
+                F.col("n").cast("bigint"),
+                (F.floor(prod / F.lit(1_000_000)) + 1).cast("bigint"),
+            )
+        return target == F.col("__r")
+
+    out = ranked.select(
+        *groups,
+        F.explode(F.filter(farr, hits)).alias("__qm"),
+        "value",
+        "n",
+    )
+    frac = F.lit(None).cast("double")
+    for qm, q in qlabel.items():
+        frac = F.when(F.col("__qm") == qm, F.lit(q)).otherwise(frac)
+    return out.select(*groups, frac.alias("fraction"), "value", "n")

@@ -204,3 +204,39 @@ def test_streaming_bm25_state_retry_append_law(spark, corpus, tmp_path):
     want = sorted(map(tuple, bm25_index(corpus).collect()))
     got = sorted(map(tuple, merged.collect()))
     assert got == want
+
+
+def test_group_quantiles_rank_selection(spark):
+    from splink_spark.pipeline.analytics import group_quantiles
+
+    rows = [("g", float(v)) for v in range(1, 101)]
+    rows += [("h", 5.0), ("h", 1.0), ("h", 9.0), ("h", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r["g"], r["fraction"]): (r["value"], r["n"])
+        for r in group_quantiles(df, ["g"], "v", [0.5, 0.9, 1.0]).collect()
+    }
+    assert got[("g", 0.5)] == (50.0, 100)  # ceil(0.5*100) = rank 50
+    assert got[("g", 0.9)] == (90.0, 100)
+    assert got[("g", 1.0)] == (100.0, 100)
+    assert got[("h", 0.5)] == (5.0, 3)  # nulls excluded; ceil(1.5)=2nd
+    assert got[("h", 1.0)] == (9.0, 3)
+    # upper method: floor(q*n)+1 capped
+    up = {
+        (r["g"], r["fraction"]): r["value"]
+        for r in group_quantiles(df, ["g"], "v", [0.5], method="upper").collect()
+    }
+    assert up[("g", 0.5)] == 51.0 and up[("h", 0.5)] == 5.0  # rank floor(1.5)+1 = 2
+
+
+def test_group_quantiles_single_window_pass(spark):
+    from splink_spark.pipeline.analytics import group_quantiles
+
+    df = spark.createDataFrame([("g", 1.0), ("g", 2.0)], "g string, v double")
+    plan = (
+        group_quantiles(df, ["g"], "v", [0.25, 0.5, 0.75, 0.99])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # rank + group-size are two window specs over ONE shared sort/shuffle;
+    # the point is no per-fraction re-execution
+    assert plan.count("Window") <= 2
