@@ -180,6 +180,18 @@ def main() -> None:
         "skew_report",
         "pagerank",
         "label_propagation",
+        "bm25_topk",
+        "top_k_per_group",
+        "triangle_count",
+        "k_core",
+        "common_neighbors",
+        "url_dedup",
+        "domain_stats",
+        "boilerplate_lines",
+        "expectations",
+        "zorder_key",
+        "gap_fill",
+        "group_quantiles",
     ):
         try:
             t0 = time.time()

@@ -159,6 +159,56 @@ def main() -> None:
         lambda: triangle_count(edges).write.format("noop").mode("overwrite").save(),
     )
 
+    # ---- k-core on the same graph (ring+chords graph is 4-regular-ish:
+    # k=4 peels the hub fringe, converges in a few rounds)
+    from splink_spark.pipeline.graph import k_core
+
+    run(
+        "k_core_k4_8m_edges",
+        lambda: k_core(edges, 4).write.format("noop").mode("overwrite").save(),
+    )
+
+    # ---- corpus-wide boilerplate-line removal over the 1M-doc corpus
+    # (space-delimited: blocklist = words in >= 60% of docs)
+    from splink_spark.pipeline.text import remove_boilerplate_lines
+
+    run(
+        "boilerplate_lines_1m_docs",
+        lambda: remove_boilerplate_lines(
+            docs, delimiter=" ", min_count=int(n_docs * 0.6)
+        ).write.format("noop").mode("overwrite").save(),
+    )
+
+    # ---- gap fill over 10M sparse events (1000 keys, hourly buckets)
+    from splink_spark.pipeline.temporal import gap_fill
+
+    hour = 3_600_000_000_000
+    ev = (
+        spark.range(10_000_000)
+        .select(
+            (F.col("id") % 1000).alias("user_id"),
+            (F.pmod(F.col("id") * 48271, F.lit(720)) * hour).alias("ts"),
+            (F.pmod(F.col("id"), F.lit(97)).cast("double") / 7.0).alias("value"),
+        )
+        .persist()
+    )
+    ev.count()
+    run(
+        "gap_fill_10m_events",
+        lambda: gap_fill(ev, bucket=hour, by="user_id")
+        .write.format("noop").mode("overwrite").save(),
+    )
+
+    # ---- exact group quantiles over the same 10M events
+    from splink_spark.pipeline.analytics import group_quantiles
+
+    run(
+        "group_quantiles_10m_events",
+        lambda: group_quantiles(
+            ev, ["user_id"], "value", [0.5, 0.9, 0.99]
+        ).write.format("noop").mode("overwrite").save(),
+    )
+
     results["note"] = (
         "JVM-generated synthetic inputs, noop sink, single run on "
         "local[{c}]. Signals: (1) bm25 search cost is posting-list-bound "
