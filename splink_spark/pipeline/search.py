@@ -32,7 +32,14 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["tokenize_terms", "bm25_index", "bm25_corpus_stats", "bm25_search"]
+__all__ = [
+    "tokenize_terms",
+    "bm25_index",
+    "bm25_corpus_stats",
+    "bm25_search",
+    "bm25_index_write",
+    "bm25_index_read",
+]
 
 _SCALE = 1_000_000
 
@@ -185,3 +192,56 @@ def bm25_search(
             "score"
         ),
     )
+
+
+def bm25_index_write(
+    index: DataFrame,
+    path: str,
+    num_buckets: int = 64,
+) -> None:
+    """Persist an index TERM-BUCKETED: postings partitioned by
+    ``pmod(xxhash64(term), num_buckets)``. The point is read-side
+    PARTITION PRUNING: a search's query terms hash to a handful of
+    buckets, so ``bm25_index_read(..., query_terms=...)`` scans only
+    those directories — on a 100 TB corpus the index itself is huge, and
+    an unpruned search re-reads all of it per query batch."""
+    (
+        index.withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(int(num_buckets))),
+        )
+        .write.partitionBy("term_bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def bm25_index_read(
+    spark,
+    path: str,
+    query_terms: Optional[DataFrame] = None,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Open a bucketed index. With ``query_terms`` (any DataFrame with a
+    ``term`` column — e.g. the queries exploded through
+    ``tokenize_terms``), the needed bucket ids are computed with one tiny
+    job (bounded by the number of distinct query terms) and pushed down
+    as a partition filter — only matching ``term_bucket=`` directories
+    are scanned. ``num_buckets`` MUST match the write (it is layout
+    metadata, like Spark bucketing's bucket count — inferring it from the
+    data would silently mis-prune when the highest buckets happen to be
+    empty). Corpus stats must come from the FULL index
+    (``bm25_corpus_stats`` on an unpruned read, once per index — store
+    them with the index, not per query)."""
+    df = spark.read.parquet(path)
+    if query_terms is not None:
+        buckets = [
+            r[0]
+            for r in query_terms.select(
+                F.pmod(F.xxhash64("term"), F.lit(int(num_buckets))).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        df = df.where(F.col("term_bucket").isin(buckets))
+    return df.drop("term_bucket")

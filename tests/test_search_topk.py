@@ -240,3 +240,38 @@ def test_group_quantiles_single_window_pass(spark):
     # rank + group-size are two window specs over ONE shared sort/shuffle;
     # the point is no per-fraction re-execution
     assert plan.count("Window") <= 2
+
+
+def test_bm25_bucketed_disk_index_prunes_and_matches(spark, corpus, tmp_path):
+    """Searching a reloaded term-bucketed index with partition pruning
+    must return exactly the in-memory results, and the pruned read's plan
+    must carry a PartitionFilters entry on term_bucket."""
+    from splink_spark.pipeline.search import (
+        bm25_corpus_stats,
+        bm25_index_read,
+        bm25_index_write,
+        tokenize_terms,
+    )
+
+    idx = bm25_index(corpus)
+    st = bm25_corpus_stats(idx)
+    path = str(tmp_path / "idx")
+    bm25_index_write(idx, path, num_buckets=16)
+
+    qs = spark.createDataFrame(
+        [(1, "quick fox"), (2, "lazy dog")], "query_id long, query string"
+    )
+    qterms = qs.select(F.explode(tokenize_terms(F.col("query"))).alias("term"))
+    pruned = bm25_index_read(spark, path, query_terms=qterms, num_buckets=16)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [term_bucket" in plan.replace("#", " #").replace(
+        "term_bucket #", "term_bucket#"
+    ) or "term_bucket" in plan.split("PartitionFilters")[1][:200]
+
+    want = sorted(map(tuple, bm25_search(idx, qs, k=5, stats=st).collect()))
+    got = sorted(map(tuple, bm25_search(pruned, qs, k=5, stats=st).collect()))
+    assert got == want
+
+    # full (unpruned) read also reproduces the index
+    full = bm25_index_read(spark, path)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, idx.collect()))
