@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Retrieval + analytics walkthrough on the testdata corpus: build a BM25
+inverted index, persist it term-bucketed, run pruned top-k searches,
+screen the corpus with data-quality expectations, strip corpus-wide
+boilerplate, and profile the co-purchase graph (triangles, k-core,
+link-prediction candidates) — every operator oracle-gated.
+
+    python examples/search_and_analytics.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+
+from splink_spark.pipeline import analytics, graph, quality, search, text, web  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (
+        SparkSession.builder.master("local[*]")
+        .appName("search_analytics_demo")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    # 1. data-quality gate before anything expensive
+    report = quality.expectations_report(
+        docs,
+        [
+            {"name": "id_not_null", "type": "not_null", "column": "doc_id"},
+            {"name": "id_unique", "type": "unique", "column": "doc_id"},
+            {"name": "has_text", "type": "expression",
+             "predicate": "length(trim(text)) > 0"},
+        ],
+    )
+    print("== expectations ==")
+    report.show(truncate=False)
+
+    # 2. corpus-wide boilerplate removal (words in >= 78% of docs)
+    n = docs.count()
+    cleaned = text.remove_boilerplate_lines(
+        docs, delimiter=" ", min_count=int(n * 0.78)
+    )
+    print("== boilerplate removal ==")
+    cleaned.select(
+        F.avg("n_removed_lines").alias("avg_removed"),
+        F.avg("n_lines").alias("avg_lines"),
+    ).show()
+
+    # 3. BM25: build, persist bucketed, search pruned
+    idx = search.bm25_index(docs)
+    stats = search.bm25_corpus_stats(idx)
+    qs = spark.createDataFrame(
+        [(1, "spark window agg"), (2, "merge join table")],
+        "query_id long, query string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        search.bm25_index_write(idx, f"{td}/idx", num_buckets=16)
+        qterms = qs.select(
+            F.explode(search.tokenize_terms(F.col("query"))).alias("term")
+        )
+        pruned = search.bm25_index_read(
+            spark, f"{td}/idx", query_terms=qterms, num_buckets=16
+        )
+        print("== bm25 top-5 over the pruned on-disk index ==")
+        search.bm25_search(pruned, qs, k=5, stats=stats).orderBy(
+            "query_id", "rank"
+        ).show()
+
+    # 4. exact analytics: top orders per customer, grouped quantiles
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    print("== top-2 orders per customer (first 6 rows) ==")
+    analytics.top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"], "o_totalprice", 2, tie_cols=["o_orderkey"],
+    ).orderBy("o_custkey", "__rank").show(6)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    print("== quantity quantiles per return flag ==")
+    analytics.group_quantiles(
+        li, ["l_returnflag"], "l_quantity", [0.5, 0.9, 0.99]
+    ).orderBy("l_returnflag", "fraction").show()
+
+    # 5. co-purchase graph: triangles, 80-core, link candidates
+    l1 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    l2 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    edges = (
+        l1.join(l2, "ok").where(F.col("p1") < F.col("p2"))
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst")).distinct()
+    )
+    print("== graph profile ==")
+    graph.triangle_count(edges).show()
+    print("k-core(20) nodes:", graph.k_core(edges, 20).count())
+    print(
+        "link-prediction pairs (>= 5 common neighbours):",
+        graph.common_neighbors(edges, min_common=5).count(),
+    )
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
