@@ -2047,6 +2047,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [0.25, 0.5, 0.9, 0.99],
         )
 
+    def q_group_moments(spark, sf_dir):
+        """Exact-sum grouped moments (pipeline/analytics.py group_moments
+        — Σv and Σv² in decimal(38,0)/hugeint, so both engines reproduce
+        the integer sums digit-for-digit and IEEE-round the same values;
+        no float summation order anywhere)."""
+        from splink_spark.pipeline.analytics import group_moments
+
+        li = _session(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+        return group_moments(
+            li.select("l_returnflag", "l_extendedprice"),
+            ["l_returnflag"],
+            "l_extendedprice",
+        )
+
     d = {
         "bm25_topk": q_bm25_topk,
         "streaming_bm25": q_streaming_bm25,
@@ -2054,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "gap_fill": q_gap_fill,
         "group_quantiles": q_group_quantiles,
+        "group_moments": q_group_moments,
         "common_neighbors": q_common_neighbors,
         "k_core": q_k_core,
         "expectations": q_expectations,
@@ -2176,7 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_oracle.py, artifact CORRECTNESS_FULL_r06.json).
     lead = [
         "bm25_topk", "streaming_bm25", "streaming_rollup", "zorder_key",
-        "gap_fill", "group_quantiles", "common_neighbors",
+        "gap_fill", "group_quantiles", "group_moments", "common_neighbors",
         "k_core", "expectations", "top_k_per_group",
         "triangle_count",
         "url_dedup", "domain_stats", "boilerplate_lines",
@@ -5352,6 +5367,34 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
       FROM ranked, fr
       WHERE greatest(1, CAST(floor((qm * n + 999999) / 1000000.0) AS BIGINT))
             = r
+    """
+
+    # group_moments: exact hugeint sums, identical double conversion
+    sqls["group_moments"] = """
+      WITH base AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 1000000, 0) AS BIGINT) AS v
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+      ),
+      agg AS (
+        SELECT l_returnflag, count(*) AS n, min(v) AS mn, max(v) AS mx,
+               sum(CAST(v AS HUGEINT)) AS s1,
+               sum(CAST(v AS HUGEINT) * v) AS s2
+        FROM base GROUP BY l_returnflag
+      )
+      SELECT l_returnflag, n,
+             round(mn / 1000000.0, 6) AS min_value,
+             round(mx / 1000000.0, 6) AS max_value,
+             round(CAST(s1 AS DOUBLE) / 1000000.0 / n, 6) AS mean,
+             round(greatest(0.0,
+               (CAST(s2 AS DOUBLE) / n
+                - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+               / 1000000000000.0), 6) AS variance,
+             round(sqrt(greatest(0.0,
+               (CAST(s2 AS DOUBLE) / n
+                - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+               / 1000000000000.0)), 6) AS stddev
+      FROM agg
     """
 
     # top_k_per_group: the sketch prefilter is plan-only — the oracle is

@@ -40,7 +40,11 @@ from .lm import perplexity_filter  # noqa: F401
 from .layout import zorder_key, zorder_sort  # noqa: F401
 from .quality import expectations_report  # noqa: F401
 from .temporal import asof_join, gap_fill, range_join, sessionize, time_rollup  # noqa: F401
-from .analytics import group_quantiles, top_k_per_group  # noqa: F401
+from .analytics import (  # noqa: F401
+    group_moments,
+    group_quantiles,
+    top_k_per_group,
+)
 from .graph import (  # noqa: F401
     common_neighbors,
     k_core,
@@ -48,6 +52,12 @@ from .graph import (  # noqa: F401
     pagerank,
     triangle_count,
 )
-from .search import bm25_corpus_stats, bm25_index, bm25_search  # noqa: F401
+from .search import (  # noqa: F401
+    bm25_corpus_stats,
+    bm25_index,
+    bm25_index_read,
+    bm25_index_write,
+    bm25_search,
+)
 from .text import dedup_within_document, remove_boilerplate_lines  # noqa: F401
 from .web import domain_stats, url_dedup, url_normalize  # noqa: F401

@@ -20,7 +20,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["top_k_per_group", "group_quantiles"]
+__all__ = ["top_k_per_group", "group_quantiles", "group_moments"]
 
 # percentile grid for the prefilter cutoff: the chosen fraction is the
 # DEEPEST grid point at or below the needed depth, so the cutoff can only
@@ -216,3 +216,55 @@ def group_quantiles(
     for qm, q in qlabel.items():
         frac = F.when(F.col("__qm") == qm, F.lit(q)).otherwise(frac)
     return out.select(*groups, frac.alias("fraction"), "value", "n")
+
+
+def group_moments(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group count / min / max / mean / population variance / stddev
+    from EXACT integer sums: values quantize to integer millionths, and
+    Σv and Σv² accumulate in decimal(38,0) — both sums are exact
+    integers (no float summation order, no int64 overflow: v² ≤ 1e24,
+    summable over 1e12 rows inside 38 digits), so ANY engine reproduces
+    them digit-for-digit; only the final mean/variance division converts
+    to double, and both engines IEEE-round the SAME exact integer, so
+    the doubles match too. One map-side-combined aggregation pass.
+    """
+    groups = list(group_cols)
+    v = F.expr(f"cast(round(`{value_col}` * 1000000, 0) as bigint)")
+    vd = v.cast("decimal(38,0)")
+    agg = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*groups, v.alias("__v"), vd.alias("__vd"))
+        .groupBy(*groups)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("__v").alias("__mn"),
+            F.max("__v").alias("__mx"),
+            F.sum("__vd").alias("__s1"),
+            F.sum((F.col("__vd") * F.col("__vd")).cast("decimal(38,0)")).alias(
+                "__s2"
+            ),
+        )
+    )
+    m = 1_000_000.0
+    nd = F.col("n").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    mean = s1 / m / nd
+    # population variance in micro-units²: s2/n - (s1/n)²; both terms from
+    # exact integer sums cast identically in every engine
+    var = (s2 / nd - (s1 / nd) * (s1 / nd)) / F.lit(m * m)
+    var = F.greatest(var, F.lit(0.0))  # guard tiny negative cancellation
+    return agg.select(
+        *groups,
+        "n",
+        F.round(F.col("__mn") / F.lit(m), round_to).alias("min_value"),
+        F.round(F.col("__mx") / F.lit(m), round_to).alias("max_value"),
+        F.round(mean, round_to).alias("mean"),
+        F.round(var, round_to).alias("variance"),
+        F.round(F.sqrt(var), round_to).alias("stddev"),
+    )

@@ -275,3 +275,36 @@ def test_bm25_bucketed_disk_index_prunes_and_matches(spark, corpus, tmp_path):
     # full (unpruned) read also reproduces the index
     full = bm25_index_read(spark, path)
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, idx.collect()))
+
+
+def test_group_moments_matches_statistics_module(spark):
+    import statistics
+
+    from splink_spark.pipeline.analytics import group_moments
+
+    vals = [1.5, 2.25, 100000.0, -3.125, 7.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals] + [("g", None)], "g string, v double"
+    )
+    r = group_moments(df, ["g"], "v").collect()[0]
+    mean = sum(vals) / len(vals)
+    var = statistics.pvariance(vals)
+    assert r["n"] == 5
+    assert r["mean"] == pytest.approx(mean, abs=1e-6)
+    assert r["variance"] == pytest.approx(var, rel=1e-9)
+    assert r["stddev"] == pytest.approx(var ** 0.5, rel=1e-9)
+    assert (r["min_value"], r["max_value"]) == (-3.125, 100000.0)
+
+
+def test_group_moments_deterministic_across_partitionings(spark):
+    """The decimal sums are associative: repartitioning cannot change a
+    single output digit (a double-sum implementation would drift)."""
+    from splink_spark.pipeline.analytics import group_moments
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 7).alias("g"),
+        ((F.col("id") * 48271 % 100_000).cast("double") / 7.0).alias("v"),
+    )
+    a = sorted(map(tuple, group_moments(df.coalesce(1), ["g"], "v").collect()))
+    b = sorted(map(tuple, group_moments(df.repartition(37), ["g"], "v").collect()))
+    assert a == b
