@@ -289,8 +289,9 @@ def time_rollup(
     granularity) into a single partial-aggregated exchange, instead of N
     scans/N shuffles for N granularities. At 100 TB the scan dominates, so
     rollup cost is ~independent of how many granularities you keep.
-    Buckets are ``floor(ts / g) * g`` — deterministic integer arithmetic,
-    engine-portable. Coarser rollups are NOT derived from finer ones (that
+    Buckets are ``(ts div g) * g`` — truncating integer division
+    (identical to DuckDB's integer ``//`` for negatives too), so the
+    arithmetic is engine-portable. Coarser rollups are NOT derived from finer ones (that
     would be a second shuffle); all levels share the one Expand.
     """
     keys = _as_list(by)
@@ -429,8 +430,9 @@ def retention(
     """Cohort retention: a user's cohort is the period of their FIRST
     activity; cell (cohort, k) counts the cohort's users active in period
     cohort+k, with ``retention_frac`` relative to the cohort size (k = 0
-    row). Periods are ``floor(ts / period)`` — deterministic integer
-    arithmetic in ``ts_col`` units.
+    row). Periods are ``ts div period`` — truncating integer division
+    (matches DuckDB's integer ``//`` exactly, negatives included) in
+    ``ts_col`` units.
 
     Scale shape: first-activity and distinct-activity both reduce BY USER
     (map-side combined; output one row per user / per user-period), the
