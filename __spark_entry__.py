@@ -42,6 +42,29 @@ def _session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _stage_stream_dir(static, stream_path: str, src_file: str) -> None:
+    """(Re)materialize a 4-file staging copy for file-stream gates.
+    The driver REGENERATES testdata between rounds, so a cached staging
+    dir must be invalidated when the SOURCE parquet is newer — comparing
+    a stamp written at staging time against the source mtime; a plain
+    isdir() check would silently stream last round's data against this
+    round's oracle."""
+    import os
+    import shutil
+
+    stamp = os.path.join(stream_path, "__staged_from_mtime")
+    src_mtime = os.path.getmtime(src_file)
+    if os.path.isdir(stream_path) and os.path.exists(stamp):
+        with open(stamp) as f:
+            if abs(float(f.read().strip()) - src_mtime) < 1e-6:
+                return
+    if os.path.isdir(stream_path):
+        shutil.rmtree(stream_path)
+    static.repartition(4).write.mode("overwrite").parquet(stream_path)
+    with open(stamp, "w") as f:
+        f.write(repr(src_mtime))
+
+
 def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -1437,8 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             os.path.basename(sf_dir.rstrip("/")),
         )
         stream_path = os.path.join(base, "documents_4files")
-        if not os.path.isdir(stream_path):
-            static.repartition(4).write.mode("overwrite").parquet(stream_path)
+        _stage_stream_dir(static, stream_path, src)
         state_path = os.path.join(base, "cms_state")
         if os.path.isdir(state_path):
             shutil.rmtree(state_path)
@@ -1861,8 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             os.path.basename(sf_dir.rstrip("/")),
         )
         stream_path = os.path.join(base, "documents_bm25_4files")
-        if not os.path.isdir(stream_path):
-            static.repartition(4).write.mode("overwrite").parquet(stream_path)
+        _stage_stream_dir(static, stream_path, f"{sf_dir}/documents.parquet")
         state_path = os.path.join(base, "bm25_state")
         if os.path.isdir(state_path):
             shutil.rmtree(state_path)
@@ -1973,8 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             os.path.basename(sf_dir.rstrip("/")),
         )
         stream_path = os.path.join(base, "events_rollup_4files")
-        if not os.path.isdir(stream_path):
-            static.repartition(4).write.mode("overwrite").parquet(stream_path)
+        _stage_stream_dir(static, stream_path, f"{sf_dir}/events.parquet")
         state_path = os.path.join(base, "rollup_state")
         if os.path.isdir(state_path):
             shutil.rmtree(state_path)
