@@ -178,8 +178,11 @@ def triangle_count(
     """
     a = F.least(F.col(src), F.col(dst)).alias("a")
     b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    # canon is read FOUR times (degree union x2, orientation, closure):
+    # persist it, or an expensive upstream (e.g. a co-occurrence
+    # self-join) re-executes per branch
     canon = (
-        edges.select(a, b).where(F.col("a") != F.col("b")).distinct()
+        edges.select(a, b).where(F.col("a") != F.col("b")).distinct().persist()
     )
     und = canon.unionByName(
         canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -256,7 +259,10 @@ def common_neighbors(
     """
     a = F.least(F.col(src), F.col(dst)).alias("a")
     b = F.greatest(F.col(src), F.col(dst)).alias("b")
-    canon = edges.select(a, b).where(F.col("a") != F.col("b")).distinct()
+    # persisted for the same multi-branch reason as triangle_count
+    canon = (
+        edges.select(a, b).where(F.col("a") != F.col("b")).distinct().persist()
+    )
     und = canon.unionByName(
         canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )

@@ -301,7 +301,15 @@ def remove_boilerplate_lines(
         ).alias("cleaned_text"),
         F.count(F.lit(1)).alias("__kept"),
     )
-    totals = lines.groupBy("__id").agg(F.count(F.lit(1)).alias("n_lines"))
+    # per-doc total straight from the un-exploded text (size of the split
+    # array) — a third explode branch just to count would re-scan the
+    # corpus
+    totals = df.select(
+        F.col(id_col).alias("__id"),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(F.split(F.col(text_col), _re.escape(delimiter))))
+        .alias("n_lines"),
+    )
     return (
         totals.join(rebuilt, "__id", "left")
         .select(
