@@ -2081,6 +2081,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "l_extendedprice",
         )
 
+    def q_repeated_spans(spark, sf_dir):
+        """Exact substring self-dedup (pipeline/curation.py
+        dedup_repeated_spans — Lee et al. 2022 at span granularity: any
+        repeated 3-gram keeps only its minimal (doc, pos) occurrence).
+        Oracle replays keys, keeper ranking, position unions, and the
+        ordered rebuild."""
+        from splink_spark.pipeline.curation import dedup_repeated_spans
+
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        return dedup_repeated_spans(
+            docs.select("doc_id", "text"), n=3
+        )
+
     d = {
         "bm25_topk": q_bm25_topk,
         "streaming_bm25": q_streaming_bm25,
@@ -2089,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         "group_quantiles": q_group_quantiles,
         "group_moments": q_group_moments,
+        "repeated_spans": q_repeated_spans,
         "common_neighbors": q_common_neighbors,
         "k_core": q_k_core,
         "expectations": q_expectations,
@@ -2211,7 +2225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_oracle.py, artifact CORRECTNESS_FULL_r06.json).
     lead = [
         "bm25_topk", "streaming_bm25", "streaming_rollup", "zorder_key",
-        "gap_fill", "group_quantiles", "group_moments", "common_neighbors",
+        "gap_fill", "group_quantiles", "group_moments", "repeated_spans",
+        "common_neighbors",
         "k_core", "expectations", "top_k_per_group",
         "triangle_count",
         "url_dedup", "domain_stats", "boilerplate_lines",
@@ -5415,6 +5430,53 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
                / 1000000000000.0)), 6) AS stddev
       FROM agg
+    """
+
+    # repeated_spans: replay md5 window keys, keeper = rank-1 by
+    # (doc, pos) per key, position unions, ordered index-lambda rebuild
+    sqls["repeated_spans"] = """
+      WITH toks AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+        FROM documents
+      ),
+      spans AS (
+        SELECT doc_id, i - 1 AS gpos,
+               md5(lower(array_to_string(t[i: i + 2], ' '))) AS key
+        FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+        WHERE len(t) >= 3
+      ),
+      ranked AS (
+        SELECT doc_id, gpos, key,
+               row_number() OVER (PARTITION BY key ORDER BY doc_id, gpos)
+                 AS rn,
+               count(*) OVER (PARTITION BY key) AS cnt
+        FROM spans
+      ),
+      removal_occ AS (
+        SELECT doc_id, gpos FROM ranked WHERE cnt >= 2 AND rn > 1
+      ),
+      positions AS (
+        SELECT doc_id, gpos,
+               unnest(generate_series(gpos, gpos + 2)) AS pos
+        FROM removal_occ
+      ),
+      perdoc AS (
+        SELECT doc_id, list(DISTINCT pos) AS rm,
+               count(DISTINCT pos) AS n_rm,
+               count(DISTINCT gpos) AS n_spans
+        FROM positions GROUP BY doc_id
+      )
+      SELECT tk.doc_id,
+             len(tk.t) AS n_tokens,
+             coalesce(pd.n_rm, 0) AS n_removed_tokens,
+             coalesce(pd.n_spans, 0) AS n_repeated_spans,
+             coalesce(array_to_string(
+               list_filter(tk.t,
+                 (x, i) -> NOT list_contains(coalesce(pd.rm, []), i - 1)),
+               ' '), '') AS cleaned_text
+      FROM toks tk LEFT JOIN perdoc pd ON tk.doc_id = pd.doc_id
     """
 
     # top_k_per_group: the sketch prefilter is plan-only — the oracle is

@@ -23,6 +23,7 @@ from . import (  # noqa: F401
 from .classifier import quality_classifier  # noqa: F401
 from .curation import (  # noqa: F401
     cap_per_group,
+    dedup_repeated_spans,
     curate_corpus,
     dsir_resample,
     shard_corpus,

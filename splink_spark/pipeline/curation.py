@@ -547,6 +547,108 @@ def decontaminate_spans(
     )
 
 
+def dedup_repeated_spans(
+    corpus: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring SELF-deduplication (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" treatment, at span
+    granularity): any ``n``-token span occurring at least ``min_count``
+    times ACROSS the corpus keeps only its FIRST occurrence — minimal
+    (doc id, position), fully deterministic — and every other occurrence's
+    tokens are removed, the text rebuilt. The self-corpus sibling of
+    :func:`decontaminate_spans` (eval-set dictionary) and
+    ``text.remove_boilerplate_lines`` (line granularity).
+
+    Scale shape: md5 span keys posexplode (fixed width — document bodies
+    never shuffle), ONE map-side-combined aggregate per key producing the
+    occurrence count and the keeper (min struct), an equi-join carrying
+    only occurrences of repeated keys, position-union removal and the same
+    HOF rebuild as decontaminate_spans. The repeated-key table is joined
+    shuffled, never broadcast (it scales with the corpus).
+
+    Output: (``id_col``, n_tokens, n_removed_tokens, n_repeated_spans,
+    cleaned_text) — n_repeated_spans counts removed (non-keeper) span
+    occurrences in the document.
+    """
+    from ..internals.misc import optimizer_barrier
+
+    nn = int(n)
+    if nn < 1:
+        raise ValueError("n must be >= 1")
+
+    def span_keys(toks):
+        return F.when(
+            F.size(toks) < nn, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (nn - 1)),
+                lambda i: F.md5(F.lower(F.concat_ws(" ", F.slice(toks, i, nn)))),
+            )
+        )
+
+    staged = corpus.select(
+        F.col(id_col), optimizer_barrier(_tokens(F.col(text_col))).alias("__toks")
+    ).persist()
+    toks = F.col("__toks")
+    doc_spans = staged.select(
+        F.col(id_col), F.posexplode(span_keys(toks)).alias("__gpos", "__key")
+    )
+    per_key = (
+        doc_spans.groupBy("__key")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(F.struct(F.col(id_col), F.col("__gpos"))).alias("__keep"),
+        )
+        .where(F.col("__cnt") >= int(min_count))
+        .select("__key", "__keep")
+    )
+    removals = (
+        doc_spans.join(per_key, "__key")
+        .where(
+            ~(
+                (F.col(id_col) == F.col(f"__keep.{id_col}"))
+                & (F.col("__gpos") == F.col("__keep.__gpos"))
+            )
+        )
+        .select(
+            F.col(id_col),
+            F.col("__gpos"),
+            F.explode(
+                F.sequence(F.col("__gpos"), F.col("__gpos") + F.lit(nn - 1))
+            ).alias("__pos"),
+        )
+    )
+    per_doc = removals.groupBy(id_col).agg(
+        F.collect_set("__pos").alias("__remove_pos"),
+        F.count_distinct("__gpos").alias("n_spans"),
+    )
+    out = staged.join(per_doc, on=id_col, how="left")
+    remove_pos = F.coalesce(F.col("__remove_pos"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.arrays_zip(
+            toks, F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)))
+        ),
+        lambda s: ~F.array_contains(remove_pos, s["1"].cast("int")),
+    )
+    return out.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.size(F.col("__remove_pos")), F.lit(0))
+        .cast("bigint")
+        .alias("n_removed_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0))
+        .cast("bigint")
+        .alias("n_repeated_spans"),
+        F.when(F.size(toks) == 0, F.lit("")).otherwise(
+            F.concat_ws(" ", F.transform(kept, lambda s: s["__toks"]))
+        ).alias("cleaned_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic stratified sampling / mixture planning
 # ---------------------------------------------------------------------------

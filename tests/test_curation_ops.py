@@ -440,3 +440,46 @@ def test_skew_report_plan_is_take_ordered_not_global_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_repeated_spans_keeps_first_occurrence(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat today"),
+            (2, "yesterday the cat sat on the mat again"),
+            (3, "completely unrelated text here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_removed_tokens"], r["n_repeated_spans"])
+        for r in cu.dedup_repeated_spans(df, n=3).collect()
+    }
+    # doc 1 holds every repeated 3-gram's first occurrence -> untouched
+    assert got[1] == ("the cat sat on the mat today", 0, 0)
+    # doc 2 loses the shared 6-token run (4 overlapping repeated 3-grams)
+    assert got[2] == ("yesterday again", 6, 4)
+    assert got[3] == ("completely unrelated text here now", 0, 0)
+
+
+def test_dedup_repeated_spans_within_one_document(spark):
+    # repetition INSIDE a doc is also deduplicated (first window kept)
+    df = spark.createDataFrame(
+        [(1, "a b c x a b c")], "doc_id long, text string"
+    )
+    r = cu.dedup_repeated_spans(df, n=3).collect()[0]
+    assert r["cleaned_text"] == "a b c x"
+    assert r["n_removed_tokens"] == 3 and r["n_repeated_spans"] == 1
+
+
+def test_dedup_repeated_spans_min_count_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, "p q r"), (2, "p q r"), (3, "p q r")], "doc_id long, text string"
+    )
+    # min_count=4: three occurrences stay under the bar -> nothing removed
+    out = cu.dedup_repeated_spans(df, n=3, min_count=4).collect()
+    assert all(r["n_removed_tokens"] == 0 for r in out)
+    # default min_count=2: docs 2 and 3 empty, doc 1 kept
+    got = {r["doc_id"]: r["cleaned_text"]
+           for r in cu.dedup_repeated_spans(df, n=3).collect()}
+    assert got == {1: "p q r", 2: "", 3: ""}
