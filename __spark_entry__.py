@@ -2094,6 +2094,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs.select("doc_id", "text"), n=3
         )
 
+    def q_rolling_aggregate(spark, sf_dir):
+        """Trailing-window rolling aggregates per user (pipeline/
+        temporal.py rolling_aggregate — RANGE frame, exact micro-unit
+        running sums). 1h window over events; oracle = the identical
+        RANGE BETWEEN window in SQL."""
+        from splink_spark.pipeline.temporal import rolling_aggregate
+
+        ev = _session(spark).read.parquet(f"{sf_dir}/events.parquet")
+        if dict(ev.dtypes).get("ts") != "bigint":
+            ev = ev.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+            )
+        out = rolling_aggregate(
+            ev.select("event_id", "user_id", "ts", "value"),
+            by="user_id",
+            window_size=3600 * 1_000_000_000,
+        )
+        return out.select(
+            "event_id", "user_id", "w_count", "w_sum", "w_mean"
+        )
+
     d = {
         "bm25_topk": q_bm25_topk,
         "streaming_bm25": q_streaming_bm25,
@@ -2103,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantiles": q_group_quantiles,
         "group_moments": q_group_moments,
         "repeated_spans": q_repeated_spans,
+        "rolling_aggregate": q_rolling_aggregate,
         "common_neighbors": q_common_neighbors,
         "k_core": q_k_core,
         "expectations": q_expectations,
@@ -2226,7 +2248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lead = [
         "bm25_topk", "streaming_bm25", "streaming_rollup", "zorder_key",
         "gap_fill", "group_quantiles", "group_moments", "repeated_spans",
-        "common_neighbors",
+        "rolling_aggregate", "common_neighbors",
         "k_core", "expectations", "top_k_per_group",
         "triangle_count",
         "url_dedup", "domain_stats", "boilerplate_lines",
@@ -5477,6 +5499,23 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
                  (x, i) -> NOT list_contains(coalesce(pd.rm, []), i - 1)),
                ' '), '') AS cleaned_text
       FROM toks tk LEFT JOIN perdoc pd ON tk.doc_id = pd.doc_id
+    """
+
+    # rolling_aggregate: identical RANGE frame, micro-unit running sums
+    sqls["rolling_aggregate"] = """
+      WITH norm AS (
+        SELECT event_id, user_id, epoch_ns(ts) AS tsn,
+               CAST(round(value * 1000000, 0) AS BIGINT) AS v
+        FROM events
+      )
+      SELECT event_id, user_id,
+             count(*) OVER w AS w_count,
+             round(sum(v) OVER w / 1000000.0, 6) AS w_sum,
+             round(sum(v) OVER w / 1000000.0
+                   / CAST(count(*) OVER w AS DOUBLE), 6) AS w_mean
+      FROM norm
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsn
+                   RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
     """
 
     # top_k_per_group: the sketch prefilter is plan-only — the oracle is

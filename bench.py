@@ -192,6 +192,9 @@ def main() -> None:
         "zorder_key",
         "gap_fill",
         "group_quantiles",
+        "group_moments",
+        "repeated_spans",
+        "rolling_aggregate",
     ):
         try:
             t0 = time.time()

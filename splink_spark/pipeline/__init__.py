@@ -40,7 +40,14 @@ from .embeddings import (  # noqa: F401
 from .lm import perplexity_filter  # noqa: F401
 from .layout import zorder_key, zorder_sort  # noqa: F401
 from .quality import expectations_report  # noqa: F401
-from .temporal import asof_join, gap_fill, range_join, sessionize, time_rollup  # noqa: F401
+from .temporal import (  # noqa: F401
+    asof_join,
+    gap_fill,
+    range_join,
+    rolling_aggregate,
+    sessionize,
+    time_rollup,
+)
 from .analytics import (  # noqa: F401
     group_moments,
     group_quantiles,

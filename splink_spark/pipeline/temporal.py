@@ -25,7 +25,16 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "time_rollup", "funnel", "sessionize", "retention", "gap_fill"]
+__all__ = [
+    "asof_join",
+    "range_join",
+    "time_rollup",
+    "funnel",
+    "sessionize",
+    "retention",
+    "gap_fill",
+    "rolling_aggregate",
+]
 
 
 def _as_list(x: Union[str, Sequence[str], None]) -> list[str]:
@@ -539,4 +548,46 @@ def gap_fill(
         "bucket_start",
         filled.alias("value"),
         F.col("__n").isNotNull().alias("observed"),
+    )
+
+
+def rolling_aggregate(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    by: Union[str, Sequence[str], None] = None,
+    window_size: int = 3600 * 1_000_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-event trailing-window aggregates: for every row, the count /
+    sum / mean of ``value_col`` over the key's events in
+    ``[ts - window_size, ts]`` (inclusive both ends — the SQL RANGE frame).
+    The moving-feature primitive (rates, rolling means) for event feature
+    engineering.
+
+    One shuffle (the per-key window); the RANGE frame makes Spark keep a
+    sliding buffer bounded by the window's row count, not the partition.
+    Sums run over integer MICRO-UNITS so the trailing sum is exact and
+    engine-portable (a float running sum depends on eviction order).
+    Output adds ``w_count``, ``w_sum``, ``w_mean``.
+    """
+    keys = _as_list(by)
+    ts = F.col(ts_col).cast("bigint")
+    v_micro = F.expr(f"cast(round(`{value_col}` * 1000000, 0) as bigint)")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts)
+        .rangeBetween(-int(window_size), 0)
+    )
+    staged = df.withColumn("__vm", v_micro)
+    cnt = F.count(F.lit(1)).over(w)
+    s = F.sum("__vm").over(w)
+    return (
+        staged.withColumn("w_count", cnt)
+        .withColumn("w_sum", F.round(s / F.lit(1_000_000.0), round_to))
+        .withColumn(
+            "w_mean",
+            F.round(s / F.lit(1_000_000.0) / cnt.cast("double"), round_to),
+        )
+        .drop("__vm")
     )

@@ -630,3 +630,18 @@ def test_gap_fill_zero_and_null_methods(spark):
     n = {r["bucket_start"]: r["value"]
          for r in gap_fill(df, bucket=10, by="k", method="null").collect()}
     assert n[10] is None
+
+
+def test_rolling_aggregate_trailing_window_literals(spark):
+    from splink_spark.pipeline.temporal import rolling_aggregate
+
+    rows = [("a", 0, 1.0), ("a", 5, 2.0), ("a", 10, 4.0), ("a", 30, 8.0),
+            ("b", 3, 5.0)]
+    df = spark.createDataFrame(rows, "k string, ts long, value double")
+    got = {(r["k"], r["ts"]): (r["w_count"], r["w_sum"], r["w_mean"])
+           for r in rolling_aggregate(df, by="k", window_size=10).collect()}
+    assert got[("a", 0)] == (1, 1.0, 1.0)
+    assert got[("a", 5)] == (2, 3.0, 1.5)   # [-5, 5] inclusive
+    assert got[("a", 10)] == (3, 7.0, pytest.approx(7 / 3, abs=1e-6))
+    assert got[("a", 30)] == (1, 8.0, 8.0)  # window [20, 30]: alone
+    assert got[("b", 3)] == (1, 5.0, 5.0)   # keys independent
