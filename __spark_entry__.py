@@ -2115,6 +2115,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_id", "user_id", "w_count", "w_sum", "w_mean"
         )
 
+    def q_fuzzy_join_ed1(spark, sf_dir):
+        """Deletion-neighborhood fuzzy self-join on customer names
+        (pipeline/fuzzy.py — FastSS blocking turns levenshtein<=1 into a
+        variant equi-join + exact verify; the ORACLE is the quadratic
+        brute-force join, which the operator must reproduce exactly)."""
+        from splink_spark.pipeline.fuzzy import fuzzy_join_ed1
+
+        cust = _session(spark).read.parquet(f"{sf_dir}/customer.parquet")
+        l = cust.select(F.col("c_custkey").alias("lid"), F.col("c_name").alias("lname"))
+        r = cust.select(F.col("c_custkey").alias("rid"), F.col("c_name").alias("rname"))
+        out = fuzzy_join_ed1(l, r, "lname", "rname", "lid", "rid")
+        return out.where(F.col("lid") < F.col("rid")).select(
+            "lid", "rid", "distance"
+        )
+
     d = {
         "bm25_topk": q_bm25_topk,
         "streaming_bm25": q_streaming_bm25,
@@ -2125,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_moments": q_group_moments,
         "repeated_spans": q_repeated_spans,
         "rolling_aggregate": q_rolling_aggregate,
+        "fuzzy_join_ed1": q_fuzzy_join_ed1,
         "common_neighbors": q_common_neighbors,
         "k_core": q_k_core,
         "expectations": q_expectations,
@@ -2248,7 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lead = [
         "bm25_topk", "streaming_bm25", "streaming_rollup", "zorder_key",
         "gap_fill", "group_quantiles", "group_moments", "repeated_spans",
-        "rolling_aggregate", "common_neighbors",
+        "rolling_aggregate", "fuzzy_join_ed1", "common_neighbors",
         "k_core", "expectations", "top_k_per_group",
         "triangle_count",
         "url_dedup", "domain_stats", "boilerplate_lines",
@@ -5516,6 +5532,15 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
       FROM norm
       WINDOW w AS (PARTITION BY user_id ORDER BY tsn
                    RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+    """
+
+    # fuzzy_join_ed1: the ORACLE is the quadratic brute-force join the
+    # deletion-neighborhood plan must reproduce exactly
+    sqls["fuzzy_join_ed1"] = """
+      SELECT l.c_custkey AS lid, r.c_custkey AS rid,
+             levenshtein(l.c_name, r.c_name) AS distance
+      FROM customer l JOIN customer r ON l.c_custkey < r.c_custkey
+      WHERE levenshtein(l.c_name, r.c_name) <= 1
     """
 
     # top_k_per_group: the sketch prefilter is plan-only — the oracle is

@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     curation,
     dedup,
     embeddings,
+    fuzzy,
     graph,
     layout,
     lm,
@@ -53,6 +54,7 @@ from .analytics import (  # noqa: F401
     group_quantiles,
     top_k_per_group,
 )
+from .fuzzy import fuzzy_join_ed1  # noqa: F401
 from .graph import (  # noqa: F401
     common_neighbors,
     k_core,

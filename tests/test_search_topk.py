@@ -308,3 +308,52 @@ def test_group_moments_deterministic_across_partitionings(spark):
     a = sorted(map(tuple, group_moments(df.coalesce(1), ["g"], "v").collect()))
     b = sorted(map(tuple, group_moments(df.repartition(37), ["g"], "v").collect()))
     assert a == b
+
+
+def test_fuzzy_join_ed1_matches_brute_force(spark):
+    import itertools
+
+    from splink_spark.pipeline.fuzzy import fuzzy_join_ed1
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    names = ["smith", "smyth", "smitt", "smith ", "jones", "jonse",
+             "joness", "brown", "browne", "crown", "", "a", "b", "ab"]
+    L = [(i, n) for i, n in enumerate(names)]
+    R = [(100 + i, n) for i, n in enumerate(names)]
+    ldf = spark.createDataFrame(L, "lid long, name string")
+    rdf = spark.createDataFrame(R, "rid long, rname string")
+    got = {
+        (r["lid"], r["rid"]): r["distance"]
+        for r in fuzzy_join_ed1(ldf, rdf, "name", "rname", "lid", "rid").collect()
+    }
+    want = {
+        (li, ri): lev(ln, rn)
+        for (li, ln), (ri, rn) in itertools.product(L, R)
+        if lev(ln, rn) <= 1
+    }
+    assert got == want
+
+
+def test_fuzzy_join_ed1_long_string_guard_keeps_exact_matches(spark):
+    from splink_spark.pipeline.fuzzy import fuzzy_join_ed1
+
+    long = "x" * 100
+    ldf = spark.createDataFrame([(1, long), (2, "ab")], "lid long, v string")
+    rdf = spark.createDataFrame(
+        [(9, long), (10, long + "y"), (11, "ab")], "rid long, w string"
+    )
+    got = {(r["lid"], r["rid"]) for r in
+           fuzzy_join_ed1(ldf, rdf, "v", "w", "lid", "rid", max_len=64).collect()}
+    # over max_len: exact duplicates still match; the ED1 neighbor is
+    # (documented) not guaranteed
+    assert (1, 9) in got and (2, 11) in got
