@@ -2130,6 +2130,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lid", "rid", "distance"
         )
 
+    def q_sorted_neighborhood(spark, sf_dir):
+        """Sorted-neighborhood blocking pairs over customer names
+        (pipeline/fuzzy.py — Hernandez-Stolfo merge/purge: global rank,
+        then window self-joins on rank distance). Oracle replays the
+        rank + bounded rank-gap join."""
+        from splink_spark.pipeline.fuzzy import sorted_neighborhood_pairs
+
+        cust = _session(spark).read.parquet(f"{sf_dir}/customer.parquet")
+        return sorted_neighborhood_pairs(
+            cust.select("c_custkey", "c_name"), "c_name", "c_custkey",
+            window=3,
+        )
+
     d = {
         "bm25_topk": q_bm25_topk,
         "streaming_bm25": q_streaming_bm25,
@@ -2141,6 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "rolling_aggregate": q_rolling_aggregate,
         "fuzzy_join_ed1": q_fuzzy_join_ed1,
+        "sorted_neighborhood": q_sorted_neighborhood,
         "common_neighbors": q_common_neighbors,
         "k_core": q_k_core,
         "expectations": q_expectations,
@@ -2264,7 +2278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lead = [
         "bm25_topk", "streaming_bm25", "streaming_rollup", "zorder_key",
         "gap_fill", "group_quantiles", "group_moments", "repeated_spans",
-        "rolling_aggregate", "fuzzy_join_ed1", "common_neighbors",
+        "rolling_aggregate", "fuzzy_join_ed1", "sorted_neighborhood",
+        "common_neighbors",
         "k_core", "expectations", "top_k_per_group",
         "triangle_count",
         "url_dedup", "domain_stats", "boilerplate_lines",
@@ -5541,6 +5556,18 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
              levenshtein(l.c_name, r.c_name) AS distance
       FROM customer l JOIN customer r ON l.c_custkey < r.c_custkey
       WHERE levenshtein(l.c_name, r.c_name) <= 1
+    """
+
+    # sorted_neighborhood: rank + bounded rank-gap join replay
+    sqls["sorted_neighborhood"] = """
+      WITH ranked AS (
+        SELECT c_custkey AS id, c_name AS key,
+               row_number() OVER (ORDER BY c_name, c_custkey) AS r
+        FROM customer
+      )
+      SELECT l.id AS id_l, r.id AS id_r, l.key AS key_l, r.key AS key_r,
+             CAST(r.r - l.r AS INT) AS rank_gap
+      FROM ranked l JOIN ranked r ON r.r - l.r BETWEEN 1 AND 3
     """
 
     # top_k_per_group: the sketch prefilter is plan-only — the oracle is

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["deletion_variants", "fuzzy_join_ed1"]
+__all__ = ["deletion_variants", "fuzzy_join_ed1", "sorted_neighborhood_pairs"]
 
 
 def deletion_variants(col: Column, max_len: int = 64) -> Column:
@@ -80,3 +80,61 @@ def fuzzy_join_ed1(
             "distance",
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo's merge/purge):
+    order records by a sorting key and emit every pair within ``window``
+    positions — the classic alternative to equality blocking when keys
+    are dirty (typo-adjacent values usually sort near each other).
+
+    Plan: one global rank (row_number over the key order, ties broken by
+    the id for determinism), then ``window`` self-equi-joins on
+    ``rank = rank + d`` (d = 1..window) — each is a co-partitioned hash
+    join on the rank, never a window carrying a growing buffer, and the
+    output is exactly ``window * (n-1) - ...`` bounded pairs. The global
+    sort is the scale limiter (same as any sorted-neighborhood
+    implementation); shard by a coarse prefix first if one sort is too
+    hot.
+
+    Output: (``id_l``, ``id_r``, ``key_l``, ``key_r``, ``rank_gap``)
+    with ``id_l``/``id_r`` ordered by rank (not id).
+    """
+    from pyspark.sql import Window as W
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    ranked = df.select(
+        F.col(id_col).alias("__id"), F.col(key_col).alias("__key")
+    ).withColumn(
+        "__rank",
+        F.row_number().over(
+            W.orderBy(F.col("__key").asc(), F.col("__id").asc())
+        ),
+    )
+    l = ranked.select(
+        F.col("__id").alias("id_l"),
+        F.col("__key").alias("key_l"),
+        F.col("__rank").alias("__rl"),
+    )
+    pieces = []
+    for d in range(1, int(window) + 1):
+        r = ranked.select(
+            F.col("__id").alias("id_r"),
+            F.col("__key").alias("key_r"),
+            (F.col("__rank") - d).alias("__rl"),
+        )
+        pieces.append(
+            l.join(r, "__rl").select(
+                "id_l", "id_r", "key_l", "key_r", F.lit(d).alias("rank_gap")
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out

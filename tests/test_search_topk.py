@@ -357,3 +357,21 @@ def test_fuzzy_join_ed1_long_string_guard_keeps_exact_matches(spark):
     # over max_len: exact duplicates still match; the ED1 neighbor is
     # (documented) not guaranteed
     assert (1, 9) in got and (2, 11) in got
+
+
+def test_sorted_neighborhood_pairs_literals(spark):
+    from splink_spark.pipeline.fuzzy import sorted_neighborhood_pairs
+
+    rows = [(1, "smith"), (2, "smyth"), (3, "smithe"), (4, "jones"), (5, "jonse")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r["id_l"], r["id_r"]): r["rank_gap"]
+        for r in sorted_neighborhood_pairs(df, "name", "id", window=2).collect()
+    }
+    # sort order: jones(4) jonse(5) smith(1) smithe(3) smyth(2)
+    assert got == {
+        (4, 5): 1, (4, 1): 2, (5, 1): 1, (5, 3): 2,
+        (1, 3): 1, (1, 2): 2, (3, 2): 1,
+    }
+    # window w over n rows yields w*n - w*(w+1)/2 pairs
+    assert len(got) == 2 * 5 - 3
