@@ -54,6 +54,12 @@ def fuzzy_join_ed1(
     <= 1, as (``left_id``, ``right_id``, left value, right value,
     distance) — exact (the deletion-neighborhood property guarantees no
     candidate is missed at distance 1), deduplicated, deterministic.
+
+    Skew honesty: VERY short values are promiscuous — every 1-character
+    string is within distance 1 of every other, so their candidate set
+    is quadratic in their count. That is the semantics, not a plan
+    artifact; pre-filter values below a sensible length for your domain
+    before joining (names/codes are fine, single letters are not).
     """
     lv = left.select(
         F.col(left_id).alias("__lid"),
