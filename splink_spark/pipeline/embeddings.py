@@ -42,6 +42,7 @@ def embedding_covariance(
     embedding_col: str = "embedding",
     *,
     dim: Optional[int] = None,
+    quantize_scale: Optional[int] = None,
 ) -> DataFrame:
     """Population covariance matrix of an ``array<float/double>`` column as
     a (i, j, cov) DataFrame (full d x d, computed from the upper triangle).
@@ -49,6 +50,19 @@ def embedding_covariance(
     One scan: per-partition numpy partials -> groupBy(idx) sum ->
     d*(d+1)/2 + d + 1 aggregated cells -> covariance entries. NULL or
     wrong-length embeddings are dropped (counted out of n).
+
+    ``quantize_scale`` (e.g. ``10**6``) switches to exact integer
+    accumulation: each element is quantized JVM-side to
+    ``round(x * scale)`` (Spark's HALF_UP round — identical to
+    std::round half-away-from-zero on the same double), and the moment
+    sums are exact int64 partials merged as decimal(38,0) — the result is
+    bit-identical however the rows are partitioned, and any other engine
+    replaying the quantized arithmetic reproduces it digit-for-digit
+    (the float path's X^T X partials accumulate in partition order, so
+    last-ulp drift can flip a rounded digit across engines). The exact
+    path adds a ``cov_p12`` column: the covariance in exact
+    parts-per-10^12, ``trunc((n*Sqq - Sq_i*Sq_j) * 10^12 / (n^2 *
+    scale^2))`` over pure integers — the cross-engine comparison key.
     """
     import numpy as np
 
@@ -69,49 +83,108 @@ def embedding_covariance(
     src = df.select(F.col(embedding_col).cast("array<double>").alias("e")).where(
         F.col("e").isNotNull() & (F.size("e") == d)
     )
+    exact = quantize_scale is not None
+    if exact:
+        s = int(quantize_scale)
+        # quantize JVM-side: F.round is exact-decimal HALF_UP on the
+        # binary double — the one rounding rule every engine reproduces
+        src = src.select(
+            F.transform(
+                "e", lambda x: F.round(x * F.lit(s)).cast("long")
+            ).alias("e")
+        )
 
     def partials(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
         import pandas as pd
 
-        xtx = np.zeros((d, d), dtype=np.float64)
-        colsum = np.zeros(d, dtype=np.float64)
+        acc_dtype = np.int64 if exact else np.float64
+        idx = list(range(n_tri + d + 1))
+
+        def flush(xtx, colsum, count):
+            vals = [xtx[i, j] for i, j in zip(tri_i_arr, tri_j_arr)]
+            vals.extend(colsum.tolist())
+            vals.append(acc_dtype(count))
+            return pd.DataFrame(
+                {"idx": idx, "val": np.asarray(vals, dtype=acc_dtype)}
+            )
+
+        xtx = np.zeros((d, d), dtype=acc_dtype)
+        colsum = np.zeros(d, dtype=acc_dtype)
         count = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            x = np.vstack(pdf["e"].to_numpy())
+            x = np.vstack(pdf["e"].to_numpy()).astype(acc_dtype, copy=False)
             xtx += x.T @ x
             colsum += x.sum(axis=0)
             count += x.shape[0]
-        if count == 0:
-            return
-        idx = list(range(n_tri + d + 1))
-        vals = [xtx[i, j] for i, j in zip(tri_i_arr, tri_j_arr)]
-        vals.extend(colsum.tolist())
-        vals.append(float(count))
-        yield pd.DataFrame({"idx": idx, "val": vals})
+            if exact and count >= 100_000:
+                # int64 headroom: |q| <= scale * |x|; flushing the
+                # partial every 100k rows keeps Sum(q_i * q_j) far from
+                # 2^63 even for scale=1e6 — the cross-partial merge
+                # happens in decimal(38,0) on the Spark side
+                yield flush(xtx, colsum, count)
+                xtx = np.zeros((d, d), dtype=acc_dtype)
+                colsum = np.zeros(d, dtype=acc_dtype)
+                count = 0
+        if count:
+            yield flush(xtx, colsum, count)
 
+    schema = "idx long, val long" if exact else _partial_schema()
+    sum_col = (
+        F.sum(F.col("val").cast("decimal(38,0)")) if exact else F.sum("val")
+    )
     agg = (
-        src.mapInPandas(partials, _partial_schema())
+        src.mapInPandas(partials, schema)
         .groupBy("idx")
-        .agg(F.sum("val").alias("val"))
+        .agg(sum_col.alias("val"))
     )
 
     # decode: one tiny collect of n_tri + d + 1 cells (model state)
-    cells = {r["idx"]: r["val"] for r in agg.collect()}
-    n = cells.get(n_tri + d, 0.0)
+    raw = {r["idx"]: r["val"] for r in agg.collect()}
+    if exact:
+        cells = {k: int(v) for k, v in raw.items()}
+    else:
+        cells = raw
+    n = cells.get(n_tri + d, 0)
     if not n:
         raise ValueError("no valid embeddings to aggregate")
-    mean = [cells[n_tri + i] / n for i in range(d)]
     rows = []
-    for t, (i, j) in enumerate(zip(tri_i_arr, tri_j_arr)):
-        cov = cells[t] / n - mean[i] * mean[j]
-        rows.append((i, j, cov))
-        if i != j:
-            rows.append((j, i, cov))
-    spark = df.sparkSession
-    out = spark.createDataFrame(rows, "i int, j int, cov double")
+    if exact:
+        n = int(n)
+        s2 = int(quantize_scale) ** 2
+        den = n * n * s2
+        p12 = 10**12
+        for t, (i, j) in enumerate(zip(tri_i_arr, tri_j_arr)):
+            num = n * cells[t] - cells[n_tri + i] * cells[n_tri + j]
+            # float expression ordered exactly as SQL would write it:
+            # double(S)/double(n) per moment, then subtract, then scale
+            cov = (
+                float(n * cells[t] - cells[n_tri + i] * cells[n_tri + j])
+                / float(den)
+            )
+            # truncating integer division (Spark `div` / DuckDB `//`
+            # semantics, NOT Python floor) over exact ints
+            q = abs(num) * p12 // den
+            cov_p12 = q if num >= 0 else -q
+            rows.append((i, j, cov, cov_p12))
+            if i != j:
+                rows.append((j, i, cov, cov_p12))
+        spark = df.sparkSession
+        out = spark.createDataFrame(
+            rows, "i int, j int, cov double, cov_p12 long"
+        )
+        mean = [cells[n_tri + i] / n for i in range(d)]
+    else:
+        mean = [cells[n_tri + i] / n for i in range(d)]
+        for t, (i, j) in enumerate(zip(tri_i_arr, tri_j_arr)):
+            cov = cells[t] / n - mean[i] * mean[j]
+            rows.append((i, j, cov))
+            if i != j:
+                rows.append((j, i, cov))
+        spark = df.sparkSession
+        out = spark.createDataFrame(rows, "i int, j int, cov double")
     out._splink_cov_meta = {"n": int(n), "mean": mean, "dim": d}  # type: ignore[attr-defined]
     return out
 

@@ -56,8 +56,16 @@ def expectations_report(
     round_to: int = 6,
 ) -> DataFrame:
     """One row per rule: (``rule_name``, ``rule_type``, ``column``,
-    ``n_rows``, ``n_violations``, ``violation_frac``, ``passed``).
-    Deterministic; a single aggregation job regardless of rule count.
+    ``n_rows``, ``n_violations``, ``violation_ppm``, ``violation_frac``,
+    ``passed``). Deterministic; a single aggregation job regardless of
+    rule count.
+
+    ``violation_ppm`` is the violation rate in exact parts-per-million:
+    ``(n_violations * 1_000_000) div n_rows`` — true integer division,
+    reproduced digit-for-digit by any engine. ``violation_frac`` is the
+    human-friendly double (rounded at ``round_to``); cross-engine
+    comparisons should key on the ppm column, since a rounded double's
+    last digit is a rounding-boundary coin-flip between engines.
     """
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, r in enumerate(rules):
@@ -71,12 +79,25 @@ def expectations_report(
                 F.sum(_violation_expr(r).cast("bigint")).alias(f"__v{i}")
             )
     one = df.agg(*aggs)
+    # normalise the count columns once (coalesce nulls, fix types) so the
+    # struct stage below can use true integer division via F.expr on
+    # plain column names — `/` is double division in Spark and floor(
+    # double) misrounds at integer boundaries, so `div` it must be
+    one = one.select(
+        F.col("__n").cast("bigint").alias("__n"),
+        *[
+            F.coalesce(F.col(f"__v{i}"), F.lit(0))
+            .cast("bigint")
+            .alias(f"__v{i}")
+            for i in range(len(rules))
+        ],
+    )
     # one row -> one row per rule via inline(array(struct...)): the
     # aggregate is evaluated ONCE (a per-rule union of selects would plan
     # one aggregation per rule)
     structs = []
     for i, r in enumerate(rules):
-        v = F.coalesce(F.col(f"__v{i}"), F.lit(0)).cast("bigint")
+        v = F.col(f"__v{i}")
         structs.append(
             F.struct(
                 F.lit(r["name"]).alias("rule_name"),
@@ -84,6 +105,9 @@ def expectations_report(
                 F.lit(r.get("column", "")).alias("column"),
                 F.col("__n").alias("n_rows"),
                 v.alias("n_violations"),
+                F.expr(
+                    f"(__v{i} * 1000000) div greatest(__n, 1)"
+                ).alias("violation_ppm"),
                 F.round(
                     v.cast("double")
                     / F.greatest(F.col("__n"), F.lit(1)).cast("double"),

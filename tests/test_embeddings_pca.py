@@ -33,6 +33,44 @@ def test_covariance_matches_numpy(vecs):
     assert np.allclose(meta["mean"], base.mean(axis=0), atol=1e-12)
 
 
+def test_covariance_exact_quantized(vecs):
+    base, df = vecs
+    scale = 10**6
+    cov_df = emb.embedding_covariance(df, quantize_scale=scale)
+    got = np.zeros((4, 4))
+    got_p12 = np.zeros((4, 4), dtype=np.int64)
+    for r in cov_df.collect():
+        got[r["i"], r["j"]] = r["cov"]
+        got_p12[r["i"], r["j"]] = r["cov_p12"]
+    want = np.cov(base, rowvar=False, ddof=0)
+    # quantization at 1e-6 per element: cov error is O(1e-6 * |x|)
+    assert np.allclose(got, want, atol=1e-4)
+    # cov_p12 is the exact trunc-div integer of the same quantity
+    assert np.allclose(got_p12 / 1e12, got, atol=1e-11)
+    # partitioning-invariant: repartitioned input gives bit-equal cells
+    cov2 = emb.embedding_covariance(df.repartition(7), quantize_scale=scale)
+    p12_2 = {(r["i"], r["j"]): r["cov_p12"] for r in cov2.collect()}
+    for i in range(4):
+        for j in range(4):
+            assert p12_2[(i, j)] == got_p12[i, j]
+
+
+def test_covariance_exact_partial_flush(spark):
+    # >100k rows forces the int64-headroom partial flush inside a
+    # single partition; result must equal the unflushed arithmetic
+    rng = np.random.RandomState(3)
+    base = rng.randn(120_000, 2)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(len(base))]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    cov_df = emb.embedding_covariance(df, quantize_scale=10**6)
+    got = {(r["i"], r["j"]): r["cov"] for r in cov_df.collect()}
+    want = np.cov(base, rowvar=False, ddof=0)
+    for (i, j), v in got.items():
+        assert abs(v - want[i, j]) < 1e-4
+
+
 def test_covariance_drops_null_and_ragged(spark):
     df = spark.createDataFrame(
         [(0, [1.0, 2.0]), (1, None), (2, [3.0]), (3, [3.0, 6.0])],

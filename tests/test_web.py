@@ -140,6 +140,10 @@ def test_expectations_report_literals(spark):
     # NULL predicate = not satisfied = violation (row amount=None)
     assert got["amount_gt_id"]["n_violations"] == 1
     assert got["id_unique"]["violation_frac"] == 0.25
+    # exact integer ppm: v * 1e6 div n — the cross-engine comparison key
+    assert got["id_unique"]["violation_ppm"] == 250_000
+    assert got["email_format"]["violation_ppm"] == 500_000
+    assert got["id_not_null"]["violation_ppm"] == 0
 
 
 def test_expectations_report_is_single_aggregation_job(spark):
