@@ -5118,6 +5118,7 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
         GROUP BY trim(line)
         HAVING count(DISTINCT doc_id)
                >= CAST(floor((SELECT count(*) FROM documents) * 0.78) AS BIGINT)
+           AND trim(line) != ''
       ),
       blarr AS (SELECT coalesce(list(key), []) AS keys FROM bl)
       SELECT p.doc_id,
@@ -5437,7 +5438,7 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
       pb AS (
         SELECT user_id,
                (tsn // 21600000000000) * 21600000000000 AS bucket_start,
-               sum(v) AS s, count(*) AS n
+               sum(v) AS s, count(*) AS n, count(v) AS nv
         FROM norm GROUP BY user_id, bucket_start
       ),
       spans AS (
@@ -5451,7 +5452,7 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
       ),
       j AS (
         SELECT g.user_id, g.bucket_start,
-               round(pb.s / 1000000.0 / pb.n, 6) AS mean_v,
+               round(pb.s / 1000000.0 / pb.nv, 6) AS mean_v,
                pb.n IS NOT NULL AS observed
         FROM grid g
         LEFT JOIN pb ON g.user_id = pb.user_id
@@ -5573,7 +5574,7 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
              count(*) OVER w AS w_count,
              round(sum(v) OVER w / 1000000.0, 6) AS w_sum,
              round(sum(v) OVER w / 1000000.0
-                   / CAST(count(*) OVER w AS DOUBLE), 6) AS w_mean
+                   / CAST(count(v) OVER w AS DOUBLE), 6) AS w_mean
       FROM norm
       WINDOW w AS (PARTITION BY user_id ORDER BY tsn
                    RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)

@@ -237,10 +237,23 @@ def main() -> None:
             try:
                 with open(p) as f:
                     full = json.load(f)
+                # stamp every reprint with WHEN it was measured (artifact
+                # mtime + its own measured_round if recorded) so a cached
+                # number can never read as a fresh per-round measurement
+                import datetime as _dt
+
+                stamp = {
+                    "reprinted_from_cached_artifact": True,
+                    "measured_at": _dt.datetime.fromtimestamp(
+                        os.path.getmtime(p)
+                    ).isoformat(timespec="seconds"),
+                }
+                if "measured_round" in full:
+                    stamp["measured_round"] = full["measured_round"]
                 if key == "bench_cc_skew_instrumented":
                     # small artifact with the partition-skew probes the
                     # per-round row skips — attach whole
-                    out[key] = {**full, "full_artifact": artifact}
+                    out[key] = {**full, "full_artifact": artifact, **stamp}
                     continue
                 if key.startswith("bench_curation"):
                     out[key] = {
@@ -248,6 +261,7 @@ def main() -> None:
                         "total_sec": full.get("total_sec"),
                         "ops": full.get("ops"),
                         "full_artifact": artifact,
+                        **stamp,
                     }
                     continue
                 out[key] = {
@@ -262,6 +276,7 @@ def main() -> None:
                         "cluster_parity_fixed_edges"
                     ),
                     "full_artifact": artifact,
+                    **stamp,
                 }
             except Exception:
                 pass

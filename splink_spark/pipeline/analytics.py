@@ -91,6 +91,17 @@ def top_k_per_group(
     if method != "prefilter":
         raise ValueError(f"unknown method {method!r}")
 
+    # NULL group keys never match an equi-join, so the prefilter joins
+    # below would silently drop them while the window method ranks them
+    # (partitionBy groups NULLs); route NULL-key rows straight into the
+    # final window pool so all three methods return identical rows
+    null_key = None
+    for g in groups:
+        c = F.col(g).isNull()
+        null_key = c if null_key is None else (null_key | c)
+    null_rows = df.where(null_key)
+    df = df.where(~null_key)
+
     depth = k * margin
     cut = (
         df.groupBy(*groups).agg(
@@ -119,7 +130,11 @@ def top_k_per_group(
         cutoff = F.when(cond, F.element_at("__pcts", i + 1)).otherwise(cutoff)
     cut = cut.select(*groups, "__n", cutoff.alias("__cutoff"))
 
-    joined = df.join(F.broadcast(cut), groups)
+    # no broadcast hint on the cut/flags joins: they scale with GROUP
+    # CARDINALITY, and a dataset with one huge group (what routes here)
+    # plus millions of small ones would broadcast a multi-million-row
+    # table — let AQE pick broadcast when the stats say it is small
+    joined = df.join(cut, groups)
     keep = (
         F.col("__cutoff").isNull()
         | (ordv <= F.col("__cutoff") if ascending else ordv >= F.col("__cutoff"))
@@ -135,14 +150,10 @@ def top_k_per_group(
             >= F.least(F.lit(int(k)), F.col("__n"))
         ).alias("__good"),
     )
-    good = survivors.join(
-        F.broadcast(flags.where(F.col("__good")).select(*groups)), groups
-    )
-    bad = joined.join(
-        F.broadcast(flags.where(~F.col("__good")).select(*groups)), groups
-    )
+    good = survivors.join(flags.where(F.col("__good")).select(*groups), groups)
+    bad = joined.join(flags.where(~F.col("__good")).select(*groups), groups)
     pool = good.unionByName(bad).drop("__cutoff", "__n")
-    return plain(pool)
+    return plain(pool.unionByName(null_rows))
 
 
 def group_quantiles(

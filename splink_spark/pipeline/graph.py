@@ -18,7 +18,7 @@ a fixpoint). Driver holds nothing but the loop counter.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Union
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -236,7 +236,8 @@ def common_neighbors(
     dst: str = "dst",
     min_common: int = 2,
     include_jaccard: bool = True,
-    max_degree: Optional[int] = None,
+    max_degree: Union[int, str, None] = "auto",
+    auto_cap: int = 20_000,
     round_to: int = 6,
 ) -> DataFrame:
     """Link-prediction candidates: node pairs sharing at least
@@ -254,6 +255,12 @@ def common_neighbors(
     for graphs). Exact when ``max_degree=None``; with a cap, pairs lose
     only the capped apexes' contributions — deterministic either way.
 
+    The DEFAULT is ``max_degree="auto"``: one cheap max-degree probe; if
+    the largest hub exceeds ``auto_cap`` the cap engages at ``auto_cap``
+    with a ``UserWarning`` (a 100k-degree hub alone is 5e9 wedges —
+    the default path must not detonate at scale), otherwise the result
+    is exact. Pass ``max_degree=None`` to force exactness regardless.
+
     Returns (``node_a``, ``node_b``, ``n_common``[, ``jaccard``]),
     ``node_a < node_b``, adjacency of the pair itself not required.
     """
@@ -269,6 +276,23 @@ def common_neighbors(
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
         F.col("a").alias("node"), "d"
     )
+    if max_degree == "auto":
+        row = deg.agg(F.max("d").alias("mx")).collect()
+        mx = int(row[0]["mx"] or 0) if row else 0
+        if mx > int(auto_cap):
+            import warnings
+
+            warnings.warn(
+                f"common_neighbors: max degree {mx} exceeds auto_cap="
+                f"{auto_cap}; capping wedge apexes at {auto_cap} "
+                f"(a degree-d apex builds d*(d-1)/2 candidate pairs). "
+                f"Pass max_degree=None for the exact quadratic result.",
+                UserWarning,
+                stacklevel=2,
+            )
+            max_degree = int(auto_cap)
+        else:
+            max_degree = None
     apex = und  # (a=apex, b=neighbour) both directions
     if max_degree is not None:
         keep = deg.where(F.col("d") <= int(max_degree)).select(

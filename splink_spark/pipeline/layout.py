@@ -35,8 +35,11 @@ def quantize_uniform(
     v = F.greatest(
         F.lit(int(cmin)), F.least(F.lit(int(cmax)), col.cast("bigint"))
     )
-    return F.expr(
-        f"(({v._jc.toString()} - {int(cmin)}) * {top}) div {span}"
+    # `div` invoked as a named function: Column-composed (no _jc, so it
+    # works under Spark Connect and with any column name), same
+    # truncating integer division as the `div` operator
+    return F.call_function(
+        "div", (v - F.lit(int(cmin))) * F.lit(top), F.lit(span)
     )
 
 
@@ -75,10 +78,15 @@ def zorder_sort(
         *[F.min(c).cast("bigint").alias(f"__mn_{c}") for c in cols],
         *[F.max(c).cast("bigint").alias(f"__mx_{c}") for c in cols],
     ).collect()[0]
+    # an all-NULL (or empty) clustered column has no min/max stats: it
+    # contributes nothing to pruning, so give it a constant 0 lane
+    # instead of crashing on int(None)
     qs = [
         quantize_uniform(
             F.col(c), stats[f"__mn_{c}"], stats[f"__mx_{c}"], bits
         )
+        if stats[f"__mn_{c}"] is not None
+        else F.lit(0).cast("bigint")
         for c in cols
     ]
     # global clustering: range-repartition on the key, then local sort

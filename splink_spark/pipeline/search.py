@@ -39,9 +39,42 @@ __all__ = [
     "bm25_search",
     "bm25_index_write",
     "bm25_index_read",
+    "bm25_release_cached_slices",
 ]
 
 _SCALE = 1_000_000
+
+# bounded registry of persisted query-vocabulary slices: a long-lived
+# serving session issuing many query batches would otherwise accumulate
+# one cached slice per call until LRU eviction — keep the most recent
+# few (repeat/overlapping batches still hit), unpersist the rest eagerly
+_CACHED_SLICES: list = []
+_MAX_CACHED_SLICES = 4
+
+
+def _register_cached_slice(df: DataFrame) -> None:
+    _CACHED_SLICES.append(df)
+    while len(_CACHED_SLICES) > _MAX_CACHED_SLICES:
+        old = _CACHED_SLICES.pop(0)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped
+
+
+def bm25_release_cached_slices() -> int:
+    """Unpersist every query-vocabulary slice ``bm25_search`` cached in
+    this process (``cache_slice=True`` path). Returns how many were
+    released. Call between query batches in long-lived sessions to hand
+    storage memory back without waiting for LRU eviction."""
+    n = 0
+    while _CACHED_SLICES:
+        try:
+            _CACHED_SLICES.pop().unpersist(blocking=False)
+            n += 1
+        except Exception:
+            pass
+    return n
 
 
 def tokenize_terms(col: Column) -> Column:
@@ -150,6 +183,7 @@ def bm25_search(
     relevant = index.join(F.broadcast(q_vocab), "term")
     if cache_slice:
         relevant = relevant.persist()
+        _register_cached_slice(relevant)
     dfreq = relevant.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     hits = (

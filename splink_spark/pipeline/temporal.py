@@ -518,7 +518,11 @@ def gap_fill(
         df.select(*keys, b.alias("bucket_start"), v_micro.alias("__v"))
         .groupBy(*keys, "bucket_start")
         .agg(
-            F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__n")
+            F.sum("__v").alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+            # non-null count: the mean denominator, so NULL values are
+            # zero-weight (SQL AVG semantics), not mean-deflating rows
+            F.count(F.col("__v")).alias("__nv"),
         )
     )
     spans = per_bucket.groupBy(*keys).agg(
@@ -531,7 +535,7 @@ def gap_fill(
         ).alias("bucket_start"),
     )
     joined = grid.join(per_bucket, keys + ["bucket_start"], "left")
-    mean = F.round(F.col("__s") / F.lit(1_000_000.0) / F.col("__n"), round_to)
+    mean = F.round(F.col("__s") / F.lit(1_000_000.0) / F.col("__nv"), round_to)
     if method == "locf":
         w = (
             Window.partitionBy(*keys)
@@ -581,13 +585,16 @@ def rolling_aggregate(
     )
     staged = df.withColumn("__vm", v_micro)
     cnt = F.count(F.lit(1)).over(w)
+    # mean denominator is the NON-NULL count (SQL AVG semantics): rows
+    # with NULL value_col stay in w_count but carry zero weight in w_mean
+    cnt_v = F.count(F.col("__vm")).over(w)
     s = F.sum("__vm").over(w)
     return (
         staged.withColumn("w_count", cnt)
         .withColumn("w_sum", F.round(s / F.lit(1_000_000.0), round_to))
         .withColumn(
             "w_mean",
-            F.round(s / F.lit(1_000_000.0) / cnt.cast("double"), round_to),
+            F.round(s / F.lit(1_000_000.0) / cnt_v.cast("double"), round_to),
         )
         .drop("__vm")
     )

@@ -280,10 +280,14 @@ def remove_boilerplate_lines(
         ),
     )
     key = F.trim(F.col("__line"))
+    # blank/whitespace-only lines trim to '' and would land in the
+    # blocklist for any newline-delimited corpus, stripping every blank
+    # line and collapsing paragraph structure — boilerplate is repeated
+    # CONTENT, so the empty key is excluded
     blocklist = (
         lines.groupBy(key.alias("__key"))
         .agg(F.count_distinct("__id").alias("__n"))
-        .where(F.col("__n") >= int(min_count))
+        .where((F.col("__n") >= int(min_count)) & (F.col("__key") != ""))
         .select("__key")
     )
     kept = lines.join(

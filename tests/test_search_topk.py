@@ -78,6 +78,32 @@ def test_topk_guard_catches_overshot_cutoff(grouped):
     assert got == want
 
 
+def test_topk_null_group_keys_all_methods(spark):
+    """NULL group keys form a real group under window partitionBy; the
+    prefilter path must not lose them to its equi-joins (ADVICE r06) —
+    it routes them straight into the final window pool."""
+    rows = [(None, v, i) for i, v in enumerate([9, 7, 5, 3, 1])]
+    rows += [("a", v, 100 + i) for i, v in enumerate(range(10))]
+    df = spark.createDataFrame(rows, "g string, v long, rid long")
+
+    def nkey(recs):  # None-safe variant of _key
+        return sorted(
+            (r["g"] or "", r["__rank"], r["v"], r["rid"]) for r in recs
+        )
+
+    outs = [
+        nkey(
+            top_k_per_group(
+                df, ["g"], "v", 3, method=m, tie_cols=["rid"]
+            ).collect()
+        )
+        for m in ("window", "prefilter", "auto")
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    null_group = [t for t in outs[0] if t[0] == ""]
+    assert [t[2] for t in null_group] == [9, 7, 5]
+
+
 def test_topk_rank_is_deterministic_on_ties(spark):
     df = spark.createDataFrame(
         [("g", 7, i) for i in range(20)], "g string, v long, rid long"

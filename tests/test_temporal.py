@@ -566,6 +566,24 @@ def test_common_neighbors_max_degree_drops_hub_apex(spark):
     assert capped == []  # hub (deg 5) removed as apex -> no wedges
 
 
+def test_common_neighbors_auto_caps_hubs_with_warning(spark):
+    import warnings
+
+    from splink_spark.pipeline.graph import common_neighbors
+
+    star = [(0, i) for i in range(1, 8)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    # below the cap: auto is exact, no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        exact = common_neighbors(df, min_common=1, auto_cap=100).collect()
+    assert len(exact) == 21  # C(7,2)
+    # above the cap: warns and drops the hub apex
+    with pytest.warns(UserWarning, match="auto_cap"):
+        capped = common_neighbors(df, min_common=1, auto_cap=3).collect()
+    assert capped == []
+
+
 def test_k_core_matches_networkx(spark):
     import random
 
@@ -645,3 +663,21 @@ def test_rolling_aggregate_trailing_window_literals(spark):
     assert got[("a", 10)] == (3, 7.0, pytest.approx(7 / 3, abs=1e-6))
     assert got[("a", 30)] == (1, 8.0, 8.0)  # window [20, 30]: alone
     assert got[("b", 3)] == (1, 5.0, 5.0)   # keys independent
+
+
+def test_rolling_and_gapfill_mean_skips_null_values(spark):
+    """SQL AVG semantics (ADVICE r06): a row with NULL value stays in
+    w_count but carries zero weight in w_mean — the denominator is the
+    non-null count, not the row count."""
+    from splink_spark.pipeline.temporal import gap_fill, rolling_aggregate
+
+    rows = [("a", 0, 2.0), ("a", 5, None), ("a", 8, 4.0)]
+    df = spark.createDataFrame(rows, "k string, ts long, value double")
+    got = {r["ts"]: (r["w_count"], r["w_sum"], r["w_mean"])
+           for r in rolling_aggregate(df, by="k", window_size=10).collect()}
+    assert got[8] == (3, 6.0, 3.0)  # mean over {2,4}, not sum/3
+    assert got[5] == (2, 2.0, 2.0)
+
+    g = {r["bucket_start"]: r["value"]
+         for r in gap_fill(df, bucket=10, by="k", method="null").collect()}
+    assert g[0] == 3.0  # bucket mean over the two non-null values

@@ -84,6 +84,27 @@ def test_remove_boilerplate_lines_literals(spark):
     assert got[4] == ("", 2, 2)  # fully-boilerplate doc kept, emptied
 
 
+def test_remove_boilerplate_preserves_blank_lines(spark):
+    from splink_spark.pipeline.text import remove_boilerplate_lines
+
+    # blank lines appear in every doc but are paragraph STRUCTURE, not
+    # boilerplate content — they must survive (ADVICE r06)
+    df = spark.createDataFrame(
+        [
+            (1, "para one\n\npara two"),
+            (2, "intro\n\noutro"),
+            (3, "alpha\n\nbeta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in remove_boilerplate_lines(df, min_count=2).collect()
+    }
+    assert got[1] == "para one\n\npara two"
+    assert got[2] == "intro\n\noutro"
+
+
 def test_remove_boilerplate_counts_documents_not_occurrences(spark):
     from splink_spark.pipeline.text import remove_boilerplate_lines
 
