@@ -49,14 +49,15 @@ class ChartSpec(dict):
 
     def save_offline_chart(
         self, filename: str = "my_chart.html", overwrite: bool = False,
-        print_msg: bool = True,
+        print_msg: bool = True, inline_js: "Optional[str]" = None,
     ) -> None:
         """Write a standalone HTML page rendering this chart (reference
         SplinkChart.save_offline_chart). The reference embeds vendored
         vega/vega-lite/vega-embed sources so the file works with no network;
-        those bundles aren't vendored here, so the page loads them from the
-        public jsdelivr CDN — the file needs network the first time a
-        browser renders it."""
+        by default this page loads them from the public jsdelivr CDN (needs
+        network on first render). Pass ``inline_js="/dir/with/bundles"`` to
+        embed local bundle files and match the reference's fully-offline
+        behavior (see splink_spark.internals.vega_assets)."""
         import os
 
         if os.path.isfile(filename) and not overwrite:
@@ -64,7 +65,12 @@ class ChartSpec(dict):
                 f"The path {filename} already exists. Please provide a "
                 "different path, or set overwrite=True to overwrite."
             )
-        html = _HTML_TEMPLATE.replace("__SPEC__", json.dumps(self))
+        from .vega_assets import vega_script_tags
+
+        html = _HTML_TEMPLATE.replace("__SPEC__", json.dumps(self)).replace(
+            "__SCRIPTTAGS__",
+            vega_script_tags(("vega", "vega-lite", "vega-embed"), inline_js),
+        )
         with open(filename, "w", encoding="utf-8") as f:
             f.write(html)
         if print_msg:
@@ -75,9 +81,7 @@ _HTML_TEMPLATE = """<!DOCTYPE html>
 <html>
 <head>
   <meta charset="utf-8"/>
-  <script src="https://cdn.jsdelivr.net/npm/vega@5"></script>
-  <script src="https://cdn.jsdelivr.net/npm/vega-lite@5"></script>
-  <script src="https://cdn.jsdelivr.net/npm/vega-embed@6"></script>
+  __SCRIPTTAGS__
 </head>
 <body>
   <div id="vis"></div>

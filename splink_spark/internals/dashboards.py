@@ -8,9 +8,11 @@ exist in this engine (chart_data.cluster_studio_sample, the cv-distribution
 DataFrame, labelling_tool_for_specific_record); this module renders them
 into self-contained HTML pages. The pages are authored from scratch —
 plain HTML + a from-scratch full-Vega force-directed spec — and load the
-public Vega runtime from the jsdelivr CDN (the reference inlines vendored
-bundles; those aren't vendored here, so the page needs network the first
-time a browser renders it — same boundary as ChartSpec.save_offline_chart).
+public Vega runtime from the jsdelivr CDN by default. Pass
+``inline_js="/dir/with/bundles"`` to any render function to EMBED local
+vega/vega-lite/vega-embed bundles instead (reference parity: its pages
+inline vendored bundles and work air-gapped) — see
+:mod:`splink_spark.internals.vega_assets`.
 
 All inputs are already-sampled/bounded DataFrames: the collects here are
 sample_size clusters' members, their intra-cluster edges, or one record's
@@ -27,8 +29,7 @@ _PAGE = """<!DOCTYPE html>
 <head>
   <meta charset="utf-8"/>
   <title>__TITLE__</title>
-  <script src="https://cdn.jsdelivr.net/npm/vega@5"></script>
-  <script src="https://cdn.jsdelivr.net/npm/vega-embed@6"></script>
+  __SCRIPTTAGS__
   <style>
     body { font-family: sans-serif; margin: 1.5em; }
     select { font-size: 1em; margin: 0 0 1em 0.5em; }
@@ -133,6 +134,7 @@ def render_cluster_studio_html(
     unique_id_column_name: str = "unique_id",
     out_path: Optional[str] = None,
     title: str = "Cluster studio",
+    inline_js: Optional[str] = None,
 ) -> str:
     """Self-contained cluster-studio page: a cluster selector, a
     force-directed node-link view of the selected cluster (edge width ∝
@@ -188,8 +190,14 @@ function show(cid) {{
 sel.addEventListener("change", () => show(sel.value));
 if (CLUSTERS.length) show(CLUSTERS[0]);
 """
+    from .vega_assets import vega_script_tags
+
     html = (
         _PAGE.replace("__TITLE__", title)
+        .replace(
+            "__SCRIPTTAGS__",
+            vega_script_tags(("vega", "vega-embed"), inline_js),
+        )
         .replace("__BODY__", body)
         .replace("__SCRIPT__", script)
     )
@@ -204,6 +212,7 @@ def render_comparison_viewer_html(
     example_rows: Mapping[str, Sequence[Mapping[str, Any]]],
     out_path: Optional[str] = None,
     title: str = "Comparison viewer",
+    inline_js: Optional[str] = None,
 ) -> str:
     """Comparison-viewer page: the comparison-vector-distribution bar chart
     (click a bar via the selector to see example scored pairs for that gamma
@@ -241,12 +250,13 @@ const first = Object.keys(EXAMPLES)[0];
 if (first) {{ sel.value = first; show(first); }}
 """
     # vega-embed renders vega-lite too when vega-lite is loaded; add it
+    from .vega_assets import vega_script_tags
+
     html = (
         _PAGE.replace("__TITLE__", title)
         .replace(
-            '<script src="https://cdn.jsdelivr.net/npm/vega@5"></script>',
-            '<script src="https://cdn.jsdelivr.net/npm/vega@5"></script>\n'
-            '  <script src="https://cdn.jsdelivr.net/npm/vega-lite@5"></script>',
+            "__SCRIPTTAGS__",
+            vega_script_tags(("vega", "vega-lite", "vega-embed"), inline_js),
         )
         .replace("__BODY__", body)
         .replace("__SCRIPT__", script)
@@ -262,6 +272,7 @@ def render_labelling_tool_html(
     unique_id_column_name: str = "unique_id",
     out_path: Optional[str] = None,
     title: str = "Labelling tool",
+    inline_js: Optional[str] = None,
 ) -> str:
     """Clerical-labelling page (reference labelling_tool.py): one row per
     candidate pair with match/not-match/uncertain radios and a download
@@ -301,8 +312,14 @@ document.getElementById("dl").addEventListener("click", () => {{
   a.click();
 }});
 """
+    from .vega_assets import vega_script_tags
+
     html = (
         _PAGE.replace("__TITLE__", title)
+        .replace(
+            "__SCRIPTTAGS__",
+            vega_script_tags(("vega", "vega-embed"), inline_js),
+        )
         .replace("__BODY__", body)
         .replace("__SCRIPT__", script)
     )

@@ -65,6 +65,17 @@ class Linker:
         self.spark: SparkSession = first.sparkSession
         register_udfs(self.spark)
         self.materialization = materialization or MaterializationPolicy()
+        # debug mode (reference database_api.py:210-263): when True, each
+        # pipeline stage is eagerly materialized as its own inspectable
+        # temp view (__splink__df_concat, __splink__df_concat_with_tf,
+        # __splink__blocked_id_pairs, __splink__df_comparison_vectors,
+        # __splink__df_predict) with per-stage row counts and timings
+        # printed — the step-wise execution a user reconstructing a wrong
+        # gamma or an empty blocking join needs. Toggle at any time:
+        # ``linker.debug_mode = True``. Materialized stages are also kept
+        # in ``linker.debug_tables``.
+        self.debug_mode = False
+        self.debug_tables: dict[str, DataFrame] = {}
         self._concat: Optional[DataFrame] = None
         self._concat_with_tf: Optional[DataFrame] = None
         self._tf_tables: Optional[dict[str, DataFrame]] = None
@@ -132,6 +143,29 @@ class Linker:
         ):
             wrap_namespace_outputs(_ns)
 
+    def _debug_stage(self, df: DataFrame, name: str) -> DataFrame:
+        """When ``debug_mode`` is on, force this stage NOW (count — which
+        populates any lazy persist in passing), register it as the temp
+        view ``name`` and record it in ``debug_tables``; otherwise a
+        no-op passthrough. Mirrors the reference's per-CTE debug
+        execution (database_api.py:227-263) at this engine's natural
+        stage boundaries — here stages are DataFrame plans, so
+        "creating the table" = eager materialization + a catalog view."""
+        if not self.debug_mode:
+            return df
+        import time as _time
+
+        t0 = _time.time()
+        n = df.count()
+        df.createOrReplaceTempView(name)
+        self.debug_tables[name] = df
+        print("------")  # noqa: T201 (reference prints in debug mode too)
+        print(  # noqa: T201
+            f"--------Creating table: {name}--------\n"
+            f"{n} rows; step ran in {_time.time() - t0:.2f}s"
+        )
+        return df
+
     # -- shared intermediates --------------------------------------------------
     def df_concat(self) -> DataFrame:
         """``__splink__df_concat`` (vertically_concatenate.py:84-93).
@@ -155,6 +189,7 @@ class Linker:
             df = self.materialization.materialize(df, "concat", eager=False)
             logger.log(PIPELINE, "stage __splink__df_concat built (%d inputs)",
                        len(self._frames))
+            df = self._debug_stage(df, "__splink__df_concat")
             self._concat = df
         return self._concat
 
@@ -209,6 +244,7 @@ class Linker:
             )
             logger.log(PIPELINE, "stage __splink__df_concat_with_tf built "
                        "(%d tf columns)", len(self.tf_tables()))
+            df = self._debug_stage(df, "__splink__df_concat_with_tf")
             self._concat_with_tf = df
         return self._concat_with_tf
 
@@ -250,6 +286,7 @@ class Linker:
             pairs = self.materialization.materialize(pairs, "blocked_pairs")
             logger.log(PIPELINE, "stage __splink__blocked_id_pairs "
                        "materialized (%d rules)", len(rules))
+            pairs = self._debug_stage(pairs, "__splink__blocked_id_pairs")
         return pairs
 
     def pairs_with_columns(
@@ -294,7 +331,10 @@ class Linker:
             with_cols = blocked_pairs_with_columns(
                 pairs, self.df_concat_with_tf(), self.settings
             )
-        return compute_comparison_vectors(with_cols, self.settings)
+        return self._debug_stage(
+            compute_comparison_vectors(with_cols, self.settings),
+            "__splink__df_comparison_vectors",
+        )
 
 
 class LinkerInference:
@@ -357,8 +397,11 @@ class LinkerInference:
                     pairs=self._l._registered_blocked_pairs
                 )
             else:
-                cv = compute_comparison_vectors(
-                    self._l.pairs_with_columns(), s
+                cv = self._l._debug_stage(
+                    compute_comparison_vectors(
+                        self._l.pairs_with_columns(), s
+                    ),
+                    "__splink__df_comparison_vectors",
                 )
             # score WITHOUT the threshold: a threshold WHERE below the persist
             # would be pushed under the score projection, and Catalyst's
@@ -427,6 +470,7 @@ class LinkerInference:
                     )
             narrow = narrow.persist(StorageLevel.MEMORY_AND_DISK)
             self._l.materialization._registry.append(narrow)
+            narrow = self._l._debug_stage(narrow, "__splink__df_predict")
             logger.log(PIPELINE, "stage __splink__df_predict narrow core "
                        "persisted (thresholded=%s)",
                        threshold_match_probability is not None

@@ -312,3 +312,45 @@ def test_labelling_tool_html(trained, tmp_path):
     assert "Download labels JSON" in html
     assert 'type="radio"' in html
     assert cands.count() > 0
+
+
+def test_inline_js_embeds_local_bundles(trained, tmp_path):
+    """inline_js embeds local vega bundles into the HTML (reference
+    parity: its dashboards inline vendored JS and work air-gapped)."""
+    import pytest
+
+    from splink_spark.internals.dashboards import render_labelling_tool_html
+    from splink_spark.internals.vega_assets import vega_script_tags
+
+    jsdir = tmp_path / "vega_js"
+    jsdir.mkdir()
+    (jsdir / "vega.min.js").write_text("window.__FAKE_VEGA__=1;//</script>x")
+    (jsdir / "vega-embed.min.js").write_text("window.__FAKE_EMBED__=1;")
+
+    html = render_labelling_tool_html(
+        [{"unique_id_l": 1, "unique_id_r": 2, "match_weight": 3.0}],
+        inline_js=str(jsdir),
+    )
+    assert "__FAKE_VEGA__" in html and "__FAKE_EMBED__" in html
+    assert "cdn.jsdelivr.net" not in html
+    # a </script> inside the bundle must not end the block early
+    assert "//<\\/script>x" in html
+
+    # missing bundle: loud error naming the lib, not a silent CDN fallback
+    with pytest.raises(FileNotFoundError, match="vega-lite"):
+        vega_script_tags(("vega", "vega-lite"), str(jsdir))
+
+    # default stays CDN
+    cdn_html = render_labelling_tool_html(
+        [{"unique_id_l": 1, "unique_id_r": 2, "match_weight": 3.0}]
+    )
+    assert "cdn.jsdelivr.net" in cdn_html
+
+    # save_offline_chart inline_js path
+    (jsdir / "vega-lite.min.js").write_text("window.__FAKE_VL__=1;")
+    from splink_spark.internals.chart_specs import match_weights_chart_spec
+
+    spec = match_weights_chart_spec([])
+    out = tmp_path / "c.html"
+    spec.save_offline_chart(str(out), print_msg=False, inline_js=str(jsdir))
+    assert "__FAKE_VL__" in out.read_text()

@@ -254,3 +254,49 @@ def test_register_accepts_all_input_formats(spark):
 
     with _pytest.raises(ValueError):
         api.register(records, table_name="t_list")
+
+
+def test_debug_mode_materializes_stage_views(spark, small, capsys):
+    """Reference database_api.py:210-263 debug mode: each pipeline stage
+    becomes its own inspectable table. Here: eager materialization + a
+    session temp view + debug_tables entry per stage, printed step-wise."""
+    import splink_spark.internals.comparison_library as cl
+    from splink_spark import Linker, SettingsCreator, block_on
+
+    def _set(comp, mus):
+        for lv in comp.comparison_levels:
+            if not lv.is_null_level:
+                lv.m_probability, lv.u_probability = mus[lv.comparison_vector_value]
+        return comp
+
+    settings = SettingsCreator(
+        link_type="dedupe_only",
+        comparisons=[_set(cl.ExactMatch("name"), {1: (0.9, 0.1), 0: (0.1, 0.9)})],
+        blocking_rules_to_generate_predictions=[block_on("city")],
+        probability_two_random_records_match=0.1,
+    )
+    linker = Linker(small, settings)
+    linker.debug_mode = True
+    preds = linker.inference.predict().collect()
+    assert preds
+
+    expected_stages = {
+        "__splink__df_concat",
+        "__splink__df_concat_with_tf",
+        "__splink__df_comparison_vectors",
+        "__splink__df_predict",
+    }
+    assert expected_stages <= set(linker.debug_tables)
+    # the views are queryable in the session catalog
+    cv = spark.sql(
+        "SELECT * FROM __splink__df_comparison_vectors"
+    ).collect()
+    assert len(cv) == 2  # city x: (1,2); city y: (3,4)
+    out = capsys.readouterr().out
+    assert "Creating table: __splink__df_predict" in out
+
+    # off by default: a fresh linker creates no views
+    linker2 = Linker(small, settings)
+    assert linker2.debug_mode is False
+    linker2.inference.predict().collect()
+    assert linker2.debug_tables == {}
