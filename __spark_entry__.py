@@ -2155,7 +2155,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             window=3,
         )
 
+    def q_jaccard_join(spark, sf_dir):
+        """EXACT-threshold Jaccard set-similarity self-join via PPJoin
+        prefix filtering (pipeline/fuzzy.py jaccard_similarity_join —
+        rarest-token prefixes, integer ceil/threshold arithmetic, exact
+        verify on candidates only; no false negatives, unlike MinHash).
+        Oracle is the brute-force quadratic Jaccard the pruned plan must
+        reproduce exactly."""
+        from splink_spark.pipeline.fuzzy import jaccard_similarity_join
+
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        toks = docs.select(
+            "doc_id",
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z0-9]+"),
+                    lambda t: t != "",
+                )
+            ).alias("tokens"),
+        )
+        return jaccard_similarity_join(toks, "doc_id", "tokens", 0.85)
+
+    def q_hll_registers(spark, sf_dir):
+        """HyperLogLog distinct-count sketch state (pipeline/sketches.py
+        hll_sketch): md5-hex hash, first 3 hex digits -> register, rho =
+        1 + leading zeros of the next 52 bits via binary-string
+        arithmetic — every step integer/string-exact, so the oracle
+        rebuilds bit-equal registers digit-by-digit in SQL. The sketch
+        table IS the gate (the mergeable cross-engine artifact); the
+        float estimate is pytest-pinned against true distincts."""
+        from splink_spark.pipeline.sketches import hll_sketch
+
+        cust = _session(spark).read.parquet(f"{sf_dir}/customer.parquet")
+        return hll_sketch(cust, "c_name")
+
     d = {
+        "hll_registers": q_hll_registers,
+        "jaccard_join": q_jaccard_join,
         "bm25_topk": q_bm25_topk,
         "streaming_bm25": q_streaming_bm25,
         "streaming_rollup": q_streaming_rollup,
@@ -2300,6 +2336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_difference",
         # driver-red in r06, fixed to exact integer arithmetic this round
         "expectations", "embedding_covariance",
+        # new round-7 operators
+        "jaccard_join", "hll_registers",
         # round-7 refresh rotation (recorded r01-r05, not in r06)
         "mw_histogram", "concat_union", "tf_mktsegment", "block_single",
         "fuzzy_kernels", "block_salted", "block_multi", "block_counts",
@@ -5315,6 +5353,59 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
         FROM (SELECT a, b FROM e12 UNION ALL SELECT b, a FROM e12)
         GROUP BY a
       ) WHERE degree >= 80
+    """
+
+    # hll_registers: the md5-hex register construction replayed
+    # digit-by-digit — hex digits decoded via position() arithmetic,
+    # rho via bin()/lpad/ltrim string ops (Spark uses conv(,16,2) for
+    # the same binary string)
+    sqls["hll_registers"] = """
+      WITH h AS (
+        SELECT md5(CAST(c_name AS VARCHAR)) AS hx
+        FROM customer WHERE c_name IS NOT NULL
+      ),
+      d AS (
+        SELECT
+          CAST(list_sum(list_transform(range(1, 4), i ->
+            (position(substring(hx, CAST(i AS INTEGER), 1)
+               IN '0123456789abcdef') - 1)::BIGINT
+            << (4 * (3 - CAST(i AS INTEGER))))) AS INTEGER) AS register,
+          CAST(list_sum(list_transform(range(1, 14), i ->
+            (position(substring(hx, CAST(i + 3 AS INTEGER), 1)
+               IN '0123456789abcdef') - 1)::BIGINT
+            << (4 * (13 - CAST(i AS INTEGER))))) AS BIGINT) AS v
+        FROM h
+      )
+      SELECT register,
+             CAST(max(53 - length(ltrim(lpad(bin(v), 52, '0'), '0')))
+                  AS INTEGER) AS max_rho
+      FROM d GROUP BY register
+    """
+
+    # jaccard_join: brute-force quadratic Jaccard — the ORACLE the
+    # prefix-filtered plan must reproduce exactly (same integer ppm
+    # threshold compare, same trunc-div ppm output)
+    sqls["jaccard_join"] = """
+      WITH toks AS (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                 string_split_regex(lower(text), '[^a-z0-9]+'),
+                 t -> t != '')) AS tk
+        FROM documents
+      ),
+      pairs AS (
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+               len(list_intersect(a.tk, b.tk)) AS ni,
+               len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS nu
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        WHERE len(a.tk) > 0 AND len(b.tk) > 0
+      )
+      SELECT id_l, id_r,
+             CAST(ni AS BIGINT) AS n_intersect,
+             CAST(nu AS BIGINT) AS n_union,
+             CAST((ni * 1000000) // nu AS BIGINT) AS jaccard_ppm
+      FROM pairs
+      WHERE ni * 1000000 >= 850000 * nu
     """
 
     # expectations: each rule's conditional count replayed in one SQL agg

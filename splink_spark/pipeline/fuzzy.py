@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["deletion_variants", "fuzzy_join_ed1", "sorted_neighborhood_pairs"]
+__all__ = [
+    "deletion_variants",
+    "fuzzy_join_ed1",
+    "sorted_neighborhood_pairs",
+    "jaccard_similarity_join",
+]
 
 
 def deletion_variants(col: Column, max_len: int = 64) -> Column:
@@ -144,3 +149,135 @@ def sorted_neighborhood_pairs(
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out
+
+
+def jaccard_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    threshold: float,
+    keep_tokens: bool = False,
+) -> DataFrame:
+    """EXACT-threshold Jaccard self-join via prefix filtering (the
+    PPJoin/AllPairs family — Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    every pair of records whose token-SET Jaccard similarity is
+    >= ``threshold``, with no false negatives — the guarantee
+    ``dedup.minhash_lsh`` trades away for speed.
+
+    Prefix-filter theorem: order every record's tokens by a global total
+    order (here: ascending corpus frequency, ties by token — rarest
+    first) and keep only the first ``n - ceil(t*n) + 1`` tokens (the
+    "prefix"); two sets with Jaccard >= t MUST share a prefix token. So
+    candidates come from a plain equi-join of the exploded prefixes —
+    the rarest tokens of each record, which is exactly what bounds the
+    join's fan-out — and only candidates pay the exact verification.
+
+    All threshold arithmetic is integer (the ceil on doubles misrounds):
+    t is snapped to millionths, ``ceil(t*n) = (t_ppm*n + 999999) div
+    1e6``, and the verify compares ``1e6 * |∩| >= t_ppm * |∪|`` — no
+    float ever decides membership, so any engine replays it exactly.
+
+    Scale shape: one token-frequency aggregate (map-side combined), a
+    per-record JVM-side sort of (freq, token) structs, prefix explode
+    (output ∝ corpus tokens * (1-t), NOT quadratic), hash equi-join on
+    the token, distinct candidate pairs, then one join back to fetch both
+    token sets for the exact intersection. The global frequency order
+    needs no global rank assignment — (freq, token) itself is the order,
+    so there is no single-partition row_number bottleneck.
+
+    Output: (``id_l``, ``id_r``, ``n_intersect``, ``n_union``,
+    ``jaccard_ppm``) with ``id_l < id_r``; ``jaccard_ppm`` is the exact
+    truncating-integer millionths of the Jaccard.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    t_ppm = int(round(threshold * 1_000_000))
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(F.col(tokens_col)).alias("__toks"),
+    ).where(F.col("__toks").isNotNull() & (F.size("__toks") > 0))
+
+    freq = (
+        base.select(F.explode("__toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+    )
+
+    with_freq = (
+        base.select("__id", F.explode("__toks").alias("token"))
+        .join(freq, "token")
+        .groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__freq", "token"))
+            ).alias("__ordered")
+        )
+        .select(
+            "__id",
+            F.transform("__ordered", lambda s: s["token"]).alias("__toks"),
+            F.size("__ordered").alias("__n"),
+        )
+    )
+    # prefix_len = n - ceil(t*n) + 1, all-integer ceil
+    prefix_len = (
+        F.col("__n")
+        - F.expr(f"(__n * {t_ppm} + 999999) div 1000000")
+        + F.lit(1)
+    )
+    prefixes = with_freq.select(
+        "__id",
+        "__n",
+        F.explode(F.slice("__toks", 1, prefix_len)).alias("token"),
+    )
+
+    pl = prefixes.select(
+        F.col("__id").alias("id_l"), F.col("__n").alias("__nl"), "token"
+    )
+    pr = prefixes.select(
+        F.col("__id").alias("id_r"), F.col("__n").alias("__nr"), "token"
+    )
+    # length filter rides the candidate join: Jaccard >= t forces
+    # t*max(n1,n2) <= min(n1,n2); prune before the distinct
+    cands = (
+        pl.join(pr, "token")
+        .where(F.col("id_l") < F.col("id_r"))
+        .where(
+            F.expr(f"least(__nl, __nr) * 1000000")
+            >= F.expr(f"greatest(__nl, __nr) * {t_ppm}")
+        )
+        .select("id_l", "id_r")
+        .distinct()
+    )
+
+    sets = with_freq.select("__id", "__toks", "__n")
+    lt = sets.select(
+        F.col("__id").alias("id_l"),
+        F.col("__toks").alias("__tl"),
+        F.col("__n").alias("__nl"),
+    )
+    rt = sets.select(
+        F.col("__id").alias("id_r"),
+        F.col("__toks").alias("__tr"),
+        F.col("__n").alias("__nr"),
+    )
+    inter = F.size(F.array_intersect("__tl", "__tr"))
+    union = F.col("__nl") + F.col("__nr") - inter
+    verified = (
+        cands.join(lt, "id_l")
+        .join(rt, "id_r")
+        .withColumn("n_intersect", inter.cast("bigint"))
+        .withColumn("n_union", union.cast("bigint"))
+        .where(
+            F.col("n_intersect") * F.lit(1_000_000)
+            >= F.lit(t_ppm) * F.col("n_union")
+        )
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("(n_intersect * 1000000) div n_union"),
+        )
+    )
+    cols = ["id_l", "id_r", "n_intersect", "n_union", "jaccard_ppm"]
+    if keep_tokens:
+        cols += ["__tl", "__tr"]
+    return verified.select(*cols)

@@ -44,6 +44,9 @@ __all__ = [
     "bloom_build",
     "bloom_probe",
     "bloom_merge",
+    "hll_sketch",
+    "hll_merge",
+    "hll_estimate",
 ]
 
 
@@ -269,3 +272,90 @@ def bloom_merge(*filters: DataFrame) -> DataFrame:
     for f in filters[1:]:
         out = out.unionByName(f)
     return out.groupBy("word").agg(F.bit_or(F.col("bits")).alias("bits"))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007)
+# ---------------------------------------------------------------------------
+
+HLL_HEX_REG_DIGITS = 3  # 12 register-index bits -> m = 4096 registers
+HLL_M = 16 ** HLL_HEX_REG_DIGITS
+_HLL_RHO_HEX_DIGITS = 13  # 52 rank bits; rho in [1, 53]
+
+
+def hll_sketch(df: DataFrame, col: str) -> DataFrame:
+    """HyperLogLog registers for the distinct count of ``col``: one
+    map-side-combined aggregate producing (``register``, ``max_rho``) —
+    only OBSERVED registers are emitted, so the sketch is a tiny
+    (<= 4096-row) mergeable table however big the input.
+
+    Engine-portable by construction: the 64-bit-ish hash is md5 hex
+    (identical strings everywhere), the register index is the first 3
+    hex digits, and rho is 1 + leading-zeros of the next 52 bits decoded
+    via binary-string arithmetic — every step replays exactly in any SQL
+    engine, so two systems building sketches of the same data produce
+    bit-equal registers (the property that lets a Spark-built sketch be
+    merged with one built elsewhere).
+
+    Merge = ``unionByName -> groupBy(register).max(max_rho)``
+    (:func:`hll_merge`); estimate = :func:`hll_estimate`. Spark's own
+    ``approx_count_distinct`` is also HLL but its sketch is not
+    exportable/mergeable across engines — this one is the PIPELINE
+    artifact (per-shard distinct-count state a 100 TB ingest keeps per
+    partition/day and folds associatively).
+    """
+    h = F.md5(F.col(col).cast("string"))
+    staged = df.where(F.col(col).isNotNull()).select(
+        F.conv(F.substring(h, 1, HLL_HEX_REG_DIGITS), 16, 10)
+        .cast("int")
+        .alias("register"),
+        F.lpad(
+            F.conv(
+                F.substring(h, HLL_HEX_REG_DIGITS + 1, _HLL_RHO_HEX_DIGITS),
+                16,
+                2,
+            ),
+            4 * _HLL_RHO_HEX_DIGITS,
+            "0",
+        ).alias("__bits"),
+    )
+    rho = F.expr(
+        f"{4 * _HLL_RHO_HEX_DIGITS + 1} - "
+        "length(trim(LEADING '0' FROM __bits))"
+    )
+    return (
+        staged.select("register", rho.cast("int").alias("__rho"))
+        .groupBy("register")
+        .agg(F.max("__rho").alias("max_rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge HLL sketches: per-register max — associative/commutative/
+    idempotent, so shard-parallel or incremental building is exact."""
+    if not sketches:
+        raise ValueError("hll_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(sketch: DataFrame) -> float:
+    """Distinct-count estimate from an ``hll_sketch`` table: the standard
+    HLL harmonic mean with the small-range linear-counting correction
+    (Flajolet et al. 2007 §4; typical error ~1.04/sqrt(4096) = 1.6%).
+    The collect is <= 4096 rows of model state."""
+    import math
+
+    m = HLL_M
+    regs = {int(r["register"]): int(r["max_rho"]) for r in sketch.collect()}
+    zeros = m - len(regs)
+    s = float(zeros)  # 2^-0 per empty register
+    for rho in regs.values():
+        s += 2.0 ** (-rho)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / s
+    if e <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)  # linear counting
+    return e

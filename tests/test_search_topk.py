@@ -401,3 +401,57 @@ def test_sorted_neighborhood_pairs_literals(spark):
     }
     # window w over n rows yields w*n - w*(w+1)/2 pairs
     assert len(got) == 2 * 5 - 3
+
+
+def test_jaccard_similarity_join_matches_bruteforce(spark):
+    """Prefix-filter exactness: the candidate pruning must lose NOTHING —
+    output == brute-force quadratic Jaccard at the same threshold,
+    including boundary pairs exactly AT the threshold."""
+    import itertools
+    import random
+
+    from splink_spark.pipeline.fuzzy import jaccard_similarity_join
+
+    random.seed(11)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = []
+    for i in range(60):
+        n = random.randint(1, 8)
+        rows.append((i, random.sample(vocab, n)))
+    # adversarial: identical sets, subset pairs, single-token sets
+    rows += [(100, ["t0", "t1", "t2"]), (101, ["t0", "t1", "t2"]),
+             (102, ["t0", "t1"]), (103, ["t0"]), (104, ["t0"])]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+
+    for t in (0.5, 2 / 3, 0.9, 1.0):
+        t_ppm = int(round(t * 1_000_000))
+        want = {}
+        for (ia, sa), (ib, sb) in itertools.combinations(
+            [(i, set(tk)) for i, tk in rows], 2
+        ):
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if inter * 1_000_000 >= t_ppm * union:
+                a, b = min(ia, ib), max(ia, ib)
+                want[(a, b)] = (inter, union, inter * 1_000_000 // union)
+        got = {
+            (r["id_l"], r["id_r"]): (
+                r["n_intersect"], r["n_union"], r["jaccard_ppm"]
+            )
+            for r in jaccard_similarity_join(
+                df, "doc_id", "tokens", t
+            ).collect()
+        }
+        assert got == want, f"mismatch at threshold {t}"
+
+
+def test_jaccard_join_dedups_tokens_and_skips_empty(spark):
+    from splink_spark.pipeline.fuzzy import jaccard_similarity_join
+
+    df = spark.createDataFrame(
+        [(1, ["a", "a", "b"]), (2, ["b", "a"]), (3, []), (4, None)],
+        "doc_id long, tokens array<string>",
+    )
+    got = jaccard_similarity_join(df, "doc_id", "tokens", 0.9).collect()
+    # {a,b} vs {b,a}: jaccard 1.0; empties/nulls dropped silently
+    assert len(got) == 1 and got[0]["jaccard_ppm"] == 1_000_000

@@ -133,3 +133,59 @@ def test_cms_build_shuffle_is_bounded_hash_aggregate(spark):
     plan = cms_build(df, width=64)._jdf.queryExecution().executedPlan().toString()
     before_exchange = plan.split("Exchange")[-1]  # text BELOW/after is the map side
     assert "HashAggregate" in before_exchange
+
+
+def test_hll_estimate_accuracy_and_exact_state(spark):
+    """HLL estimate within ~5% at 20k distinct (theoretical RSE 1.6% at
+    m=4096); the register table is deterministic (same data, same
+    sketch, any partitioning)."""
+    from splink_spark.pipeline.sketches import hll_estimate, hll_sketch
+
+    df = spark.range(20_000).select(
+        F.concat(F.lit("user_"), F.col("id")).alias("v")
+    )
+    sk = hll_sketch(df, "v")
+    est = hll_estimate(sk)
+    assert abs(est - 20_000) / 20_000 < 0.05
+    # partitioning-invariant state
+    a = sorted(map(tuple, sk.collect()))
+    b = sorted(map(tuple, hll_sketch(df.repartition(7), "v").collect()))
+    assert a == b
+    # duplicates don't move the estimate: distinct-ness only
+    dup = df.unionByName(df).unionByName(df)
+    c = sorted(map(tuple, hll_sketch(dup, "v").collect()))
+    assert a == c
+
+
+def test_hll_merge_equals_whole_corpus_sketch(spark):
+    from splink_spark.pipeline.sketches import (
+        hll_estimate, hll_merge, hll_sketch,
+    )
+
+    df = spark.range(8_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("v"), F.col("id")
+    )
+    left = df.where("id % 2 = 0")
+    right = df.where("id % 2 = 1")
+    merged = hll_merge(hll_sketch(left, "v"), hll_sketch(right, "v"))
+    whole = hll_sketch(df, "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    # overlapping shards: idempotent max, still equal to the whole
+    over = hll_merge(
+        hll_sketch(df.where("id < 5000"), "v"),
+        hll_sketch(df.where("id >= 3000"), "v"),
+    )
+    assert sorted(map(tuple, over.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    assert abs(hll_estimate(merged) - 8000) / 8000 < 0.06
+
+
+def test_hll_small_range_linear_counting(spark):
+    from splink_spark.pipeline.sketches import hll_estimate, hll_sketch
+
+    df = spark.createDataFrame([(f"x{i}",) for i in range(50)], ["v"])
+    est = hll_estimate(hll_sketch(df, "v"))
+    assert abs(est - 50) < 3  # linear counting is near-exact here
