@@ -2176,6 +2176,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return jaccard_similarity_join(toks, "doc_id", "tokens", 0.85)
 
+    def q_streaming_hll(spark, sf_dir):
+        """Streaming HyperLogLog maintenance (streaming/operators.py
+        hll_update_stream) run to completion with availableNow over the
+        customer table staged as 4 files (maxFilesPerTrigger=1 → 4
+        micro-batches): each batch appends its <=4096-row partial
+        register table; read_hll_state merges by per-register MAX —
+        associative, commutative and idempotent, so the streamed state is
+        bit-equal to a batch build however the rows were batched, and the
+        full-table DuckDB replay is an exact oracle."""
+        import os
+        import shutil
+
+        from splink_spark.streaming.operators import (
+            hll_update_stream,
+            read_hll_state,
+        )
+
+        spark = _session(spark)
+        src = f"{sf_dir}/customer.parquet"
+        static = spark.read.parquet(src)
+        base = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".stream_cache",
+            os.path.basename(sf_dir.rstrip("/")),
+        )
+        stream_path = os.path.join(base, "customer_4files")
+        _stage_stream_dir(static, stream_path, src)
+        state_path = os.path.join(base, "hll_state")
+        if os.path.isdir(state_path):
+            shutil.rmtree(state_path)
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_path)
+        )
+        q = hll_update_stream(stream, state_path, value_col="c_name")
+        q.awaitTermination()
+        return read_hll_state(spark, state_path)
+
     def q_hll_registers(spark, sf_dir):
         """HyperLogLog distinct-count sketch state (pipeline/sketches.py
         hll_sketch): md5-hex hash, first 3 hex digits -> register, rho =
@@ -2191,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     d = {
         "hll_registers": q_hll_registers,
+        "streaming_hll": q_streaming_hll,
         "jaccard_join": q_jaccard_join,
         "bm25_topk": q_bm25_topk,
         "streaming_bm25": q_streaming_bm25,
@@ -2337,7 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-red in r06, fixed to exact integer arithmetic this round
         "expectations", "embedding_covariance",
         # new round-7 operators
-        "jaccard_join", "hll_registers",
+        "jaccard_join", "hll_registers", "streaming_hll",
         # round-7 refresh rotation (recorded r01-r05, not in r06)
         "mw_histogram", "concat_union", "tf_mktsegment", "block_single",
         "fuzzy_kernels", "block_salted", "block_multi", "block_counts",
@@ -5381,6 +5421,11 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
                   AS INTEGER) AS max_rho
       FROM d GROUP BY register
     """
+
+    # streaming_hll: identical replay to hll_registers — the HLL merge
+    # law (per-register max) makes the streamed state equal the batch
+    # build exactly
+    sqls["streaming_hll"] = sqls["hll_registers"]
 
     # jaccard_join: brute-force quadratic Jaccard — the ORACLE the
     # prefix-filtered plan must reproduce exactly (same integer ppm

@@ -570,3 +570,50 @@ def read_rollup_state(
         F.round(F.col("__mx") / m, round_to).alias("max_value"),
         F.round(F.col("__s") / m / F.col("n"), round_to).alias("avg_value"),
     )
+
+
+def hll_update_stream(
+    stream: DataFrame,
+    state_path: str,
+    *,
+    value_col: str = "key",
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """Maintain a HyperLogLog distinct-count sketch over an unbounded
+    stream (pipeline/sketches.py hll_sketch): each micro-batch appends its
+    own <= 4096-row partial register table tagged with ``batch_id``; the
+    HLL merge law (per-register MAX — associative, commutative AND
+    idempotent) makes the merged read exactly-once under foreachBatch
+    retries even WITHOUT the duplicate-drop the CMS state needs: a
+    re-appended identical partial cannot move a max. Same append-only
+    state shape as :func:`sketch_update_stream`."""
+    from ..pipeline.sketches import hll_sketch
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            hll_sketch(batch_df, value_col)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(state_path)
+        )
+
+    writer = stream.writeStream.foreachBatch(process).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_hll_state(spark, state_path: str) -> DataFrame:
+    """Current HLL registers from the appended per-batch partials:
+    per-register max (idempotent — retry duplicates are harmless by the
+    merge law). Feed to pipeline.sketches.hll_estimate."""
+    return (
+        spark.read.parquet(state_path)
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )

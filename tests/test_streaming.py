@@ -403,3 +403,49 @@ def test_rollup_state_retry_append_and_batch_split_invariance(spark, tmp_path):
     a = sorted(map(tuple, read_rollup_state(spark, p1, by="user_id").collect()))
     b = sorted(map(tuple, read_rollup_state(spark, p2, by="user_id").collect()))
     assert a == b and len(a) > 0
+
+
+def test_hll_update_stream_matches_batch_sketch(spark, tmp_path):
+    """Per-micro-batch HLL partials appended to parquet state must merge
+    (per-register max) to exactly the batch sketch, and a retried batch
+    append is harmless WITHOUT any dedup — max is idempotent."""
+    from splink_spark.pipeline.sketches import hll_estimate, hll_sketch
+    from splink_spark.streaming import hll_update_stream, read_hll_state
+
+    rows = [(f"user_{i % 500}",) for i in range(2000)]
+    src = str(tmp_path / "src_hll")
+    spark.createDataFrame(rows, ["key"]).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "hll_state")
+    q = hll_update_stream(
+        stream, state, value_col="key",
+        checkpoint_dir=str(tmp_path / "ckpt_hll"),
+    )
+    q.awaitTermination()
+    merged = {
+        r["register"]: r["max_rho"]
+        for r in read_hll_state(spark, state).collect()
+    }
+    direct = {
+        r["register"]: r["max_rho"]
+        for r in hll_sketch(static, "key").collect()
+    }
+    assert merged == direct
+    # retried batch: re-append batch 0's partial verbatim — max absorbs it
+    spark.read.parquet(state).where("batch_id = 0").write.mode(
+        "append"
+    ).parquet(state)
+    again = {
+        r["register"]: r["max_rho"]
+        for r in read_hll_state(spark, state).collect()
+    }
+    assert again == direct
+    est = hll_estimate(read_hll_state(spark, state))
+    assert abs(est - 500) / 500 < 0.1

@@ -618,6 +618,9 @@ def main() -> None:
             "gates"
         ),
         "cluster_parity_fixed_edges": parity,
+        "measured_at": __import__("datetime").datetime.now().isoformat(
+            timespec="seconds"
+        ),
         "ratio_spark_over_duckdb": (
             round(spark_res["total_sec"] / duck_res["total_sec"], 3) if duck_res else None
         ),
