@@ -2228,9 +2228,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cust = _session(spark).read.parquet(f"{sf_dir}/customer.parquet")
         return hll_sketch(cust, "c_name")
 
+    def q_attribution(spark, sf_dir):
+        """First/last-touch conversion attribution (pipeline/temporal.py
+        conversion_attribution — 'since previous conversion' model: one
+        cumulative-conversion window per user segments the timeline, one
+        per-(user, segment) aggregate picks first/last touch, joined back
+        to the conversion rows on the co-partitioned key; no range join).
+        Timestamps emitted as exact epoch-micros bigints."""
+        from splink_spark.pipeline.temporal import conversion_attribution
+
+        ev = _session(spark).read.parquet(f"{sf_dir}/events.parquet")
+        out = conversion_attribution(
+            ev, "purchase", order_cols="event_id"
+        )
+        return out.select(
+            "user_id",
+            F.unix_micros(F.col("conversion_ts").cast("timestamp")).alias(
+                "conversion_ts_us"
+            ),
+            "conversion_value",
+            "first_touch",
+            F.unix_micros(F.col("first_touch_ts").cast("timestamp")).alias(
+                "first_touch_ts_us"
+            ),
+            "last_touch",
+            F.unix_micros(F.col("last_touch_ts").cast("timestamp")).alias(
+                "last_touch_ts_us"
+            ),
+            "n_touches",
+        )
+
+    def q_group_outliers(spark, sf_dir):
+        """Per-group z-score outliers (pipeline/analytics.py group_outliers
+        — moments from exact integer-micro-unit sums in decimal(38,0), the
+        group_moments pattern, so the z-scores and the |z| >= threshold
+        boundary comparison are bit-identical cross-engine; null-safe
+        group join)."""
+        from splink_spark.pipeline.analytics import group_outliers
+
+        ev = _session(spark).read.parquet(f"{sf_dir}/events.parquet")
+        out = group_outliers(
+            ev.select("event_id", "event_type", "value"),
+            ["event_type"],
+            "value",
+            z_threshold=2.5,
+        )
+        return out.select("event_id", "event_type", "value", "z_score")
+
+    def q_term_cosine_join(spark, sf_dir):
+        """Sparse term-frequency cosine similarity self-join
+        (pipeline/search.py term_cosine_join — postings equi-join ON THE
+        TERM, never all-pairs; dot products and squared norms are exact
+        bigint sums, so the cosine division and threshold boundary are
+        IEEE-identical cross-engine)."""
+        from splink_spark.pipeline.search import term_cosine_join
+
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        return term_cosine_join(docs, threshold=0.8)
+
     d = {
         "hll_registers": q_hll_registers,
         "streaming_hll": q_streaming_hll,
+        "attribution": q_attribution,
+        "group_outliers": q_group_outliers,
+        "term_cosine_join": q_term_cosine_join,
         "jaccard_join": q_jaccard_join,
         "bm25_topk": q_bm25_topk,
         "streaming_bm25": q_streaming_bm25,
@@ -2378,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations", "embedding_covariance",
         # new round-7 operators
         "jaccard_join", "hll_registers", "streaming_hll",
+        "attribution", "group_outliers", "term_cosine_join",
         # round-7 refresh rotation (recorded r01-r05, not in r06)
         "mw_histogram", "concat_union", "tf_mktsegment", "block_single",
         "fuzzy_kernels", "block_salted", "block_multi", "block_counts",
@@ -5451,6 +5513,106 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
              CAST((ni * 1000000) // nu AS BIGINT) AS jaccard_ppm
       FROM pairs
       WHERE ni * 1000000 >= 850000 * nu
+    """
+
+    # attribution: segment each user's timeline at conversions via the
+    # cumulative conversion-count window; first/last touch per segment by
+    # (ts, event_id) row_number; touches attribute to the NEXT conversion
+    sqls["attribution"] = """
+      WITH e AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ic
+        FROM events
+      ),
+      convs AS (
+        SELECT user_id, cum - 1 AS seg,
+               epoch_us(ts) AS conversion_ts_us, value AS conversion_value
+        FROM e WHERE ic = 1
+      ),
+      touch AS (
+        SELECT user_id, cum AS seg, event_type, epoch_us(ts) AS ts_us,
+               row_number() OVER (PARTITION BY user_id, cum
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY user_id, cum
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d,
+               count(*) OVER (PARTITION BY user_id, cum) AS n_touches
+        FROM e WHERE ic = 0
+      )
+      SELECT c.user_id, c.conversion_ts_us, c.conversion_value,
+             f.event_type AS first_touch, f.ts_us AS first_touch_ts_us,
+             l.event_type AS last_touch, l.ts_us AS last_touch_ts_us,
+             COALESCE(f.n_touches, 0) AS n_touches
+      FROM convs c
+      LEFT JOIN touch f
+        ON f.user_id = c.user_id AND f.seg = c.seg AND f.rn_a = 1
+      LEFT JOIN touch l
+        ON l.user_id = c.user_id AND l.seg = c.seg AND l.rn_d = 1
+    """
+
+    # group_outliers: the exact integer-micro-unit moments replayed in
+    # hugeint, then the identical double z-score + boundary compare
+    sqls["group_outliers"] = """
+      WITH v AS (
+        SELECT event_id, event_type, value,
+               CAST(round(value * 1000000, 0) AS BIGINT) AS vi
+        FROM events WHERE value IS NOT NULL
+      ),
+      s AS (
+        SELECT event_type, count(*) AS n,
+               sum(CAST(vi AS HUGEINT)) AS s1,
+               sum(CAST(vi AS HUGEINT) * CAST(vi AS HUGEINT)) AS s2
+        FROM v GROUP BY event_type
+      ),
+      z AS (
+        SELECT v.event_id, v.event_type, v.value,
+               greatest((CAST(s2 AS DOUBLE) / n
+                         - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                        / 1000000000000.0, 0.0) AS var,
+               (CAST(vi AS DOUBLE) / 1000000
+                - CAST(s1 AS DOUBLE) / n / 1000000) AS dev
+        FROM v JOIN s ON v.event_type IS NOT DISTINCT FROM s.event_type
+      )
+      SELECT event_id, event_type, value,
+             round(dev / sqrt(var), 6) AS z_score
+      FROM z
+      WHERE sqrt(var) > 0 AND abs(dev / sqrt(var)) >= 2.5
+    """
+
+    # term_cosine_join: postings self-join on the term, exact integer dot
+    # products and squared norms, identical IEEE cosine division
+    sqls["term_cosine_join"] = """
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                 regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                 x -> x <> '')) AS term
+        FROM documents
+      ),
+      p AS (
+        SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
+      ),
+      norms AS (SELECT doc_id, sum(tf * tf) AS ns FROM p GROUP BY doc_id),
+      d AS (
+        SELECT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r,
+               sum(l.tf * r.tf) AS dot
+        FROM p l JOIN p r ON l.term = r.term AND l.doc_id < r.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_id_l, doc_id_r, CAST(dot AS BIGINT) AS dot,
+             CAST(nl.ns AS BIGINT) AS norm_sq_l,
+             CAST(nr.ns AS BIGINT) AS norm_sq_r,
+             round(CAST(dot AS DOUBLE)
+                   / sqrt(CAST(nl.ns AS DOUBLE) * CAST(nr.ns AS DOUBLE)),
+                   6) AS cosine
+      FROM d
+      JOIN norms nl ON nl.doc_id = doc_id_l
+      JOIN norms nr ON nr.doc_id = doc_id_r
+      WHERE CAST(dot AS DOUBLE)
+            / sqrt(CAST(nl.ns AS DOUBLE) * CAST(nr.ns AS DOUBLE)) >= 0.8
     """
 
     # expectations: each rule's conditional count replayed in one SQL agg

@@ -195,6 +195,12 @@ def main() -> None:
         "group_moments",
         "repeated_spans",
         "rolling_aggregate",
+        # round 7 additions
+        "jaccard_join",
+        "hll_registers",
+        "attribution",
+        "group_outliers",
+        "term_cosine_join",
     ):
         try:
             t0 = time.time()

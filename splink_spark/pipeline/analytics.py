@@ -20,7 +20,12 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["top_k_per_group", "group_quantiles", "group_moments"]
+__all__ = [
+    "top_k_per_group",
+    "group_quantiles",
+    "group_moments",
+    "group_outliers",
+]
 
 # percentile grid for the prefilter cutoff: the chosen fraction is the
 # DEEPEST grid point at or below the needed depth, so the cutoff can only
@@ -278,4 +283,71 @@ def group_moments(
         F.round(mean, round_to).alias("mean"),
         F.round(var, round_to).alias("variance"),
         F.round(F.sqrt(var), round_to).alias("stddev"),
+    )
+
+
+def group_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    z_threshold: float = 3.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group z-score outliers: rows whose value sits at least
+    ``z_threshold`` population standard deviations from their group's mean.
+    NULL values never flag; groups with zero variance (or a single row)
+    flag nothing. Output is the input row plus ``z_score`` (rounded).
+
+    Mean and stddev come from the same EXACT integer-micro-unit sums as
+    :func:`group_moments` (Σv and Σv² in decimal(38,0)) — any engine
+    reproduces the moments digit-for-digit, so the z-scores and the
+    threshold comparison are bit-identical cross-engine (no float-sum
+    order sensitivity at the |z| = threshold boundary).
+
+    Scale shape: one map-side-combined aggregation over the group keys,
+    then one equi-join of the (group -> moments) table back to the rows —
+    broadcast when small, shuffle-on-group otherwise (AQE's call); the join
+    is NULL-SAFE on every group column so NULL-keyed groups keep their
+    rows (groupBy treats NULL as a group; a plain equi-join would silently
+    drop them).
+    """
+    groups = list(group_cols)
+    v = F.expr(f"cast(round(`{value_col}` * 1000000, 0) as bigint)")
+    vd = v.cast("decimal(38,0)")
+    stats = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*groups, vd.alias("__vd"))
+        .groupBy(*groups)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__vd").alias("__s1"),
+            F.sum((F.col("__vd") * F.col("__vd")).cast("decimal(38,0)")).alias(
+                "__s2"
+            ),
+        )
+    )
+    st = stats.select(
+        *[F.col(g).alias(f"__g_{g}") for g in groups], "__n", "__s1", "__s2"
+    )
+    cond = None
+    for g in groups:
+        c = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+        cond = c if cond is None else (cond & c)
+    m = 1_000_000.0
+    nd = F.col("__n").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    var = F.greatest(
+        (s2 / nd - (s1 / nd) * (s1 / nd)) / F.lit(m * m), F.lit(0.0)
+    )
+    std = F.sqrt(var)
+    z = (v.cast("double") / F.lit(m) - s1 / nd / F.lit(m)) / std
+    return (
+        df.join(st, on=cond, how="inner")
+        .where(
+            F.col(value_col).isNotNull()
+            & (std > 0)
+            & (F.abs(z) >= F.lit(float(z_threshold)))
+        )
+        .select(*df.columns, F.round(z, round_to).alias("z_score"))
     )

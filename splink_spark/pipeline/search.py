@@ -40,6 +40,7 @@ __all__ = [
     "bm25_index_write",
     "bm25_index_read",
     "bm25_release_cached_slices",
+    "term_cosine_join",
 ]
 
 _SCALE = 1_000_000
@@ -279,3 +280,95 @@ def bm25_index_read(
         ]
         df = df.where(F.col("term_bucket").isin(buckets))
     return df.drop("term_bucket")
+
+
+def term_cosine_join(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_df: Optional[int] = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Sparse term-frequency cosine similarity self-join: every document
+    pair sharing at least one term, scored by the cosine of their raw
+    term-count vectors, kept at ``cosine >= threshold``. The embedding-free
+    complement to ``dedup.embedding_near_duplicates`` (same output shape:
+    id_l < id_r) for corpora without an embedding column.
+
+    Exactness: dot products and squared norms are exact integer sums of
+    term-count products (bigint — counts are small; a 10M-token document
+    still fits), so every engine reproduces them digit-for-digit; only the
+    final ``dot / sqrt(norm_l * norm_r)`` converts to double, and both
+    operands are exact integers, so the IEEE result — and the threshold
+    comparison at the boundary — is bit-identical cross-engine.
+
+    Scale shape: the candidate generator is an equi-join of the postings
+    table with itself ON THE TERM — never an all-pairs product; shuffle is
+    bounded by Σ df(term)² over terms both sides share. That sum is
+    dominated by stop-word-frequency terms, so at corpus scale pass
+    ``max_df``: terms appearing in more than ``max_df`` documents are
+    EXCLUDED FROM THE VECTORS (dot products and norms — standard stop-word
+    pruning semantics, not an approximation of the unpruned metric; the
+    docstring contract is the pruned vocabulary). Default None computes
+    the exact full-vocabulary cosine.
+    """
+    postings = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokenize_terms(F.col(text_col))).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if max_df is not None:
+        keep = (
+            postings.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= int(max_df))
+            .select("term")
+        )
+        postings = postings.join(keep, "term")
+    norms = postings.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("norm_sq")
+    )
+    l = postings.select(
+        F.col("doc_id").alias(f"{id_col}_l"), "term", F.col("tf").alias("__tf_l")
+    )
+    r = postings.select(
+        F.col("doc_id").alias(f"{id_col}_r"), "term", F.col("tf").alias("__tf_r")
+    )
+    dots = (
+        l.join(r, "term")
+        .where(F.col(f"{id_col}_l") < F.col(f"{id_col}_r"))
+        .groupBy(f"{id_col}_l", f"{id_col}_r")
+        .agg(F.sum(F.col("__tf_l") * F.col("__tf_r")).alias("dot"))
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("norm_sq_l").cast("double") * F.col("norm_sq_r").cast("double")
+    )
+    return (
+        dots.join(
+            norms.select(
+                F.col("doc_id").alias(f"{id_col}_l"),
+                F.col("norm_sq").alias("norm_sq_l"),
+            ),
+            f"{id_col}_l",
+        )
+        .join(
+            norms.select(
+                F.col("doc_id").alias(f"{id_col}_r"),
+                F.col("norm_sq").alias("norm_sq_r"),
+            ),
+            f"{id_col}_r",
+        )
+        .where(cos >= F.lit(float(threshold)))
+        .select(
+            f"{id_col}_l",
+            f"{id_col}_r",
+            "dot",
+            "norm_sq_l",
+            "norm_sq_r",
+            F.round(cos, round_to).alias("cosine"),
+        )
+    )

@@ -34,6 +34,7 @@ __all__ = [
     "retention",
     "gap_fill",
     "rolling_aggregate",
+    "conversion_attribution",
 ]
 
 
@@ -597,4 +598,81 @@ def rolling_aggregate(
             F.round(s / F.lit(1_000_000.0) / cnt_v.cast("double"), round_to),
         )
         .drop("__vm")
+    )
+
+
+def conversion_attribution(
+    df: DataFrame,
+    conversion_type: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: Union[str, Sequence[str], None] = None,
+    touch_types: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution over an event log
+    (the standard "since previous conversion" model): each user's timeline
+    is segmented at conversion events, and every touch attributes to the
+    NEXT conversion after it. Touches with no later conversion are
+    unattributed (dropped); a conversion with no preceding touch since the
+    previous conversion comes back with NULL touch columns and
+    ``n_touches = 0``.
+
+    ``touch_types`` restricts which event types count as touches (default:
+    every non-conversion event). Pass ``order_cols`` (e.g. an event id) to
+    make first/last deterministic under timestamp ties.
+
+    Output: one row per conversion — (``user_col``, conversion_ts,
+    conversion_value?, first_touch, first_touch_ts, last_touch,
+    last_touch_ts, n_touches). The ``value`` column is carried through only
+    if the input has one.
+
+    Scale shape: one window (cumulative conversion count per user — the
+    segment id) plus one per-(user, segment) aggregate joined back to the
+    conversion rows on the co-partitioned (user, segment) key; no range
+    join, no per-user collect. Window state is a running sum only.
+    """
+    order = [ts_col] + _as_list(order_cols)
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(*[F.col(c).asc() for c in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_conv = (F.col(type_col) == F.lit(conversion_type)).cast("int")
+    staged = df.withColumn("__cum", F.sum(is_conv).over(w)).withColumn(
+        "__is_conv", is_conv
+    )
+    has_value = "value" in df.columns
+
+    convs = staged.where(F.col("__is_conv") == 1).select(
+        F.col(user_col),
+        (F.col("__cum") - 1).alias("__seg"),
+        F.col(ts_col).alias("conversion_ts"),
+        *([F.col("value").alias("conversion_value")] if has_value else []),
+    )
+    touches = staged.where(F.col("__is_conv") == 0)
+    if touch_types is not None:
+        touches = touches.where(F.col(type_col).isin(list(touch_types)))
+    ord_key = F.struct(*[F.col(c) for c in order])
+    touch_agg = (
+        touches.select(
+            F.col(user_col),
+            F.col("__cum").alias("__seg"),
+            F.col(type_col).alias("__ch"),
+            F.col(ts_col).alias("__ts"),
+            ord_key.alias("__o"),
+        )
+        .groupBy(user_col, "__seg")
+        .agg(
+            F.min_by("__ch", F.col("__o")).alias("first_touch"),
+            F.min_by("__ts", F.col("__o")).alias("first_touch_ts"),
+            F.max_by("__ch", F.col("__o")).alias("last_touch"),
+            F.max_by("__ts", F.col("__o")).alias("last_touch_ts"),
+            F.count(F.lit(1)).alias("n_touches"),
+        )
+    )
+    return (
+        convs.join(touch_agg, on=[user_col, "__seg"], how="left")
+        .withColumn("n_touches", F.coalesce(F.col("n_touches"), F.lit(0)))
+        .drop("__seg")
     )

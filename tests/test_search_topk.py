@@ -455,3 +455,57 @@ def test_jaccard_join_dedups_tokens_and_skips_empty(spark):
     got = jaccard_similarity_join(df, "doc_id", "tokens", 0.9).collect()
     # {a,b} vs {b,a}: jaccard 1.0; empties/nulls dropped silently
     assert len(got) == 1 and got[0]["jaccard_ppm"] == 1_000_000
+
+
+def test_group_outliers_zscore_and_null_groups(spark):
+    """Outlier rows flagged per group at |z| >= threshold; NULL group keys
+    keep their rows (null-safe join); zero-variance groups flag nothing."""
+    from splink_spark.pipeline.analytics import group_outliers
+
+    rows = (
+        [("a", i, 10.0) for i in range(10)]
+        + [("a", 99, 1000.0)]            # the outlier
+        + [("b", 1, 5.0), ("b", 2, 5.0)]  # zero variance
+        + [(None, 1, 0.0), (None, 2, 0.0), (None, 3, 100.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, id int, value double")
+    got = group_outliers(df, ["g"], "value", z_threshold=1.2).collect()
+    flagged = {(r["g"], r["id"]): r["z_score"] for r in got}
+    assert ("a", 99) in flagged and flagged[("a", 99)] > 3.0
+    assert not any(g == "b" for g, _ in flagged)
+    assert (None, 3) in flagged  # NULL-keyed group not dropped
+    assert all(gid != ("a", 0) for gid in flagged)
+
+
+def test_term_cosine_join_exact_and_max_df(spark):
+    """Cosine over raw term counts, exact integer dot/norms; max_df prunes
+    stop-word terms from the vectors (documented semantics change)."""
+    from splink_spark.pipeline.search import term_cosine_join
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the cat sat"),          # identical -> cosine 1.0
+            (3, "the dog ran far away"),  # shares only 'the' with 1/2
+            (4, "zzz qqq"),              # shares nothing
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id_l"], r["doc_id_r"]): r
+        for r in term_cosine_join(docs, threshold=0.0).collect()
+    }
+    assert out[(1, 2)]["cosine"] == 1.0
+    assert out[(1, 2)]["dot"] == 3 and out[(1, 2)]["norm_sq_l"] == 3
+    # pairs via shared 'the' only
+    import math
+
+    assert out[(1, 3)]["dot"] == 1
+    assert out[(1, 3)]["cosine"] == round(1 / math.sqrt(3 * 5), 6)
+    assert (1, 4) not in out and (3, 4) not in out
+    # max_df=2 drops 'the' (df=3): pair (1,3) loses its only shared term
+    pruned = {
+        (r["doc_id_l"], r["doc_id_r"])
+        for r in term_cosine_join(docs, threshold=0.0, max_df=2).collect()
+    }
+    assert (1, 3) not in pruned and (1, 2) in pruned

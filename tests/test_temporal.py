@@ -681,3 +681,65 @@ def test_rolling_and_gapfill_mean_skips_null_values(spark):
     g = {r["bucket_start"]: r["value"]
          for r in gap_fill(df, bucket=10, by="k", method="null").collect()}
     assert g[0] == 3.0  # bucket mean over the two non-null values
+
+
+def test_conversion_attribution_first_last_touch(spark):
+    """Segmenting at conversions: touches attribute to the NEXT conversion;
+    trailing touches are dropped; a touchless conversion keeps NULLs."""
+    from splink_spark.pipeline.temporal import conversion_attribution
+
+    rows = [
+        # user 1: view, click -> buy ; click -> buy ; view (trailing)
+        (1, 10, 1, "view", 0.0),
+        (1, 20, 2, "click", 0.0),
+        (1, 30, 3, "buy", 9.5),
+        (1, 40, 4, "click", 0.0),
+        (1, 50, 5, "buy", 1.5),
+        (1, 60, 6, "view", 0.0),
+        # user 2: conversion with no preceding touch
+        (2, 10, 7, "buy", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts long, event_id int, event_type string, value double"
+    )
+    out = {
+        (r["user_id"], r["conversion_ts"]): r
+        for r in conversion_attribution(
+            df, "buy", order_cols="event_id"
+        ).collect()
+    }
+    assert len(out) == 3
+    r1 = out[(1, 30)]
+    assert (r1["first_touch"], r1["last_touch"], r1["n_touches"]) == (
+        "view", "click", 2,
+    )
+    assert (r1["first_touch_ts"], r1["last_touch_ts"]) == (10, 20)
+    r2 = out[(1, 50)]
+    assert (r2["first_touch"], r2["last_touch"], r2["n_touches"]) == (
+        "click", "click", 1,
+    )
+    r3 = out[(2, 10)]
+    assert r3["first_touch"] is None and r3["n_touches"] == 0
+    assert r3["conversion_value"] == 3.0
+
+
+def test_conversion_attribution_touch_types_and_ties(spark):
+    """touch_types restricts the touch pool; event_id breaks ts ties
+    deterministically."""
+    from splink_spark.pipeline.temporal import conversion_attribution
+
+    rows = [
+        (1, 10, 1, "view", 0.0),
+        (1, 10, 2, "error", 0.0),   # same ts as view: tie broken by id
+        (1, 10, 3, "click", 0.0),
+        (1, 30, 4, "buy", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts long, event_id int, event_type string, value double"
+    )
+    all_touch = conversion_attribution(df, "buy", order_cols="event_id").collect()[0]
+    assert (all_touch["first_touch"], all_touch["last_touch"]) == ("view", "click")
+    restricted = conversion_attribution(
+        df, "buy", order_cols="event_id", touch_types=["view", "click"]
+    ).collect()[0]
+    assert (restricted["first_touch"], restricted["n_touches"]) == ("view", 2)

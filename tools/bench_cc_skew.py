@@ -115,6 +115,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     result = run_cc_skew(spark, n)
     here = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    result.update(__import__('_stamp').measurement_stamp())
     with open(os.path.join(here, "BENCH_CC_SKEW.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))

@@ -221,6 +221,7 @@ def main() -> None:
                 if sib.get("ops", {}).get(k)
             },
         }
+    results.update(__import__('_stamp').measurement_stamp())
     with open(os.path.join(here, f"BENCH_CURATION_{label}.json"), "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results))

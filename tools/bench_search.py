@@ -221,6 +221,7 @@ def main() -> None:
         "wedges naively — degree orientation finishes because the hub "
         "ranks highest and builds none.".format(c=cpus)
     )
+    results.update(__import__('_stamp').measurement_stamp())
     with open(os.path.join(REPO, "BENCH_SEARCH.json"), "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))

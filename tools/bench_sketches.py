@@ -155,6 +155,7 @@ def main() -> None:
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "BENCH_SKETCHES.json"
     )
+    results.update(__import__('_stamp').measurement_stamp())
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results))

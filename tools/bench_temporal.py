@@ -125,6 +125,7 @@ def main() -> None:
         ),
     }
     results["total_sec"] = round(sum(results["ops"].values()), 2)
+    results.update(__import__('_stamp').measurement_stamp())
     with open(os.path.join(REPO, "BENCH_TEMPORAL.json"), "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results))
