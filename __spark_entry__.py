@@ -2228,6 +2228,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cust = _session(spark).read.parquet(f"{sf_dir}/customer.parquet")
         return hll_sketch(cust, "c_name")
 
+    def q_ann_pq(spark, sf_dir):
+        """Product-quantization ADC search (pipeline/ann.py pq_topk —
+        subspace k-means trained in exact int64 arithmetic: MINSTD init,
+        ||c||²-2qc assignment keys, integer-mean updates, empty cluster
+        keeps prev; ADC distances are exact integer sums of LUT lookups,
+        so ranking and ties are bit-identical cross-engine). Oracle
+        replays quantization, the 1-iteration subspace k-means, encoding
+        and the ADC ranking in SQL."""
+        emb = _session(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+        return ann.pq_topk(
+            emb,
+            emb.where(F.col("vec_id") < 5),
+            k=5,
+            m=4,
+            codebook_size=8,
+            iterations=1,
+        ).select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbour_id",
+            "adc_dist",
+        )
+
     def q_attribution(spark, sf_dir):
         """First/last-touch conversion attribution (pipeline/temporal.py
         conversion_attribution — 'since previous conversion' model: one
@@ -2292,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "group_outliers": q_group_outliers,
         "term_cosine_join": q_term_cosine_join,
+        "ann_pq": q_ann_pq,
         "jaccard_join": q_jaccard_join,
         "bm25_topk": q_bm25_topk,
         "streaming_bm25": q_streaming_bm25,
@@ -2439,7 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations", "embedding_covariance",
         # new round-7 operators
         "jaccard_join", "hll_registers", "streaming_hll",
-        "attribution", "group_outliers", "term_cosine_join",
+        "attribution", "group_outliers", "term_cosine_join", "ann_pq",
         # round-7 refresh rotation (recorded r01-r05, not in r06)
         "mw_histogram", "concat_union", "tf_mktsegment", "block_single",
         "fuzzy_kernels", "block_salted", "block_multi", "block_counts",
@@ -3533,6 +3557,73 @@ c2 AS (
   FROM c1 i LEFT JOIN (SELECT cluster, list(cm ORDER BY pos) AS c FROM c2v GROUP BY cluster) g USING (cluster)
 )
 """
+
+    # ann_pq: full SQL replay of PQ training (quantize, per-subspace MINSTD
+    # init, one k-means iteration with ||c||²-2qc argmin keys + integer-mean
+    # update + empty-keeps-prev), encoding against the trained codebooks,
+    # and the exact-integer ADC ranking. MATERIALIZED hints keep DuckDB
+    # from re-inlining the multiply-referenced iteration CTEs (3^i blowup).
+    sqls["ann_pq"] = """
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+e1 AS (SELECT vec_id, d, greatest(sqrt(list_sum(list_transform(d, y -> y*y))), 1e-12) AS nrm FROM e0),
+e AS MATERIALIZED (SELECT vec_id, list_transform(d, x -> CAST(round(x / nrm * 1000000) AS BIGINT)) AS q FROM e1),
+sub AS (SELECT unnest(generate_series(0, 3)) AS s),
+es AS MATERIALIZED (
+  SELECT vec_id, s, list_slice(q, s*16+1, (s+1)*16) AS qs FROM e, sub
+),
+init AS (
+  SELECT CAST(row_number() OVER (ORDER BY ((vec_id * 48271) % 2147483647) % 1000000, vec_id) - 1 AS INT) AS code, q
+  FROM e
+  QUALIFY row_number() OVER (ORDER BY ((vec_id * 48271) % 2147483647) % 1000000, vec_id) <= 8
+),
+cb0 AS MATERIALIZED (
+  SELECT s, code, list_slice(q, s*16+1, (s+1)*16) AS qs FROM init, sub
+),
+a1 AS MATERIALIZED (
+  SELECT vec_id, s, qs, code FROM (
+    SELECT es.vec_id, es.s, es.qs, c.code,
+      row_number() OVER (PARTITION BY es.vec_id, es.s
+        ORDER BY (list_inner_product(c.qs, c.qs)
+                  - 2 * list_inner_product(es.qs, c.qs)) ASC, c.code ASC) AS rn
+    FROM es JOIN cb0 c ON es.s = c.s) WHERE rn = 1
+),
+m1 AS (
+  SELECT s, code, pos, CAST(round(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS mu
+  FROM (SELECT s, code, unnest(qs) AS val, unnest(generate_series(1, len(qs))) AS pos FROM a1)
+  GROUP BY s, code, pos
+),
+cb1 AS MATERIALIZED (
+  SELECT c0.s, c0.code, coalesce(g.v, c0.qs) AS qs
+  FROM cb0 c0 LEFT JOIN (
+    SELECT s, code, list(mu ORDER BY pos) AS v FROM m1 GROUP BY s, code
+  ) g ON c0.s = g.s AND c0.code = g.code
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, s, code FROM (
+    SELECT es.vec_id, es.s, c.code,
+      row_number() OVER (PARTITION BY es.vec_id, es.s
+        ORDER BY (list_inner_product(c.qs, c.qs)
+                  - 2 * list_inner_product(es.qs, c.qs)) ASC, c.code ASC) AS rn
+    FROM es JOIN cb1 c ON es.s = c.s) WHERE rn = 1
+),
+qsub AS (SELECT vec_id AS query_id, s, qs FROM es WHERE vec_id < 5),
+adc AS (
+  SELECT q.query_id, n.vec_id AS neighbour_id,
+         CAST(sum(list_inner_product(q.qs, q.qs)
+                  - 2 * list_inner_product(q.qs, c.qs)
+                  + list_inner_product(c.qs, c.qs)) AS BIGINT) AS adc_dist
+  FROM codes n
+  JOIN cb1 c ON n.s = c.s AND n.code = c.code
+  JOIN qsub q ON q.s = n.s
+  WHERE n.vec_id <> q.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, neighbour_id, adc_dist FROM (
+  SELECT query_id, neighbour_id, adc_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY adc_dist ASC, neighbour_id ASC) AS BIGINT) AS rank
+  FROM adc) WHERE rank <= 5
+    """
 
     sqls["kmeans_assign"] = _kmeans_cte + """
 SELECT vec_id, cluster, round(dot / 1000000000000.0, 6) AS cosine_sim FROM (

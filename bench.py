@@ -201,6 +201,7 @@ def main() -> None:
         "attribution",
         "group_outliers",
         "term_cosine_join",
+        "ann_pq",
     ):
         try:
             t0 = time.time()

@@ -679,3 +679,277 @@ def sq8_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbour_id", "cosine_sim")
     )
+
+
+def _pq_key_arrays(qs_col, codebooks_s: list[list[int]]):
+    """ARRAY of exact-int64 assignment keys ``||c||² - 2·q·c`` for the
+    subvector column against each centroid of one subspace — the argmin of
+    this key equals the argmin of the true squared L2 (the ``||q||²`` term
+    is constant across centroids). Each dot expression appears exactly
+    once (same no-WHEN-chain rationale as :func:`_int_dot_array`)."""
+    return F.array(
+        *[
+            F.lit(sum(x * x for x in c)).cast("bigint")
+            - 2
+            * F.aggregate(
+                F.zip_with(
+                    qs_col,
+                    F.array(*[F.lit(int(x)).cast("bigint") for x in c]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            for c in codebooks_s
+        ]
+    )
+
+
+def pq_train_encode(
+    corpus: DataFrame,
+    m: int = 4,
+    codebook_size: int = 16,
+    iterations: int = 2,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+):
+    """Product quantization (Jégou et al., TPAMI 2011): split each
+    L2-normalized, integer-quantized vector into ``m`` contiguous
+    subspaces and vector-quantize each subspace with its own
+    ``codebook_size``-centroid k-means. Returns ``(codes_df, codebooks)``:
+    ``codes_df`` = (``id_col``, ``codes`` array<int> of length m — the
+    compressed representation, m small ints per vector instead of dim
+    floats), ``codebooks`` = m x codebook_size x (dim/m) integer centroid
+    lists (driver-side state, bounded — independent of corpus size).
+
+    Exact-integer portability (same contract as :func:`kmeans_fit_assign`):
+    quantization, the squared-L2 assignment key, and the per-(subspace,
+    cluster, position) integer-mean update are all exact int64 arithmetic
+    — any engine replays the training digit-for-digit. Init per subspace =
+    the same ``codebook_size`` MINSTD-bucket-smallest rows' subvectors;
+    assignment ties break to the lower code id; an empty cluster keeps its
+    previous centroid. Subspace centroids use plain integer means (no
+    spherical renorm — PQ subvectors are not unit vectors).
+
+    Scale shape: ONE persisted quantized corpus scan; each training
+    iteration is one long-form (id, subspace, subvector) pass — assignment
+    via a bounded WHEN-on-subspace chain of centroid-literal key arrays
+    (pure Column HOFs, JVM codegen, no shuffle, no join) plus one
+    map-side-combined groupBy(subspace, code, position) whose result is
+    m·codebook_size·(dim/m) rows collected. Encoding is one more scan of
+    the wide frame — no join, no shuffle.
+    """
+    staged = _quantize_int(corpus, embedding_col, id_col, scale).persist()
+    dim_row = staged.select(F.size("__q").alias("d")).head()
+    if dim_row is None:
+        staged.unpersist()
+        empty = corpus.sparkSession.createDataFrame(
+            [], f"{id_col} bigint, codes array<int>"
+        )
+        return empty, []
+    dim = int(dim_row["d"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+
+    from .curation import _minstd_bucket
+
+    init_rows = (
+        staged.withColumn("__b", _minstd_bucket(id_col))
+        .orderBy("__b", id_col)
+        .limit(codebook_size)
+        .collect()
+    )
+    codebooks = [
+        [[int(x) for x in r["__q"][s * sub : (s + 1) * sub]] for r in init_rows]
+        for s in range(m)
+    ]
+
+    long_form = staged.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.slice("__q", s * sub + 1, sub) for s in range(m)])
+        ).alias("__s", "__qs"),
+    )
+
+    for _ in range(max(0, iterations)):
+        keys = None
+        for s in range(m):
+            arr = _pq_key_arrays(F.col("__qs"), codebooks[s])
+            keys = (
+                F.when(F.col("__s") == s, arr)
+                if keys is None
+                else keys.when(F.col("__s") == s, arr)
+            )
+        assigned = long_form.withColumn("__keys", keys).withColumn(
+            "__code",
+            (F.expr("array_position(__keys, array_min(__keys))") - 1).cast(
+                "int"
+            ),
+        )
+        means = (
+            assigned.select("__s", "__code", F.posexplode("__qs"))
+            .groupBy("__s", "__code", "pos")
+            .agg(
+                F.round(F.sum("col").cast("double") / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("mu")
+            )
+            .collect()
+        )
+        upd: dict[tuple, dict[int, int]] = {}
+        for r in means:
+            upd.setdefault((int(r["__s"]), int(r["__code"])), {})[
+                int(r["pos"])
+            ] = int(r["mu"])
+        for (s, c), coords in upd.items():
+            codebooks[s][c] = [coords[p] for p in range(len(coords))]
+
+    # encode on the wide frame: stage each subspace's key array as a named
+    # column so its dot products are computed once, not re-inlined into
+    # both array_position and array_min
+    staged_keys = staged
+    for s in range(m):
+        staged_keys = staged_keys.withColumn(
+            f"__k{s}",
+            _pq_key_arrays(F.slice("__q", s * sub + 1, sub), codebooks[s]),
+        )
+    codes_df = staged_keys.select(
+        F.col(id_col),
+        F.array(
+            *[
+                (
+                    F.expr(f"array_position(__k{s}, array_min(__k{s}))") - 1
+                ).cast("int")
+                for s in range(m)
+            ]
+        ).alias("codes"),
+    )
+    return codes_df, codebooks
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    codebook_size: int = 16,
+    iterations: int = 2,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+    rerank_candidates: Optional[int] = None,
+) -> DataFrame:
+    """Top-k search by asymmetric distance computation (ADC) over
+    PQ-compressed vectors: train/encode via :func:`pq_train_encode`, build
+    each query's m x codebook_size lookup table of EXACT integer squared
+    distances driver-side (queries are the small side, like every ANN
+    entry point here), then score every corpus vector as the sum of m LUT
+    lookups indexed by its codes — the scan touches only the m-int code
+    column, never the float embeddings. Returns (query_id, rank,
+    neighbour_id, adc_dist): rank 1-based by ascending ``adc_dist``
+    (exact int64, bit-identical cross-engine), ties to the lower
+    neighbour id; the query's own row is excluded.
+
+    Scale shape: compression is the point — at m=8 a 768-dim float corpus
+    scans 8 ints/vector instead of 768 doubles (~380x less IO); scoring is
+    a broadcast crossJoin of |Q| LUT rows against the code scan with pure
+    HOF arithmetic, then one per-query window over the small scored set.
+    For selective search at even larger scale, compose with
+    :func:`ivf_topk_portable`'s cell routing (IVF-PQ = route to nprobe
+    cells, ADC within them).
+
+    Recall honesty: ADC ranks by a LOSSY code distance — on structureless
+    (e.g. random synthetic) vectors, small codebooks rank poorly; pass
+    ``rerank_candidates`` to take that many ADC survivors per query and
+    re-rank them by exact cosine on the original embeddings (the sq8_topk
+    pattern: only |Q| x rerank_candidates pairs ever re-read the floats),
+    returning (query_id, rank, neighbour_id, cosine_sim) instead.
+    """
+    codes_df, codebooks = pq_train_encode(
+        corpus,
+        m=m,
+        codebook_size=codebook_size,
+        iterations=iterations,
+        embedding_col=embedding_col,
+        id_col=id_col,
+        scale=scale,
+    )
+    if not codebooks:
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id bigint, rank int, neighbour_id bigint, adc_dist bigint"
+        )
+    qrows = _quantize_int(queries, embedding_col, id_col, scale).collect()
+    sub = len(codebooks[0][0])
+    lut_rows = []
+    for r in qrows:
+        qv = [int(x) for x in r["__q"]]
+        lut = [
+            [
+                sum(
+                    (qv[s * sub + i] - c[i]) * (qv[s * sub + i] - c[i])
+                    for i in range(sub)
+                )
+                for c in codebooks[s]
+            ]
+            for s in range(len(codebooks))
+        ]
+        lut_rows.append((int(r[id_col]), lut))
+    spark = corpus.sparkSession
+    luts = spark.createDataFrame(
+        lut_rows, f"query_id bigint, __lut array<array<bigint>>"
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("__lut"),
+            lambda c, row: F.element_at(row, c + 1),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes_df.withColumnRenamed(id_col, "neighbour_id")
+        .crossJoin(F.broadcast(luts))
+        .where(F.col("neighbour_id") != F.col("query_id"))
+        .select("query_id", "neighbour_id", adc.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbour_id")
+    )
+    if rerank_candidates is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbour_id", "adc_dist")
+        )
+    cand = (
+        scored.withColumn("__crank", F.row_number().over(w))
+        .where(F.col("__crank") <= int(rerank_candidates))
+        .select("query_id", "neighbour_id")
+    )
+    qe = queries.select(
+        F.col(id_col).alias("query_id"), F.col(embedding_col).alias("__q_emb")
+    )
+    ce = corpus.select(
+        F.col(id_col).alias("neighbour_id"), F.col(embedding_col).alias("__c_emb")
+    )
+    rescored = (
+        F.broadcast(cand)
+        .join(ce, "neighbour_id")
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "neighbour_id",
+            _sim(F.col("__q_emb"), F.col("__c_emb")).alias("cosine_sim"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbour_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbour_id", "cosine_sim")
+    )

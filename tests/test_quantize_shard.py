@@ -181,3 +181,100 @@ def test_sq8_topk_matches_brute_force(spark):
     # agrees with brute force on well-separated random vectors
     agree = sum(1 for k_ in exact if sq8.get(k_) == exact[k_])
     assert agree >= int(0.8 * len(exact))
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    import random
+
+    from splink_spark.pipeline.ann import pq_train_encode
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    codes, cbs = pq_train_encode(vecs, m=4, codebook_size=8, iterations=2)
+    got = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    assert len(got) == 120
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in got.values())
+    assert len(cbs) == 4 and all(len(cb) == 8 for cb in cbs)
+    assert all(len(c) == 4 for cb in cbs for c in cb)  # 16/4 dims per sub
+    # deterministic retrain: same init, same integer arithmetic
+    codes2, cbs2 = pq_train_encode(vecs, m=4, codebook_size=8, iterations=2)
+    assert cbs2 == cbs
+    assert {r["vec_id"]: r["codes"] for r in codes2.collect()} == got
+
+
+def test_pq_adc_matches_python_reference(spark):
+    """ADC distances replayed by a driver-side pure-python PQ: quantize,
+    LUT, sum — bit-equal integers (the cross-engine oracle's contract)."""
+    import math
+    import random
+
+    from splink_spark.pipeline.ann import pq_topk, pq_train_encode
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = vecs.where(F.col("vec_id") < 3)
+    m, cb_k, scale = 2, 4, 1_000_000
+    codes_df, cbs = pq_train_encode(
+        vecs, m=m, codebook_size=cb_k, iterations=1
+    )
+    codes = {r["vec_id"]: list(r["codes"]) for r in codes_df.collect()}
+
+    def quant(v):
+        n = max(math.sqrt(sum(x * x for x in v)), 1e-12)
+        out = []
+        for x in v:
+            d = x / n * scale
+            out.append(int(math.floor(d + 0.5)) if d >= 0 else -int(math.floor(-d + 0.5)))
+        return out
+
+    qv = {i: quant(v) for i, v in rows if i < 3}
+    sub = len(cbs[0][0])
+    expected = {}
+    for qid, q in qv.items():
+        for nid, cs in codes.items():
+            if nid == qid:
+                continue
+            dist = sum(
+                sum(
+                    (q[s * sub + i] - cbs[s][cs[s]][i]) ** 2 for i in range(sub)
+                )
+                for s in range(m)
+            )
+            expected[(qid, nid)] = dist
+    got = pq_topk(
+        vecs, queries, k=60, m=m, codebook_size=cb_k, iterations=1
+    ).collect()
+    for r in got:
+        assert expected[(r["query_id"], r["neighbour_id"])] == r["adc_dist"]
+    # ranks ascend in adc_dist with id tie-break
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["adc_dist"], r["neighbour_id"]))
+    for seq in by_q.values():
+        assert seq == sorted(seq)
+
+
+def test_pq_rerank_returns_exact_cosine(spark):
+    import random
+
+    from splink_spark.pipeline.ann import brute_force_topk, pq_topk
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = vecs.where(F.col("vec_id") < 3)
+    # rerank over a wide ADC candidate pool: exact top-3 must be recovered
+    out = {
+        (r["query_id"], r["rank"]): (r["neighbour_id"], r["cosine_sim"])
+        for r in pq_topk(
+            vecs, queries, k=3, m=4, codebook_size=8, iterations=1,
+            rerank_candidates=199,
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbour_id"], r["cosine_sim"])
+        for r in brute_force_topk(vecs, queries, k=3).collect()
+    }
+    assert out == exact
