@@ -953,3 +953,137 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbour_id", "cosine_sim")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    codebook_size: int = 16,
+    iterations: int = 2,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+    rerank_candidates: Optional[int] = None,
+) -> DataFrame:
+    """IVF-PQ: the 100 TB ANN workhorse — route each query to its
+    ``nprobe`` nearest coarse cells (:func:`ivf_topk_portable`'s exact-int64
+    spherical k-means), then rank ONLY those cells' vectors by PQ ADC
+    (:func:`pq_topk`'s exact integer LUT sums). The scan cost per query is
+    (corpus/num_cells)·nprobe rows of m small ints — both the selectivity
+    lever (cells) and the compression lever (codes) compose.
+
+    This is the "PQ on raw vectors" variant (codebooks trained corpus-wide,
+    not on cell residuals — residual PQ needs per-cell codebooks, a
+    different storage contract); with ``nprobe = num_cells`` the result is
+    exactly :func:`pq_topk` (pytest pins that composition law). Both
+    trainings are exact-int64, so results are engine-portable like every
+    ANN entry point here. ``rerank_candidates`` re-ranks ADC survivors by
+    exact cosine (returns cosine_sim instead of adc_dist).
+    """
+    staged, centroids, _assign = _kmeans_int_index(
+        corpus, num_cells, iterations, embedding_col, id_col, scale
+    )
+    assigned = _assign(centroids).select(
+        F.col(id_col).alias("neighbour_id"), "cluster"
+    )
+    codes_df, codebooks = pq_train_encode(
+        corpus,
+        m=m,
+        codebook_size=codebook_size,
+        iterations=iterations,
+        embedding_col=embedding_col,
+        id_col=id_col,
+        scale=scale,
+    )
+    if not codebooks:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id bigint, rank int, neighbour_id bigint, adc_dist bigint"
+        )
+    qstaged = _quantize_int(queries, embedding_col, id_col, scale).persist()
+    qprobe = qstaged.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(_int_dot_array(centroids)).alias("cluster", "__dot"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("__dot"), F.asc("cluster"))
+    probes = (
+        qprobe.withColumn("__rn", F.row_number().over(wp))
+        .where(F.col("__rn") <= nprobe)
+        .select("query_id", "cluster")
+    )
+    sub = len(codebooks[0][0])
+    lut_rows = []
+    for r in qstaged.collect():
+        qv = [int(x) for x in r["__q"]]
+        lut = [
+            [
+                sum(
+                    (qv[s * sub + i] - c[i]) * (qv[s * sub + i] - c[i])
+                    for i in range(sub)
+                )
+                for c in codebooks[s]
+            ]
+            for s in range(len(codebooks))
+        ]
+        lut_rows.append((int(r[id_col]), lut))
+    qstaged.unpersist()
+    luts = corpus.sparkSession.createDataFrame(
+        lut_rows, "query_id bigint, __lut array<array<bigint>>"
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("__lut"),
+            lambda c, row: F.element_at(row, c + 1),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), on="cluster")
+        .where(F.col("neighbour_id") != F.col("query_id"))
+        .join(codes_df.withColumnRenamed(id_col, "neighbour_id"), "neighbour_id")
+        .join(F.broadcast(luts), "query_id")
+        .select("query_id", "neighbour_id", adc.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbour_id")
+    )
+    if rerank_candidates is None:
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbour_id", "adc_dist")
+        )
+    shortlist = (
+        cand.withColumn("__crank", F.row_number().over(w))
+        .where(F.col("__crank") <= int(rerank_candidates))
+        .select("query_id", "neighbour_id")
+    )
+    qe = queries.select(
+        F.col(id_col).alias("query_id"), F.col(embedding_col).alias("__q_emb")
+    )
+    ce = corpus.select(
+        F.col(id_col).alias("neighbour_id"), F.col(embedding_col).alias("__c_emb")
+    )
+    rescored = (
+        F.broadcast(shortlist)
+        .join(ce, "neighbour_id")
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "neighbour_id",
+            _sim(F.col("__q_emb"), F.col("__c_emb")).alias("cosine_sim"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbour_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbour_id", "cosine_sim")
+    )

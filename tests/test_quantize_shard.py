@@ -278,3 +278,45 @@ def test_pq_rerank_returns_exact_cosine(spark):
         for r in brute_force_topk(vecs, queries, k=3).collect()
     }
     assert out == exact
+
+
+def test_ivf_pq_composition_law_and_probe_subset(spark):
+    """nprobe = num_cells probes every cell, so IVF-PQ must equal pure
+    pq_topk exactly; with nprobe < num_cells each query's results are a
+    subset of the probed cells' vectors with the same ADC distances."""
+    import random
+
+    from splink_spark.pipeline.ann import ivf_pq_topk, pq_topk
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(150)]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = vecs.where(F.col("vec_id") < 3)
+    kwargs = dict(k=4, m=4, codebook_size=4, iterations=1)
+    full = {
+        (r["query_id"], r["rank"]): (r["neighbour_id"], r["adc_dist"])
+        for r in ivf_pq_topk(
+            vecs, queries, num_cells=4, nprobe=4, **kwargs
+        ).collect()
+    }
+    pure = {
+        (r["query_id"], r["rank"]): (r["neighbour_id"], r["adc_dist"])
+        for r in pq_topk(vecs, queries, **kwargs).collect()
+    }
+    assert full == pure
+    # narrow probe: every returned adc_dist must match the full-probe
+    # distance for that (query, neighbour) — routing changes the candidate
+    # set, never the distance
+    alldist = {
+        (r["query_id"], r["neighbour_id"]): r["adc_dist"]
+        for r in ivf_pq_topk(
+            vecs, queries, num_cells=4, nprobe=4, k=150, m=4,
+            codebook_size=4, iterations=1,
+        ).collect()
+    }
+    narrow = ivf_pq_topk(
+        vecs, queries, num_cells=4, nprobe=1, **kwargs
+    ).collect()
+    assert len(narrow) > 0
+    for r in narrow:
+        assert alldist[(r["query_id"], r["neighbour_id"])] == r["adc_dist"]
