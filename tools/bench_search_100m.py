@@ -107,19 +107,30 @@ def main() -> None:
     sqrt_v = 224  # vocab ~ 50k words, quadratic rank bias (Zipf-ish)
 
     def gen_write():
-        content = F.array_join(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(10)),
-                lambda i: F.concat(
-                    F.lit("w"),
-                    (
-                        F.pmod(F.col("id") * 48271 + i * 2654435761, F.lit(sqrt_v))
-                        * F.pmod(F.col("id") * 48271 + i * 2654435761, F.lit(sqrt_v))
-                        + F.pmod(F.col("id") * 7 + i, F.lit(sqrt_v))
-                    ).cast("string"),
+        # Zipf-ish body tokens PLUS one near-unique tail token per doc
+        # (full-range hash): without it the mod-224 arithmetic yields only
+        # ~224 distinct content lines across 100M docs, and the boilerplate
+        # blocklist — correctly — eats the entire corpus (the v1 run's
+        # cleaned_chars=0). The unique token keeps content lines out of the
+        # heavy-hitter set while leaving the postings-scale term
+        # distribution Zipf-ish.
+        content = F.concat(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(10)),
+                    lambda i: F.concat(
+                        F.lit("w"),
+                        (
+                            F.pmod(F.col("id") * 48271 + i * 2654435761, F.lit(sqrt_v))
+                            * F.pmod(F.col("id") * 48271 + i * 2654435761, F.lit(sqrt_v))
+                            + F.pmod(F.col("id") * 7 + i, F.lit(sqrt_v))
+                        ).cast("string"),
+                    ),
                 ),
+                " ",
             ),
-            " ",
+            F.lit(" u"),
+            F.pmod(F.xxhash64("id", F.lit(3)), F.lit(1_000_000_000)).cast("string"),
         )
         h = F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100))
         f2 = F.pmod(F.xxhash64("id", F.lit(2)), F.lit(100))
