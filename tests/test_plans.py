@@ -261,6 +261,9 @@ def test_no_unbounded_cartesian_nodes_in_gate_queries(spark):
         # broadcast(quantized query side), candidates cut to |Q|*m before
         # the exact re-rank
         "ann_sq8",
+        # PQ ADC: code scan crossJoin broadcast(|Q| LUT rows — m x k ints
+        # per query, bounded by the query batch, never the corpus)
+        "ann_pq",
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
@@ -322,3 +325,66 @@ def test_nondeterministic_barrier_blocks_collapse_project(spark):
 
     # and the barrier is the identity on values
     assert derived.collect()[0].out == ["a", "b", "c", "d", "e"]
+
+
+def test_term_cosine_join_is_equi_join_no_cartesian(spark):
+    """term_cosine_join's candidate generator must be an equi-join on the
+    term — never a nested-loop pair product — and the norm attach must be
+    equi-joins on the doc id."""
+    from splink_spark.pipeline.search import term_cosine_join
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    plan = _plan(term_cosine_join(docs, threshold=0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_attribution_single_window_no_range_join(spark):
+    """conversion_attribution is one cumulative window + one aggregate
+    joined back on the (user, segment) equi-key: no nested-loop and no
+    more than one Window node."""
+    from splink_spark.pipeline.temporal import conversion_attribution
+
+    df = spark.createDataFrame(
+        [(1, 10, 1, "view", 0.0), (1, 20, 2, "buy", 1.0)],
+        "user_id int, ts long, event_id int, event_type string, value double",
+    )
+    plan = _plan(conversion_attribution(df, "buy", order_cols="event_id"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") <= 2  # one per branch of the self-split
+
+
+def test_group_outliers_null_safe_equi_join(spark):
+    """group_outliers' moments join must stay an equi-join (null-safe
+    equality is sort-merge/hash-joinable; a plan falling back to
+    nested-loop would scan rows x groups)."""
+    from splink_spark.pipeline.analytics import group_outliers
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), (None, 2, 2.0)], "g string, id int, value double"
+    )
+    plan = _plan(group_outliers(df, ["g"], "value"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_encode_single_scan_no_shuffle(spark):
+    """pq_train_encode's ENCODING pass is one scan of the persisted
+    quantized corpus with centroid literals — no Exchange, no join."""
+    from splink_spark.pipeline.ann import pq_train_encode
+
+    import random
+
+    rng = random.Random(1)
+    vecs = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    codes_df, _ = pq_train_encode(vecs, m=2, codebook_size=2, iterations=0)
+    plan = _plan(codes_df)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
