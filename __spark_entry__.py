@@ -2309,12 +2309,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
         return term_cosine_join(docs, threshold=0.8)
 
+    def q_cdc_latest(spark, sf_dir):
+        """CDC log compaction (pipeline/cdc.py latest_by_key — one
+        key-partitioned window shuffle, row_number argmax with the event
+        id as the deterministic tie-break; keys whose LATEST op is a
+        tombstone value drop entirely). Events replayed as an upsert log
+        keyed by user: 'error' plays the delete op."""
+        from splink_spark.pipeline.cdc import latest_by_key
+
+        ev = _session(spark).read.parquet(f"{sf_dir}/events.parquet")
+        out = latest_by_key(
+            ev.select("user_id", "event_id", "ts", "event_type", "value"),
+            "user_id",
+            "ts",
+            tiebreak_col="event_id",
+            op_col="event_type",
+            delete_values=("error",),
+        )
+        return out.select("user_id", "event_id", "ts", "event_type", "value")
+
+    def q_scd2_history(spark, sf_dir):
+        """SCD type-2 history build (pipeline/cdc.py scd2_history — no-op
+        versions collapsed null-safely BEFORE intervals are cut, then
+        valid_from/valid_to from one lead() over the same key-ordered
+        window spec; single shuffle). Events: per-user event_type
+        transitions become validity intervals."""
+        from splink_spark.pipeline.cdc import scd2_history
+
+        ev = _session(spark).read.parquet(f"{sf_dir}/events.parquet")
+        out = scd2_history(
+            ev.select("user_id", "ts", "event_type"),
+            "user_id",
+            "ts",
+            attr_cols=["event_type"],
+        )
+        return out.select(
+            "user_id", "event_type", "valid_from", "valid_to", "is_current"
+        )
+
+    def q_snapshot_diff(spark, sf_dir):
+        """Snapshot diff to change feed (pipeline/cdc.py snapshot_diff —
+        one co-partitioned full-outer join on the key, null-safe value
+        compare, 'unchanged' majority pruned immediately after the join).
+        New snapshot is derived from orders by deterministic key
+        arithmetic: %17 keys removed, %5 prices bumped, %13 keys
+        re-added under shifted ids."""
+        from splink_spark.pipeline.cdc import snapshot_diff
+
+        orders = (
+            _session(spark)
+            .read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        )
+        key = F.col("o_orderkey")
+        new = orders.where(key % 17 != 0).withColumn(
+            "o_totalprice",
+            F.when(
+                key % 5 == 0, F.col("o_totalprice") + F.lit(1000.0)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        added = orders.where(key % 13 == 0).select(
+            (key + F.lit(100000000)).alias("o_orderkey"),
+            "o_orderstatus",
+            "o_totalprice",
+        )
+        return snapshot_diff(
+            orders,
+            new.unionByName(added),
+            "o_orderkey",
+            ["o_orderstatus", "o_totalprice"],
+        )
+
     d = {
         "hll_registers": q_hll_registers,
         "streaming_hll": q_streaming_hll,
         "attribution": q_attribution,
         "group_outliers": q_group_outliers,
         "term_cosine_join": q_term_cosine_join,
+        "cdc_latest": q_cdc_latest,
+        "scd2_history": q_scd2_history,
+        "snapshot_diff": q_snapshot_diff,
         "ann_pq": q_ann_pq,
         "jaccard_join": q_jaccard_join,
         "bm25_topk": q_bm25_topk,
@@ -2464,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new round-7 operators
         "jaccard_join", "hll_registers", "streaming_hll",
         "attribution", "group_outliers", "term_cosine_join", "ann_pq",
+        "cdc_latest", "scd2_history", "snapshot_diff",
         # round-7 refresh rotation (recorded r01-r05, not in r06)
         "mw_histogram", "concat_union", "tf_mktsegment", "block_single",
         "fuzzy_kernels", "block_salted", "block_multi", "block_counts",
@@ -5646,6 +5721,85 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
 
     # group_outliers: the exact integer-micro-unit moments replayed in
     # hugeint, then the identical double z-score + boundary compare
+    # cdc_latest: per-key argmax with deterministic tie-break, tombstone
+    # filter applied AFTER the argmax (delete-then-reinsert keeps the
+    # reinsert) — mirrors pipeline/cdc.py latest_by_key
+    sqls["cdc_latest"] = """
+      WITH r AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER (
+                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+      )
+      SELECT user_id, event_id, ts, event_type, value
+      FROM r WHERE rn = 1 AND event_type NOT IN ('error')
+    """
+
+    # scd2_history: collapse null-safe no-op versions first (opening row
+    # always kept), then cut [valid_from, valid_to) with lead() over the
+    # filtered set — mirrors pipeline/cdc.py scd2_history
+    sqls["scd2_history"] = """
+      WITH c AS (
+        SELECT user_id, ts, event_type,
+               row_number() OVER w AS rn,
+               lag(event_type) OVER w AS prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+      ),
+      k AS (
+        SELECT user_id, ts, event_type FROM c
+        WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+      )
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER w2 AS valid_to,
+             (lead(ts) OVER w2 IS NULL) AS is_current
+      FROM k
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC)
+    """
+
+    # snapshot_diff: derived new snapshot (%17 removed, %5 price bump —
+    # identical IEEE double addition both engines — %13 re-added under
+    # shifted keys), full-outer join on the key, null-safe compare,
+    # unchanged rows pruned
+    sqls["snapshot_diff"] = """
+      WITH oldt AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      ),
+      newt AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 17 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 13 = 0
+      ),
+      j AS (
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               o.o_orderkey IS NOT NULL AS in_old,
+               n.o_orderkey IS NOT NULL AS in_new,
+               o.o_orderstatus AS old_o_orderstatus,
+               o.o_totalprice AS old_o_totalprice,
+               n.o_orderstatus AS new_o_orderstatus,
+               n.o_totalprice AS new_o_totalprice
+        FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+      )
+      SELECT o_orderkey,
+             CASE WHEN in_old AND NOT in_new THEN 'removed'
+                  WHEN in_new AND NOT in_old THEN 'added'
+                  WHEN (old_o_orderstatus IS DISTINCT FROM new_o_orderstatus)
+                    OR (old_o_totalprice IS DISTINCT FROM new_o_totalprice)
+                    THEN 'changed'
+                  ELSE 'unchanged' END AS change_status,
+             old_o_orderstatus, old_o_totalprice,
+             new_o_orderstatus, new_o_totalprice
+      FROM j
+      WHERE NOT (in_old AND in_new
+                 AND old_o_orderstatus IS NOT DISTINCT FROM new_o_orderstatus
+                 AND old_o_totalprice IS NOT DISTINCT FROM new_o_totalprice)
+    """
+
     sqls["group_outliers"] = """
       WITH v AS (
         SELECT event_id, event_type, value,

@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     analytics,
     ann,
     bpe,
+    cdc,
     classifier,
     curation,
     dedup,
@@ -21,6 +22,7 @@ from . import (  # noqa: F401
     text,
     web,
 )
+from .cdc import latest_by_key, scd2_history, snapshot_diff  # noqa: F401
 from .classifier import quality_classifier  # noqa: F401
 from .curation import (  # noqa: F401
     cap_per_group,
