@@ -2380,6 +2380,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["o_orderstatus", "o_totalprice"],
         )
 
+    def q_link_prediction(spark, sf_dir):
+        """Resource-allocation link prediction (pipeline/graph.py
+        link_prediction_scores — Zhou/Lü/Zhang Σ 1/deg over shared
+        neighbours; contributions are exact integer PICO-units
+        10^12 div deg summed as bigint, so the score division and any
+        threshold replay bit-for-bit). Same modular customer graph as
+        common_neighbors."""
+        from splink_spark.pipeline.graph import link_prediction_scores
+
+        cust = _session(spark).read.parquet(f"{sf_dir}/customer.parquet")
+        c = F.col("c_custkey")
+        m = cust.agg(F.max("c_custkey")).collect()[0][0]
+        e1 = cust.select(c.alias("src"), ((c * 2) % m + 1).alias("dst"))
+        e2 = cust.select(c.alias("src"), ((c * 3) % m + 1).alias("dst"))
+        return link_prediction_scores(
+            e1.unionByName(e2), index="resource_allocation", min_common=1
+        )
+
+    def q_weighted_group_sample(spark, sf_dir):
+        """Per-group weighted sampling without replacement
+        (pipeline/curation.py weighted_sample_per_group —
+        Efraimidis–Spirakis via the Gumbel identity, portable MINSTD
+        draws, row_number per group over the rounded score; one
+        group-keyed shuffle, no global sort). 20 winners per document
+        source, weight = n_chars."""
+        from splink_spark.pipeline.curation import weighted_sample_per_group
+
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        return weighted_sample_per_group(
+            docs, 20, "n_chars", "source", id_col="doc_id"
+        )
+
+    def q_ngram_novelty(spark, sf_dir):
+        """Per-document n-gram novelty vs a reference corpus
+        (pipeline/curation.py ngram_novelty — reference collapsed to a
+        distinct gram dictionary, probe-gated broadcast, corpus scanned
+        once; novelty as an EXACT ppm integer via true integer
+        division). Reference = every 10th document."""
+        from splink_spark.pipeline.curation import ngram_novelty
+
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        ref = docs.where(F.col("doc_id") % 10 == 0)
+        return ngram_novelty(docs, ref, n=3)
+
     d = {
         "hll_registers": q_hll_registers,
         "streaming_hll": q_streaming_hll,
@@ -2389,6 +2433,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_latest": q_cdc_latest,
         "scd2_history": q_scd2_history,
         "snapshot_diff": q_snapshot_diff,
+        "link_prediction": q_link_prediction,
+        "weighted_group_sample": q_weighted_group_sample,
+        "ngram_novelty": q_ngram_novelty,
         "ann_pq": q_ann_pq,
         "jaccard_join": q_jaccard_join,
         "bm25_topk": q_bm25_topk,
@@ -2539,6 +2586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_join", "hll_registers", "streaming_hll",
         "attribution", "group_outliers", "term_cosine_join", "ann_pq",
         "cdc_latest", "scd2_history", "snapshot_diff",
+        "link_prediction", "weighted_group_sample", "ngram_novelty",
         # round-7 refresh rotation (recorded r01-r05, not in r06)
         "mw_histogram", "concat_union", "tf_mktsegment", "block_single",
         "fuzzy_kernels", "block_salted", "block_multi", "block_counts",
@@ -5721,6 +5769,95 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
 
     # group_outliers: the exact integer-micro-unit moments replayed in
     # hugeint, then the identical double z-score + boundary compare
+    # link_prediction: common_neighbors' wedge replay with exact integer
+    # pico-unit weights (10^12 // deg, `//` truncates like Spark `div`)
+    sqls["link_prediction"] = """
+      WITH m AS (SELECT max(c_custkey) AS m FROM customer),
+      raw AS (
+        SELECT c_custkey AS src, (c_custkey * 2) % (SELECT m FROM m) + 1 AS dst
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, (c_custkey * 3) % (SELECT m FROM m) + 1 FROM customer
+      ),
+      canon AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM raw WHERE src <> dst
+      ),
+      und AS (SELECT a, b FROM canon UNION ALL SELECT b, a FROM canon),
+      deg AS (SELECT a AS node, count(*) AS d FROM und GROUP BY a),
+      wedges AS (
+        SELECT n1.b AS x, n2.b AS y,
+               1000000000000 // dg.d AS w
+        FROM und n1
+        JOIN und n2 ON n1.a = n2.a AND n1.b < n2.b
+        JOIN deg dg ON dg.node = n1.a
+      ),
+      pairs AS (
+        SELECT x AS node_a, y AS node_b,
+               count(*) AS n_common, sum(w) AS s
+        FROM wedges GROUP BY x, y HAVING count(*) >= 1
+      )
+      SELECT node_a, node_b, n_common,
+             round(CAST(s AS DOUBLE) / 1e12, 6) AS score
+      FROM pairs
+    """
+
+    # weighted_group_sample: the weighted_sample oracle's MINSTD/Gumbel
+    # score, ranked per group by (rounded score desc, id)
+    sqls["weighted_group_sample"] = """
+      WITH w AS (
+        SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS wt FROM documents
+        WHERE n_chars > 0
+      ),
+      s AS (
+        SELECT source, doc_id,
+          round(ln(wt) - ln(-ln(
+            (CAST(((((doc_id + 1) * 48271) % 2147483647) * 48271)
+               % 2147483647 AS DOUBLE) + 0.5) / 2147483647.0)), 9) AS score
+        FROM w
+      ),
+      r AS (
+        SELECT source, doc_id, score,
+               row_number() OVER (
+                 PARTITION BY source ORDER BY score DESC, doc_id ASC
+               ) AS rn
+        FROM s
+      )
+      SELECT source, doc_id, score FROM r WHERE rn <= 20
+    """
+
+    # ngram_novelty: reference gram dictionary = every 10th doc's distinct
+    # 3-grams; per-doc distinct grams left-joined against it; exact ppm
+    # via `//` integer division
+    sqls["ngram_novelty"] = f"""
+      WITH tok AS (SELECT doc_id, {_ltoks} AS toks FROM documents),
+      grams AS (
+        SELECT doc_id, unnest(
+          CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+               ELSE list_distinct(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+          END) AS gram
+        FROM tok
+      ),
+      ref AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0
+      ),
+      agg AS (
+        SELECT g.doc_id, count(*) AS n_grams,
+               sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END) AS n_novel
+        FROM grams g LEFT JOIN ref r ON g.gram = r.gram
+        GROUP BY g.doc_id
+      )
+      SELECT d.doc_id,
+             CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+             CAST(coalesce(a.n_novel, 0) AS BIGINT) AS n_novel,
+             CASE WHEN coalesce(a.n_grams, 0) > 0
+                  THEN CAST((a.n_novel * 1000000) // a.n_grams AS BIGINT)
+             END AS novelty_ppm
+      FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+
     # cdc_latest: per-key argmax with deterministic tie-break, tombstone
     # filter applied AFTER the argmax (delete-then-reinsert keeps the
     # reinsert) — mirrors pipeline/cdc.py latest_by_key

@@ -29,8 +29,10 @@ from .curation import (  # noqa: F401
     dedup_repeated_spans,
     curate_corpus,
     dsir_resample,
+    ngram_novelty,
     shard_corpus,
     shard_stats,
+    weighted_sample_per_group,
 )
 from .dedup import deduplicate_corpus, incremental_dedup, semantic_dedup  # noqa: F401
 from .embeddings import (  # noqa: F401
@@ -61,6 +63,7 @@ from .graph import (  # noqa: F401
     common_neighbors,
     k_core,
     label_propagation,
+    link_prediction_scores,
     pagerank,
     triangle_count,
 )

@@ -449,6 +449,81 @@ def decontaminate(
     )
 
 
+def ngram_novelty(
+    corpus: DataFrame,
+    reference: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    reference_text_col: Optional[str] = None,
+    broadcast_reference: Optional[bool] = None,
+    broadcast_max_grams: int = 5_000_000,
+) -> DataFrame:
+    """Score each corpus document by how much of it is NEW relative to a
+    reference corpus: the fraction of its distinct word ``n``-grams that
+    never appear in ``reference``. The selection dual of
+    ``decontaminate`` — there overlap disqualifies, here novelty ranks
+    (dedup-aware data selection keeps high-novelty documents; boilerplate
+    and templated pages score near zero).
+
+    Returns one row per corpus document: ``n_grams`` (distinct n-grams),
+    ``n_novel`` (those absent from the reference), and ``novelty_ppm`` —
+    an EXACT parts-per-million integer (``n_novel * 1e6 div n_grams``),
+    so the score is bit-identical in any engine, no float division.
+    Documents shorter than ``n`` tokens have 0 grams and NULL ppm.
+
+    Same scale shape as ``decontaminate``: the reference collapses to a
+    distinct n-gram dictionary, probed with one count and broadcast only
+    under ``broadcast_max_grams``; otherwise the gram join shuffles and
+    the optimizer picks the strategy. Corpus text is scanned once.
+    """
+    reference_text_col = reference_text_col or text_col
+    ref_grams = (
+        _staged_word_ngrams(reference, reference_text_col, n)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    if broadcast_reference is None:
+        broadcast_reference = ref_grams.count() <= broadcast_max_grams
+    ref_side = F.broadcast(ref_grams) if broadcast_reference else ref_grams
+    corpus_grams = _staged_word_ngrams(corpus, text_col, n, id_col).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.col("grams"))).alias("gram"),
+    )
+    seen = (
+        corpus_grams.join(
+            ref_side.select("gram", F.lit(True).alias("__seen")),
+            "gram",
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("__seen").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_novel"),
+        )
+    )
+    # true integer division (`div`) — `/` is double division in Spark
+    # and floor(double) misrounds at integer boundaries (see quality.py)
+    return (
+        corpus.select(id_col)
+        .join(seen, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.when(
+                F.col("n_grams") > 0,
+                F.expr("(n_novel * 1000000) div n_grams"),
+            ).cast("bigint"),
+        )
+    )
+
+
 def decontaminate_spans(
     corpus: DataFrame,
     eval_df: DataFrame,
@@ -1297,6 +1372,44 @@ def weighted_sample(
         .select(F.col(id_col), F.round(score, 9).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(int(k))
+    )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_cols: "Sequence[str] | str",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement, ``k`` winners
+    PER GROUP (the per-source/per-domain twin of ``weighted_sample`` —
+    e.g. "keep the 10k highest-quality-weighted documents from every
+    source"). Same Efraimidis–Spirakis/Gumbel scoring with the portable
+    MINSTD draw keyed on (id, seed); selection is a ``row_number`` over
+    ``partitionBy(group)`` ordered by the ROUNDED score (ties broken by
+    id), so the winner set is reproducible and engine-portable.
+
+    One shuffle keyed by the group columns — the scoring itself is a pure
+    projection, and unlike a global top-k no driver-side merge grows with
+    group cardinality. Rows with weight <= 0 are excluded. Returns
+    (group_cols..., id, score).
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    u = _minstd_u01_state(F.col(id_col).cast("bigint") + F.lit(1 + int(seed)))
+    score = F.round(
+        F.log(F.col(weight_col).cast("double")) - F.log(-F.log(u)), 9
+    )
+    w = Window.partitionBy(*groups).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .select(*groups, F.col(id_col), score.alias("score"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(k))
+        .drop("__rn")
     )
 
 
