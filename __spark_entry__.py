@@ -2380,6 +2380,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["o_orderstatus", "o_totalprice"],
         )
 
+    def q_hilbert_key(spark, sf_dir):
+        """Hilbert-curve clustering keys over two lineitem columns
+        (pipeline/layout.py hilbert_index — exact integer quantize +
+        the staged per-level xy→d walk; constant expression size per
+        level behind optimizer_barrier, so a deep curve analyzes in
+        linear time). Oracle unrolls all 8 levels as materialized
+        CTEs."""
+        from splink_spark.pipeline.layout import hilbert_index, quantize_uniform
+
+        li = _session(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+        st = li.agg(
+            F.min("l_orderkey").cast("bigint").alias("mn_o"),
+            F.max("l_orderkey").cast("bigint").alias("mx_o"),
+            F.min("l_partkey").cast("bigint").alias("mn_p"),
+            F.max("l_partkey").cast("bigint").alias("mx_p"),
+        ).collect()[0]
+        staged = li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            quantize_uniform(
+                F.col("l_orderkey"), st["mn_o"], st["mx_o"], 8
+            ).alias("qx"),
+            quantize_uniform(
+                F.col("l_partkey"), st["mn_p"], st["mx_p"], 8
+            ).alias("qy"),
+        )
+        return hilbert_index(staged, "qx", "qy", bits=8).select(
+            "l_orderkey", "l_linenumber", "l_partkey", "h_value"
+        )
+
     def q_link_prediction(spark, sf_dir):
         """Resource-allocation link prediction (pipeline/graph.py
         link_prediction_scores — Zhou/Lü/Zhang Σ 1/deg over shared
@@ -2436,6 +2467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "weighted_group_sample": q_weighted_group_sample,
         "ngram_novelty": q_ngram_novelty,
+        "hilbert_key": q_hilbert_key,
         "ann_pq": q_ann_pq,
         "jaccard_join": q_jaccard_join,
         "bm25_topk": q_bm25_topk,
@@ -2587,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution", "group_outliers", "term_cosine_join", "ann_pq",
         "cdc_latest", "scd2_history", "snapshot_diff",
         "link_prediction", "weighted_group_sample", "ngram_novelty",
+        "hilbert_key",
         # round-7 refresh rotation (recorded r01-r05, not in r06)
         "mw_histogram", "concat_union", "tf_mktsegment", "block_single",
         "fuzzy_kernels", "block_salted", "block_multi", "block_counts",
@@ -5769,6 +5802,50 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
 
     # group_outliers: the exact integer-micro-unit moments replayed in
     # hugeint, then the identical double z-score + boundary compare
+    # hilbert_key: quantize both columns to 8 bits, then unroll the 8
+    # Hilbert xy->d levels as MATERIALIZED CTEs (each level references
+    # the previous one several times — DuckDB's default CTE inlining
+    # would rebuild the exponential tree)
+    _hilbert_lvls = []
+    _prev = "q"
+    for _i, _lvl in enumerate(range(7, -1, -1)):
+        _s = 1 << _lvl
+        _rx = f"((x{_i} >> {_lvl}) & 1)"
+        _ry = f"((y{_i} >> {_lvl}) & 1)"
+        _hilbert_lvls.append(
+            f"""lvl{_i} AS MATERIALIZED (
+        SELECT l_orderkey, l_linenumber, l_partkey,
+          CASE WHEN {_ry} = 0
+               THEN CASE WHEN {_rx} = 1 THEN {_s - 1} - y{_i} ELSE y{_i} END
+               ELSE x{_i} END AS x{_i + 1},
+          CASE WHEN {_ry} = 0
+               THEN CASE WHEN {_rx} = 1 THEN {_s - 1} - x{_i} ELSE x{_i} END
+               ELSE y{_i} END AS y{_i + 1},
+          d{_i} + {_s * _s} * xor(3 * {_rx}, {_ry}) AS d{_i + 1}
+        FROM {_prev})"""
+        )
+        _prev = f"lvl{_i}"
+    sqls["hilbert_key"] = f"""
+      WITH s AS (
+        SELECT min(l_orderkey) AS mn_o, max(l_orderkey) AS mx_o,
+               min(l_partkey) AS mn_p, max(l_partkey) AS mx_p
+        FROM lineitem
+      ),
+      q AS MATERIALIZED (
+        SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
+          ((greatest(s.mn_o, least(s.mx_o, l.l_orderkey)) - s.mn_o) * 255)
+            // greatest(1, s.mx_o - s.mn_o) AS x0,
+          ((greatest(s.mn_p, least(s.mx_p, l.l_partkey)) - s.mn_p) * 255)
+            // greatest(1, s.mx_p - s.mn_p) AS y0,
+          0 AS d0
+        FROM lineitem l, s
+      ),
+      {', '.join(_hilbert_lvls)}
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             CAST(d8 AS BIGINT) AS h_value
+      FROM lvl7
+    """
+
     # link_prediction: common_neighbors' wedge replay with exact integer
     # pico-unit weights (10^12 // deg, `//` truncates like Spark `div`)
     sqls["link_prediction"] = """

@@ -43,7 +43,13 @@ from .embeddings import (  # noqa: F401
     quantize_embeddings,
 )
 from .lm import perplexity_filter  # noqa: F401
-from .layout import zorder_key, zorder_sort  # noqa: F401
+from .layout import (  # noqa: F401
+    hilbert_index,
+    hilbert_key,
+    hilbert_sort,
+    zorder_key,
+    zorder_sort,
+)
 from .quality import expectations_report  # noqa: F401
 from .temporal import (  # noqa: F401
     asof_join,

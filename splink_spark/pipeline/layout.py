@@ -20,7 +20,16 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["quantize_uniform", "zorder_key", "zorder_sort"]
+from ..internals.misc import optimizer_barrier
+
+__all__ = [
+    "quantize_uniform",
+    "zorder_key",
+    "zorder_sort",
+    "hilbert_key",
+    "hilbert_index",
+    "hilbert_sort",
+]
 
 
 def quantize_uniform(
@@ -96,3 +105,139 @@ def zorder_sort(
         .sortWithinPartitions(z_col)
     )
     return out if keep_key else out.drop(z_col)
+
+
+def _hilbert_level(
+    xc: Column, yc: Column, d: Column, level: int
+) -> "tuple[Column, Column, Column]":
+    """One level of the classic Hilbert xy→d walk (the public-domain
+    formulation on the Hilbert curve Wikipedia page):
+    ``rx = (x >> l) & 1; ry = (y >> l) & 1; d += s*s*((3*rx) XOR ry)``
+    then the quadrant rotation — if ``ry == 0`` swap x/y, flipping both
+    to ``s-1-…`` when ``rx == 1``. Pure integer shift/and/xor/when."""
+    s = 1 << level
+    rx = F.shiftright(xc, level).bitwiseAND(F.lit(1))
+    ry = F.shiftright(yc, level).bitwiseAND(F.lit(1))
+    nd = d + F.lit(s) * F.lit(s) * ((rx * F.lit(3)).bitwiseXOR(ry))
+    nx = F.when(
+        ry == 0, F.when(rx == 1, F.lit(s - 1) - yc).otherwise(yc)
+    ).otherwise(xc)
+    ny = F.when(
+        ry == 0, F.when(rx == 1, F.lit(s - 1) - xc).otherwise(xc)
+    ).otherwise(yc)
+    return nx, ny, nd
+
+
+def hilbert_key(x: Column, y: Column, bits: int = 8) -> Column:
+    """Hilbert-curve index of two (already quantized, non-negative)
+    columns as a single Column expression.
+
+    Why over Z-order: the Hilbert curve never makes the long diagonal
+    jumps Morton codes make at quadrant boundaries, so consecutive key
+    ranges cover tighter rectangles — measurably better min-max file
+    pruning on BOTH columns at the same file count (this is what Delta
+    Lake's liquid clustering moved to). Z-order still wins for >2
+    columns (Hilbert's rotation logic is 2-D here); ``zorder_key``
+    remains the n-column path.
+
+    EXPRESSION-SIZE LIMIT: each level's x/y rewrite references the
+    previous level's x AND y several times, so the inline expression
+    tree multiplies per level — fine to 8 levels (256 buckets/side,
+    65k files, plenty for layout), but 16 levels is a multi-million
+    node tree that OOMs Catalyst ANALYSIS. ``bits`` is therefore
+    capped at 8 here; use ``hilbert_index`` (the staged DataFrame
+    form, constant-size per level) for deeper curves.
+    """
+    if int(bits) > 8:
+        raise ValueError(
+            "hilbert_key inlines the walk and is capped at bits=8 "
+            "(expression tree doubles per level); use hilbert_index "
+            "for deeper curves"
+        )
+    xc = x.cast("bigint")
+    yc = y.cast("bigint")
+    d = F.lit(0).cast("bigint")
+    for level in range(int(bits) - 1, -1, -1):
+        xc, yc, d = _hilbert_level(xc, yc, d, level)
+    return d
+
+
+def hilbert_index(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    out_col: str = "h_value",
+) -> DataFrame:
+    """Hilbert-curve index as a staged DataFrame pass: one narrow
+    Project per level, each referencing the previous level's staged
+    ``__hx/__hy/d`` COLUMNS by name — constant expression size per
+    level, so any depth analyzes in linear time. The stages sit behind
+    ``optimizer_barrier`` because CollapseProject would otherwise
+    substitute each level into the next and rebuild the exponential
+    inline tree the staging exists to avoid (same pattern as the token
+    array staging in curation).
+
+    ``x_col``/``y_col`` must already be quantized non-negative integers
+    (``quantize_uniform``); ``2*bits`` must be <= 63.
+    """
+    if 2 * int(bits) > 63:
+        raise ValueError("2 * bits must fit in int64")
+    keep = [c for c in df.columns if c != out_col]
+    out = df.select(
+        *keep,
+        F.col(x_col).cast("bigint").alias("__hx"),
+        F.col(y_col).cast("bigint").alias("__hy"),
+        F.lit(0).cast("bigint").alias(out_col),
+    )
+    for level in range(int(bits) - 1, -1, -1):
+        nx, ny, nd = _hilbert_level(
+            F.col("__hx"), F.col("__hy"), F.col(out_col), level
+        )
+        out = out.select(
+            *keep,
+            optimizer_barrier(nx).alias("__hx"),
+            optimizer_barrier(ny).alias("__hy"),
+            optimizer_barrier(nd).alias(out_col),
+        )
+    return out.drop("__hx", "__hy")
+
+
+def hilbert_sort(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 16,
+    h_col: str = "h_value",
+    keep_key: bool = False,
+) -> DataFrame:
+    """Cluster ``df`` by the Hilbert index of exactly two integer
+    columns — same stats-probe + range-partitioned sort shape as
+    ``zorder_sort`` (one one-row min/max job, all-NULL columns get a
+    constant lane instead of crashing), different space-filling curve.
+    """
+    if len(cols) != 2:
+        raise ValueError("hilbert_sort clusters exactly 2 columns")
+    stats = df.agg(
+        *[F.min(c).cast("bigint").alias(f"__mn_{c}") for c in cols],
+        *[F.max(c).cast("bigint").alias(f"__mx_{c}") for c in cols],
+    ).collect()[0]
+    quantized = df
+    qnames = []
+    for c in cols:
+        qn = f"__q_{c}"
+        qnames.append(qn)
+        quantized = quantized.withColumn(
+            qn,
+            quantize_uniform(
+                F.col(c), stats[f"__mn_{c}"], stats[f"__mx_{c}"], bits
+            )
+            if stats[f"__mn_{c}"] is not None
+            else F.lit(0).cast("bigint"),
+        )
+    out = (
+        hilbert_index(quantized, qnames[0], qnames[1], bits, h_col)
+        .drop(*qnames)
+        .repartitionByRange(h_col)
+        .sortWithinPartitions(h_col)
+    )
+    return out if keep_key else out.drop(h_col)
