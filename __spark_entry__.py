@@ -2380,6 +2380,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["o_orderstatus", "o_totalprice"],
         )
 
+    def q_streaming_cdc(spark, sf_dir):
+        """Streaming CDC upsert maintenance (streaming/operators.py
+        cdc_upsert_stream) run to completion with availableNow over the
+        events table staged as 4 files (maxFilesPerTrigger=1 → 4
+        micro-batches): each batch compacts itself to latest-per-user
+        and appends the partial; read_cdc_state re-runs the argmax over
+        the partials and applies the tombstone filter. Per-key argmax by
+        (ts, event_id) is associative/commutative/idempotent, so the
+        streamed state equals the batch compaction and the cdc_latest
+        DuckDB replay is an exact oracle."""
+        import os
+        import shutil
+
+        from splink_spark.streaming.operators import (
+            cdc_upsert_stream,
+            read_cdc_state,
+        )
+
+        spark = _session(spark)
+        src = f"{sf_dir}/events.parquet"
+        static = spark.read.parquet(src)
+        base = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".stream_cache",
+            os.path.basename(sf_dir.rstrip("/")),
+        )
+        stream_path = os.path.join(base, "events_4files")
+        _stage_stream_dir(static, stream_path, src)
+        state_path = os.path.join(base, "cdc_state")
+        if os.path.isdir(state_path):
+            shutil.rmtree(state_path)
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_path)
+        )
+        q = cdc_upsert_stream(
+            stream.select("user_id", "event_id", "ts", "event_type", "value"),
+            state_path,
+            "user_id",
+            "ts",
+            tiebreak_col="event_id",
+        )
+        q.awaitTermination()
+        return read_cdc_state(
+            spark,
+            state_path,
+            "user_id",
+            "ts",
+            tiebreak_col="event_id",
+            op_col="event_type",
+            delete_values=("error",),
+        ).select("user_id", "event_id", "ts", "event_type", "value")
+
     def q_hilbert_key(spark, sf_dir):
         """Hilbert-curve clustering keys over two lineitem columns
         (pipeline/layout.py hilbert_index — exact integer quantize +
@@ -2468,6 +2522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_group_sample": q_weighted_group_sample,
         "ngram_novelty": q_ngram_novelty,
         "hilbert_key": q_hilbert_key,
+        "streaming_cdc": q_streaming_cdc,
         "ann_pq": q_ann_pq,
         "jaccard_join": q_jaccard_join,
         "bm25_topk": q_bm25_topk,
@@ -2619,7 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution", "group_outliers", "term_cosine_join", "ann_pq",
         "cdc_latest", "scd2_history", "snapshot_diff",
         "link_prediction", "weighted_group_sample", "ngram_novelty",
-        "hilbert_key",
+        "hilbert_key", "streaming_cdc",
         # round-7 refresh rotation (recorded r01-r05, not in r06)
         "mw_histogram", "concat_union", "tf_mktsegment", "block_single",
         "fuzzy_kernels", "block_salted", "block_multi", "block_counts",
@@ -5949,6 +6004,10 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
       SELECT user_id, event_id, ts, event_type, value
       FROM r WHERE rn = 1 AND event_type NOT IN ('error')
     """
+
+    # streaming_cdc: the merge law makes the streamed compaction equal
+    # the batch one — identical replay to cdc_latest
+    sqls["streaming_cdc"] = sqls["cdc_latest"]
 
     # scd2_history: collapse null-safe no-op versions first (opening row
     # always kept), then cut [valid_from, valid_to) with lead() over the

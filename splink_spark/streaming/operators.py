@@ -617,3 +617,75 @@ def read_hll_state(spark, state_path: str) -> DataFrame:
         .groupBy("register")
         .agg(F.max("max_rho").alias("max_rho"))
     )
+
+
+def cdc_upsert_stream(
+    stream: DataFrame,
+    state_path: str,
+    key_cols: "Sequence[str] | str",
+    order_col: str,
+    *,
+    tiebreak_col: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """Maintain a latest-record-per-key table over an unbounded change
+    log (the streaming twin of :func:`splink_spark.pipeline.cdc.
+    latest_by_key`): each micro-batch compacts ITSELF to one row per key
+    — the only shuffle is batch-sized — and APPENDS that partial to the
+    parquet state. Per-key argmax by (order, tiebreak) is associative,
+    commutative and idempotent, so the merged read is exactly-once under
+    foreachBatch retries without any duplicate-drop, the same merge-law
+    argument as the HLL state. No tombstone filtering happens here —
+    delete markers must survive batches so a later read knows the key
+    died; :func:`read_cdc_state` applies ``op_col`` at read time.
+
+    State grows by <= distinct-keys-per-batch rows per batch; a periodic
+    compaction (read_cdc_state → overwrite) is an ordinary batch job and,
+    by the merge law, cannot change any read.
+    """
+    from ..pipeline.cdc import latest_by_key
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            latest_by_key(
+                batch_df, key_cols, order_col, tiebreak_col=tiebreak_col
+            )
+            .write.mode("append")
+            .parquet(state_path)
+        )
+
+    writer = stream.writeStream.foreachBatch(process).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cdc_state(
+    spark,
+    state_path: str,
+    key_cols: "Sequence[str] | str",
+    order_col: str,
+    *,
+    tiebreak_col: Optional[str] = None,
+    op_col: Optional[str] = None,
+    delete_values: Sequence[str] = ("D", "delete"),
+) -> DataFrame:
+    """Current compacted table from the appended per-batch partials: one
+    more ``latest_by_key`` pass over the (already heavily reduced) state,
+    with tombstone filtering applied here — after the global argmax — so
+    delete-then-reinsert across batches resolves correctly."""
+    from ..pipeline.cdc import latest_by_key
+
+    return latest_by_key(
+        spark.read.parquet(state_path),
+        key_cols,
+        order_col,
+        tiebreak_col=tiebreak_col,
+        op_col=op_col,
+        delete_values=delete_values,
+    )

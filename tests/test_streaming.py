@@ -449,3 +449,69 @@ def test_hll_update_stream_matches_batch_sketch(spark, tmp_path):
     assert again == direct
     est = hll_estimate(read_hll_state(spark, state))
     assert abs(est - 500) / 500 < 0.1
+
+
+def test_cdc_upsert_stream_matches_batch_compaction(spark, tmp_path):
+    """Per-batch compaction partials appended to state must merge to
+    exactly the batch latest_by_key over the whole log (argmax merge
+    law), including cross-batch tombstone resolution; a retried batch
+    append must not change the merged result (idempotent merge)."""
+    import datetime as dt
+
+    from splink_spark.pipeline.cdc import latest_by_key
+    from splink_spark.streaming import cdc_upsert_stream, read_cdc_state
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, f"k{i % 7}", t0 + dt.timedelta(minutes=i),
+         "D" if i % 11 == 0 and i > 0 else "U", i * 10)
+        for i in range(60)
+    ]
+    src = str(tmp_path / "src_cdc")
+    spark.createDataFrame(
+        rows, "offset bigint, k string, ts timestamp, op string, val bigint"
+    ).repartition(3).write.mode("overwrite").parquet(src)
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "cdc_state")
+    q = cdc_upsert_stream(
+        stream, state, "k", "ts", tiebreak_col="offset",
+        checkpoint_dir=str(tmp_path / "ckpt_cdc"),
+    )
+    q.awaitTermination()
+    merged = sorted(
+        map(
+            tuple,
+            read_cdc_state(
+                spark, state, "k", "ts", tiebreak_col="offset",
+                op_col="op", delete_values=("D",),
+            ).collect(),
+        )
+    )
+    direct = sorted(
+        map(
+            tuple,
+            latest_by_key(
+                static, "k", "ts", tiebreak_col="offset",
+                op_col="op", delete_values=("D",),
+            ).collect(),
+        )
+    )
+    assert merged == direct and len(direct) > 0
+    # retry simulation: re-append one partial file's rows verbatim
+    some = spark.read.parquet(state).limit(3)
+    some.write.mode("append").parquet(state)
+    again = sorted(
+        map(
+            tuple,
+            read_cdc_state(
+                spark, state, "k", "ts", tiebreak_col="offset",
+                op_col="op", delete_values=("D",),
+            ).collect(),
+        )
+    )
+    assert again == direct
