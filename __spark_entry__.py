@@ -2380,6 +2380,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["o_orderstatus", "o_totalprice"],
         )
 
+    def q_normalize_text(spark, sf_dir):
+        """Deterministic text normalization (pipeline/text.py
+        normalize_text — fixed literal accent-fold translate table, NOT
+        locale ICU; control scrub; case fold; whitespace collapse; pure
+        Column, zero shuffle). Documents are decorated with accents,
+        markup-ish noise and a control char IDENTICALLY in both engines
+        so the fold actually exercises."""
+        from splink_spark.pipeline.text import normalize_text
+
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        decorated = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("À la «Café»\t"),
+                F.col("text"),
+                F.lit("\x01 ÉLÈVE  Ørsted"),
+            ).alias("text"),
+        )
+        return normalize_text(decorated).select("doc_id", "normalized_text")
+
+    def q_strip_markup(spark, sf_dir):
+        """HTML/markup scrub (pipeline/text.py strip_markup —
+        script/style blocks, comments, tags, common entities, whitespace
+        collapse; four deterministic regex passes, zero shuffle).
+        Documents wrapped in identical markup in both engines."""
+        from splink_spark.pipeline.text import strip_markup
+
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        decorated = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("<html><body><h1>T</h1><script>var x=1;</script><p>"),
+                F.col("text"),
+                F.lit(" &amp; more</p><!-- c --></body></html>"),
+            ).alias("text"),
+        )
+        return strip_markup(decorated).select("doc_id", "stripped_text")
+
     def q_streaming_cdc(spark, sf_dir):
         """Streaming CDC upsert maintenance (streaming/operators.py
         cdc_upsert_stream) run to completion with availableNow over the
@@ -2523,6 +2561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "hilbert_key": q_hilbert_key,
         "streaming_cdc": q_streaming_cdc,
+        "normalize_text": q_normalize_text,
+        "strip_markup": q_strip_markup,
         "ann_pq": q_ann_pq,
         "jaccard_join": q_jaccard_join,
         "bm25_topk": q_bm25_topk,
@@ -2674,7 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution", "group_outliers", "term_cosine_join", "ann_pq",
         "cdc_latest", "scd2_history", "snapshot_diff",
         "link_prediction", "weighted_group_sample", "ngram_novelty",
-        "hilbert_key", "streaming_cdc",
+        "hilbert_key", "streaming_cdc", "normalize_text", "strip_markup",
         # round-7 refresh rotation (recorded r01-r05, not in r06)
         "mw_histogram", "concat_union", "tf_mktsegment", "block_single",
         "fuzzy_kernels", "block_salted", "block_multi", "block_counts",
@@ -6008,6 +6048,53 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
     # streaming_cdc: the merge law makes the streamed compaction equal
     # the batch one — identical replay to cdc_latest
     sqls["streaming_cdc"] = sqls["cdc_latest"]
+
+    # normalize_text: identical decoration, the SAME literal accent
+    # translate table (imported from the module — single source), 'g'
+    # flags on DuckDB regexp_replace (first-match-only by default)
+    from splink_spark.pipeline.text import _ACCENT_DST, _ACCENT_SRC
+
+    sqls["normalize_text"] = f"""
+      WITH d AS (
+        SELECT doc_id,
+               'À la «Café»' || chr(9) || text || chr(1)
+                 || ' ÉLÈVE  Ørsted' AS text
+        FROM documents
+      )
+      SELECT doc_id,
+             trim(regexp_replace(
+               lower(translate(
+                 regexp_replace(text,
+                   '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                 '{_ACCENT_SRC}', '{_ACCENT_DST}')),
+               '\\s+', ' ', 'g')) AS normalized_text
+      FROM d
+    """
+
+    # strip_markup: same wrap, same four regex passes + entity table
+    sqls["strip_markup"] = """
+      WITH d AS (
+        SELECT doc_id,
+               '<html><body><h1>T</h1><script>var x=1;</script><p>' || text
+                 || ' &amp; more</p><!-- c --></body></html>' AS text
+        FROM documents
+      )
+      SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                       '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                     '(?s)<!--.*?-->', ' ', 'g'),
+                   '<[^>]+>', ' ', 'g'),
+                 '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+                 '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+               '\\s+', ' ', 'g')) AS stripped_text
+      FROM d
+    """
 
     # scd2_history: collapse null-safe no-op versions first (opening row
     # always kept), then cut [valid_from, valid_to) with lead() over the

@@ -80,5 +80,10 @@ from .search import (  # noqa: F401
     bm25_index_write,
     bm25_search,
 )
-from .text import dedup_within_document, remove_boilerplate_lines  # noqa: F401
+from .text import (  # noqa: F401
+    dedup_within_document,
+    normalize_text,
+    remove_boilerplate_lines,
+    strip_markup,
+)
 from .web import domain_stats, url_dedup, url_normalize  # noqa: F401

@@ -325,3 +325,86 @@ def remove_boilerplate_lines(
             .alias("n_removed_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# normalization / markup stripping
+# ---------------------------------------------------------------------------
+
+# Latin-1 / Latin-Extended-A accented letters -> ASCII base letters. A
+# FIXED literal table (not locale/ICU-dependent) so the fold is
+# deterministic and any engine replays it with the same translate() map.
+_ACCENT_SRC = (
+    "ÀÁÂÃÄÅàáâãäåÈÉÊËèéêëÌÍÎÏìíîïÒÓÔÕÖØòóôõöøÙÚÛÜùúûüÝýÿÑñÇçĀāĂăĄąĆćĈĉĊċ"
+    "ČčĎďĐđĒēĔĕĖėĘęĚěĜĝĞğĠġĢģĤĥĨĩĪīĬĭĮįİıĴĵĶķĹĺĻļĽľŁłŃńŅņŇňŌōŎŏŐőŔŕŖŗŘř"
+    "ŚśŜŝŞşŠšŢţŤťŨũŪūŬŭŮůŰűŲųŴŵŶŷŸŹźŻżŽž"
+)
+_ACCENT_DST = (
+    "AAAAAAaaaaaaEEEEeeeeIIIIiiiiOOOOOOooooooUUUUuuuuYyyNnCcAaAaAaCcCcCc"
+    "CcDdDdEeEeEeEeEeGgGgGgGgHhIiIiIiIiIiJjKkLlLlLlLlNnNnNnOoOoOoRrRrRr"
+    "SsSsSsSsTtTtUuUuUuUuUuUuWwYyYZzZzZz"
+)
+assert len(_ACCENT_SRC) == len(_ACCENT_DST)
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    fold_accents: bool = True,
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+    out_col: str = "normalized_text",
+) -> DataFrame:
+    """Deterministic text normalization for dedup keys and matching:
+    optional accent folding (fixed literal translate table — NOT
+    locale-dependent ICU, so the result is identical in any engine),
+    lowercasing, control-character removal, and whitespace collapsing
+    (all runs of whitespace to one space, trimmed). Pure Column
+    expressions — zero shuffle, whole-stage codegen; at 100 TB this is
+    a free map stage fused into whatever reads the text next.
+
+    This is the canonicalization step upstream of ``fingerprint`` /
+    MinHash: fold-then-hash makes "Café" and "cafe" collide on purpose.
+    """
+    c = F.col(text_col)
+    if strip_control:
+        c = F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    if fold_accents:
+        c = F.translate(c, _ACCENT_SRC, _ACCENT_DST)
+    if lowercase:
+        c = F.lower(c)
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, "\\s+", " "))
+    return df.withColumn(out_col, c)
+
+
+def strip_markup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    out_col: str = "stripped_text",
+) -> DataFrame:
+    """Remove HTML/XML markup from a text column: script/style blocks
+    (content included), comments, all remaining tags, then the common
+    named entities — the minimal deterministic scrub a web-crawl
+    pipeline runs before quality scoring (a full parser is a per-format
+    ingestion concern; these four regex passes are the 99% case and are
+    engine-replayable exactly). Whitespace runs left by removed blocks
+    collapse to a single space. Pure Column expressions, zero shuffle.
+    """
+    c = F.col(text_col)
+    c = F.regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, "(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, "(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, "<[^>]+>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"),
+    ):
+        c = F.regexp_replace(c, ent, rep)
+    c = F.trim(F.regexp_replace(c, "\\s+", " "))
+    return df.withColumn(out_col, c)
