@@ -2380,6 +2380,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["o_orderstatus", "o_totalprice"],
         )
 
+    def q_winsorize(spark, sf_dir):
+        """Per-group winsorization (pipeline/analytics.py winsorize —
+        clamp to exact rank-selection quantile bounds from
+        group_quantiles, null-safe group joins, unhinted bounds join so
+        AQE sizes it). Clamp values are actual data values, so the
+        output is bit-identical cross-engine."""
+        from splink_spark.pipeline.analytics import winsorize
+
+        ev = _session(spark).read.parquet(f"{sf_dir}/events.parquet")
+        return winsorize(
+            ev.select("event_id", "event_type", "value"),
+            ["event_type"],
+            "value",
+            lower=0.05,
+            upper=0.95,
+        )
+
+    def q_bipartite_project(spark, sf_dir):
+        """Bipartite projection (pipeline/graph.py bipartite_project —
+        order–part edges projected to the part co-purchase graph: one
+        equi-join on the order key over the persisted distinct edge
+        table + a map-side-combined pair count; auto left-hub probe).
+        min_weight=2 keeps pairs co-purchased in 2+ orders."""
+        from splink_spark.pipeline.graph import bipartite_project
+
+        li = _session(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+        return bipartite_project(
+            li.select(
+                F.col("l_orderkey").alias("left"),
+                F.col("l_partkey").alias("right"),
+            ),
+            min_weight=2,
+        )
+
     def q_normalize_text(spark, sf_dir):
         """Deterministic text normalization (pipeline/text.py
         normalize_text — fixed literal accent-fold translate table, NOT
@@ -2563,6 +2597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cdc": q_streaming_cdc,
         "normalize_text": q_normalize_text,
         "strip_markup": q_strip_markup,
+        "winsorize": q_winsorize,
+        "bipartite_project": q_bipartite_project,
         "ann_pq": q_ann_pq,
         "jaccard_join": q_jaccard_join,
         "bm25_topk": q_bm25_topk,
@@ -2715,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_latest", "scd2_history", "snapshot_diff",
         "link_prediction", "weighted_group_sample", "ngram_novelty",
         "hilbert_key", "streaming_cdc", "normalize_text", "strip_markup",
+        "winsorize", "bipartite_project",
         # round-7 refresh rotation (recorded r01-r05, not in r06)
         "mw_histogram", "concat_union", "tf_mktsegment", "block_single",
         "fuzzy_kernels", "block_salted", "block_multi", "block_counts",
@@ -6048,6 +6085,52 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
     # streaming_cdc: the merge law makes the streamed compaction equal
     # the batch one — identical replay to cdc_latest
     sqls["streaming_cdc"] = sqls["cdc_latest"]
+
+    # winsorize: rank-selection bounds (the group_quantiles micro-unit
+    # target-rank arithmetic) + null-safe clamp joins
+    sqls["winsorize"] = """
+      WITH base AS (
+        SELECT event_type, value AS v FROM events WHERE value IS NOT NULL
+      ),
+      ranked AS (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY v) AS r,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM base
+      ),
+      lo AS (
+        SELECT event_type, v AS lo FROM ranked
+        WHERE greatest(1, CAST(floor((50000 * n + 999999) / 1000000.0)
+                               AS BIGINT)) = r
+      ),
+      hi AS (
+        SELECT event_type, v AS hi FROM ranked
+        WHERE greatest(1, CAST(floor((950000 * n + 999999) / 1000000.0)
+                               AS BIGINT)) = r
+      )
+      SELECT e.event_id, e.event_type, e.value,
+             CASE WHEN e.value IS NOT NULL THEN
+               least(greatest(e.value, coalesce(lo.lo, e.value)),
+                     coalesce(hi.hi, e.value))
+             END AS value_winsorized,
+             lo.lo AS value_lo, hi.hi AS value_hi
+      FROM events e
+      LEFT JOIN lo ON e.event_type IS NOT DISTINCT FROM lo.event_type
+      LEFT JOIN hi ON e.event_type IS NOT DISTINCT FROM hi.event_type
+    """
+
+    # bipartite_project: distinct order-part edges self-joined on the
+    # order key, pair count, min_weight filter
+    sqls["bipartite_project"] = """
+      WITH e AS (
+        SELECT DISTINCT l_orderkey AS l, l_partkey AS r FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      )
+      SELECT e1.r AS node_a, e2.r AS node_b, count(*) AS weight
+      FROM e e1 JOIN e e2 ON e1.l = e2.l AND e1.r < e2.r
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    """
 
     # normalize_text: identical decoration, the SAME literal accent
     # translate table (imported from the module — single source), 'g'

@@ -63,9 +63,11 @@ from .analytics import (  # noqa: F401
     group_moments,
     group_quantiles,
     top_k_per_group,
+    winsorize,
 )
 from .fuzzy import fuzzy_join_ed1  # noqa: F401
 from .graph import (  # noqa: F401
+    bipartite_project,
     common_neighbors,
     k_core,
     label_propagation,

@@ -25,6 +25,7 @@ __all__ = [
     "group_quantiles",
     "group_moments",
     "group_outliers",
+    "winsorize",
 ]
 
 # percentile grid for the prefilter cutoff: the chosen fraction is the
@@ -350,4 +351,76 @@ def group_outliers(
             & (F.abs(z) >= F.lit(float(z_threshold)))
         )
         .select(*df.columns, F.round(z, round_to).alias("z_score"))
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    method: str = "lower",
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Clamp ``value_col`` to its per-group ``[lower, upper]`` quantile
+    bounds (winsorization — the standard outlier treatment that keeps
+    the row but caps the tail instead of dropping it). Bounds come from
+    :func:`group_quantiles` — EXACT rank selection, so the clamp values
+    are actual data values and both the bounds and the clamped column
+    replay bit-for-bit in any engine.
+
+    Null-safe on the group keys (NULL-key groups winsorize like any
+    other — the ``top_k_per_group`` ADVICE lesson), and the bounds join
+    is left unhinted: per-group bounds scale with group cardinality, so
+    forcing a broadcast would be a driver-OOM lever at 100 TB; AQE picks
+    broadcast when the cut table is actually small. Groups absent from
+    the bounds (all-NULL values) pass through unclamped; NULL values
+    stay NULL.
+
+    Output: all input columns plus ``out_col`` (default
+    ``{value_col}_winsorized``) and the per-group ``__lo``/``__hi``
+    bounds under ``{value_col}_lo`` / ``{value_col}_hi``.
+    """
+    if not (0.0 < float(lower) < float(upper) <= 1.0):
+        raise ValueError("need 0 < lower < upper <= 1")
+    groups = list(group_cols)
+    out_col = out_col or f"{value_col}_winsorized"
+    qs = group_quantiles(
+        df, groups, value_col, fractions=(float(lower), float(upper)),
+        method=method,
+    )
+    lo = qs.where(F.col("fraction") == float(lower)).select(
+        *[F.col(g).alias(f"__g_{g}") for g in groups],
+        F.col("value").alias("__lo"),
+    )
+    hi = qs.where(F.col("fraction") == float(upper)).select(
+        *[F.col(g).alias(f"__h_{g}") for g in groups],
+        F.col("value").alias("__hi"),
+    )
+
+    def _cond(prefix, frame_cols):
+        cond = None
+        for g in groups:
+            piece = F.col(g).eqNullSafe(F.col(f"{prefix}_{g}"))
+            cond = piece if cond is None else (cond & piece)
+        return cond
+
+    joined = (
+        df.join(lo, _cond("__g", groups), "left")
+        .join(hi, _cond("__h", groups), "left")
+    )
+    v = F.col(value_col)
+    clamped = F.when(
+        v.isNotNull(),
+        F.least(
+            F.greatest(v, F.coalesce(F.col("__lo"), v)),
+            F.coalesce(F.col("__hi"), v),
+        ),
+    )
+    return joined.select(
+        *df.columns,
+        clamped.alias(out_col),
+        F.col("__lo").alias(f"{value_col}_lo"),
+        F.col("__hi").alias(f"{value_col}_hi"),
     )

@@ -30,6 +30,7 @@ __all__ = [
     "common_neighbors",
     "k_core",
     "link_prediction_scores",
+    "bipartite_project",
 ]
 
 UNIT = 1_000_000  # rank fixed-point denominator (millionths)
@@ -326,6 +327,81 @@ def common_neighbors(
                 round_to,
             ).alias("jaccard"),
         )
+    )
+
+
+def bipartite_project(
+    edges: DataFrame,
+    left: str = "left",
+    right: str = "right",
+    min_weight: int = 1,
+    max_left_degree: Union[int, str, None] = "auto",
+    auto_cap: int = 10_000,
+) -> DataFrame:
+    """Project a bipartite edge table (user–item, order–part, doc–term)
+    onto its RIGHT nodes: one edge per right-node pair that shares at
+    least ``min_weight`` left neighbours, weighted by that shared count
+    — the co-occurrence / co-purchase graph every collaborative-filter
+    and co-citation analysis starts from.
+
+    Same quadratic-hub honesty as ``common_neighbors``: a left node of
+    degree d contributes d·(d-1)/2 pairs — that IS the projection
+    semantics. ``max_left_degree="auto"`` probes the max left degree
+    with one aggregate and caps only when some left hub exceeds
+    ``auto_cap`` (with a ``UserWarning``; an order containing every part
+    co-purchases nothing informative). Pass ``None`` to force the exact
+    quadratic result.
+
+    Plan: distinct edges persist once (degree probe + self-join read the
+    same materialization), one equi-join on the left key, one
+    map-side-combined pair count. Returns (``node_a``, ``node_b``,
+    ``weight``) with ``node_a < node_b``.
+    """
+    e = (
+        edges.select(F.col(left).alias("l"), F.col(right).alias("r"))
+        .where(F.col("l").isNotNull() & F.col("r").isNotNull())
+        .distinct()
+        .persist()
+    )
+    if max_left_degree == "auto":
+        row = (
+            e.groupBy("l")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.max("d").alias("mx"))
+            .collect()
+        )
+        mx = int(row[0]["mx"] or 0) if row else 0
+        if mx > int(auto_cap):
+            import warnings
+
+            warnings.warn(
+                f"bipartite_project: max left degree {mx} exceeds "
+                f"auto_cap={auto_cap}; dropping left hubs above "
+                f"{auto_cap} (a degree-d left node creates d*(d-1)/2 "
+                f"projected pairs). Pass max_left_degree=None for the "
+                f"exact quadratic result.",
+                UserWarning,
+                stacklevel=2,
+            )
+            max_left_degree = int(auto_cap)
+        else:
+            max_left_degree = None
+    if max_left_degree is not None:
+        keep = (
+            e.groupBy("l")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") <= int(max_left_degree))
+            .select("l")
+        )
+        e = e.join(keep, "l")
+    e1 = e.select(F.col("l"), F.col("r").alias("node_a"))
+    e2 = e.select(F.col("l"), F.col("r").alias("node_b"))
+    return (
+        e1.join(e2, "l")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .where(F.col("weight") >= int(min_weight))
     )
 
 

@@ -105,3 +105,63 @@ def test_ngram_novelty_hand_computed(spark):
     assert out[1] == (3, 1, 333333)   # only "c d" novel
     assert out[2] == (3, 2, 666666)   # "b x", "x y" novel
     assert out[3] == (0, 0, None)
+
+
+def test_winsorize_clamps_to_group_quantile_bounds(spark):
+    from splink_spark.pipeline.analytics import winsorize
+
+    rows = [(i, "a" if i < 20 else None, float(i)) for i in range(40)]
+    rows.append((100, "a", None))
+    df = spark.createDataFrame(rows, "id bigint, g string, v double")
+    out = winsorize(df, ["g"], "v", lower=0.1, upper=0.9)
+    a = {r["id"]: r["v_winsorized"] for r in out.collect() if r["g"] == "a"}
+    # group a = 0..19: lower rank ceil(0.1*20)=2 -> 1.0, upper rank 18 -> 17.0
+    assert a[0] == 1.0 and a[19] == 17.0 and a[5] == 5.0
+    assert a[100] is None  # NULL value passes through NULL
+    n = {r["id"]: r["v_winsorized"] for r in out.collect() if r["g"] is None}
+    # NULL-key group (20..39) winsorizes like any other: rank2=21, rank18=37
+    assert n[20] == 21.0 and n[39] == 37.0 and n[25] == 25.0
+    assert out.count() == 41
+    with pytest.raises(ValueError):
+        winsorize(df, ["g"], "v", lower=0.9, upper=0.1)
+
+
+def test_bipartite_project_counts_shared_left_nodes(spark):
+    from splink_spark.pipeline.graph import bipartite_project
+
+    rows = [
+        ("o1", "p1"), ("o1", "p2"), ("o1", "p3"),
+        ("o2", "p1"), ("o2", "p2"),
+        ("o3", "p2"), ("o3", "p3"),
+        ("o3", "p2"),           # duplicate edge: ignored
+        (None, "p9"), ("o4", None),  # null endpoints dropped
+    ]
+    df = spark.createDataFrame(rows, "left string, right string")
+    out = {
+        (r["node_a"], r["node_b"]): r["weight"]
+        for r in bipartite_project(df).collect()
+    }
+    assert out == {
+        ("p1", "p2"): 2,   # o1, o2
+        ("p1", "p3"): 1,   # o1
+        ("p2", "p3"): 2,   # o1, o3
+    }
+    strong = bipartite_project(df, min_weight=2).collect()
+    assert {(r["node_a"], r["node_b"]) for r in strong} == {
+        ("p1", "p2"), ("p2", "p3")
+    }
+
+
+def test_bipartite_project_hub_cap_warns(spark):
+    import warnings
+
+    from splink_spark.pipeline.graph import bipartite_project
+
+    rows = [("hub", f"p{i}") for i in range(30)] + [("o", "p0"), ("o", "p1")]
+    df = spark.createDataFrame(rows, "left string, right string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = bipartite_project(df, auto_cap=10).collect()
+    assert any("auto_cap" in str(x.message) for x in w)
+    # hub dropped: only o's single pair survives
+    assert {(r["node_a"], r["node_b"]) for r in out} == {("p0", "p1")}
