@@ -2380,6 +2380,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["o_orderstatus", "o_totalprice"],
         )
 
+    def q_phrase_search(spark, sf_dir):
+        """Exact phrase retrieval (pipeline/search.py phrase_search —
+        positional postings restricted to the phrase's terms before any
+        join, then k-1 equi-joins all on the same (doc, aligned-pos)
+        key so the plan shuffles once; overlapping matches count).
+        BM25's bag-of-words scoring cannot express this query."""
+        from splink_spark.pipeline.search import phrase_search
+
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        return phrase_search(docs, "table hash")
+
     def q_winsorize(spark, sf_dir):
         """Per-group winsorization (pipeline/analytics.py winsorize —
         clamp to exact rank-selection quantile bounds from
@@ -2599,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_markup": q_strip_markup,
         "winsorize": q_winsorize,
         "bipartite_project": q_bipartite_project,
+        "phrase_search": q_phrase_search,
         "ann_pq": q_ann_pq,
         "jaccard_join": q_jaccard_join,
         "bm25_topk": q_bm25_topk,
@@ -2751,7 +2763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_latest", "scd2_history", "snapshot_diff",
         "link_prediction", "weighted_group_sample", "ngram_novelty",
         "hilbert_key", "streaming_cdc", "normalize_text", "strip_markup",
-        "winsorize", "bipartite_project",
+        "winsorize", "bipartite_project", "phrase_search",
         # round-7 refresh rotation (recorded r01-r05, not in r06)
         "mw_histogram", "concat_union", "tf_mktsegment", "block_single",
         "fuzzy_kernels", "block_salted", "block_multi", "block_counts",
@@ -6085,6 +6097,28 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
     # streaming_cdc: the merge law makes the streamed compaction equal
     # the batch one — identical replay to cdc_latest
     sqls["streaming_cdc"] = sqls["cdc_latest"]
+
+    # phrase_search: phrase occurrences as consecutive-token 2-grams
+    # (overlaps count, same a-z0-9 tokenization as the search family)
+    sqls["phrase_search"] = """
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(
+                 regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                 x -> x <> '') AS toks
+        FROM documents
+      ),
+      g AS (
+        SELECT doc_id, unnest(
+          CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1]) END
+        ) AS gram
+        FROM tok
+      )
+      SELECT doc_id, count(*) AS n_matches
+      FROM g WHERE gram = 'table hash' GROUP BY doc_id
+    """
 
     # winsorize: rank-selection bounds (the group_quantiles micro-unit
     # target-rank arithmetic) + null-safe clamp joins

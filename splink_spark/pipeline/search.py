@@ -41,6 +41,8 @@ __all__ = [
     "bm25_index_read",
     "bm25_release_cached_slices",
     "term_cosine_join",
+    "positional_index",
+    "phrase_search",
 ]
 
 _SCALE = 1_000_000
@@ -372,3 +374,65 @@ def term_cosine_join(
             F.round(cos, round_to).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# positional index / exact phrase search
+# ---------------------------------------------------------------------------
+
+
+def positional_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional postings: one row per (term, doc, position) — the
+    index layout phrase and proximity queries need, same ``tokenize_
+    terms`` normalization as the BM25 index so the two share a
+    vocabulary. Like the BM25 postings, write it partitioned by term
+    for pruned reads; positions are 0-based token offsets."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(tokenize_terms(F.col(text_col))).alias("pos", "term"),
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    index: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Exact phrase matching: documents containing the query words as
+    CONSECUTIVE tokens, with the occurrence count — the retrieval
+    primitive BM25's bag-of-words scoring cannot express ("new york",
+    not "new ... york").
+
+    Plan: the positional postings are restricted to the phrase's terms
+    FIRST (an ``IN`` filter that reaches the scan — with a term-
+    partitioned on-disk index this is partition pruning), then the
+    k-term phrase is k-1 equi-joins on ``(doc, pos - offset)``: every
+    join uses the SAME key, so Catalyst shuffles once and the rest are
+    co-partitioned. Nothing is broadcast — a phrase of stopwords has
+    huge posting lists, and the equi-join handles them distributed.
+
+    Pass ``index=`` a precomputed :func:`positional_index` (or its
+    on-disk read) to skip re-tokenizing. Returns (id, ``n_matches``),
+    matches only.
+    """
+    import re as _re
+
+    terms = [t for t in _re.split(r"[^a-z0-9]+", phrase.lower()) if t]
+    if not terms:
+        raise ValueError("phrase contains no tokens")
+    idx = index if index is not None else positional_index(
+        docs, text_col, id_col
+    )
+    base = idx.where(F.col("term").isin(terms))
+    cur = base.where(F.col("term") == terms[0]).select(id_col, "pos")
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = base.where(F.col("term") == t).select(
+            F.col(id_col), (F.col("pos") - F.lit(i)).alias("pos")
+        )
+        cur = cur.join(nxt, [id_col, "pos"])
+    return cur.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matches"))

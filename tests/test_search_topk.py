@@ -509,3 +509,38 @@ def test_term_cosine_join_exact_and_max_df(spark):
         for r in term_cosine_join(docs, threshold=0.0, max_df=2).collect()
     }
     assert (1, 3) not in pruned and (1, 2) in pruned
+
+
+def test_phrase_search_consecutive_and_overlapping(spark):
+    from splink_spark.pipeline.search import phrase_search, positional_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york city new york"),   # 2 matches of "new york"
+            (2, "york new"),                 # reversed: no match
+            (3, "new-york!"),                # punctuation splits: match
+            (4, "a b a b a"),                # overlapping 3-gram
+            (5, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(docs, "New York").collect()
+    }
+    assert got == {1: 2, 3: 1}
+    tri = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(docs, "a b a").collect()
+    }
+    assert tri == {4: 2}  # positions 0 and 2 overlap; both count
+    # precomputed index path gives identical results
+    idx = positional_index(docs)
+    via_idx = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(docs, "new york", index=idx).collect()
+    }
+    assert via_idx == got
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        phrase_search(docs, "!!!")
