@@ -2380,6 +2380,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["o_orderstatus", "o_totalprice"],
         )
 
+    def q_group_distinct(spark, sf_dir):
+        """Per-group approximate distinct counts (pipeline/sketches.py
+        group_distinct_approx — HLL registers keyed by (group, register),
+        estimator evaluated distributed with EXACT integer harmonic
+        sums: each 2^-rho term is the whole number 2^(53-rho) summed in
+        decimal(38,0), one double conversion at the end). Oracle replays
+        registers digit-by-digit and the same estimator arithmetic."""
+        from splink_spark.pipeline.sketches import group_distinct_approx
+
+        li = _session(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+        return group_distinct_approx(
+            li.select("l_returnflag", "l_partkey"),
+            ["l_returnflag"],
+            "l_partkey",
+        )
+
+    def q_robust_outliers(spark, sf_dir):
+        """Median/MAD modified-z outliers (pipeline/analytics.py
+        robust_outliers — Iglewicz–Hoaglin 0.6745*(v-med)/MAD with both
+        med and MAD from exact rank selection, so the score arithmetic
+        and the 3.5 boundary replay bit-for-bit; null-safe group
+        joins)."""
+        from splink_spark.pipeline.analytics import robust_outliers
+
+        ev = _session(spark).read.parquet(f"{sf_dir}/events.parquet")
+        return robust_outliers(
+            ev.select("event_id", "event_type", "value"),
+            ["event_type"],
+            "value",
+        )
+
     def q_phrase_search(spark, sf_dir):
         """Exact phrase retrieval (pipeline/search.py phrase_search —
         positional postings restricted to the phrase's terms before any
@@ -2611,6 +2642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "bipartite_project": q_bipartite_project,
         "phrase_search": q_phrase_search,
+        "group_distinct": q_group_distinct,
+        "robust_outliers": q_robust_outliers,
         "ann_pq": q_ann_pq,
         "jaccard_join": q_jaccard_join,
         "bm25_topk": q_bm25_topk,
@@ -2764,6 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction", "weighted_group_sample", "ngram_novelty",
         "hilbert_key", "streaming_cdc", "normalize_text", "strip_markup",
         "winsorize", "bipartite_project", "phrase_search",
+        "group_distinct", "robust_outliers",
         # round-7 refresh rotation (recorded r01-r05, not in r06)
         "mw_histogram", "concat_union", "tf_mktsegment", "block_single",
         "fuzzy_kernels", "block_salted", "block_multi", "block_counts",
@@ -6097,6 +6131,100 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
     # streaming_cdc: the merge law makes the streamed compaction equal
     # the batch one — identical replay to cdc_latest
     sqls["streaming_cdc"] = sqls["cdc_latest"]
+
+    # group_distinct: per-group HLL registers (hll_registers replay with
+    # a group key) + the estimator with exact integer harmonic sums —
+    # 1 << (53 - rho) summed in HUGEINT, one double conversion, the
+    # SAME left-assoc alpha*m*m literal arithmetic as the Spark side
+    sqls["group_distinct"] = """
+      WITH h AS (
+        SELECT l_returnflag AS g, md5(CAST(l_partkey AS VARCHAR)) AS hx
+        FROM lineitem WHERE l_partkey IS NOT NULL
+      ),
+      d AS (
+        SELECT g,
+          CAST(list_sum(list_transform(range(1, 4), i ->
+            (position(substring(hx, CAST(i AS INTEGER), 1)
+               IN '0123456789abcdef') - 1)::BIGINT
+            << (4 * (3 - CAST(i AS INTEGER))))) AS INTEGER) AS register,
+          CAST(list_sum(list_transform(range(1, 14), i ->
+            (position(substring(hx, CAST(i + 3 AS INTEGER), 1)
+               IN '0123456789abcdef') - 1)::BIGINT
+            << (4 * (13 - CAST(i AS INTEGER))))) AS BIGINT) AS v
+        FROM h
+      ),
+      regs AS (
+        SELECT g, register,
+               CAST(max(53 - length(ltrim(lpad(bin(v), 52, '0'), '0')))
+                    AS INTEGER) AS max_rho
+        FROM d GROUP BY g, register
+      ),
+      agg AS (
+        SELECT g, count(*) AS n_registers,
+               sum(CAST(1::BIGINT << (53 - max_rho) AS HUGEINT)) AS s_int
+        FROM regs GROUP BY g
+      ),
+      est AS (
+        SELECT g, n_registers,
+               CAST(4096 - n_registers AS BIGINT) AS zeros,
+               (CAST(s_int AS DOUBLE) / 9007199254740992.0
+                + CAST(4096 - n_registers AS DOUBLE)) AS s
+        FROM agg
+      )
+      SELECT g AS l_returnflag,
+             CAST(n_registers AS BIGINT) AS n_registers, zeros,
+             round(CASE WHEN (((CAST(0.7213 AS DOUBLE)
+                               / (1.0 + CAST(1.079 AS DOUBLE) / 4096))
+                              * 4096) * 4096) / s <= 10240.0
+                          AND zeros > 0
+                        THEN 4096.0 * ln(4096.0 / CAST(zeros AS DOUBLE))
+                        ELSE (((CAST(0.7213 AS DOUBLE)
+                               / (1.0 + CAST(1.079 AS DOUBLE) / 4096))
+                              * 4096) * 4096) / s
+                   END, 6) AS estimate
+      FROM est
+    """
+
+    # robust_outliers: median and MAD by rank selection (group_quantiles
+    # micro-unit target-rank arithmetic), Iglewicz-Hoaglin modified z
+    sqls["robust_outliers"] = """
+      WITH base AS (
+        SELECT event_type, value AS v FROM events WHERE value IS NOT NULL
+      ),
+      r1 AS (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY v) AS r,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM base
+      ),
+      med AS (
+        SELECT event_type, v AS m FROM r1
+        WHERE greatest(1, CAST(floor((500000 * n + 999999) / 1000000.0)
+                               AS BIGINT)) = r
+      ),
+      dev AS (
+        SELECT b.event_type, abs(b.v - med.m) AS d
+        FROM base b JOIN med ON b.event_type IS NOT DISTINCT FROM med.event_type
+      ),
+      r2 AS (
+        SELECT event_type, d,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS r,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+      ),
+      mad AS (
+        SELECT event_type, d AS mad FROM r2
+        WHERE greatest(1, CAST(floor((500000 * n + 999999) / 1000000.0)
+                               AS BIGINT)) = r
+      )
+      SELECT e.event_id, e.event_type, e.value,
+             round(0.6745 * (e.value - med.m) / mad.mad, 6) AS robust_z
+      FROM events e
+      JOIN med ON e.event_type IS NOT DISTINCT FROM med.event_type
+      JOIN mad ON e.event_type IS NOT DISTINCT FROM mad.event_type
+      WHERE e.value IS NOT NULL AND mad.mad > 0
+        AND abs(0.6745 * (e.value - med.m) / mad.mad) >= 3.5
+    """
 
     # phrase_search: phrase occurrences as consecutive-token 2-grams
     # (overlaps count, same a-z0-9 tokenization as the search family)

@@ -62,9 +62,11 @@ from .temporal import (  # noqa: F401
 from .analytics import (  # noqa: F401
     group_moments,
     group_quantiles,
+    robust_outliers,
     top_k_per_group,
     winsorize,
 )
+from .sketches import group_distinct_approx  # noqa: F401
 from .fuzzy import fuzzy_join_ed1  # noqa: F401
 from .graph import (  # noqa: F401
     bipartite_project,

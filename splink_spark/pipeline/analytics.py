@@ -26,6 +26,7 @@ __all__ = [
     "group_moments",
     "group_outliers",
     "winsorize",
+    "robust_outliers",
 ]
 
 # percentile grid for the prefilter cutoff: the chosen fraction is the
@@ -423,4 +424,67 @@ def winsorize(
         clamped.alias(out_col),
         F.col("__lo").alias(f"{value_col}_lo"),
         F.col("__hi").alias(f"{value_col}_hi"),
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    z_threshold: float = 3.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group MEDIAN/MAD outliers — the robust twin of
+    ``group_outliers``: the modified z-score ``0.6745 * (v - median) /
+    MAD`` (Iglewicz & Hoaglin 1993, threshold 3.5 recommended there).
+    Mean/std outlier detection is corrupted by the very outliers it
+    hunts (one 1e9 reading inflates std until nothing is an outlier);
+    the median and the median-absolute-deviation have a 50% breakdown
+    point.
+
+    Both the median and the MAD come from :func:`group_quantiles` —
+    exact rank selection, actual data values — so the score arithmetic
+    and the threshold boundary replay bit-for-bit in any engine. Two
+    window passes (median of v, then median of |v - median|) + two
+    null-safe group joins; groups with MAD = 0 (over half the values
+    identical) flag nothing, same contract as ``group_outliers``'s
+    ``std > 0`` guard.
+
+    Returns the flagged rows with ``robust_z`` appended.
+    """
+    groups = list(group_cols)
+
+    def _nsjoin(left, right, prefix):
+        cond = None
+        for g in groups:
+            piece = F.col(g).eqNullSafe(F.col(f"{prefix}_{g}"))
+            cond = piece if cond is None else (cond & piece)
+        return left.join(right, cond, "left")
+
+    med = group_quantiles(df, groups, value_col, fractions=(0.5,)).select(
+        *[F.col(g).alias(f"__m_{g}") for g in groups],
+        F.col("value").alias("__med"),
+    )
+    with_med = _nsjoin(df, med, "__m")
+    dev = with_med.select(
+        *groups,
+        F.abs(F.col(value_col) - F.col("__med")).alias("__dev"),
+    )
+    mad = group_quantiles(dev, groups, "__dev", fractions=(0.5,)).select(
+        *[F.col(g).alias(f"__d_{g}") for g in groups],
+        F.col("value").alias("__mad"),
+    )
+    scored = _nsjoin(with_med, mad, "__d")
+    z = (
+        F.lit(0.6745)
+        * (F.col(value_col) - F.col("__med"))
+        / F.col("__mad")
+    )
+    return (
+        scored.where(
+            F.col(value_col).isNotNull()
+            & (F.col("__mad") > 0)
+            & (F.abs(z) >= F.lit(float(z_threshold)))
+        )
+        .select(*df.columns, F.round(z, round_to).alias("robust_z"))
     )

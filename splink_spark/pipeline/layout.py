@@ -168,21 +168,30 @@ def hilbert_index(
     y_col: str,
     bits: int = 16,
     out_col: str = "h_value",
+    levels_per_stage: int = 4,
 ) -> DataFrame:
-    """Hilbert-curve index as a staged DataFrame pass: one narrow
-    Project per level, each referencing the previous level's staged
-    ``__hx/__hy/d`` COLUMNS by name — constant expression size per
-    level, so any depth analyzes in linear time. The stages sit behind
-    ``optimizer_barrier`` because CollapseProject would otherwise
-    substitute each level into the next and rebuild the exponential
-    inline tree the staging exists to avoid (same pattern as the token
-    array staging in curation).
+    """Hilbert-curve index as a staged DataFrame pass: the walk's
+    levels are grouped into stages of ``levels_per_stage`` — WITHIN a
+    stage the level updates compose inline (the tree multiplies ~5× per
+    level, so 4 levels ≈ 600 expression nodes — cheap for codegen),
+    and BETWEEN stages the x/y/d state is staged as named columns, so a
+    16-bit curve is 4 narrow Projects instead of one million-node
+    expression (which OOMs Catalyst analysis — see ``hilbert_key``).
+    Stage boundaries sit behind ``optimizer_barrier`` because
+    CollapseProject would otherwise substitute each stage into the next
+    and rebuild the exponential tree the staging exists to avoid (same
+    pattern as the token-array staging in curation). MEASURED at 10M
+    rows: per-level staging (16 barriers) cost 16× the Morton sort;
+    4-level batching brings the walk back to the same order.
 
     ``x_col``/``y_col`` must already be quantized non-negative integers
-    (``quantize_uniform``); ``2*bits`` must be <= 63.
+    (``quantize_uniform``); ``2*bits`` must be <= 63;
+    ``levels_per_stage`` is capped at 6 (tree growth is exponential).
     """
     if 2 * int(bits) > 63:
         raise ValueError("2 * bits must fit in int64")
+    if not 1 <= int(levels_per_stage) <= 6:
+        raise ValueError("levels_per_stage must be in [1, 6]")
     keep = [c for c in df.columns if c != out_col]
     out = df.select(
         *keep,
@@ -190,15 +199,17 @@ def hilbert_index(
         F.col(y_col).cast("bigint").alias("__hy"),
         F.lit(0).cast("bigint").alias(out_col),
     )
-    for level in range(int(bits) - 1, -1, -1):
-        nx, ny, nd = _hilbert_level(
-            F.col("__hx"), F.col("__hy"), F.col(out_col), level
-        )
+    levels = list(range(int(bits) - 1, -1, -1))
+    step = int(levels_per_stage)
+    for start in range(0, len(levels), step):
+        xc, yc, d = F.col("__hx"), F.col("__hy"), F.col(out_col)
+        for level in levels[start : start + step]:
+            xc, yc, d = _hilbert_level(xc, yc, d, level)
         out = out.select(
             *keep,
-            optimizer_barrier(nx).alias("__hx"),
-            optimizer_barrier(ny).alias("__hy"),
-            optimizer_barrier(nd).alias(out_col),
+            optimizer_barrier(xc).alias("__hx"),
+            optimizer_barrier(yc).alias("__hy"),
+            optimizer_barrier(d).alias(out_col),
         )
     return out.drop("__hx", "__hy")
 

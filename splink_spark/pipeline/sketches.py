@@ -31,7 +31,7 @@ that shouldn't rescan the corpus.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -47,6 +47,7 @@ __all__ = [
     "hll_sketch",
     "hll_merge",
     "hll_estimate",
+    "group_distinct_approx",
 ]
 
 
@@ -359,3 +360,81 @@ def hll_estimate(sketch: DataFrame) -> float:
     if e <= 2.5 * m and zeros > 0:
         return m * math.log(m / zeros)  # linear counting
     return e
+
+
+def group_distinct_approx(
+    df: DataFrame,
+    group_cols: "Sequence[str]",
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group approximate distinct counts, fully DISTRIBUTED — no
+    per-group driver collect, so millions of groups are fine: the HLL
+    registers aggregate keyed by (group, register) (<= 4096 rows per
+    group whatever the group's size), then one more group-keyed
+    aggregate evaluates the Flajolet estimator with the linear-counting
+    small-range correction in place.
+
+    Exactness discipline for the estimator inputs: the harmonic-mean
+    denominator Σ 2^-rho is accumulated as EXACT integers — each term
+    is 2^(53-rho), a whole number since rho <= 53, summed in
+    decimal(38,0) (4096 * 2^52 overflows int64) — and converted to
+    double once, so the estimate is bit-identical in any engine (the
+    group_moments pattern). Typical error ~1.6% (m = 4096).
+
+    Spark's approx_count_distinct gives the same numbers cheaper if you
+    don't need engine portability or mergeable state; this exists so
+    per-group sketches share the hll_sketch register format.
+
+    Output: (group cols…, ``n_registers``, ``zeros``, ``estimate``).
+    NULL values are excluded (matching count(DISTINCT)).
+    """
+    groups = list(group_cols)
+    h = F.md5(F.col(value_col).cast("string"))
+    staged = df.where(F.col(value_col).isNotNull()).select(
+        *groups,
+        F.conv(F.substring(h, 1, HLL_HEX_REG_DIGITS), 16, 10)
+        .cast("int")
+        .alias("register"),
+        F.lpad(
+            F.conv(
+                F.substring(h, HLL_HEX_REG_DIGITS + 1, _HLL_RHO_HEX_DIGITS),
+                16,
+                2,
+            ),
+            4 * _HLL_RHO_HEX_DIGITS,
+            "0",
+        ).alias("__bits"),
+    )
+    rho = F.expr(
+        f"{4 * _HLL_RHO_HEX_DIGITS + 1} - "
+        "length(trim(LEADING '0' FROM __bits))"
+    )
+    regs = (
+        staged.select(*groups, "register", rho.cast("int").alias("__rho"))
+        .groupBy(*groups, "register")
+        .agg(F.max("__rho").alias("max_rho"))
+    )
+    m = HLL_M
+    # 2^(53 - rho) is exact; decimal(38,0) holds the full-register sum
+    term = F.pow(F.lit(2.0), (F.lit(53) - F.col("max_rho")).cast("double"))
+    agg = regs.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(term.cast("decimal(38,0)")).alias("__s_int"),
+    )
+    zeros = (F.lit(m) - F.col("n_registers")).cast("bigint")
+    # s = zeros * 2^0 + Σ 2^-rho  (scaled by 2^53 while integer)
+    s = (
+        F.col("__s_int").cast("double") / F.lit(float(2**53))
+        + zeros.cast("double")
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = F.lit(alpha * m * m) / s
+    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), lin).otherwise(raw)
+    return agg.select(
+        *groups,
+        F.col("n_registers").cast("bigint").alias("n_registers"),
+        zeros.alias("zeros"),
+        F.round(est, round_to).alias("estimate"),
+    )

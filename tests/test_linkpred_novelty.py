@@ -165,3 +165,17 @@ def test_bipartite_project_hub_cap_warns(spark):
     assert any("auto_cap" in str(x.message) for x in w)
     # hub dropped: only o's single pair survives
     assert {(r["node_a"], r["node_b"]) for r in out} == {("p0", "p1")}
+
+
+def test_robust_outliers_median_mad(spark):
+    from splink_spark.pipeline.analytics import robust_outliers
+
+    rows = [(i, "a", float(i % 10)) for i in range(50)]
+    rows += [(99, "a", 1000.0), (98, "a", None), (97, "b", 5.0), (96, "b", 5.0)]
+    df = spark.createDataFrame(rows, "id bigint, g string, v double")
+    out = {r["id"]: r["robust_z"] for r in robust_outliers(df, ["g"], "v").collect()}
+    # only the 1000.0 spike flags; MAD=0 group b flags nothing; NULL skipped
+    assert set(out) == {99}
+    # median of a = 5.0 (rank 26 of 51), MAD = 3.0: z = .6745*(1000-5)/3
+    import pytest as _p
+    assert out[99] == _p.approx(0.6745 * (1000.0 - 5.0) / 3.0, abs=1e-4)
