@@ -2380,6 +2380,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["o_orderstatus", "o_totalprice"],
         )
 
+    def q_column_correlations(spark, sf_dir):
+        """Pearson correlation matrix in one scan (pipeline/analytics.py
+        column_correlations — every Σa/Σa²/Σab is an exact decimal(38,0)
+        integer in micro-units, the correlation evaluates in doubles
+        FROM those exact integers with fixed parenthesization — any
+        engine reproduces every digit)."""
+        from splink_spark.pipeline.analytics import column_correlations
+
+        li = _session(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+        return column_correlations(
+            li, ["l_quantity", "l_extendedprice", "l_discount"]
+        )
+
     def q_group_distinct(spark, sf_dir):
         """Per-group approximate distinct counts (pipeline/sketches.py
         group_distinct_approx — HLL registers keyed by (group, register),
@@ -2644,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "group_distinct": q_group_distinct,
         "robust_outliers": q_robust_outliers,
+        "column_correlations": q_column_correlations,
         "ann_pq": q_ann_pq,
         "jaccard_join": q_jaccard_join,
         "bm25_topk": q_bm25_topk,
@@ -2797,7 +2811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction", "weighted_group_sample", "ngram_novelty",
         "hilbert_key", "streaming_cdc", "normalize_text", "strip_markup",
         "winsorize", "bipartite_project", "phrase_search",
-        "group_distinct", "robust_outliers",
+        "group_distinct", "robust_outliers", "column_correlations",
         # round-7 refresh rotation (recorded r01-r05, not in r06)
         "mw_histogram", "concat_union", "tf_mktsegment", "block_single",
         "fuzzy_kernels", "block_salted", "block_multi", "block_counts",
@@ -6131,6 +6145,74 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
     # streaming_cdc: the merge law makes the streamed compaction equal
     # the batch one — identical replay to cdc_latest
     sqls["streaming_cdc"] = sqls["cdc_latest"]
+
+    # column_correlations: exact hugeint micro-unit sums, then the same
+    # double arithmetic with the same parenthesization
+    sqls["column_correlations"] = """
+      WITH base AS (
+        SELECT CAST(round(l_quantity * 1000000, 0) AS BIGINT) AS q0,
+               CAST(round(l_extendedprice * 1000000, 0) AS BIGINT) AS q1,
+               CAST(round(l_discount * 1000000, 0) AS BIGINT) AS q2
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+          AND l_discount IS NOT NULL
+      ),
+      agg AS (
+        SELECT count(*) AS n,
+               sum(CAST(q0 AS HUGEINT)) AS s0,
+               sum(CAST(q0 AS HUGEINT) * q0) AS ss0,
+               sum(CAST(q1 AS HUGEINT)) AS s1,
+               sum(CAST(q1 AS HUGEINT) * q1) AS ss1,
+               sum(CAST(q2 AS HUGEINT)) AS s2,
+               sum(CAST(q2 AS HUGEINT) * q2) AS ss2,
+               sum(CAST(q0 AS HUGEINT) * q1) AS sp01,
+               sum(CAST(q0 AS HUGEINT) * q2) AS sp02,
+               sum(CAST(q1 AS HUGEINT) * q2) AS sp12
+        FROM base
+      )
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+             CAST(n AS BIGINT) AS n,
+             CASE WHEN (CAST(n AS DOUBLE) * CAST(ss0 AS DOUBLE)
+                        - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)) > 0
+                   AND (CAST(n AS DOUBLE) * CAST(ss1 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) > 0
+             THEN round((CAST(n AS DOUBLE) * CAST(sp01 AS DOUBLE)
+                         - CAST(s0 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                        / (sqrt(CAST(n AS DOUBLE) * CAST(ss0 AS DOUBLE)
+                                - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+                           * sqrt(CAST(n AS DOUBLE) * CAST(ss1 AS DOUBLE)
+                                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))),
+                        6) END AS corr
+      FROM agg
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount', CAST(n AS BIGINT),
+             CASE WHEN (CAST(n AS DOUBLE) * CAST(ss0 AS DOUBLE)
+                        - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)) > 0
+                   AND (CAST(n AS DOUBLE) * CAST(ss2 AS DOUBLE)
+                        - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) > 0
+             THEN round((CAST(n AS DOUBLE) * CAST(sp02 AS DOUBLE)
+                         - CAST(s0 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                        / (sqrt(CAST(n AS DOUBLE) * CAST(ss0 AS DOUBLE)
+                                - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+                           * sqrt(CAST(n AS DOUBLE) * CAST(ss2 AS DOUBLE)
+                                  - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))),
+                        6) END
+      FROM agg
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount', CAST(n AS BIGINT),
+             CASE WHEN (CAST(n AS DOUBLE) * CAST(ss1 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) > 0
+                   AND (CAST(n AS DOUBLE) * CAST(ss2 AS DOUBLE)
+                        - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) > 0
+             THEN round((CAST(n AS DOUBLE) * CAST(sp12 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                        / (sqrt(CAST(n AS DOUBLE) * CAST(ss1 AS DOUBLE)
+                                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                           * sqrt(CAST(n AS DOUBLE) * CAST(ss2 AS DOUBLE)
+                                  - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))),
+                        6) END
+      FROM agg
+    """
 
     # group_distinct: per-group HLL registers (hll_registers replay with
     # a group key) + the estimator with exact integer harmonic sums —

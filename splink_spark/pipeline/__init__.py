@@ -60,6 +60,7 @@ from .temporal import (  # noqa: F401
     time_rollup,
 )
 from .analytics import (  # noqa: F401
+    column_correlations,
     group_moments,
     group_quantiles,
     robust_outliers,

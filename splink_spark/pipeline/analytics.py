@@ -27,6 +27,7 @@ __all__ = [
     "group_outliers",
     "winsorize",
     "robust_outliers",
+    "column_correlations",
 ]
 
 # percentile grid for the prefilter cutoff: the chosen fraction is the
@@ -487,4 +488,96 @@ def robust_outliers(
             & (F.abs(z) >= F.lit(float(z_threshold)))
         )
         .select(*df.columns, F.round(z, round_to).alias("robust_z"))
+    )
+
+
+def column_correlations(
+    df: DataFrame,
+    cols: Sequence[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Pearson correlation matrix over numeric columns in ONE
+    map-side-combined aggregation pass (k columns → k(k+1)/2 + k sums,
+    all in the same groupBy-less agg — the data is scanned once however
+    many columns you correlate).
+
+    Exactness discipline (the ``group_moments`` pattern): values
+    quantize to integer millionths and every Σa, Σa², Σab accumulates
+    in decimal(38,0) — exact integers, no float summation order — then
+    the correlation ``(nΣab − ΣaΣb) / √(nΣa²−(Σa)²) √(nΣb²−(Σb)²)``
+    evaluates in doubles FROM those exact integers with a fixed
+    parenthesization, so any engine reproduces every digit. Rows with a
+    NULL in ANY of ``cols`` are excluded (listwise deletion — the n is
+    the same for every pair). Zero-variance columns yield NULL
+    correlations.
+
+    Output: one row per unordered pair in ``cols`` order —
+    (``col_a``, ``col_b``, ``n``, ``corr``).
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("need at least 2 columns")
+    base = df
+    for c in cols:
+        base = base.where(F.col(c).isNotNull())
+    staged = base.select(
+        *[
+            F.expr(f"cast(round(`{c}` * 1000000, 0) as bigint)")
+            .cast("decimal(38,0)")
+            .alias(f"__q_{i}")
+            for i, c in enumerate(cols)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(len(cols)):
+        q = F.col(f"__q_{i}")
+        aggs.append(F.sum(q).alias(f"__s_{i}"))
+        aggs.append(F.sum((q * q).cast("decimal(38,0)")).alias(f"__ss_{i}"))
+    pairs = [
+        (i, j) for i in range(len(cols)) for j in range(i + 1, len(cols))
+    ]
+    for i, j in pairs:
+        aggs.append(
+            F.sum(
+                (F.col(f"__q_{i}") * F.col(f"__q_{j}")).cast("decimal(38,0)")
+            ).alias(f"__sp_{i}_{j}")
+        )
+    agg = staged.agg(*aggs)
+
+    nd = F.col("n").cast("double")
+
+    def _corr(i, j):
+        sa = F.col(f"__s_{i}").cast("double")
+        sb = F.col(f"__s_{j}").cast("double")
+        saa = F.col(f"__ss_{i}").cast("double")
+        sbb = F.col(f"__ss_{j}").cast("double")
+        sab = F.col(f"__sp_{i}_{j}").cast("double")
+        num = nd * sab - sa * sb
+        va = nd * saa - sa * sa
+        vb = nd * sbb - sb * sb
+        return F.when(
+            (va > 0) & (vb > 0),
+            F.round(num / (F.sqrt(va) * F.sqrt(vb)), round_to),
+        )
+
+    out = agg.select(
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(cols[i]).alias("col_a"),
+                        F.lit(cols[j]).alias("col_b"),
+                        _corr(i, j).alias("corr"),
+                    )
+                    for i, j in pairs
+                ]
+            )
+        ).alias("__p"),
+    )
+    return out.select(
+        F.col("__p.col_a").alias("col_a"),
+        F.col("__p.col_b").alias("col_b"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("__p.corr").alias("corr"),
     )

@@ -179,3 +179,31 @@ def test_robust_outliers_median_mad(spark):
     # median of a = 5.0 (rank 26 of 51), MAD = 3.0: z = .6745*(1000-5)/3
     import pytest as _p
     assert out[99] == _p.approx(0.6745 * (1000.0 - 5.0) / 3.0, abs=1e-4)
+
+
+def test_column_correlations_matches_spark_corr(spark):
+    import random
+
+    from splink_spark.pipeline.analytics import column_correlations
+
+    rng = random.Random(1)
+    rows = [
+        (float(i), 2.0 * i + rng.random() * 10, rng.random() * 100, 7.0)
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in column_correlations(df, ["a", "b", "c", "d"]).collect()
+    }
+    assert len(got) == 6
+    for (a, b), v in got.items():
+        if v is None:
+            # zero-variance column -> NULL (Spark's own F.corr raises
+            # DIVIDE_BY_ZERO here under ANSI mode)
+            assert b == "d" or a == "d"
+        else:
+            ref = df.agg(F.corr(a, b)).collect()[0][0]
+            assert abs(v - ref) < 1e-4, (a, b, v, ref)
+    with pytest.raises(ValueError):
+        column_correlations(df, ["a"])
