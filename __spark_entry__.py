@@ -2380,6 +2380,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["o_orderstatus", "o_totalprice"],
         )
 
+    def q_event_paths(spark, sf_dir):
+        """Top user-journey paths (pipeline/temporal.py event_paths —
+        sessionize window + in-aggregate sorted path assembly + map-side
+        path count + TakeOrderedAndProject top-n; count ties break by
+        path text). First 3 steps per 30-min session."""
+        from splink_spark.pipeline.temporal import event_paths
+
+        ev = _session(spark).read.parquet(f"{sf_dir}/events.parquet")
+        if dict(ev.dtypes).get("ts") != "bigint":
+            ev = ev.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+            )
+        return event_paths(
+            ev, max_steps=3, top_n=20, order_cols="event_id"
+        )
+
     def q_column_correlations(spark, sf_dir):
         """Pearson correlation matrix in one scan (pipeline/analytics.py
         column_correlations — every Σa/Σa²/Σab is an exact decimal(38,0)
@@ -2658,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_distinct": q_group_distinct,
         "robust_outliers": q_robust_outliers,
         "column_correlations": q_column_correlations,
+        "event_paths": q_event_paths,
         "ann_pq": q_ann_pq,
         "jaccard_join": q_jaccard_join,
         "bm25_topk": q_bm25_topk,
@@ -2812,6 +2829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_key", "streaming_cdc", "normalize_text", "strip_markup",
         "winsorize", "bipartite_project", "phrase_search",
         "group_distinct", "robust_outliers", "column_correlations",
+        "event_paths",
         # round-7 refresh rotation (recorded r01-r05, not in r06)
         "mw_histogram", "concat_union", "tf_mktsegment", "block_single",
         "fuzzy_kernels", "block_salted", "block_multi", "block_counts",
@@ -6145,6 +6163,44 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
     # streaming_cdc: the merge law makes the streamed compaction equal
     # the batch one — identical replay to cdc_latest
     sqls["streaming_cdc"] = sqls["cdc_latest"]
+
+    # event_paths: sessionize replay + per-session ordered first-3-step
+    # path assembly (string_agg ORDER BY) + counts + deterministic top-20
+    sqls["event_paths"] = """
+      WITH flagged AS (
+        SELECT event_id, user_id, event_type, epoch_ns(ts) AS t,
+               CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                    OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w
+                       > 1800000000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+      ),
+      sess AS (
+        SELECT event_id, user_id, event_type, t,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged
+      ),
+      stepped AS (
+        SELECT user_id, session_idx, event_type, t, event_id,
+               row_number() OVER (PARTITION BY user_id, session_idx
+                                  ORDER BY t, event_id) AS step
+        FROM sess
+      ),
+      per_session AS (
+        SELECT user_id, session_idx,
+               string_agg(event_type, ' > ' ORDER BY t, event_id) AS path,
+               count(*) AS n_steps
+        FROM stepped WHERE step <= 3
+        GROUP BY user_id, session_idx
+      )
+      SELECT path, count(*) AS n_sessions, CAST(n_steps AS BIGINT) AS n_steps
+      FROM per_session
+      GROUP BY path, n_steps
+      ORDER BY n_sessions DESC, path ASC
+      LIMIT 20
+    """
 
     # column_correlations: exact hugeint micro-unit sums, then the same
     # double arithmetic with the same parenthesization

@@ -35,6 +35,7 @@ __all__ = [
     "gap_fill",
     "rolling_aggregate",
     "conversion_attribution",
+    "event_paths",
 ]
 
 
@@ -676,3 +677,67 @@ def conversion_attribution(
         .withColumn("n_touches", F.coalesce(F.col("n_touches"), F.lit(0)))
         .drop("__seg")
     )
+
+
+def event_paths(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    event_col: str = "event_type",
+    gap: int = 1800 * 1_000_000_000,
+    max_steps: int = 5,
+    top_n: Optional[int] = 50,
+    order_cols: Union[str, Sequence[str], None] = None,
+    separator: str = " > ",
+) -> DataFrame:
+    """Top user-journey paths: sessionize (same gaps-and-islands
+    semantics as :func:`sessionize`), take each session's first
+    ``max_steps`` events in time order, render them as one path string,
+    and count sessions per path — the product-analytics "what do users
+    actually do" query.
+
+    Scale shape: the sessionize window is the only per-user shuffle;
+    the per-session path assembles via collect_list of (step, event)
+    structs sorted IN the aggregate (array_sort then project — no
+    second window), the path count is a map-side-combined groupBy, and
+    the top-n is a sort-limit (TakeOrderedAndProject, k rows to the
+    driver side of the exchange). Ordering ties break by ``order_cols``
+    (pass the event id for full determinism), count ties by path text.
+
+    Returns (``path``, ``n_sessions``, ``n_steps``) — at most ``top_n``
+    rows, most frequent first. ``top_n=None`` returns EVERY path as a
+    plain global sort — pass None rather than a huge limit: Spark's
+    TakeOrderedAndProject preallocates a top-k buffer of the LIMIT size,
+    so limit 10^9 is an executor OOM even on tiny data (measured).
+    """
+    s = sessionize(df, ts_col, user_col, gap, order_cols)
+    ts = F.col(ts_col).cast("bigint")
+    order = [ts.asc()] + [F.col(c).asc() for c in _as_list(order_cols)]
+    w = Window.partitionBy(user_col, "session_idx").orderBy(*order)
+    ranked = s.withColumn("__step", F.row_number().over(w)).where(
+        F.col("__step") <= int(max_steps)
+    )
+    per_session = ranked.groupBy(user_col, "session_idx").agg(
+        F.concat_ws(
+            separator,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__step").alias("s"),
+                            F.col(event_col).alias("e"),
+                        )
+                    )
+                ),
+                lambda x: x["e"],
+            ),
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n_steps"),
+    )
+    counted = (
+        per_session.groupBy("path", "n_steps")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .select("path", "n_sessions", F.col("n_steps").cast("bigint").alias("n_steps"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    )
+    return counted if top_n is None else counted.limit(int(top_n))

@@ -743,3 +743,32 @@ def test_conversion_attribution_touch_types_and_ties(spark):
         df, "buy", order_cols="event_id", touch_types=["view", "click"]
     ).collect()[0]
     assert (restricted["first_touch"], restricted["n_touches"]) == ("view", 2)
+
+
+def test_event_paths_sessions_and_counts(spark):
+    from splink_spark.pipeline.temporal import event_paths
+
+    NS = 1_000_000_000
+    rows = []
+    # user 1: [a,b,c] then (3h later, new session) [a,b]
+    for i, e in enumerate(["a", "b", "c"]):
+        rows.append((i, 1, i * 60 * NS, e))
+    for i, e in enumerate(["a", "b"]):
+        rows.append((10 + i, 1, 3 * 3600 * NS + i * 60 * NS, e))
+    # user 2: one session [a,b,c]
+    for i, e in enumerate(["a", "b", "c"]):
+        rows.append((20 + i, 2, i * 60 * NS, e))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts bigint, event_type string"
+    )
+    got = [
+        (r["path"], r["n_sessions"], r["n_steps"])
+        for r in event_paths(df, max_steps=5, order_cols="event_id").collect()
+    ]
+    assert got == [("a > b > c", 2, 3), ("a > b", 1, 2)]
+    # max_steps truncation: the long session becomes a 2-step path
+    trunc = {
+        r["path"]: r["n_sessions"]
+        for r in event_paths(df, max_steps=2, order_cols="event_id").collect()
+    }
+    assert trunc == {"a > b": 3}
