@@ -238,6 +238,7 @@ def main() -> None:
         ("BENCH_CURATION_1M.json", "bench_curation_1m"),
         ("BENCH_CURATION_10M.json", "bench_curation_10m"),
         ("BENCH_CC_SKEW.json", "bench_cc_skew_instrumented"),
+        ("BENCH_CDC_LAYOUT.json", "bench_cdc_layout"),
     ):
         p = os.path.join(here, artifact)
         if os.path.exists(p):
@@ -267,6 +268,17 @@ def main() -> None:
                         "rows": full.get("rows"),
                         "total_sec": full.get("total_sec"),
                         "ops": full.get("ops"),
+                        "full_artifact": artifact,
+                        **stamp,
+                    }
+                    continue
+                if key == "bench_cdc_layout":
+                    out[key] = {
+                        "rows": full.get("rows"),
+                        "ops": full.get("ops"),
+                        "pruning_files_per_query": full.get(
+                            "pruning_files_per_query"
+                        ),
                         "full_artifact": artifact,
                         **stamp,
                     }
