@@ -150,13 +150,18 @@ def snapshot_diff(
     snapshots on the key at write time and the exchange disappears.
     """
     keys = _keys(key_cols)
+    # explicit presence markers, NOT key-null checks: the join is
+    # null-safe, so a NULL-keyed row is a legitimate key value — testing
+    # the key column for NULL would misclassify its removal as a change
     lhs = old.select(
         *[F.col(k).alias(f"__kl_{k}") for k in keys],
         *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
     )
     rhs = new.select(
         *[F.col(k).alias(f"__kr_{k}") for k in keys],
         *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
     )
     cond = None
     for k in keys:
@@ -164,8 +169,8 @@ def snapshot_diff(
         cond = piece if cond is None else (cond & piece)
     joined = lhs.join(rhs, cond, "full_outer")
 
-    in_old = F.col(f"__kl_{keys[0]}").isNotNull()
-    in_new = F.col(f"__kr_{keys[0]}").isNotNull()
+    in_old = F.coalesce(F.col("__in_old"), F.lit(False))
+    in_new = F.coalesce(F.col("__in_new"), F.lit(False))
     differs: Column = F.lit(False)
     for c in compare_cols:
         differs = differs | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))

@@ -103,3 +103,25 @@ def test_snapshot_diff_statuses(spark):
 
     full = snapshot_diff(old, new, "id", ["s", "v"], include_unchanged=True)
     assert full.count() == 5
+
+
+def test_snapshot_diff_null_key_rows_classify_correctly(spark):
+    # NULL is a legitimate key value under the null-safe join: removal /
+    # addition of a NULL-keyed row must not be misread as a change
+    old = spark.createDataFrame(
+        [(None, "x", 1.0), (1, "a", 2.0)], "id bigint, s string, v double"
+    )
+    new = spark.createDataFrame([(1, "a", 2.0)], "id bigint, s string, v double")
+    out = {r["id"]: r["change_status"]
+           for r in snapshot_diff(old, new, "id", ["s", "v"]).collect()}
+    assert out == {None: "removed"}
+    back = {r["id"]: r["change_status"]
+            for r in snapshot_diff(new, old, "id", ["s", "v"]).collect()}
+    assert back == {None: "added"}
+    # NULL-keyed row present in both with a changed value
+    new2 = spark.createDataFrame(
+        [(None, "x", 9.0), (1, "a", 2.0)], "id bigint, s string, v double"
+    )
+    both = {r["id"]: r["change_status"]
+            for r in snapshot_diff(old, new2, "id", ["s", "v"]).collect()}
+    assert both == {None: "changed"}
