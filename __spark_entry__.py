@@ -2380,6 +2380,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["o_orderstatus", "o_totalprice"],
         )
 
+    def q_merge_intervals(spark, sf_dir):
+        """Interval union per key (pipeline/temporal.py merge_intervals
+        — gaps-and-islands over a running max(end), one per-key window
+        shuffle + one island aggregate). Each event opens a 20-minute
+        busy window; overlapping/touching windows coalesce."""
+        from splink_spark.pipeline.temporal import merge_intervals
+
+        ev = _session(spark).read.parquet(f"{sf_dir}/events.parquet")
+        W20 = 20 * 60 * 1_000_000_000
+        iv = ev.select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).cast("bigint")
+            .alias("us"),
+        ).select(
+            "user_id",
+            (F.col("us") * 1000).alias("start"),
+            (F.col("us") * 1000 + F.lit(W20)).alias("end"),
+        )
+        return merge_intervals(iv, by="user_id")
+
+    def q_time_weighted_avg(spark, sf_dir):
+        """Time-weighted average per (user, day) (pipeline/temporal.py
+        time_weighted_average — step/LOCF semantics, integer time-delta
+        weights, decimal(38,0) micro-unit sums, one double division per
+        bucket; bucket-spanning observations split exactly at the
+        boundary via a distributed sequence explode)."""
+        from splink_spark.pipeline.temporal import time_weighted_average
+
+        ev = _session(spark).read.parquet(f"{sf_dir}/events.parquet")
+        ev = ev.select(
+            "user_id",
+            "event_id",
+            "value",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+            .alias("ts"),
+        )
+        return time_weighted_average(
+            ev,
+            by="user_id",
+            bucket=24 * 3600 * 1_000_000_000,
+            order_cols="event_id",
+        )
+
     def q_event_paths(spark, sf_dir):
         """Top user-journey paths (pipeline/temporal.py event_paths —
         sessionize window + in-aggregate sorted path assembly + map-side
@@ -2675,6 +2718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers": q_robust_outliers,
         "column_correlations": q_column_correlations,
         "event_paths": q_event_paths,
+        "merge_intervals": q_merge_intervals,
+        "time_weighted_avg": q_time_weighted_avg,
         "ann_pq": q_ann_pq,
         "jaccard_join": q_jaccard_join,
         "bm25_topk": q_bm25_topk,
@@ -2829,7 +2874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_key", "streaming_cdc", "normalize_text", "strip_markup",
         "winsorize", "bipartite_project", "phrase_search",
         "group_distinct", "robust_outliers", "column_correlations",
-        "event_paths",
+        "event_paths", "merge_intervals", "time_weighted_avg",
         # round-7 refresh rotation (recorded r01-r05, not in r06)
         "mw_histogram", "concat_union", "tf_mktsegment", "block_single",
         "fuzzy_kernels", "block_salted", "block_multi", "block_counts",
@@ -6163,6 +6208,68 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
     # streaming_cdc: the merge law makes the streamed compaction equal
     # the batch one — identical replay to cdc_latest
     sqls["streaming_cdc"] = sqls["cdc_latest"]
+
+    # merge_intervals: running max(end) islands over per-user 20-min
+    # event windows
+    sqls["merge_intervals"] = """
+      WITH iv AS (
+        SELECT user_id, epoch_ns(ts) AS s,
+               epoch_ns(ts) + 1200000000000 AS e
+        FROM events
+      ),
+      flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) IS NULL
+                    OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS is_new
+        FROM iv
+      ),
+      islands AS (
+        SELECT user_id, s, e,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+                                 ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+      )
+      SELECT user_id, min(s) AS start, max(e) AS "end",
+             count(*) AS n_merged
+      FROM islands GROUP BY user_id, island
+    """
+
+    # time_weighted_avg: lead() step intervals, bucket-boundary split
+    # via generate_series, exact hugeint micro-unit weighted sums
+    sqls["time_weighted_avg"] = """
+      WITH obs AS (
+        SELECT user_id, event_id, epoch_ns(ts) AS t,
+               CAST(round(value * 1000000, 0) AS BIGINT) AS v
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      ),
+      stepped AS (
+        SELECT user_id, v, t,
+               lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                 AS nxt
+        FROM obs
+      ),
+      seg AS (
+        SELECT user_id, v,
+               bk * 86400000000000 AS bucket_start,
+               least(nxt, (bk + 1) * 86400000000000)
+                 - greatest(t, bk * 86400000000000) AS w
+        FROM stepped,
+             unnest(generate_series(t // 86400000000000,
+                                    (nxt - 1) // 86400000000000)) AS u(bk)
+        WHERE nxt IS NOT NULL
+      )
+      SELECT user_id, bucket_start,
+             round(CAST(sum(CAST(v AS HUGEINT) * w) AS DOUBLE)
+                   / CAST(sum(CAST(w AS HUGEINT)) AS DOUBLE)
+                   / 1000000.0, 6) AS twa,
+             count(*) AS n_obs
+      FROM seg GROUP BY user_id, bucket_start
+    """
 
     # event_paths: sessionize replay + per-session ordered first-3-step
     # path assembly (string_agg ORDER BY) + counts + deterministic top-20

@@ -36,6 +36,8 @@ __all__ = [
     "rolling_aggregate",
     "conversion_attribution",
     "event_paths",
+    "merge_intervals",
+    "time_weighted_average",
 ]
 
 
@@ -741,3 +743,145 @@ def event_paths(
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
     )
     return counted if top_n is None else counted.limit(int(top_n))
+
+
+def merge_intervals(
+    df: DataFrame,
+    start_col: str = "start",
+    end_col: str = "end",
+    by: Union[str, Sequence[str], None] = None,
+    min_gap: int = 0,
+) -> DataFrame:
+    """Flatten overlapping/adjacent intervals per key into their union
+    (the classic gaps-and-islands coalesce: availability windows,
+    maintenance periods, stitched sessions). Intervals are half-open
+    ``[start, end)``; two intervals merge when the next start is within
+    ``min_gap`` of the running maximum end (``min_gap=0`` merges
+    touching intervals; a positive gap also bridges small holes).
+
+    One shuffle (the per-key ordered window): a running ``max(end)``
+    decides island breaks exactly like ``sessionize`` decides session
+    breaks, then one aggregate per (key, island) emits the merged
+    bounds and the source-interval count. NULL starts/ends are dropped.
+
+    Returns (keys…, ``start``, ``end``, ``n_merged``).
+    """
+    keys = _as_list(by)
+    s = F.col(start_col).cast("bigint")
+    e = F.col(end_col).cast("bigint")
+    base = df.where(s.isNotNull() & e.isNotNull()).select(
+        *keys, s.alias("__s"), e.alias("__e")
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("__s").asc(), F.col("__e").asc())
+    # running max end over all PRECEDING intervals; a new island starts
+    # when this interval's start clears it by more than min_gap
+    prev_max_end = F.max("__e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = (
+        prev_max_end.isNull()
+        | (F.col("__s") > prev_max_end + F.lit(int(min_gap)))
+    ).cast("int")
+    islands = base.withColumn("__new", is_new).withColumn(
+        "__island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(*keys, "__island")
+        .agg(
+            F.min("__s").alias("start"),
+            F.max("__e").alias("end"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("__island")
+    )
+
+
+def time_weighted_average(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    by: Union[str, Sequence[str], None] = None,
+    bucket: int = 3600 * 1_000_000_000,
+    order_cols: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Time-weighted average per (key, bucket): each observation's value
+    holds until the NEXT observation (step/last-observation-carried-
+    forward semantics — the TWAP every metrics/financial pipeline
+    wants, where irregular samples must not let burst periods dominate
+    a plain AVG). An observation spanning a bucket boundary contributes
+    to its own bucket only up to the boundary; the opening value of the
+    next bucket is the carried previous observation re-emitted at the
+    boundary (standard step-interpolation bucketing). The last
+    observation per key gets zero weight (nothing to hold until).
+
+    Exactness: weights are integer time deltas (``ts`` units) and each
+    weighted term quantizes to integer micro-units before a
+    decimal(38,0) sum — the division to double happens once per bucket,
+    so results replay bit-for-bit (the ``group_moments`` pattern).
+
+    One shuffle (per-key ordered window for ``lead``), then a map-side
+    combined (key, bucket) aggregate. Returns
+    (keys…, ``bucket_start``, ``twa``, ``n_obs``).
+    """
+    keys = _as_list(by)
+    b = int(bucket)
+    ts = F.col(ts_col).cast("bigint")
+    tiebreaks = _as_list(order_cols)
+    staged = (
+        df.where(ts.isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            *keys,
+            *tiebreaks,
+            ts.alias("__t"),
+            F.expr(
+                f"cast(round(`{value_col}` * 1000000, 0) as bigint)"
+            ).alias("__v"),
+        )
+        .withColumn("__next", F.lead("__t").over(
+            Window.partitionBy(*keys).orderBy(
+                F.col("__t").asc(), *[F.col(c).asc() for c in tiebreaks]
+            )
+        ))
+        .where(F.col("__next").isNotNull())
+    )
+    # explode the observation across the buckets it spans: segment k
+    # covers [max(t, k*b), min(next, (k+1)*b)) — generated distributed
+    # via sequence() over bucket indices, never on the driver
+    first_b = F.expr(f"__t div {b}")
+    last_b = F.expr(f"(__next - 1) div {b}")
+    seg = staged.select(
+        *keys,
+        "__v",
+        "__t",
+        "__next",
+        F.explode(F.sequence(first_b, last_b)).alias("__bk"),
+    ).select(
+        *keys,
+        "__v",
+        (F.col("__bk") * b).alias("bucket_start"),
+        (
+            F.least(F.col("__next"), (F.col("__bk") + 1) * b)
+            - F.greatest(F.col("__t"), F.col("__bk") * b)
+        ).alias("__w"),
+    )
+    agg = seg.groupBy(*keys, "bucket_start").agg(
+        F.sum(
+            (F.col("__v").cast("decimal(38,0)") * F.col("__w")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("__num"),
+        F.sum(F.col("__w").cast("decimal(38,0)")).alias("__den"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    twa = (
+        F.col("__num").cast("double")
+        / F.col("__den").cast("double")
+        / F.lit(1000000.0)
+    )
+    return agg.select(
+        *keys,
+        "bucket_start",
+        F.round(twa, 6).alias("twa"),
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+    )

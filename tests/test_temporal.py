@@ -772,3 +772,43 @@ def test_event_paths_sessions_and_counts(spark):
         for r in event_paths(df, max_steps=2, order_cols="event_id").collect()
     }
     assert trunc == {"a > b": 3}
+
+
+def test_merge_intervals_islands_and_gap_bridge(spark):
+    from splink_spark.pipeline.temporal import merge_intervals
+
+    iv = spark.createDataFrame(
+        [("a", 1, 5), ("a", 3, 8), ("a", 8, 10), ("a", 15, 20),
+         ("b", 0, 2), ("a", None, 3)],
+        "k string, start bigint, end bigint",
+    )
+    out = sorted(map(tuple, merge_intervals(iv, by="k").collect()))
+    # touching intervals merge; NULL-bounded rows drop
+    assert out == [("a", 1, 10, 3), ("a", 15, 20, 1), ("b", 0, 2, 1)]
+    bridged = sorted(map(tuple, merge_intervals(iv, by="k", min_gap=5).collect()))
+    assert bridged == [("a", 1, 20, 4), ("b", 0, 2, 1)]
+    # containment: an interval inside the running span must not split it
+    cont = spark.createDataFrame(
+        [("a", 0, 100), ("a", 10, 20), ("a", 30, 40), ("a", 100, 110)],
+        "k string, start bigint, end bigint",
+    )
+    got = sorted(map(tuple, merge_intervals(cont, by="k").collect()))
+    assert got == [("a", 0, 110, 4)]
+
+
+def test_time_weighted_average_step_semantics(spark):
+    from splink_spark.pipeline.temporal import time_weighted_average
+
+    tw = spark.createDataFrame(
+        [("a", 0, 2.0), ("a", 4, 10.0), ("a", 12, 4.0), ("a", 15, 6.0),
+         ("a", 17, None)],
+        "k string, ts bigint, value double",
+    )
+    res = {
+        r["bucket_start"]: (r["twa"], r["n_obs"])
+        for r in time_weighted_average(tw, by="k", bucket=10).collect()
+    }
+    # bucket 0: 2 held 0-4 (w4) + 10 held 4-10 (w6) -> 68/10 = 6.8
+    # bucket 10: 10 held 10-12 (w2) + 4 held 12-15 (w3) -> 32/5 = 6.4
+    # (NULL value drops; last obs has nothing to hold until -> no weight)
+    assert res == {0: (6.8, 2), 10: (6.4, 2)}
