@@ -2380,6 +2380,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["o_orderstatus", "o_totalprice"],
         )
 
+    def q_histogram(spark, sf_dir):
+        """Per-group fixed-width histogram (pipeline/analytics.py
+        histogram — bins by exact integer micro-unit division, so
+        boundary membership is bit-identical cross-engine; one map-side
+        combined aggregate, occupied bins only)."""
+        from splink_spark.pipeline.analytics import histogram
+
+        ev = _session(spark).read.parquet(f"{sf_dir}/events.parquet")
+        return histogram(
+            ev.select("event_type", "value"),
+            "value",
+            10.0,
+            group_cols=["event_type"],
+        )
+
+    def q_geohash(spark, sf_dir):
+        """Geohash spatial keys (pipeline/layout.py geohash_key — the
+        public base32 Morton interleave of quantized lon/lat, pure
+        Column bit arithmetic + literal-alphabet substring, pinned to
+        published test vectors in tests). Coordinates derived from
+        customer keys by identical arithmetic in both engines."""
+        from splink_spark.pipeline.layout import geohash_key
+
+        cust = _session(spark).read.parquet(f"{sf_dir}/customer.parquet")
+        c = F.col("c_custkey")
+        lat = (c % 170).cast("double") - F.lit(85.0) + F.lit(0.25)
+        lon = ((c * 7) % 350).cast("double") - F.lit(175.0) + F.lit(0.25)
+        return cust.select(
+            "c_custkey",
+            F.round(lat, 6).alias("lat"),
+            F.round(lon, 6).alias("lon"),
+            geohash_key(lat, lon, 7).alias("geohash"),
+        )
+
     def q_merge_intervals(spark, sf_dir):
         """Interval union per key (pipeline/temporal.py merge_intervals
         — gaps-and-islands over a running max(end), one per-key window
@@ -2720,6 +2754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_paths": q_event_paths,
         "merge_intervals": q_merge_intervals,
         "time_weighted_avg": q_time_weighted_avg,
+        "histogram": q_histogram,
+        "geohash": q_geohash,
         "ann_pq": q_ann_pq,
         "jaccard_join": q_jaccard_join,
         "bm25_topk": q_bm25_topk,
@@ -2875,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize", "bipartite_project", "phrase_search",
         "group_distinct", "robust_outliers", "column_correlations",
         "event_paths", "merge_intervals", "time_weighted_avg",
+        "histogram", "geohash",
         # round-7 refresh rotation (recorded r01-r05, not in r06)
         "mw_histogram", "concat_union", "tf_mktsegment", "block_single",
         "fuzzy_kernels", "block_salted", "block_multi", "block_counts",
@@ -6208,6 +6245,69 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
     # streaming_cdc: the merge law makes the streamed compaction equal
     # the batch one — identical replay to cdc_latest
     sqls["streaming_cdc"] = sqls["cdc_latest"]
+
+    # histogram: exact micro-unit integer binning (`//` truncates like
+    # Spark `div`)
+    sqls["histogram"] = """
+      SELECT event_type,
+             CAST(CAST(round(value * 1000000, 0) AS BIGINT) // 10000000
+                  AS BIGINT) AS bin,
+             round(CAST(CAST(round(value * 1000000, 0) AS BIGINT)
+                        // 10000000 AS DOUBLE) * 10000000.0 / 1000000.0,
+                   6) AS bin_start,
+             count(*) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2, 3
+    """
+
+    # geohash: the public base32 Morton interleave, bit terms unrolled;
+    # identical double quantization ops in both engines
+    _gh_total, _gh_p = 35, 7
+    _gh_nlon, _gh_nlat = 18, 17
+    _gh_terms = []
+    for _pp in range(_gh_total):
+        if _pp % 2 == 0:
+            _gh_terms.append(
+                f"(((qlon >> {_gh_nlon - 1 - _pp // 2}) & 1)"
+                f" << {_gh_total - 1 - _pp})"
+            )
+        else:
+            _gh_terms.append(
+                f"(((qlat >> {_gh_nlat - 1 - _pp // 2}) & 1)"
+                f" << {_gh_total - 1 - _pp})"
+            )
+    _gh_alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    _gh_chars = " || ".join(
+        f"substring('{_gh_alpha}', "
+        f"CAST(((z >> {5 * (_gh_p - 1 - _g)}) & 31) AS INTEGER) + 1, 1)"
+        for _g in range(_gh_p)
+    )
+    sqls["geohash"] = f"""
+      WITH pts AS (
+        SELECT c_custkey,
+               CAST(c_custkey % 170 AS DOUBLE) - 85.0 + 0.25 AS lat,
+               CAST((c_custkey * 7) % 350 AS DOUBLE) - 175.0 + 0.25 AS lon
+        FROM customer
+      ),
+      q AS (
+        SELECT c_custkey, lat, lon,
+          least({(1 << _gh_nlon) - 1}, greatest(0,
+            CAST(floor((lon + 180.0) / 360.0 * {float(1 << _gh_nlon)})
+                 AS BIGINT))) AS qlon,
+          least({(1 << _gh_nlat) - 1}, greatest(0,
+            CAST(floor((lat + 90.0) / 180.0 * {float(1 << _gh_nlat)})
+                 AS BIGINT))) AS qlat
+        FROM pts
+      ),
+      zc AS (
+        SELECT c_custkey, lat, lon,
+               {' | '.join(_gh_terms)} AS z
+        FROM q
+      )
+      SELECT c_custkey, round(lat, 6) AS lat, round(lon, 6) AS lon,
+             {_gh_chars} AS geohash
+      FROM zc
+    """
 
     # merge_intervals: running max(end) islands over per-user 20-min
     # event windows

@@ -44,6 +44,7 @@ from .embeddings import (  # noqa: F401
 )
 from .lm import perplexity_filter  # noqa: F401
 from .layout import (  # noqa: F401
+    geohash_key,
     hilbert_index,
     hilbert_key,
     hilbert_sort,
@@ -63,6 +64,7 @@ from .analytics import (  # noqa: F401
     column_correlations,
     group_moments,
     group_quantiles,
+    histogram,
     robust_outliers,
     top_k_per_group,
     winsorize,

@@ -28,6 +28,7 @@ __all__ = [
     "winsorize",
     "robust_outliers",
     "column_correlations",
+    "histogram",
 ]
 
 # percentile grid for the prefilter cutoff: the chosen fraction is the
@@ -580,4 +581,51 @@ def column_correlations(
         F.col("__p.col_b").alias("col_b"),
         F.col("n").cast("bigint").alias("n"),
         F.col("__p.corr").alias("corr"),
+    )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    bin_width: float,
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Fixed-width histogram (optionally per group): one map-side
+    combined aggregate, bins assigned by EXACT integer arithmetic —
+    the value quantizes to integer millionths and divides by the
+    micro-unit bin width with truncating integer division (`div`,
+    matching DuckDB `//`), so bin membership at boundaries is
+    bit-identical cross-engine (a float ``floor(v / w)`` flips at
+    boundary values). Truncation is toward zero: negative values share
+    bin 0's width split at zero — document-stated semantics, matching
+    both engines. NULL values are excluded.
+
+    Returns (group cols…, ``bin``, ``bin_start``, ``n``) — only
+    occupied bins (sparse; a dense grid is ``gap_fill``'s job).
+    """
+    if not bin_width > 0:
+        raise ValueError("bin_width must be positive")
+    groups = list(group_cols) if group_cols else []
+    bw_micro = int(round(bin_width * 1_000_000))
+    if bw_micro <= 0:
+        raise ValueError("bin_width below 1e-6 resolution")
+    staged = df.where(F.col(value_col).isNotNull()).select(
+        *groups, F.expr(
+            f"cast(round(`{value_col}` * 1000000, 0) as bigint) "
+            f"div {bw_micro}"
+        ).alias("bin")
+    )
+    return (
+        staged.groupBy(*groups, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *groups,
+            F.col("bin").cast("bigint").alias("bin"),
+            F.round(
+                F.col("bin").cast("double") * F.lit(float(bw_micro))
+                / F.lit(1_000_000.0),
+                6,
+            ).alias("bin_start"),
+            "n",
+        )
     )

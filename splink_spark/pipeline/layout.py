@@ -29,6 +29,7 @@ __all__ = [
     "hilbert_key",
     "hilbert_index",
     "hilbert_sort",
+    "geohash_key",
 ]
 
 
@@ -252,3 +253,64 @@ def hilbert_sort(
         .sortWithinPartitions(h_col)
     )
     return out if keep_key else out.drop(h_col)
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_key(lat: Column, lon: Column, precision: int = 8) -> Column:
+    """Standard geohash of (lat, lon) as pure Column arithmetic — the
+    spatial cousin of ``zorder_key``: a geohash IS a Morton interleave
+    of quantized longitude/latitude rendered in base32 (lon takes the
+    even bit positions starting at the MSB, per the public geohash
+    spec), so rows sorted by it cluster spatially and prefix matches
+    are bounding-box containment. Deterministic double quantization
+    (same ops both engines), integer bit assembly, and base32 chars via
+    substring on a literal alphabet — no UDF, engine-replayable.
+
+    ``precision`` is the output length in characters (5 bits each);
+    out-of-range coordinates clamp to the poles/antimeridian cell.
+    """
+    if not 1 <= int(precision) <= 12:
+        raise ValueError("precision must be in [1, 12]")
+    total = 5 * int(precision)
+    nlon = (total + 1) // 2
+    nlat = total // 2
+    qlon = F.least(
+        F.lit((1 << nlon) - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (lon.cast("double") + F.lit(180.0))
+                / F.lit(360.0)
+                * F.lit(float(1 << nlon))
+            ).cast("bigint"),
+        ),
+    )
+    qlat = F.least(
+        F.lit((1 << nlat) - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (lat.cast("double") + F.lit(90.0))
+                / F.lit(180.0)
+                * F.lit(float(1 << nlat))
+            ).cast("bigint"),
+        ),
+    )
+    z = F.lit(0).cast("bigint")
+    for p in range(total):
+        # even positions (0-based from the MSB) take longitude bits
+        if p % 2 == 0:
+            bit = F.shiftright(qlon, nlon - 1 - p // 2).bitwiseAND(F.lit(1))
+        else:
+            bit = F.shiftright(qlat, nlat - 1 - p // 2).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(bit, total - 1 - p))
+    chars = []
+    alpha = F.lit(_GEOHASH32)
+    for g in range(int(precision)):
+        idx = F.shiftright(z, 5 * (int(precision) - 1 - g)).bitwiseAND(
+            F.lit(31)
+        )
+        chars.append(alpha.substr(idx.cast("int") + F.lit(1), F.lit(1)))
+    return F.concat(*chars)

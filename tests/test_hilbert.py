@@ -130,3 +130,55 @@ def test_hilbert_beats_zorder_on_range_query_pruning(spark):
         return hit
 
     assert files_hit("h") <= files_hit("z")
+
+
+def test_geohash_known_vectors_and_clamping(spark):
+    from splink_spark.pipeline.layout import geohash_key
+
+    cases = [
+        (57.64911, 10.40744, "u4pruydq"),  # the canonical example
+        (42.6, -5.6, "ezs42"),
+        (48.669, -4.329, "gbsuv"),
+        (0.0, 0.0, "s000"),
+    ]
+    df = spark.createDataFrame(
+        [(la, lo) for la, lo, _ in cases], "lat double, lon double"
+    )
+    for la, lo, expect in cases:
+        got = (
+            df.where((F.col("lat") == la) & (F.col("lon") == lo))
+            .select(geohash_key(F.col("lat"), F.col("lon"), len(expect)))
+            .collect()[0][0]
+        )
+        assert got == expect, (la, lo, got, expect)
+    # out-of-range coordinates clamp instead of corrupting bits
+    edge = spark.createDataFrame([(95.0, 200.0)], "lat double, lon double")
+    g = edge.select(geohash_key(F.col("lat"), F.col("lon"), 4)).collect()[0][0]
+    pole = spark.createDataFrame([(89.999999, 179.999999)], "lat double, lon double")
+    gp = pole.select(geohash_key(F.col("lat"), F.col("lon"), 4)).collect()[0][0]
+    assert g == gp
+    with pytest.raises(ValueError):
+        geohash_key(F.col("lat"), F.col("lon"), 13)
+
+
+def test_histogram_exact_bins(spark):
+    from splink_spark.pipeline.analytics import histogram
+
+    df = spark.createDataFrame(
+        [("a", 0.0), ("a", 9.999999), ("a", 10.0), ("a", 25.0), ("b", 10.0),
+         ("a", None)],
+        "g string, v double",
+    )
+    out = {
+        (r["g"], r["bin"]): (r["bin_start"], r["n"])
+        for r in histogram(df, "v", 10.0, group_cols=["g"]).collect()
+    }
+    # boundary 10.0 lands in bin 1 exactly (integer micro-unit div)
+    assert out == {
+        ("a", 0): (0.0, 2),
+        ("a", 1): (10.0, 1),
+        ("a", 2): (20.0, 1),
+        ("b", 1): (10.0, 1),
+    }
+    with pytest.raises(ValueError):
+        histogram(df, "v", 0.0)
