@@ -2380,6 +2380,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["o_orderstatus", "o_totalprice"],
         )
 
+    def q_streaming_intervals(spark, sf_dir):
+        """Streaming interval-union maintenance (streaming/operators.py
+        interval_union_stream) run to completion with availableNow over
+        the events table staged as 4 files: each batch merges its own
+        intervals and appends the islands; read_interval_state
+        re-merges. Union is associative/commutative/idempotent, so the
+        streamed state equals the batch merge and the merge_intervals
+        DuckDB replay is an exact oracle."""
+        import os
+        import shutil
+
+        from splink_spark.streaming.operators import (
+            interval_union_stream,
+            read_interval_state,
+        )
+
+        spark = _session(spark)
+        src = f"{sf_dir}/events.parquet"
+        static = spark.read.parquet(src)
+        base = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".stream_cache",
+            os.path.basename(sf_dir.rstrip("/")),
+        )
+        stream_path = os.path.join(base, "events_4files")
+        _stage_stream_dir(static, stream_path, src)
+        state_path = os.path.join(base, "interval_state")
+        if os.path.isdir(state_path):
+            shutil.rmtree(state_path)
+        W20 = 20 * 60 * 1_000_000_000
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_path)
+        ).select(
+            "user_id",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+            .alias("start"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) * 1000 + F.lit(W20))
+            .alias("end"),
+        )
+        q = interval_union_stream(stream, state_path, by="user_id")
+        q.awaitTermination()
+        return read_interval_state(spark, state_path, by="user_id")
+
     def q_histogram(spark, sf_dir):
         """Per-group fixed-width histogram (pipeline/analytics.py
         histogram — bins by exact integer micro-unit division, so
@@ -2756,6 +2801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": q_time_weighted_avg,
         "histogram": q_histogram,
         "geohash": q_geohash,
+        "streaming_intervals": q_streaming_intervals,
         "ann_pq": q_ann_pq,
         "jaccard_join": q_jaccard_join,
         "bm25_topk": q_bm25_topk,
@@ -2911,7 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize", "bipartite_project", "phrase_search",
         "group_distinct", "robust_outliers", "column_correlations",
         "event_paths", "merge_intervals", "time_weighted_avg",
-        "histogram", "geohash",
+        "histogram", "geohash", "streaming_intervals",
         # round-7 refresh rotation (recorded r01-r05, not in r06)
         "mw_histogram", "concat_union", "tf_mktsegment", "block_single",
         "fuzzy_kernels", "block_salted", "block_multi", "block_counts",
@@ -6370,6 +6416,10 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
              count(*) AS n_obs
       FROM seg GROUP BY user_id, bucket_start
     """
+
+    # streaming_intervals: the union merge law makes the streamed state
+    # equal the batch merge — identical replay to merge_intervals
+    sqls["streaming_intervals"] = sqls["merge_intervals"]
 
     # event_paths: sessionize replay + per-session ordered first-3-step
     # path assembly (string_agg ORDER BY) + counts + deterministic top-20

@@ -689,3 +689,97 @@ def read_cdc_state(
         op_col=op_col,
         delete_values=delete_values,
     )
+
+
+def interval_union_stream(
+    stream: DataFrame,
+    state_path: str,
+    *,
+    start_col: str = "start",
+    end_col: str = "end",
+    by: "Sequence[str] | str | None" = None,
+    min_gap: int = 0,
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """Maintain merged interval unions over an unbounded stream (the
+    streaming twin of :func:`splink_spark.pipeline.temporal.
+    merge_intervals`): each micro-batch merges ITSELF (batch-sized
+    shuffle only) and appends its merged islands to parquet state.
+    Interval union is associative, commutative and idempotent —
+    merge(merge(A), merge(B)) == merge(A ∪ B) — so
+    :func:`read_interval_state` just re-merges the appended partials
+    and the result equals the batch computation over the whole stream.
+    Retry semantics are split: the merged BOUNDS are exactly-once under
+    foreachBatch retries (union is idempotent — a re-appended island
+    cannot move a min/max), but ``n_merged`` is a SUM of source-interval
+    counts and double-counts a retried batch's islands — treat it as
+    approximate in at-least-once deployments, or compact the state
+    (read → overwrite) after failures.
+    """
+    from ..pipeline.temporal import merge_intervals
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            merge_intervals(
+                batch_df, start_col=start_col, end_col=end_col, by=by,
+                min_gap=min_gap,
+            )
+            .write.mode("append")
+            .parquet(state_path)
+        )
+
+    writer = stream.writeStream.foreachBatch(process).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_interval_state(
+    spark,
+    state_path: str,
+    *,
+    by: "Sequence[str] | str | None" = None,
+    min_gap: int = 0,
+) -> DataFrame:
+    """Current merged intervals from the appended per-batch partials:
+    one more merge pass over the (already reduced) state. The source
+    count re-aggregates by summing the partials' ``n_merged`` — a
+    second islands pass over (start, end, n_merged) triples weighted by
+    their counts."""
+    from ..pipeline.temporal import _as_list
+
+    from pyspark.sql import Window
+
+    keys = _as_list(by)
+    base = spark.read.parquet(state_path).select(
+        *keys,
+        F.col("start").alias("__s"),
+        F.col("end").alias("__e"),
+        F.col("n_merged").alias("__n"),
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("__s").asc(), F.col("__e").asc())
+    prev_max_end = F.max("__e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = (
+        prev_max_end.isNull()
+        | (F.col("__s") > prev_max_end + F.lit(int(min_gap)))
+    ).cast("int")
+    islands = base.withColumn("__new", is_new).withColumn(
+        "__island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(*keys, "__island")
+        .agg(
+            F.min("__s").alias("start"),
+            F.max("__e").alias("end"),
+            F.sum("__n").cast("bigint").alias("n_merged"),
+        )
+        .drop("__island")
+    )

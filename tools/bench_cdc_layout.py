@@ -187,7 +187,9 @@ def main() -> None:
     from tools._stamp import measurement_stamp
 
     results.update(measurement_stamp())
-    out = os.path.join(REPO, "BENCH_CDC_LAYOUT.json")
+    out = os.path.join(
+        REPO, os.environ.get("CDC_BENCH_OUT", "BENCH_CDC_LAYOUT.json")
+    )
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results))
