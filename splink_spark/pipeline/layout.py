@@ -20,7 +20,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..internals.misc import optimizer_barrier
+from ..internals.misc import optimizer_barrier_numeric
 
 __all__ = [
     "quantize_uniform",
@@ -178,12 +178,14 @@ def hilbert_index(
     and BETWEEN stages the x/y/d state is staged as named columns, so a
     16-bit curve is 4 narrow Projects instead of one million-node
     expression (which OOMs Catalyst analysis — see ``hilbert_key``).
-    Stage boundaries sit behind ``optimizer_barrier`` because
-    CollapseProject would otherwise substitute each stage into the next
-    and rebuild the exponential tree the staging exists to avoid (same
-    pattern as the token-array staging in curation). MEASURED at 10M
-    rows: per-level staging (16 barriers) cost 16× the Morton sort;
-    4-level batching brings the walk back to the same order.
+    Stage boundaries sit behind ``optimizer_barrier_numeric`` (the
+    allocation-free ``+ rand*0`` form) because CollapseProject would
+    otherwise substitute each stage into the next and rebuild the
+    exponential tree the staging exists to avoid (same pattern as the
+    token-array staging in curation). MEASURED at 10M rows: per-level
+    staging with the array barrier (16 stages) cost 16× the Morton
+    sort; 4-level batching + the numeric barrier cut the walk ~3×
+    again (5M rows: 40s → 14s).
 
     ``x_col``/``y_col`` must already be quantized non-negative integers
     (``quantize_uniform``); ``2*bits`` must be <= 63;
@@ -208,9 +210,9 @@ def hilbert_index(
             xc, yc, d = _hilbert_level(xc, yc, d, level)
         out = out.select(
             *keep,
-            optimizer_barrier(xc).alias("__hx"),
-            optimizer_barrier(yc).alias("__hy"),
-            optimizer_barrier(d).alias(out_col),
+            optimizer_barrier_numeric(xc).alias("__hx"),
+            optimizer_barrier_numeric(yc).alias("__hy"),
+            optimizer_barrier_numeric(d).alias(out_col),
         )
     return out.drop("__hx", "__hy")
 

@@ -388,3 +388,34 @@ def test_pq_encode_single_scan_no_shuffle(spark):
     plan = _plan(codes_df)
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_numeric_barrier_blocks_collapse_project(spark):
+    """CANARY for optimizer_barrier_numeric (the allocation-free
+    ``+ rand*0`` form layout.hilbert_index stages its walk behind):
+    the staged projections must SURVIVE optimization as separate
+    Project nodes — if CollapseProject ever starts inlining through
+    the nondeterministic rand, the Hilbert walk's expression tree
+    re-explodes exponentially and analysis of a deep curve OOMs. Fails
+    loudly instead."""
+    from pyspark.sql import functions as F
+
+    from splink_spark.internals.misc import optimizer_barrier_numeric
+
+    df = spark.range(10).select(F.col("id").cast("bigint").alias("x"))
+    staged = df
+    for i in range(3):
+        staged = staged.select(
+            optimizer_barrier_numeric(
+                F.col("x") * 2 + F.col("x")  # multi-reference expression
+            ).alias("x")
+        )
+    plan = staged._jdf.queryExecution().optimizedPlan().toString()
+    # three barrier stages must remain three Projects (plus the range
+    # scan's own projection) — a collapsed plan has one
+    assert plan.count("rand(") >= 3, plan
+    n_projects = plan.count("Project")
+    assert n_projects >= 3, plan
+    # and the identity must hold
+    vals = sorted(r["x"] for r in staged.collect())
+    assert vals == sorted((i * 3) * 3 * 3 for i in range(10))
