@@ -81,11 +81,11 @@ def main() -> None:
     )
     log.count()
     run(
-        "latest_by_key_10m",
+        "latest_by_key",
         latest_by_key(log, "k", "ts", tiebreak_col="offset", op_col="op",
                       delete_values=("D",)),
     )
-    run("scd2_history_10m", scd2_history(log, "k", "ts", attr_cols=["val"]))
+    run("scd2_history", scd2_history(log, "k", "ts", attr_cols=["val"]))
 
     old = (
         spark.range(n)
@@ -110,7 +110,7 @@ def main() -> None:
             )
         )
     )
-    run("snapshot_diff_10m", snapshot_diff(old, new, "k", ["v"]))
+    run("snapshot_diff", snapshot_diff(old, new, "k", ["v"]))
     log.unpersist()
 
     # --- layout ------------------------------------------------------
@@ -125,8 +125,8 @@ def main() -> None:
         .persist()
     )
     pts.count()
-    run("zorder_sort_10m_b16", zorder_sort(pts, ["x", "y"], bits=16))
-    run("hilbert_sort_10m_b16", hilbert_sort(pts, ["x", "y"], bits=16))
+    run("zorder_sort_b16", zorder_sort(pts, ["x", "y"], bits=16))
+    run("hilbert_sort_b16", hilbert_sort(pts, ["x", "y"], bits=16))
 
     # pruning quality: 512 range "files", min-max stats per file, count
     # files intersected by 16 narrow x-bands and 16 y-bands
