@@ -129,7 +129,7 @@ def _hilbert_level(
     return nx, ny, nd
 
 
-def hilbert_key(x: Column, y: Column, bits: int = 8) -> Column:
+def hilbert_key(x: Column, y: Column, bits: int = 6) -> Column:
     """Hilbert-curve index of two (already quantized, non-negative)
     columns as a single Column expression.
 
@@ -143,16 +143,20 @@ def hilbert_key(x: Column, y: Column, bits: int = 8) -> Column:
 
     EXPRESSION-SIZE LIMIT: each level's x/y rewrite references the
     previous level's x AND y several times, so the inline expression
-    tree multiplies per level — fine to 8 levels (256 buckets/side,
-    65k files, plenty for layout), but 16 levels is a multi-million
-    node tree that OOMs Catalyst ANALYSIS. ``bits`` is therefore
-    capped at 8 here; use ``hilbert_index`` (the staged DataFrame
-    form, constant-size per level) for deeper curves.
+    tree multiplies ~5x per level. MEASURED: 6 levels (~15k nodes,
+    4096 cells — plenty for ad-hoc keys) analyzes instantly; 8 levels
+    is a ~400k-node tree that takes tens of seconds to analyze and
+    OOMs a shared 4g driver heap intermittently; 16 levels OOMs
+    Catalyst ANALYSIS outright. ``bits`` is therefore capped at 6
+    here; use ``hilbert_index`` (the staged DataFrame form,
+    constant-size per level) for anything deeper — it is also the
+    faster path at every depth.
     """
-    if int(bits) > 8:
+    if int(bits) > 6:
         raise ValueError(
-            "hilbert_key inlines the walk and is capped at bits=8 "
-            "(expression tree doubles per level); use hilbert_index "
+            "hilbert_key inlines the walk and is capped at bits=6 "
+            "(expression tree multiplies ~5x per level; 8 levels "
+            "intermittently OOMs a 4g driver); use hilbert_index "
             "for deeper curves"
         )
     xc = x.cast("bigint")
