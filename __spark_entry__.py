@@ -2380,6 +2380,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["o_orderstatus", "o_totalprice"],
         )
 
+    def q_split_dataset(spark, sf_dir):
+        """Deterministic train/val/test assignment (pipeline/curation.py
+        split_dataset — portable MINSTD draw vs exact integer ppm
+        bands; pure projection, repartition-stable, every row assigned
+        exactly once)."""
+        from splink_spark.pipeline.curation import split_dataset
+
+        docs = _session(spark).read.parquet(f"{sf_dir}/documents.parquet")
+        return split_dataset(
+            docs.select("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+
+    def q_k_anonymity(spark, sf_dir):
+        """k-anonymity audit (pipeline/curation.py k_anonymity_report —
+        one groupBy over the quasi-identifiers; classes under k flag
+        at_risk; NULLs group as values)."""
+        from splink_spark.pipeline.curation import k_anonymity_report
+
+        cust = _session(spark).read.parquet(f"{sf_dir}/customer.parquet")
+        return k_anonymity_report(
+            cust, ["c_nationkey", "c_mktsegment"], k=10
+        )
+
     def q_streaming_intervals(spark, sf_dir):
         """Streaming interval-union maintenance (streaming/operators.py
         interval_union_stream) run to completion with availableNow over
@@ -2802,6 +2825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "geohash": q_geohash,
         "streaming_intervals": q_streaming_intervals,
+        "split_dataset": q_split_dataset,
+        "k_anonymity": q_k_anonymity,
         "ann_pq": q_ann_pq,
         "jaccard_join": q_jaccard_join,
         "bm25_topk": q_bm25_topk,
@@ -2958,6 +2983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_distinct", "robust_outliers", "column_correlations",
         "event_paths", "merge_intervals", "time_weighted_avg",
         "histogram", "geohash", "streaming_intervals",
+        "split_dataset", "k_anonymity",
         # round-7 refresh rotation (recorded r01-r05, not in r06)
         "mw_histogram", "concat_union", "tf_mktsegment", "block_single",
         "fuzzy_kernels", "block_salted", "block_multi", "block_counts",
@@ -6420,6 +6446,29 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
     # streaming_intervals: the union merge law makes the streamed state
     # equal the batch merge — identical replay to merge_intervals
     sqls["streaming_intervals"] = sqls["merge_intervals"]
+
+    # split_dataset: two MINSTD steps on (id+1), ppm bands [0,800000) /
+    # [800000,900000) / [900000,1000000)
+    sqls["split_dataset"] = """
+      WITH u AS (
+        SELECT doc_id,
+               ((((doc_id + 1) * 48271) % 2147483647) * 48271)
+                 % 2147483647 % 1000000 AS u
+        FROM documents
+      )
+      SELECT doc_id,
+             CASE WHEN u < 800000 THEN 'train'
+                  WHEN u < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM u
+    """
+
+    # k_anonymity: equivalence-class sizes over the quasi identifiers
+    sqls["k_anonymity"] = """
+      SELECT c_nationkey, c_mktsegment, count(*) AS n,
+             count(*) < 10 AS at_risk
+      FROM customer GROUP BY 1, 2
+    """
 
     # event_paths: sessionize replay + per-session ordered first-3-step
     # path assembly (string_agg ORDER BY) + counts + deterministic top-20

@@ -29,9 +29,11 @@ from .curation import (  # noqa: F401
     dedup_repeated_spans,
     curate_corpus,
     dsir_resample,
+    k_anonymity_report,
     ngram_novelty,
     shard_corpus,
     shard_stats,
+    split_dataset,
     weighted_sample_per_group,
 )
 from .dedup import deduplicate_corpus, incremental_dedup, semantic_dedup  # noqa: F401

@@ -1567,3 +1567,86 @@ def skew_report(
             ).alias("x_uniform"),
         )
     )
+
+
+def split_dataset(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment: each row lands in
+    exactly one named split with probability proportional to its weight,
+    decided by the portable MINSTD hash of (id, seed) against exact
+    integer ppm thresholds — reproducible across runs, engines, and
+    repartitioning (the ``stratified_sample`` filter as a labeller
+    instead of a filter). Re-drawable per experiment by changing
+    ``seed``; a row's split NEVER depends on other rows, so late-added
+    data doesn't reshuffle old assignments.
+
+    Pure projection — zero shuffle, predicate-pushdown friendly when a
+    consumer filters one split.
+    """
+    names = list(weights)
+    if not names:
+        raise ValueError("weights must name at least one split")
+    vals = [float(weights[n]) for n in names]
+    if any(v < 0 for v in vals) or sum(vals) <= 0:
+        raise ValueError("weights must be non-negative and sum > 0")
+    total = sum(vals)
+    # cumulative integer ppm thresholds; the final one is forced to the
+    # modulus so float rounding can never leave a row unassigned
+    cum = []
+    acc = 0.0
+    for v in vals:
+        acc += v
+        cum.append(int(round(acc / total * _SAMPLE_MODULUS)))
+    cum[-1] = _SAMPLE_MODULUS
+    u = F.pmod(
+        F.pmod(
+            (F.col(id_col).cast("bigint") + F.lit(1 + int(seed)))
+            * F.lit(_MINSTD_A),
+            F.lit(_MINSTD_M),
+        )
+        * F.lit(_MINSTD_A),
+        F.lit(_MINSTD_M),
+    ) % F.lit(_SAMPLE_MODULUS)
+    # half-open ppm bands [prev, threshold) walked in declaration order
+    out = None
+    prev = -1
+    for name, threshold in zip(names, cum):
+        cond = (u >= F.lit(int(prev))) & (u < F.lit(int(threshold)))
+        out = F.when(cond, F.lit(name)) if out is None else out.when(
+            cond, F.lit(name)
+        )
+        prev = threshold
+    return df.withColumn(split_col, out)
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns (Sweeney 2002):
+    one row per equivalence class (distinct quasi-identifier
+    combination, NULLs grouped as values) with its size and an
+    ``at_risk`` flag for classes smaller than ``k`` — the rows a
+    release would expose to re-identification. The companion number a
+    privacy review wants next to PII redaction.
+
+    One map-side-combined groupBy on the quasi columns; the output is
+    at most the class count (small for coarse quasi-identifiers —
+    that's the point of the audit).
+    """
+    if int(k) < 1:
+        raise ValueError("k must be >= 1")
+    cols = list(quasi_cols)
+    if not cols:
+        raise ValueError("need at least one quasi-identifier column")
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(*cols, "n", (F.col("n") < int(k)).alias("at_risk"))
+    )

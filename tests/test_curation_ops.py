@@ -483,3 +483,48 @@ def test_dedup_repeated_spans_min_count_threshold(spark):
     got = {r["doc_id"]: r["cleaned_text"]
            for r in cu.dedup_repeated_spans(df, n=3).collect()}
     assert got == {1: "p q r", 2: "", 3: ""}
+
+
+def test_split_dataset_coverage_and_determinism(spark):
+    from splink_spark.pipeline.curation import split_dataset
+
+    df = spark.range(20000).withColumnRenamed("id", "doc_id")
+    s = split_dataset(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["count"] for r in s.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 20000       # total coverage, no overlap
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20000 - 0.1) < 0.01
+    # repartition-stable and reproducible
+    s2 = split_dataset(df.repartition(7), {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert sorted(map(tuple, s.collect())) == sorted(map(tuple, s2.collect()))
+    # a different seed draws a different assignment
+    s3 = split_dataset(df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3)
+    assert sorted(map(tuple, s3.collect())) != sorted(map(tuple, s.collect()))
+    import pytest as _p
+    with _p.raises(ValueError):
+        split_dataset(df, {})
+    with _p.raises(ValueError):
+        split_dataset(df, {"a": -1.0, "b": 2.0})
+
+
+def test_k_anonymity_report_classes_and_nulls(spark):
+    from splink_spark.pipeline.curation import k_anonymity_report
+
+    df = spark.createDataFrame(
+        [("US", "M"), ("US", "M"), ("US", "F"), ("FR", None), ("FR", None),
+         ("DE", "X")],
+        "country string, gender string",
+    )
+    rep = {
+        (r["country"], r["gender"]): (r["n"], r["at_risk"])
+        for r in k_anonymity_report(df, ["country", "gender"], k=2).collect()
+    }
+    assert rep[("US", "M")] == (2, False)
+    assert rep[("US", "F")] == (1, True)
+    assert rep[("FR", None)] == (2, False)   # NULL groups as a value
+    assert rep[("DE", "X")] == (1, True)
+    import pytest as _p
+    with _p.raises(ValueError):
+        k_anonymity_report(df, [], k=2)
+    with _p.raises(ValueError):
+        k_anonymity_report(df, ["country"], k=0)
