@@ -2380,6 +2380,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["o_orderstatus", "o_totalprice"],
         )
 
+    def q_clustering_agreement(spark, sf_dir):
+        """Clustering-vs-truth evaluation (pipeline/dedup.py
+        clustering_agreement — BCubed P/R/F1 + Adjusted Rand Index from
+        integer contingency counts; metrics are exact integer ppm
+        divided once, never float-rounded, so both engines reproduce
+        every digit). Synthetic overlapping partitions: predicted
+        cluster = key div 7, true entity = key div 10."""
+        from splink_spark.pipeline.dedup import clustering_agreement
+
+        cust = _session(spark).read.parquet(f"{sf_dir}/customer.parquet")
+        pred = cust.select(
+            F.col("c_custkey").alias("doc_id"),
+            F.expr("c_custkey div 7").alias("cluster_id"),
+        )
+        tru = cust.select(
+            F.col("c_custkey").alias("doc_id"),
+            F.expr("c_custkey div 10").alias("entity_id"),
+        )
+        return clustering_agreement(pred, tru)
+
     def q_split_dataset(spark, sf_dir):
         """Deterministic train/val/test assignment (pipeline/curation.py
         split_dataset — portable MINSTD draw vs exact integer ppm
@@ -2827,6 +2847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_intervals": q_streaming_intervals,
         "split_dataset": q_split_dataset,
         "k_anonymity": q_k_anonymity,
+        "clustering_agreement": q_clustering_agreement,
         "ann_pq": q_ann_pq,
         "jaccard_join": q_jaccard_join,
         "bm25_topk": q_bm25_topk,
@@ -2983,7 +3004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_distinct", "robust_outliers", "column_correlations",
         "event_paths", "merge_intervals", "time_weighted_avg",
         "histogram", "geohash", "streaming_intervals",
-        "split_dataset", "k_anonymity",
+        "split_dataset", "k_anonymity", "clustering_agreement",
         # round-7 refresh rotation (recorded r01-r05, not in r06)
         "mw_histogram", "concat_union", "tf_mktsegment", "block_single",
         "fuzzy_kernels", "block_salted", "block_multi", "block_counts",
@@ -6446,6 +6467,62 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
     # streaming_intervals: the union merge law makes the streamed state
     # equal the batch merge — identical replay to merge_intervals
     sqls["streaming_intervals"] = sqls["merge_intervals"]
+
+    # clustering_agreement: contingency reductions as exact hugeint
+    # sums, ppm integer division for BCubed, double ARI from exact ints
+    # with the same op order, floored to micro-units
+    sqls["clustering_agreement"] = """
+      WITH ce AS (
+        SELECT p.c, t.e, count(*) AS n_ce FROM
+          (SELECT c_custkey AS id, c_custkey // 7 AS c FROM customer) p
+          JOIN
+          (SELECT c_custkey AS id, c_custkey // 10 AS e FROM customer) t
+          USING (id)
+        GROUP BY p.c, t.e
+      ),
+      cm AS (SELECT c, sum(n_ce) AS n_c FROM ce GROUP BY c),
+      em AS (SELECT e, sum(n_ce) AS n_e FROM ce GROUP BY e),
+      agg AS (
+        SELECT
+          (SELECT sum(CAST(n_ce AS HUGEINT)) FROM ce) AS n,
+          (SELECT sum(CAST(n_ce * (n_ce - 1) // 2 AS HUGEINT)) FROM ce)
+            AS p_ce,
+          (SELECT sum(CAST((n_ce * n_ce * 1000000) // n_c AS HUGEINT))
+             FROM ce JOIN cm USING (c)) AS ps,
+          (SELECT sum(CAST((n_ce * n_ce * 1000000) // n_e AS HUGEINT))
+             FROM ce JOIN em USING (e)) AS rs,
+          (SELECT sum(CAST(n_c * (n_c - 1) // 2 AS HUGEINT)) FROM cm)
+            AS cp,
+          (SELECT sum(CAST(n_e * (n_e - 1) // 2 AS HUGEINT)) FROM em)
+            AS ep
+      ),
+      ppm AS (
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(ps // n AS BIGINT) AS pp,
+               CAST(rs // n AS BIGINT) AS rp,
+               CAST(p_ce AS DOUBLE) AS idx,
+               CAST(cp AS DOUBLE) AS ec,
+               CAST(ep AS DOUBLE) AS ee
+        FROM agg
+      )
+      SELECT n AS n_items,
+             CAST(pp AS DOUBLE) / 1000000.0 AS bcubed_precision,
+             CAST(rp AS DOUBLE) / 1000000.0 AS bcubed_recall,
+             CASE WHEN pp + rp = 0 THEN 0.0
+                  ELSE CAST((2 * pp * rp) // (pp + rp) AS DOUBLE)
+                       / 1000000.0 END AS bcubed_f1,
+             CASE WHEN (ec + ee) / 2.0
+                       = ec * ee / (CAST(n AS DOUBLE) * (n - 1) / 2.0)
+                  THEN CASE WHEN idx = (ec + ee) / 2.0
+                            THEN 1.0 ELSE 0.0 END
+                  ELSE CAST(floor(
+                    (idx - ec * ee / (CAST(n AS DOUBLE) * (n - 1) / 2.0))
+                    / ((ec + ee) / 2.0
+                       - ec * ee / (CAST(n AS DOUBLE) * (n - 1) / 2.0))
+                    * 1000000) AS DOUBLE) / 1000000.0
+             END AS ari
+      FROM ppm
+    """
 
     # split_dataset: two MINSTD steps on (id+1), ppm bands [0,800000) /
     # [800000,900000) / [900000,1000000)

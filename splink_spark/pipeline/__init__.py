@@ -36,7 +36,12 @@ from .curation import (  # noqa: F401
     split_dataset,
     weighted_sample_per_group,
 )
-from .dedup import deduplicate_corpus, incremental_dedup, semantic_dedup  # noqa: F401
+from .dedup import (  # noqa: F401
+    clustering_agreement,
+    deduplicate_corpus,
+    incremental_dedup,
+    semantic_dedup,
+)
 from .embeddings import (  # noqa: F401
     absmax_fit,
     dequantize_expr,

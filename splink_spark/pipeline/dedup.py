@@ -905,3 +905,115 @@ def incremental_dedup(
             ).alias("keep"),
         )
     )
+
+
+def clustering_agreement(
+    predicted: DataFrame,
+    truth: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    entity_col: str = "entity_id",
+) -> DataFrame:
+    """Evaluate a clustering (dedup output) against ground-truth entity
+    labels: BCubed precision/recall/F1 (Bagga & Baldwin 1998 — the
+    standard entity-resolution clustering metric) and the Adjusted Rand
+    Index (Hubert & Arabie 1985). Items present in only one input are
+    ignored (inner join on the id).
+
+    Everything reduces to the integer contingency counts n_ce = |items
+    in predicted cluster c with true entity e| plus the marginals —
+    three map-side-combined aggregates over one join, no pairwise
+    blow-up however large the clusters:
+
+    - BCubed precision = Σ_ce n_ce²/n_c / N, recall = Σ_ce n_ce²/n_e / N
+    - ARI from pair counts Σ C(n_ce,2), Σ C(n_c,2), Σ C(n_e,2)
+
+    All sums accumulate as exact decimal(38,0) integers; the reported
+    metrics are exact integer micro-units divided by 1e6 once (never
+    float-rounded — python and SQL round() disagree at half-way
+    points), so any engine reproduces every digit. Returns ONE row:
+    (``n_items``, ``bcubed_precision``, ``bcubed_recall``, ``bcubed_f1``,
+    ``ari``).
+    """
+    pred = predicted.select(
+        F.col(id_col).alias("__id"), F.col(cluster_col).alias("__c")
+    )
+    tru = truth.select(
+        F.col(id_col).alias("__id"), F.col(entity_col).alias("__e")
+    )
+    joined = pred.join(tru, "__id")
+    ce = joined.groupBy("__c", "__e").agg(F.count(F.lit(1)).alias("n_ce"))
+    # contingency reductions: every term an exact integer
+    dec = "decimal(38,0)"
+    stats = ce.agg(
+        F.sum(F.col("n_ce").cast(dec)).alias("n"),
+        F.sum((F.col("n_ce").cast(dec) * F.col("n_ce")).cast(dec)).alias(
+            "s_ce2"
+        ),
+        F.sum(
+            (F.col("n_ce").cast(dec) * (F.col("n_ce") - 1) / 2).cast(dec)
+        ).alias("p_ce"),
+    )
+    cmarg = ce.groupBy("__c").agg(F.sum("n_ce").alias("n_c"))
+    emarg = ce.groupBy("__e").agg(F.sum("n_ce").alias("n_e"))
+    # Σ_ce n_ce²/n_c needs the marginal attached BEFORE summing; the
+    # per-(c,e) ratio is rational, so scale to exact integer micro-units
+    # via (n_ce² * 1e6) div n_c — both engines truncate identically
+    prec_terms = ce.join(cmarg, "__c").select(
+        F.expr("(n_ce * n_ce * 1000000) div n_c").cast(dec).alias("t")
+    )
+    rec_terms = ce.join(emarg, "__e").select(
+        F.expr("(n_ce * n_ce * 1000000) div n_e").cast(dec).alias("t")
+    )
+    p_sum = prec_terms.agg(F.sum("t").alias("s")).collect()[0]["s"]
+    r_sum = rec_terms.agg(F.sum("t").alias("s")).collect()[0]["s"]
+    row = stats.collect()[0]
+    n = int(row["n"] or 0)
+    cpairs = cmarg.agg(
+        F.sum((F.col("n_c").cast(dec) * (F.col("n_c") - 1) / 2).cast(dec))
+        .alias("s")
+    ).collect()[0]["s"]
+    epairs = emarg.agg(
+        F.sum((F.col("n_e").cast(dec) * (F.col("n_e") - 1) / 2).cast(dec))
+        .alias("s")
+    ).collect()[0]["s"]
+    spark = predicted.sparkSession
+    if n == 0:
+        return spark.createDataFrame(
+            [(0, None, None, None, None)],
+            "n_items bigint, bcubed_precision double, bcubed_recall double,"
+            " bcubed_f1 double, ari double",
+        )
+    # every reported value is an exact integer micro-unit divided by 1e6
+    # ONCE — python round() is banker's rounding while SQL round() is
+    # half-up, so rounding floats driver-side would break cross-engine
+    # replay at boundaries; integer ppm never rounds
+    prec_ppm = int(p_sum) // n
+    rec_ppm = int(r_sum) // n
+    f1_ppm = (
+        0 if prec_ppm + rec_ppm == 0
+        else (2 * prec_ppm * rec_ppm) // (prec_ppm + rec_ppm)
+    )
+    # ARI: (idx - expected) / (max - expected); degenerate denominators
+    # (single cluster == single entity, or all singletons) -> ARI 1.0
+    # when the partitions agree exactly, else 0.0 by convention. The
+    # index arithmetic runs in doubles FROM exact integers with fixed
+    # op order, then floors to micro-units (floor of an identical
+    # double is identical in every engine)
+    import math
+
+    idx = float(row["p_ce"] or 0)
+    ec = float(cpairs or 0)
+    ee = float(epairs or 0)
+    tot = n * (n - 1) / 2.0
+    expected = ec * ee / tot if tot > 0 else 0.0
+    mx = (ec + ee) / 2.0
+    if mx == expected:
+        ari_micro = 1_000_000 if idx == mx else 0
+    else:
+        ari_micro = math.floor((idx - expected) / (mx - expected) * 1_000_000)
+    return spark.createDataFrame(
+        [(n, prec_ppm / 1e6, rec_ppm / 1e6, f1_ppm / 1e6, ari_micro / 1e6)],
+        "n_items bigint, bcubed_precision double, bcubed_recall double,"
+        " bcubed_f1 double, ari double",
+    )

@@ -661,3 +661,39 @@ def test_topk_join_candidate_reduction_bounds_shuffle(spark):
     rows = out.collect()
     assert len(rows) == 6  # 3 queries x k=2
     assert all(r["query_id"] != r["neighbour_id"] for r in rows)
+
+
+def test_clustering_agreement_bcubed_and_ari(spark):
+    from splink_spark.pipeline.dedup import clustering_agreement
+
+    # perfect agreement
+    pred = spark.createDataFrame(
+        [(i, i // 3) for i in range(12)], "doc_id bigint, cluster_id bigint"
+    )
+    tru = spark.createDataFrame(
+        [(i, i // 3) for i in range(12)], "doc_id bigint, entity_id bigint"
+    )
+    r = clustering_agreement(pred, tru).collect()[0]
+    assert (r["bcubed_precision"], r["bcubed_recall"], r["bcubed_f1"],
+            r["ari"]) == (1.0, 1.0, 1.0, 1.0)
+    # maximal disagreement on 4 items: pred {0,1},{2,3}; truth {0,2},{1,3}
+    pred2 = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1)], "doc_id bigint, cluster_id bigint"
+    )
+    tru2 = spark.createDataFrame(
+        [(0, 0), (2, 0), (1, 1), (3, 1)], "doc_id bigint, entity_id bigint"
+    )
+    r2 = clustering_agreement(pred2, tru2).collect()[0]
+    # hand-computed: BCubed P = R = 0.5; ARI = (0 - 2/3) / (2 - 2/3) = -0.5
+    assert (r2["bcubed_precision"], r2["bcubed_recall"]) == (0.5, 0.5)
+    assert r2["ari"] == -0.5
+    # all-singleton prediction: precision 1, recall 1/3 on 3-entity groups
+    single = spark.createDataFrame(
+        [(i, i) for i in range(12)], "doc_id bigint, cluster_id bigint"
+    )
+    r3 = clustering_agreement(single, tru).collect()[0]
+    assert r3["bcubed_precision"] == 1.0
+    assert abs(r3["bcubed_recall"] - 1.0 / 3.0) < 2e-6
+    # items missing from one side are ignored (inner join)
+    partial = clustering_agreement(pred2.limit(2), tru2).collect()[0]
+    assert partial["n_items"] == 2
