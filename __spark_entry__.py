@@ -2380,6 +2380,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["o_orderstatus", "o_totalprice"],
         )
 
+    def q_functional_deps(spark, sf_dir):
+        """Functional-dependency audit (pipeline/quality.py
+        functional_dependency_report — per-dependency groupBy on the
+        LHS counting distinct RHS, NULL RHS as a value; exact ppm via
+        integer division). o_orderkey→o_custkey must hold (key);
+        o_custkey→o_orderstatus must not."""
+        from splink_spark.pipeline.quality import functional_dependency_report
+
+        orders = _session(spark).read.parquet(f"{sf_dir}/orders.parquet")
+        return functional_dependency_report(
+            orders,
+            [
+                ("o_orderkey", "o_custkey"),
+                ("o_custkey", "o_orderstatus"),
+                (["o_orderstatus", "o_orderpriority"], "o_custkey"),
+            ],
+        )
+
     def q_clustering_agreement(spark, sf_dir):
         """Clustering-vs-truth evaluation (pipeline/dedup.py
         clustering_agreement — BCubed P/R/F1 + Adjusted Rand Index from
@@ -2848,6 +2866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_dataset": q_split_dataset,
         "k_anonymity": q_k_anonymity,
         "clustering_agreement": q_clustering_agreement,
+        "functional_deps": q_functional_deps,
         "ann_pq": q_ann_pq,
         "jaccard_join": q_jaccard_join,
         "bm25_topk": q_bm25_topk,
@@ -3005,6 +3024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_paths", "merge_intervals", "time_weighted_avg",
         "histogram", "geohash", "streaming_intervals",
         "split_dataset", "k_anonymity", "clustering_agreement",
+        "functional_deps",
         # round-7 refresh rotation (recorded r01-r05, not in r06)
         "mw_histogram", "concat_union", "tf_mktsegment", "block_single",
         "fuzzy_kernels", "block_salted", "block_multi", "block_counts",
@@ -6467,6 +6487,47 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
     # streaming_intervals: the union merge law makes the streamed state
     # equal the batch merge — identical replay to merge_intervals
     sqls["streaming_intervals"] = sqls["merge_intervals"]
+
+    # functional_deps: per-dependency distinct-RHS counts, NULL RHS as
+    # a sentinel value, exact ppm integer division
+    sqls["functional_deps"] = """
+      SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+             count(*) AS n_lhs_values,
+             sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS n_violating,
+             CAST((sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) * 1000000)
+                  // greatest(count(*), 1) AS BIGINT) AS violation_ppm,
+             sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0 AS holds
+      FROM (
+        SELECT o_orderkey,
+               count(DISTINCT coalesce(CAST(o_custkey AS VARCHAR),
+                                       chr(0) || 'null')) AS k
+        FROM orders GROUP BY o_orderkey
+      )
+      UNION ALL
+      SELECT 'o_custkey', 'o_orderstatus', count(*),
+             sum(CASE WHEN k > 1 THEN 1 ELSE 0 END),
+             CAST((sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) * 1000000)
+                  // greatest(count(*), 1) AS BIGINT),
+             sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0
+      FROM (
+        SELECT o_custkey,
+               count(DISTINCT coalesce(CAST(o_orderstatus AS VARCHAR),
+                                       chr(0) || 'null')) AS k
+        FROM orders GROUP BY o_custkey
+      )
+      UNION ALL
+      SELECT 'o_orderstatus,o_orderpriority', 'o_custkey', count(*),
+             sum(CASE WHEN k > 1 THEN 1 ELSE 0 END),
+             CAST((sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) * 1000000)
+                  // greatest(count(*), 1) AS BIGINT),
+             sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0
+      FROM (
+        SELECT o_orderstatus, o_orderpriority,
+               count(DISTINCT coalesce(CAST(o_custkey AS VARCHAR),
+                                       chr(0) || 'null')) AS k
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+      )
+    """
 
     # clustering_agreement: contingency reductions as exact hugeint
     # sums, ppm integer division for BCubed, double ARI from exact ints

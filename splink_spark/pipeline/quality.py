@@ -28,7 +28,7 @@ from typing import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["expectations_report"]
+__all__ = ["expectations_report", "functional_dependency_report"]
 
 
 def _violation_expr(rule: Mapping) -> Column:
@@ -117,3 +117,59 @@ def expectations_report(
             )
         )
     return one.select(F.inline(F.array(*structs)))
+
+
+def functional_dependency_report(
+    df: DataFrame,
+    dependencies: "Sequence[tuple]",
+) -> DataFrame:
+    """Check candidate functional dependencies LHS → RHS (does every
+    LHS value determine exactly one RHS value?) — the schema-discovery
+    / data-quality probe behind "is order_id a key for customer_id",
+    "does zip determine city".
+
+    Each dependency is ``(lhs_cols, rhs_col)`` with ``lhs_cols`` a
+    string or sequence. Output one row per dependency:
+    ``lhs`` / ``rhs`` (display strings), ``n_lhs_values`` (distinct LHS
+    combinations, NULLs grouping as values), ``n_violating`` (LHS
+    values mapping to >1 distinct RHS — NULL RHS counts as a value),
+    ``violation_ppm`` (exact integer ppm of violating LHS values), and
+    ``holds``.
+
+    Plan: one groupBy per dependency on its LHS (count distinct RHS),
+    then a one-row reduction each, unioned — k dependencies = k
+    map-side-combined aggregates, no row blow-up.
+    """
+    if not dependencies:
+        raise ValueError("need at least one (lhs, rhs) dependency")
+    parts = []
+    for lhs, rhs in dependencies:
+        lhs_cols = [lhs] if isinstance(lhs, str) else list(lhs)
+        per_lhs = df.groupBy(*lhs_cols).agg(
+            F.count_distinct(*[F.coalesce(
+                F.col(rhs).cast("string"), F.lit("\x00null")
+            )]).alias("__k")
+        )
+        parts.append(
+            per_lhs.agg(
+                F.lit(",".join(lhs_cols)).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.count(F.lit(1)).alias("n_lhs_values"),
+                F.sum(
+                    F.when(F.col("__k") > 1, F.lit(1)).otherwise(F.lit(0))
+                ).alias("n_violating"),
+            ).select(
+                "lhs",
+                "rhs",
+                F.col("n_lhs_values").cast("bigint").alias("n_lhs_values"),
+                F.col("n_violating").cast("bigint").alias("n_violating"),
+                F.expr(
+                    "(n_violating * 1000000) div greatest(n_lhs_values, 1)"
+                ).cast("bigint").alias("violation_ppm"),
+                (F.col("n_violating") == 0).alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

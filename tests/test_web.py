@@ -242,3 +242,27 @@ def test_zorder_sort_improves_secondary_column_skipping(spark):
     t_z = sum(chunks_touched(z, q, q + 20) for q in range(0, 1000, 100))
     t_x = sum(chunks_touched(xs, q, q + 20) for q in range(0, 1000, 100))
     assert t_z < t_x * 0.6, (t_z, t_x)
+
+
+def test_functional_dependency_report(spark):
+    from splink_spark.pipeline.quality import functional_dependency_report
+
+    df = spark.createDataFrame(
+        [("94016", "SF"), ("94016", "SF"), ("10001", "NY"), ("10001", "NYC"),
+         (None, "X"), (None, "X"), ("02139", None)],
+        "zip string, city string",
+    )
+    out = {
+        (r["lhs"], r["rhs"]): (r["n_lhs_values"], r["n_violating"],
+                               r["violation_ppm"], r["holds"])
+        for r in functional_dependency_report(
+            df, [("zip", "city"), (["zip", "city"], "zip")]
+        ).collect()
+    }
+    # 10001 maps to {NY, NYC}: 1 of 4 LHS values violates (NULL zip and
+    # NULL city both group as values)
+    assert out[("zip", "city")] == (4, 1, 250000, False)
+    assert out[("zip,city", "zip")][3] is True
+    import pytest as _p
+    with _p.raises(ValueError):
+        functional_dependency_report(df, [])
