@@ -1975,8 +1975,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compare on violation_ppm (exact integer division — reproduced
         # digit-for-digit by any engine); violation_frac is a rounded
         # double whose 6th digit is a cross-engine rounding coin-flip,
-        # so it stays out of the hashed gate output
-        return expectations_report(cust, rules).drop("violation_frac")
+        # so it stays out of the hashed gate output. The gate output is
+        # normalized to string/bigint-only columns: `passed` (boolean in
+        # the public API) casts to int, and the empty-string column
+        # sentinel for expression rules becomes '-' — boolean and ''
+        # values canonicalize differently across drivers' hashers.
+        return (
+            expectations_report(cust, rules)
+            .drop("violation_frac")
+            .withColumn("passed", F.col("passed").cast("int"))
+            .withColumn(
+                "column",
+                F.when(F.col("column") == "", F.lit("-"))
+                .otherwise(F.col("column")),
+            )
+        )
+
+    def q_hash_probe(spark, sf_dir):
+        """Driver-hasher canonicalization probe, part 1: one row of the
+        scalar representations every other gate relies on — bigint
+        (including 2^53+1, which silently loses a digit if either side
+        round-trips through float64), double (whole-valued, negative,
+        -0.0), string (including empty), boolean, and typed NULLs. If
+        this gate is green, those representations are pinned safe for
+        every future gate; if red while part 2 is green, the mismatch is
+        in one of these core scalars."""
+        return _session(spark).range(1).select(
+            F.lit(42).cast("bigint").alias("c_bigint"),
+            F.lit(9007199254740993).cast("bigint").alias("c_big53"),
+            F.lit(-7).cast("bigint").alias("c_negbig"),
+            F.lit(1.5).cast("double").alias("c_double"),
+            F.lit(3.0).cast("double").alias("c_double_whole"),
+            (F.lit(0.0) * F.lit(-1.0)).alias("c_negzero"),
+            F.lit("x").alias("c_string"),
+            F.lit("").alias("c_empty_string"),
+            F.lit(True).alias("c_bool_true"),
+            F.lit(False).alias("c_bool_false"),
+            F.lit(None).cast("bigint").alias("c_null_bigint"),
+            F.lit(None).cast("string").alias("c_null_string"),
+            F.lit(None).cast("double").alias("c_null_double"),
+        )
+
+    def q_hash_probe_temporal(spark, sf_dir):
+        """Driver-hasher canonicalization probe, part 2: the exotic
+        scalar types no current gate emits — int32, smallint, date,
+        timestamp (instant; session TZ sensitivity), timestamp_ntz, and
+        decimal. Green pins them usable; red (with part 1 green)
+        isolates the unsafe class without burning a round on a
+        production gate."""
+        return _session(spark).range(1).select(
+            F.lit(42).cast("int").alias("c_int32"),
+            F.lit(7).cast("smallint").alias("c_small"),
+            F.to_date(F.lit("2024-02-29")).alias("c_date"),
+            F.to_timestamp(F.lit("2024-02-29 12:34:56")).alias("c_ts"),
+            F.expr(
+                "to_timestamp_ntz('2024-02-29 12:34:56')"
+            ).alias("c_ts_ntz"),
+            F.lit("12.50").cast("decimal(10,2)").alias("c_decimal"),
+        )
 
     def q_streaming_rollup(spark, sf_dir):
         """Continuous aggregate maintenance (streaming/operators.py
@@ -2871,6 +2927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_join": q_jaccard_join,
         "bm25_topk": q_bm25_topk,
         "streaming_bm25": q_streaming_bm25,
+        "hash_probe": q_hash_probe,
+        "hash_probe_temporal": q_hash_probe_temporal,
         "streaming_rollup": q_streaming_rollup,
         "zorder_key": q_zorder_key,
         "gap_fill": q_gap_fill,
@@ -2996,48 +3054,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
     }
     # The round driver's correctness snapshot records the FIRST 50 entries
-    # only. Rounds r01-r06 together recorded 101 of the gates; the 18
-    # training/serving/eval gates below have never appeared in a driver
-    # snapshot, so they lead round 7, followed by the two gates that were
-    # driver-red in r06 (now exact-integer, fixed this round), then a
-    # refresh rotation (full local sweeps over all entries:
-    # tools/check_oracle.py, artifact CORRECTNESS_FULL_r07.json).
+    # only. Round-8 ordering: (1) the 3 gates added after the r07
+    # snapshot cutoff — never driver-recorded in r01-r07; (2)
+    # `expectations`, driver-red in r06+r07 (root cause found this
+    # round: its oracle emitted DuckDB HUGEINT columns, which a
+    # pandas/arrow fetch renders as float64 — the ONLY two oracles with
+    # HUGEINT outputs were exactly the red `expectations` and the
+    # never-recorded `functional_deps`; both now CAST AS BIGINT); (3)
+    # the new hash_probe pair pinning the driver hasher's scalar
+    # canonicalization permanently; (4) gates whose code changed this
+    # round (re-attest); (5) a refresh rotation over the gates last
+    # recorded in r05 or earlier. Full local sweep over all entries:
+    # tools/check_oracle.py, artifact CORRECTNESS_FULL_r08.json.
     lead = [
-        # never driver-recorded (r01-r06): §2.9-2.12 training/serving/eval
-        "prior_estimate", "estimate_u", "em_train", "em_train_tf",
-        "m_from_label", "score_pairs", "predict_between",
-        "predict_chunked", "prediction_errors",
-        "cluster_multi_thresholds", "single_best_links",
-        "single_best_links_lowest_id", "graph_metrics", "edge_bridges",
-        "pairwise_levenshtein", "column_expression", "distance_in_km",
-        "date_difference",
-        # driver-red in r06, fixed to exact integer arithmetic this round
-        "expectations", "embedding_covariance",
-        # new round-7 operators
-        "jaccard_join", "hll_registers", "streaming_hll",
-        "attribution", "group_outliers", "term_cosine_join", "ann_pq",
-        "cdc_latest", "scd2_history", "snapshot_diff",
-        "link_prediction", "weighted_group_sample", "ngram_novelty",
-        "hilbert_key", "streaming_cdc", "normalize_text", "strip_markup",
-        "winsorize", "bipartite_project", "phrase_search",
-        "group_distinct", "robust_outliers", "column_correlations",
-        "event_paths", "merge_intervals", "time_weighted_avg",
-        "histogram", "geohash", "streaming_intervals",
-        "split_dataset", "k_anonymity", "clustering_agreement",
-        "functional_deps",
-        # round-7 refresh rotation (recorded r01-r05, not in r06)
-        "mw_histogram", "concat_union", "tf_mktsegment", "block_single",
-        "fuzzy_kernels", "block_salted", "block_multi", "block_counts",
-        "n_largest_blocks", "block_estimate", "exploding_block",
-        "comparison_vectors", "predict_customer", "em_patterns",
-        "cluster_components", "truth_space", "unlinkables",
-        "dedup_exact", "span_dedup", "fingerprint",
-        "rolling_fingerprint", "corpus_dedup", "token_counts",
-        "ngram_jaccard", "minhash_lsh", "simhash", "text_quality",
-        "kmeans_assign", "semantic_dedup", "decontaminate",
-        "pagerank", "asof_join", "bpe_tokens", "incremental_dedup",
-        "quality_classifier", "heavy_hitters", "gopher_rules",
-        "label_propagation", "weighted_sample", "cms_frequencies",
+        # never driver-recorded (added after the r07 cutoff)
+        "clustering_agreement", "functional_deps", "k_anonymity",
+        # driver-red r06+r07 — HUGEINT-oracle root cause fixed
+        "expectations",
+        # driver-hasher canonicalization probes (new this round)
+        "hash_probe", "hash_probe_temporal",
+        # code changed this round — re-attest under the driver
+        "cdc_latest", "streaming_cdc", "time_weighted_avg",
+        "strip_markup",
+        # refresh rotation: gates last driver-recorded in r05 or earlier
+        "mw_histogram", "asof_join", "block_counts", "block_estimate",
+        "block_multi", "block_salted", "block_single", "bloom_screen",
+        "bpe_tokens", "cluster_components", "cms_frequencies",
+        "comparison_vectors", "concat_union", "corpus_dedup",
+        "corpus_stats", "curate_corpus", "decontaminate",
+        "decontaminate_spans", "dedup_exact", "doc_segment_dedup",
+        "dsir_resample", "em_patterns", "exploding_block",
+        "fingerprint", "fuzzy_kernels", "gopher_rules", "heavy_hitters",
+        "incremental_dedup", "kmeans_assign", "label_propagation",
+        "minhash_lsh", "n_largest_blocks", "ngram_jaccard", "pagerank",
+        "predict_customer", "quality_classifier", "quality_score",
+        "repetition_metrics", "rolling_fingerprint", "semantic_dedup",
     ]
     return {k: d[k] for k in lead} | {
         k: v for k, v in d.items() if k not in lead
@@ -6352,7 +6403,8 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
         FROM events
       )
       SELECT user_id, event_id, ts, event_type, value
-      FROM r WHERE rn = 1 AND event_type NOT IN ('error')
+      FROM r WHERE rn = 1
+        AND (event_type IS NULL OR event_type NOT IN ('error'))
     """
 
     # streaming_cdc: the merge law makes the streamed compaction equal
@@ -6474,7 +6526,7 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
         FROM stepped,
              unnest(generate_series(t // 86400000000000,
                                     (nxt - 1) // 86400000000000)) AS u(bk)
-        WHERE nxt IS NOT NULL
+        WHERE nxt IS NOT NULL AND nxt > t
       )
       SELECT user_id, bucket_start,
              round(CAST(sum(CAST(v AS HUGEINT) * w) AS DOUBLE)
@@ -6488,43 +6540,48 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
     # equal the batch merge — identical replay to merge_intervals
     sqls["streaming_intervals"] = sqls["merge_intervals"]
 
-    # functional_deps: per-dependency distinct-RHS counts, NULL RHS as
-    # a sentinel value, exact ppm integer division
+    # functional_deps: per-dependency distinct-RHS counts on the NATIVE
+    # column (count DISTINCT skips NULLs; +1 when any NULL exists), exact
+    # ppm integer division. Every integral output is CAST AS BIGINT —
+    # DuckDB sum() yields HUGEINT, which pandas/arrow fetch paths render
+    # as float64 ("3.0" vs Spark's "3") and hash-mismatch.
     sqls["functional_deps"] = """
       SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
              count(*) AS n_lhs_values,
-             sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS n_violating,
+             CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
              CAST((sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) * 1000000)
                   // greatest(count(*), 1) AS BIGINT) AS violation_ppm,
              sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0 AS holds
       FROM (
         SELECT o_orderkey,
-               count(DISTINCT coalesce(CAST(o_custkey AS VARCHAR),
-                                       chr(0) || 'null')) AS k
+               count(DISTINCT o_custkey)
+               + max(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS k
         FROM orders GROUP BY o_orderkey
       )
       UNION ALL
       SELECT 'o_custkey', 'o_orderstatus', count(*),
-             sum(CASE WHEN k > 1 THEN 1 ELSE 0 END),
+             CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
              CAST((sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) * 1000000)
                   // greatest(count(*), 1) AS BIGINT),
              sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0
       FROM (
         SELECT o_custkey,
-               count(DISTINCT coalesce(CAST(o_orderstatus AS VARCHAR),
-                                       chr(0) || 'null')) AS k
+               count(DISTINCT o_orderstatus)
+               + max(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                 AS k
         FROM orders GROUP BY o_custkey
       )
       UNION ALL
       SELECT 'o_orderstatus,o_orderpriority', 'o_custkey', count(*),
-             sum(CASE WHEN k > 1 THEN 1 ELSE 0 END),
+             CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
              CAST((sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) * 1000000)
                   // greatest(count(*), 1) AS BIGINT),
              sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0
       FROM (
         SELECT o_orderstatus, o_orderpriority,
-               count(DISTINCT coalesce(CAST(o_custkey AS VARCHAR),
-                                       chr(0) || 'null')) AS k
+               count(DISTINCT o_custkey)
+               + max(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS k
         FROM orders GROUP BY o_orderstatus, o_orderpriority
       )
     """
@@ -6546,15 +6603,15 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
       agg AS (
         SELECT
           (SELECT sum(CAST(n_ce AS HUGEINT)) FROM ce) AS n,
-          (SELECT sum(CAST(n_ce * (n_ce - 1) // 2 AS HUGEINT)) FROM ce)
+          (SELECT sum(CAST(n_ce AS HUGEINT) * (n_ce - 1) // 2) FROM ce)
             AS p_ce,
-          (SELECT sum(CAST((n_ce * n_ce * 1000000) // n_c AS HUGEINT))
+          (SELECT sum((CAST(n_ce AS HUGEINT) * n_ce * 1000000) // n_c)
              FROM ce JOIN cm USING (c)) AS ps,
-          (SELECT sum(CAST((n_ce * n_ce * 1000000) // n_e AS HUGEINT))
+          (SELECT sum((CAST(n_ce AS HUGEINT) * n_ce * 1000000) // n_e)
              FROM ce JOIN em USING (e)) AS rs,
-          (SELECT sum(CAST(n_c * (n_c - 1) // 2 AS HUGEINT)) FROM cm)
+          (SELECT sum(CAST(n_c AS HUGEINT) * (n_c - 1) // 2) FROM cm)
             AS cp,
-          (SELECT sum(CAST(n_e * (n_e - 1) // 2 AS HUGEINT)) FROM em)
+          (SELECT sum(CAST(n_e AS HUGEINT) * (n_e - 1) // 2) FROM em)
             AS ep
       ),
       ppm AS (
@@ -6917,8 +6974,8 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
                        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
                      '(?s)<!--.*?-->', ' ', 'g'),
                    '<[^>]+>', ' ', 'g'),
-                 '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
-                 '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
                '\\s+', ' ', 'g')) AS stripped_text
       FROM d
     """
@@ -7072,20 +7129,51 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
                (2, 'acctbal_range', 'in_range', 'c_acctbal'),
                (3, 'name_format', 'matches', 'c_name'),
                (4, 'segment_values', 'accepted_values', 'c_mktsegment'),
-               (5, 'bal_vs_key', 'expression', '')
+               (5, 'bal_vs_key', 'expression', '-')
       )
       SELECT r.rule_name, r.rule_type, r.col AS "column",
              a.n AS n_rows,
-             CASE r.idx WHEN 0 THEN a.v0 WHEN 1 THEN a.v1 WHEN 2 THEN a.v2
-                        WHEN 3 THEN a.v3 WHEN 4 THEN a.v4 ELSE a.v5 END
-               AS n_violations,
-             (CASE r.idx WHEN 0 THEN a.v0 WHEN 1 THEN a.v1 WHEN 2 THEN a.v2
-                         WHEN 3 THEN a.v3 WHEN 4 THEN a.v4 ELSE a.v5 END
-              * 1000000) // greatest(a.n, 1) AS violation_ppm,
-             (CASE r.idx WHEN 0 THEN a.v0 WHEN 1 THEN a.v1 WHEN 2 THEN a.v2
-                         WHEN 3 THEN a.v3 WHEN 4 THEN a.v4 ELSE a.v5 END
-              = 0) AS passed
+             CAST(CASE r.idx WHEN 0 THEN a.v0 WHEN 1 THEN a.v1
+                             WHEN 2 THEN a.v2 WHEN 3 THEN a.v3
+                             WHEN 4 THEN a.v4 ELSE a.v5 END
+                  AS BIGINT) AS n_violations,
+             CAST((CASE r.idx WHEN 0 THEN a.v0 WHEN 1 THEN a.v1
+                              WHEN 2 THEN a.v2 WHEN 3 THEN a.v3
+                              WHEN 4 THEN a.v4 ELSE a.v5 END
+                   * 1000000) // greatest(a.n, 1)
+                  AS BIGINT) AS violation_ppm,
+             CAST((CASE r.idx WHEN 0 THEN a.v0 WHEN 1 THEN a.v1
+                              WHEN 2 THEN a.v2 WHEN 3 THEN a.v3
+                              WHEN 4 THEN a.v4 ELSE a.v5 END
+                   = 0) AS INT) AS passed
       FROM rules r, agg a
+    """
+
+    # hash_probe: scalar canonicalization probes — fixed literal rows,
+    # no table input; green pins the driver hasher's type handling
+    sqls["hash_probe"] = """
+      SELECT CAST(42 AS BIGINT) AS c_bigint,
+             CAST(9007199254740993 AS BIGINT) AS c_big53,
+             CAST(-7 AS BIGINT) AS c_negbig,
+             CAST(1.5 AS DOUBLE) AS c_double,
+             CAST(3.0 AS DOUBLE) AS c_double_whole,
+             CAST(0.0 AS DOUBLE) * CAST(-1.0 AS DOUBLE) AS c_negzero,
+             'x' AS c_string,
+             '' AS c_empty_string,
+             true AS c_bool_true,
+             false AS c_bool_false,
+             CAST(NULL AS BIGINT) AS c_null_bigint,
+             CAST(NULL AS VARCHAR) AS c_null_string,
+             CAST(NULL AS DOUBLE) AS c_null_double
+    """
+
+    sqls["hash_probe_temporal"] = """
+      SELECT CAST(42 AS INTEGER) AS c_int32,
+             CAST(7 AS SMALLINT) AS c_small,
+             DATE '2024-02-29' AS c_date,
+             TIMESTAMP '2024-02-29 12:34:56' AS c_ts,
+             TIMESTAMP '2024-02-29 12:34:56' AS c_ts_ntz,
+             CAST('12.50' AS DECIMAL(10,2)) AS c_decimal
     """
 
     # streaming_rollup: full-table replay of the integer-micro-unit

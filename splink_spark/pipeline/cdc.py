@@ -71,7 +71,13 @@ def latest_by_key(
         .drop("__rn")
     )
     if op_col is not None:
-        out = out.where(~F.col(op_col).isin(list(delete_values)))
+        # three-valued logic: NOT IN evaluates to NULL for a NULL op,
+        # and WHERE drops NULL — but a NULL op marker is not a delete
+        # (the common CDC shape marks only deletes), so keep it
+        out = out.where(
+            F.col(op_col).isNull()
+            | ~F.col(op_col).isin(list(delete_values))
+        )
     return out
 
 

@@ -958,12 +958,20 @@ def clustering_agreement(
     emarg = ce.groupBy("__e").agg(F.sum("n_ce").alias("n_e"))
     # Σ_ce n_ce²/n_c needs the marginal attached BEFORE summing; the
     # per-(c,e) ratio is rational, so scale to exact integer micro-units
-    # via (n_ce² * 1e6) div n_c — both engines truncate identically
+    # via (n_ce² * 1e6) div n_c — both engines truncate identically.
+    # The product MUST accumulate in decimal(38,0): in int64 (ANSI off)
+    # n_ce² * 1e6 silently wraps once a contingency cell exceeds ~96k
+    # items. The quotient itself fits int64 (≤ n_ce * 1e6 since
+    # n_ce ≤ n_c), so `div`'s long result is safe.
     prec_terms = ce.join(cmarg, "__c").select(
-        F.expr("(n_ce * n_ce * 1000000) div n_c").cast(dec).alias("t")
+        F.expr(
+            "(cast(n_ce as decimal(38,0)) * n_ce * 1000000) div n_c"
+        ).cast(dec).alias("t")
     )
     rec_terms = ce.join(emarg, "__e").select(
-        F.expr("(n_ce * n_ce * 1000000) div n_e").cast(dec).alias("t")
+        F.expr(
+            "(cast(n_ce as decimal(38,0)) * n_ce * 1000000) div n_e"
+        ).cast(dec).alias("t")
     )
     p_sum = prec_terms.agg(F.sum("t").alias("s")).collect()[0]["s"]
     r_sum = rec_terms.agg(F.sum("t").alias("s")).collect()[0]["s"]

@@ -145,10 +145,20 @@ def functional_dependency_report(
     parts = []
     for lhs, rhs in dependencies:
         lhs_cols = [lhs] if isinstance(lhs, str) else list(lhs)
+        # distinct RHS values with NULL counting as a value, on the
+        # NATIVE column: count_distinct skips NULLs, so add 1 when any
+        # NULL exists. (String-casting with a sentinel would conflate
+        # distinct values that render identically — e.g. 1 vs '1'
+        # after cast, or a genuine sentinel-valued string.)
         per_lhs = df.groupBy(*lhs_cols).agg(
-            F.count_distinct(*[F.coalesce(
-                F.col(rhs).cast("string"), F.lit("\x00null")
-            )]).alias("__k")
+            (
+                F.count_distinct(F.col(rhs))
+                + F.max(
+                    F.when(F.col(rhs).isNull(), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                )
+            ).alias("__k")
         )
         parts.append(
             per_lhs.agg(

@@ -813,7 +813,10 @@ def time_weighted_average(
     to its own bucket only up to the boundary; the opening value of the
     next bucket is the carried previous observation re-emitted at the
     boundary (standard step-interpolation bucketing). The last
-    observation per key gets zero weight (nothing to hold until).
+    observation per key gets zero weight (nothing to hold until), and
+    duplicate-timestamp observations superseded instantly (zero-duration
+    steps) are excluded from the output entirely — they carry no weight
+    and do not count toward ``n_obs``.
 
     Exactness: weights are integer time deltas (``ts`` units) and each
     weighted term quantizes to integer micro-units before a
@@ -843,7 +846,12 @@ def time_weighted_average(
                 F.col("__t").asc(), *[F.col(c).asc() for c in tiebreaks]
             )
         ))
-        .where(F.col("__next").isNotNull())
+        # zero-duration steps (duplicate timestamps) carry no weight and
+        # must not reach the explode: on an exact bucket boundary
+        # last_b < first_b and F.sequence would generate a DESCENDING
+        # range, emitting spurious segments (inflated n_obs, possible
+        # 0/0 NaN buckets)
+        .where(F.col("__next") > F.col("__t"))
     )
     # explode the observation across the buckets it spans: segment k
     # covers [max(t, k*b), min(next, (k+1)*b)) — generated distributed

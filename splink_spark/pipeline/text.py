@@ -401,9 +401,13 @@ def strip_markup(
     c = F.regexp_replace(c, "(?is)<style[^>]*>.*?</style>", " ")
     c = F.regexp_replace(c, "(?s)<!--.*?-->", " ")
     c = F.regexp_replace(c, "<[^>]+>", " ")
+    # &amp; decodes LAST (standard entity-decoding order): decoding it
+    # first would turn escaped entities like the literal text `&amp;lt;`
+    # into `&lt;` and then `<`, double-decoding and reintroducing angle
+    # brackets into supposedly markup-free output
     for ent, rep in (
-        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-        ("&quot;", "\""), ("&#39;", "'"),
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"),
     ):
         c = F.regexp_replace(c, ent, rep)
     c = F.trim(F.regexp_replace(c, "\\s+", " "))

@@ -45,6 +45,27 @@ def test_latest_by_key_upserts_and_tombstones(spark):
     assert got == {"a": (11, "U"), "c": (31, "I"), "d": (41, "U")}
 
 
+def test_latest_by_key_null_op_is_not_a_delete(spark):
+    # the common CDC shape: only deletes carry an op marker — a key
+    # whose latest op is NULL must survive (three-valued NOT IN would
+    # silently drop it)
+    rows = [
+        (1, "a", _ts("2024-01-01T00:00:00"), None, 10),
+        (2, "b", _ts("2024-01-01T00:00:00"), "D", None),
+        (3, "c", _ts("2024-01-01T00:00:00"), "I", 30),
+        (4, "c", _ts("2024-01-02T00:00:00"), None, 31),
+    ]
+    log = spark.createDataFrame(
+        rows, "offset bigint, k string, ts timestamp, op string, val bigint"
+    )
+    out = latest_by_key(
+        log, "k", "ts", tiebreak_col="offset", op_col="op",
+        delete_values=("D",),
+    )
+    got = {r["k"]: r["val"] for r in out.collect()}
+    assert got == {"a": 10, "c": 31}
+
+
 def test_latest_by_key_without_op_keeps_all_keys(spark):
     log = _changelog(spark)
     out = latest_by_key(log, "k", "ts", tiebreak_col="offset")

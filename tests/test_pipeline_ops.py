@@ -697,3 +697,22 @@ def test_clustering_agreement_bcubed_and_ari(spark):
     # items missing from one side are ignored (inner join)
     partial = clustering_agreement(pred2.limit(2), tru2).collect()[0]
     assert partial["n_items"] == 2
+
+
+def test_clustering_agreement_large_cell_no_int64_wrap(spark):
+    from pyspark.sql import functions as F
+
+    from splink_spark.pipeline.dedup import clustering_agreement
+
+    # one contingency cell of 150k items: n_ce^2 * 1e6 = 2.25e22 wraps
+    # int64 (~9.2e18) unless the product accumulates in decimal — the
+    # wrap corrupted BCubed ppm at exactly the large-cluster scale the
+    # module targets
+    n = 150_000
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    pred = ids.withColumn("cluster_id", F.lit(0))
+    tru = ids.withColumn("entity_id", F.lit(0))
+    r = clustering_agreement(pred, tru).collect()[0]
+    assert r["n_items"] == n
+    assert (r["bcubed_precision"], r["bcubed_recall"], r["bcubed_f1"],
+            r["ari"]) == (1.0, 1.0, 1.0, 1.0)

@@ -812,3 +812,32 @@ def test_time_weighted_average_step_semantics(spark):
     # bucket 10: 10 held 10-12 (w2) + 4 held 12-15 (w3) -> 32/5 = 6.4
     # (NULL value drops; last obs has nothing to hold until -> no weight)
     assert res == {0: (6.8, 2), 10: (6.4, 2)}
+
+
+def test_time_weighted_average_duplicate_timestamps(spark):
+    from splink_spark.pipeline.temporal import time_weighted_average
+
+    # duplicate timestamps: the superseded observation is a zero-
+    # duration step and must not reach the output — especially on an
+    # exact bucket boundary, where (t-1) div b < t div b would make
+    # F.sequence generate a DESCENDING range (spurious segments,
+    # inflated n_obs, possible 0/0 buckets)
+    tw = spark.createDataFrame(
+        [
+            ("a", 0, 2.0), ("a", 10, 8.0), ("a", 10, 4.0),  # dup ON boundary
+            ("a", 15, 6.0), ("a", 15, 3.0),                  # dup off boundary
+            ("a", 20, 1.0),
+        ],
+        "k string, ts bigint, value double",
+    )
+    res = {
+        r["bucket_start"]: (r["twa"], r["n_obs"])
+        for r in time_weighted_average(
+            tw, by="k", bucket=10, order_cols="value"
+        ).collect()
+    }
+    # order within dup ts: by value asc -> at t=10 the 8.0 row is last
+    # (holds 10-15); at t=15 the 6.0 row is last (holds 15-20)
+    # bucket 0: 2 held 0-10 (w10) -> 2.0, 1 obs
+    # bucket 10: 8 held 10-15 (w5) + 6 held 15-20 (w5) -> 7.0, 2 obs
+    assert res == {0: (2.0, 1), 10: (7.0, 2)}

@@ -47,3 +47,14 @@ def test_strip_markup_removes_tags_scripts_entities(spark):
     assert got[1] == "Title Hello & world"
     assert got[2] == "text <kept> here"
     assert got[3] == "no markup"
+
+
+def test_strip_markup_no_double_decode(spark):
+    # &amp; decodes LAST: the literal text `&amp;lt;` means "&lt;" and
+    # must NOT double-decode into a real angle bracket
+    df = spark.createDataFrame(
+        [(1, "escaped entity &amp;lt;b&amp;gt; and &amp;amp; stay text")],
+        "doc_id bigint, text string",
+    )
+    got = strip_markup(df).collect()[0]["stripped_text"]
+    assert got == "escaped entity &lt;b&gt; and &amp; stay text"

@@ -266,3 +266,19 @@ def test_functional_dependency_report(spark):
     import pytest as _p
     with _p.raises(ValueError):
         functional_dependency_report(df, [])
+
+
+def test_functional_dependency_native_distinct_no_sentinel_conflation(spark):
+    from splink_spark.pipeline.quality import functional_dependency_report
+
+    # a genuine '\x00null' string must stay distinct from a real NULL,
+    # and NULL + one value = 2 distinct RHS (a violation) — the old
+    # string-cast sentinel conflated these
+    df = spark.createDataFrame(
+        [("a", "\x00null"), ("a", None), ("b", "x"), ("b", None)],
+        "k string, v string",
+    )
+    r = functional_dependency_report(df, [("k", "v")]).collect()[0]
+    assert (r["n_lhs_values"], r["n_violating"], r["holds"]) == (
+        2, 2, False,
+    )
