@@ -293,13 +293,21 @@ def repetition_metrics(
             F.round(top_2gram_char_frac, 6).alias("top_2gram_char_frac"),
         )
 
+    if method == "hof":
+        # single consumer — one pass, nothing to share
+        return _hof_metrics(staged)
+    if method not in ("auto", "explode"):
+        raise ValueError("method must be 'auto', 'hof' or 'explode'")
+    # tokenize ONCE: the explode path reads the staged token frame three
+    # times (token counts, gram counts, id spine) and auto's two branches
+    # would otherwise each re-run the split+gram build over the full
+    # corpus — the single biggest constant factor in the curation suite
+    # (re-tokenization dominated the 10M bench). The optimizer barrier
+    # stops expression inlining but not plan re-EXECUTION; persist does.
+    staged = staged.persist()
     if method == "explode":
         return _explode_metrics(staged)
-    if method == "hof":
-        return _hof_metrics(staged)
-    if method != "auto":
-        raise ValueError("method must be 'auto', 'hof' or 'explode'")
-    # per-document routing: both branches read the same staged token frame,
+    # per-document routing: both branches read the same cached token frame,
     # short docs stay shuffle-free, long docs get linear explode-aggregate
     short = staged.where(F.size(toks) <= F.lit(hof_max_tokens))
     long_docs = staged.where(F.size(toks) > F.lit(hof_max_tokens))

@@ -88,6 +88,49 @@ def test_hilbert_index_staged_matches_inline(spark):
         assert got[i] == _xy2d_py(1 << 16, x, y), (x, y)
 
 
+def test_hilbert_index_vectorized_parity(spark):
+    """The numpy mapInPandas fast path must be bit-equal to the staged
+    Column walk (the oracle-parity reference) on random inputs at full
+    16-bit depth, including the corner cells."""
+    import random
+
+    from splink_spark.pipeline.layout import hilbert_index_vectorized
+
+    rng = random.Random(21)
+    top = (1 << 16) - 1
+    pts = [(i, rng.randrange(1 << 16), rng.randrange(1 << 16))
+           for i in range(500)]
+    pts += [(500, 0, 0), (501, top, top), (502, 0, top), (503, top, 0)]
+    df = spark.createDataFrame(pts, "id bigint, x bigint, y bigint")
+    staged = {
+        r["id"]: r["h_value"]
+        for r in hilbert_index(df, "x", "y", bits=16).collect()
+    }
+    vec = {
+        r["id"]: r["h_value"]
+        for r in hilbert_index_vectorized(df, "x", "y", bits=16).collect()
+    }
+    assert vec == staged
+    # sort engines agree on the resulting key column
+    s1 = sorted(
+        r["h_value"]
+        for r in hilbert_sort(
+            df, ["x", "y"], bits=12, keep_key=True, engine="vectorized"
+        ).collect()
+    )
+    s2 = sorted(
+        r["h_value"]
+        for r in hilbert_sort(
+            df, ["x", "y"], bits=12, keep_key=True, engine="staged"
+        ).collect()
+    )
+    assert s1 == s2
+    with pytest.raises(ValueError):
+        hilbert_index_vectorized(df, "x", "y", bits=32)
+    with pytest.raises(ValueError):
+        hilbert_sort(df, ["x", "y"], engine="nope")
+
+
 def test_hilbert_sort_shapes_and_null_column(spark):
     df = spark.createDataFrame(
         [(i, (i * 37) % 100, None) for i in range(200)],

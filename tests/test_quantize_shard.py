@@ -292,7 +292,10 @@ def test_ivf_pq_composition_law_and_probe_subset(spark):
     rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(150)]
     vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     queries = vecs.where(F.col("vec_id") < 3)
-    kwargs = dict(k=4, m=4, codebook_size=4, iterations=1)
+    kwargs = dict(
+        k=4, m=4, codebook_size=4, iterations=1,
+        residual=False, rerank_candidates=None,
+    )
     full = {
         (r["query_id"], r["rank"]): (r["neighbour_id"], r["adc_dist"])
         for r in ivf_pq_topk(
@@ -301,7 +304,9 @@ def test_ivf_pq_composition_law_and_probe_subset(spark):
     }
     pure = {
         (r["query_id"], r["rank"]): (r["neighbour_id"], r["adc_dist"])
-        for r in pq_topk(vecs, queries, **kwargs).collect()
+        for r in pq_topk(
+            vecs, queries, k=4, m=4, codebook_size=4, iterations=1
+        ).collect()
     }
     assert full == pure
     # narrow probe: every returned adc_dist must match the full-probe
@@ -312,6 +317,7 @@ def test_ivf_pq_composition_law_and_probe_subset(spark):
         for r in ivf_pq_topk(
             vecs, queries, num_cells=4, nprobe=4, k=150, m=4,
             codebook_size=4, iterations=1,
+            residual=False, rerank_candidates=None,
         ).collect()
     }
     narrow = ivf_pq_topk(
@@ -320,3 +326,90 @@ def test_ivf_pq_composition_law_and_probe_subset(spark):
     assert len(narrow) > 0
     for r in narrow:
         assert alldist[(r["query_id"], r["neighbour_id"])] == r["adc_dist"]
+
+
+def test_ivfadc_residual_recall_beats_raw_on_clustered_data(spark):
+    """The round-7 recall collapse: on clustered corpora, raw-vector PQ
+    codes re-describe the coarse cluster structure and cannot separate
+    within-cell neighbours. Residual encoding (IVFADC) must recover
+    high recall with the SAME bit budget; raw codes stay poor."""
+    import math
+    import random
+
+    from splink_spark.pipeline.ann import brute_force_topk, ivf_pq_topk
+
+    rng = random.Random(7)
+    dim, n_centers, per = 16, 8, 40
+    centers = [
+        [rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_centers)
+    ]
+    rows = []
+    for i in range(n_centers * per):
+        c = centers[i % n_centers]
+        v = [x + rng.gauss(0, 0.05) for x in c]
+        nrm = math.sqrt(sum(y * y for y in v))
+        rows.append((i, [y / nrm for y in v]))
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = vecs.where(F.col("vec_id") < 8)
+    truth = {
+        (r["query_id"], r["neighbour_id"])
+        for r in brute_force_topk(vecs, queries, k=5).collect()
+    }
+
+    def recall(residual, depth):
+        got = {
+            (r["query_id"], r["neighbour_id"])
+            for r in ivf_pq_topk(
+                vecs, queries, k=5, num_cells=8, nprobe=3, m=4,
+                codebook_size=8, iterations=2, residual=residual,
+                rerank_candidates=depth,
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    # ADC-only (no rerank): residual codes must rank better than raw
+    # codes with the same 12-bit budget (measured 0.375 vs 0.15 here)
+    adc_res, adc_raw = recall(True, None), recall(False, None)
+    assert adc_res > adc_raw, (adc_res, adc_raw)
+    # tight exact-rerank depth (20 of 320 = 6% of the corpus, so the ADC
+    # candidate ordering is what's under test): residual clears the
+    # recall floor, raw does not (measured 0.825 vs 0.55)
+    rr_res, rr_raw = recall(True, 20), recall(False, 20)
+    assert rr_res >= 0.8, (rr_res, rr_raw)
+    assert rr_res > rr_raw, (rr_res, rr_raw)
+
+
+def test_ivfadc_auto_rerank_default(spark):
+    """Default rerank_candidates='auto' re-ranks 20·k ADC survivors by
+    exact cosine — output carries cosine_sim, and the top hit for a
+    query drawn from the corpus is its true nearest neighbour."""
+    import math
+    import random
+
+    from splink_spark.pipeline.ann import brute_force_topk, ivf_pq_topk
+
+    rng = random.Random(99)
+    rows = []
+    for i in range(200):
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        nrm = math.sqrt(sum(y * y for y in v))
+        rows.append((i, [y / nrm for y in v]))
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = vecs.where(F.col("vec_id") < 4)
+    out = ivf_pq_topk(
+        vecs, queries, k=3, num_cells=4, nprobe=4, m=4,
+        codebook_size=8, iterations=2,
+    )
+    assert "cosine_sim" in out.columns
+    got = {
+        r["query_id"]: r["neighbour_id"]
+        for r in out.collect()
+        if r["rank"] == 1
+    }
+    want = {
+        r["query_id"]: r["neighbour_id"]
+        for r in brute_force_topk(vecs, queries, k=1).collect()
+    }
+    # full probe + exact rerank at depth 60 over 200 vectors: the true
+    # top-1 must be recovered for every query
+    assert got == want

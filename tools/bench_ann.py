@@ -133,10 +133,27 @@ def main() -> None:
             ),
         ),
         (
-            "ivf_pq_topk_rerank",
+            "ivf_pq_raw_rerank",
             lambda: ann.ivf_pq_topk(
                 vecs, queries, k=k, num_cells=64, nprobe=8, m=8,
                 codebook_size=32, iterations=2, rerank_candidates=20 * k,
+                residual=False,
+            ),
+        ),
+        (
+            "ivfadc_residual_adc",
+            lambda: ann.ivf_pq_topk(
+                vecs, queries, k=k, num_cells=64, nprobe=8, m=8,
+                codebook_size=32, iterations=2, rerank_candidates=None,
+                residual=True,
+            ),
+        ),
+        (
+            "ivfadc_residual_rerank",
+            lambda: ann.ivf_pq_topk(
+                vecs, queries, k=k, num_cells=64, nprobe=8, m=8,
+                codebook_size=32, iterations=2, rerank_candidates=20 * k,
+                residual=True,
             ),
         ),
     ]:
@@ -147,6 +164,24 @@ def main() -> None:
         except Exception as exc:
             results["ops"][name] = {"error": str(exc)[:300]}
             print(f"{name} FAILED: {exc}", flush=True)
+
+    # recall floor: the r7 verdict's regression tripwire — the residual
+    # IVFADC path (the default ivf_pq_topk) must clear 0.8 recall@10 on
+    # this clustered corpus. A floor violation is loud (nonzero exit),
+    # not a silently-recorded number.
+    floor = float(os.environ.get("ANN_RECALL_FLOOR", "0.8"))
+    flagship = results["ops"].get("ivfadc_residual_rerank", {})
+    flagship_recall = flagship.get("recall_at_10")
+    results["recall_floor"] = floor
+    results["recall_floor_met"] = (
+        flagship_recall is not None and flagship_recall >= floor
+    )
+    if not results["recall_floor_met"]:
+        print(
+            f"RECALL FLOOR VIOLATION: ivfadc_residual_rerank recall@10 = "
+            f"{flagship_recall} < {floor}",
+            flush=True,
+        )
 
     results["notes"] = (
         "single run per variant (shared session, shared noise window); "
@@ -176,6 +211,8 @@ def main() -> None:
     with open(prior_path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
+    if not results["recall_floor_met"]:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
