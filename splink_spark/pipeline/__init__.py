@@ -91,6 +91,7 @@ from .search import (  # noqa: F401
     bm25_corpus_stats,
     bm25_index,
     bm25_index_read,
+    bucket_coverage,
     bm25_index_write,
     bm25_search,
 )

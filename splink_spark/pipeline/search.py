@@ -39,6 +39,7 @@ __all__ = [
     "bm25_search",
     "bm25_index_write",
     "bm25_index_read",
+    "bucket_coverage",
     "bm25_release_cached_slices",
     "term_cosine_join",
     "positional_index",
@@ -253,11 +254,30 @@ def bm25_index_write(
     )
 
 
+def bucket_coverage(
+    query_terms: DataFrame, num_buckets: int = 64
+) -> "tuple[list, float]":
+    """Bucket ids a query batch's terms hash into, plus the coverage
+    fraction ``len(buckets)/num_buckets`` — the routing signal for
+    :func:`bm25_index_read`: one tiny job bounded by the number of
+    distinct query terms."""
+    buckets = [
+        r[0]
+        for r in query_terms.select(
+            F.pmod(F.xxhash64("term"), F.lit(int(num_buckets))).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    return buckets, len(buckets) / max(1, int(num_buckets))
+
+
 def bm25_index_read(
     spark,
     path: str,
     query_terms: Optional[DataFrame] = None,
     num_buckets: int = 64,
+    prune_coverage_max: float = 0.5,
 ) -> DataFrame:
     """Open a bucketed index. With ``query_terms`` (any DataFrame with a
     ``term`` column — e.g. the queries exploded through
@@ -269,18 +289,22 @@ def bm25_index_read(
     data would silently mis-prune when the highest buckets happen to be
     empty). Corpus stats must come from the FULL index
     (``bm25_corpus_stats`` on an unpruned read, once per index — store
-    them with the index, not per query)."""
+    them with the index, not per query).
+
+    AUTO-ROUTING: pruning only pays when the query vocabulary misses
+    most buckets. A 20-query batch already hashed into all 64 buckets at
+    the 100M bench — and the "pruned" read then cost MORE than the full
+    read (609s vs 591s: same directories scanned, plus a pass-everything
+    partition filter). When measured coverage exceeds
+    ``prune_coverage_max`` (default 0.5) the filter is skipped and the
+    full index is read; use :func:`bucket_coverage` to inspect the
+    signal yourself (e.g. to decide between per-batch pruning and a
+    cache-the-slice serving layout for repeated query batches)."""
     df = spark.read.parquet(path)
     if query_terms is not None:
-        buckets = [
-            r[0]
-            for r in query_terms.select(
-                F.pmod(F.xxhash64("term"), F.lit(int(num_buckets))).alias("b")
-            )
-            .distinct()
-            .collect()
-        ]
-        df = df.where(F.col("term_bucket").isin(buckets))
+        buckets, coverage = bucket_coverage(query_terms, num_buckets)
+        if coverage <= float(prune_coverage_max):
+            df = df.where(F.col("term_bucket").isin(buckets))
     return df.drop("term_bucket")
 
 

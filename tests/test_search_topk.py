@@ -303,6 +303,44 @@ def test_bm25_bucketed_disk_index_prunes_and_matches(spark, corpus, tmp_path):
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, idx.collect()))
 
 
+def test_bm25_index_read_auto_routes_on_bucket_coverage(spark, corpus, tmp_path):
+    """When the query vocabulary covers most buckets, pruning costs more
+    than it saves (the 100M bench measured pruned 609s vs full 591s at
+    coverage 1.0) — the read must skip the partition filter above the
+    coverage threshold, and bucket_coverage must report the signal."""
+    from splink_spark.pipeline.search import (
+        bm25_index_read,
+        bm25_index_write,
+        bucket_coverage,
+        tokenize_terms,
+    )
+
+    idx = bm25_index(corpus)
+    path = str(tmp_path / "idx_cov")
+    bm25_index_write(idx, path, num_buckets=4)
+
+    # wide vocabulary: every corpus term -> all 4 buckets covered
+    wide = idx.select("term").distinct()
+    buckets, cov = bucket_coverage(wide, num_buckets=4)
+    assert cov == 1.0 and sorted(buckets) == [0, 1, 2, 3]
+    routed = bm25_index_read(spark, path, query_terms=wide, num_buckets=4)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    # no isin filter planned — the full read
+    assert "term_bucket" not in plan.split("PartitionFilters")[1][:80]
+    assert sorted(map(tuple, routed.collect())) == sorted(
+        map(tuple, idx.collect())
+    )
+
+    # narrow vocabulary still prunes
+    qs = spark.createDataFrame([(1, "quick")], "query_id long, query string")
+    qterms = qs.select(F.explode(tokenize_terms(F.col("query"))).alias("term"))
+    _, cov_narrow = bucket_coverage(qterms, num_buckets=4)
+    assert cov_narrow <= 0.5
+    pruned = bm25_index_read(spark, path, query_terms=qterms, num_buckets=4)
+    plan2 = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "term_bucket" in plan2.split("PartitionFilters")[1][:200]
+
+
 def test_group_moments_matches_statistics_module(spark):
     import statistics
 
