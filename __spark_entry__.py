@@ -2307,6 +2307,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "adc_dist",
         )
 
+    def q_ann_ivfadc(spark, sf_dir):
+        """IVFADC residual search (pipeline/ann.py ivf_pq_topk with
+        residual=True — PQ codebooks trained on v − coarse_centroid per
+        Jégou et al. TPAMI 2011 §IV; per-(query, probed cell) LUTs from
+        the query's residual). All arithmetic exact int64 (residuals
+        are differences of quantized ints, ADC sums of integer squared
+        L2), so candidates and ranks replay bit-identically; the oracle
+        replays coarse k-means (1 iter), residual extraction, residual
+        PQ (1 iter), and the cell-routed ADC ranking in SQL."""
+        emb = _session(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+        return ann.ivf_pq_topk(
+            emb,
+            emb.where(F.col("vec_id") < 5),
+            k=5,
+            num_cells=4,
+            nprobe=2,
+            m=4,
+            codebook_size=8,
+            iterations=1,
+            residual=True,
+            rerank_candidates=None,
+        ).select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbour_id",
+            "adc_dist",
+        )
+
     def q_attribution(spark, sf_dir):
         """First/last-touch conversion attribution (pipeline/temporal.py
         conversion_attribution — 'since previous conversion' model: one
@@ -2924,6 +2952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_agreement": q_clustering_agreement,
         "functional_deps": q_functional_deps,
         "ann_pq": q_ann_pq,
+        "ann_ivfadc": q_ann_ivfadc,
         "jaccard_join": q_jaccard_join,
         "bm25_topk": q_bm25_topk,
         "streaming_bm25": q_streaming_bm25,
@@ -3072,7 +3101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-red r06+r07 — HUGEINT-oracle root cause fixed
         "expectations",
         # driver-hasher canonicalization probes (new this round)
-        "hash_probe", "hash_probe_temporal",
+        "hash_probe", "hash_probe_temporal", "ann_ivfadc",
         # code changed this round — re-attest under the driver
         "cdc_latest", "streaming_cdc", "time_weighted_avg",
         "strip_markup",
@@ -3088,7 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup", "kmeans_assign", "label_propagation",
         "minhash_lsh", "n_largest_blocks", "ngram_jaccard", "pagerank",
         "predict_customer", "quality_classifier", "quality_score",
-        "repetition_metrics", "rolling_fingerprint", "semantic_dedup",
+        "repetition_metrics", "rolling_fingerprint",
     ]
     return {k: d[k] for k in lead} | {
         k: v for k, v in d.items() if k not in lead
@@ -7174,6 +7203,137 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
              TIMESTAMP '2024-02-29 12:34:56' AS c_ts,
              TIMESTAMP '2024-02-29 12:34:56' AS c_ts_ntz,
              CAST('12.50' AS DECIMAL(10,2)) AS c_decimal
+    """
+
+    # ann_ivfadc: full SQL replay of residual IVF-PQ — coarse spherical
+    # k-means (1 Lloyd round, MINSTD init, integer means + renorm),
+    # per-vector residual q − centroid(cell), PQ trained on residuals
+    # (1 round, ||c||²−2rc keys, ties to lower code), then the
+    # cell-routed ADC ranking with per-(query, probed cell) LUTs
+    sqls["ann_ivfadc"] = """
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+e1 AS (SELECT vec_id, d, greatest(sqrt(list_sum(list_transform(d, y -> y*y))), 1e-12) AS nrm FROM e0),
+e AS MATERIALIZED (SELECT vec_id, list_transform(d, x -> CAST(round(x / nrm * 1000000) AS BIGINT)) AS q FROM e1),
+sub AS (SELECT unnest(generate_series(0, 3)) AS s),
+cinit AS (
+  SELECT CAST(row_number() OVER (ORDER BY ((vec_id * 48271) % 2147483647) % 1000000, vec_id) - 1 AS BIGINT) AS cluster, q
+  FROM e
+  QUALIFY row_number() OVER (ORDER BY ((vec_id * 48271) % 2147483647) % 1000000, vec_id) <= 4
+),
+ca1 AS MATERIALIZED (
+  SELECT vec_id, q, cluster FROM (
+    SELECT e.vec_id, e.q, c.cluster,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY list_inner_product(e.q, c.q) DESC, c.cluster ASC) AS rn
+    FROM e CROSS JOIN cinit c) WHERE rn = 1
+),
+cm1 AS (
+  SELECT cluster, pos, CAST(round(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS m
+  FROM (SELECT cluster, unnest(q) AS val, unnest(generate_series(1, len(q))) AS pos FROM ca1)
+  GROUP BY cluster, pos
+),
+cn1 AS (SELECT cluster, sqrt(CAST(sum(m*m) AS DOUBLE)) AS nrm FROM cm1 GROUP BY cluster),
+c1v AS (
+  SELECT cm1.cluster, cm1.pos,
+    CASE WHEN cn1.nrm > 0 THEN CAST(round(CAST(m AS DOUBLE) * 1000000.0 / cn1.nrm) AS BIGINT) ELSE m END AS cm
+  FROM cm1 JOIN cn1 USING (cluster)
+),
+c1 AS MATERIALIZED (
+  SELECT i.cluster, coalesce(g.c, i.q) AS q
+  FROM cinit i LEFT JOIN (SELECT cluster, list(cm ORDER BY pos) AS c FROM c1v GROUP BY cluster) g USING (cluster)
+),
+afinal AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY list_inner_product(e.q, c.q) DESC, c.cluster ASC) AS rn
+    FROM e CROSS JOIN c1 c) WHERE rn = 1
+),
+cu AS MATERIALIZED (
+  SELECT cluster, unnest(q) AS val, unnest(generate_series(1, len(q))) AS pos FROM c1
+),
+resid AS MATERIALIZED (
+  SELECT eu.vec_id, list(eu.val - cu.val ORDER BY eu.pos) AS r
+  FROM (SELECT a.vec_id, a.cluster, unnest(e.q) AS val,
+               unnest(generate_series(1, len(e.q))) AS pos
+        FROM afinal a JOIN e ON e.vec_id = a.vec_id) eu
+  JOIN cu ON cu.cluster = eu.cluster AND cu.pos = eu.pos
+  GROUP BY eu.vec_id
+),
+rs AS MATERIALIZED (
+  SELECT vec_id, s, list_slice(r, s*16+1, (s+1)*16) AS qs FROM resid, sub
+),
+pinit AS (
+  SELECT CAST(row_number() OVER (ORDER BY ((vec_id * 48271) % 2147483647) % 1000000, vec_id) - 1 AS INT) AS code, r
+  FROM resid
+  QUALIFY row_number() OVER (ORDER BY ((vec_id * 48271) % 2147483647) % 1000000, vec_id) <= 8
+),
+cb0 AS MATERIALIZED (
+  SELECT s, code, list_slice(r, s*16+1, (s+1)*16) AS qs FROM pinit, sub
+),
+pa1 AS MATERIALIZED (
+  SELECT vec_id, s, qs, code FROM (
+    SELECT rs.vec_id, rs.s, rs.qs, c.code,
+      row_number() OVER (PARTITION BY rs.vec_id, rs.s
+        ORDER BY (list_inner_product(c.qs, c.qs)
+                  - 2 * list_inner_product(rs.qs, c.qs)) ASC, c.code ASC) AS rn
+    FROM rs JOIN cb0 c ON rs.s = c.s) WHERE rn = 1
+),
+pm1 AS (
+  SELECT s, code, pos, CAST(round(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS mu
+  FROM (SELECT s, code, unnest(qs) AS val, unnest(generate_series(1, len(qs))) AS pos FROM pa1)
+  GROUP BY s, code, pos
+),
+cb1 AS MATERIALIZED (
+  SELECT c0.s, c0.code, coalesce(g.v, c0.qs) AS qs
+  FROM cb0 c0 LEFT JOIN (
+    SELECT s, code, list(mu ORDER BY pos) AS v FROM pm1 GROUP BY s, code
+  ) g ON c0.s = g.s AND c0.code = g.code
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, s, code FROM (
+    SELECT rs.vec_id, rs.s, c.code,
+      row_number() OVER (PARTITION BY rs.vec_id, rs.s
+        ORDER BY (list_inner_product(c.qs, c.qs)
+                  - 2 * list_inner_product(rs.qs, c.qs)) ASC, c.code ASC) AS rn
+    FROM rs JOIN cb1 c ON rs.s = c.s) WHERE rn = 1
+),
+qprobe AS MATERIALIZED (
+  SELECT vec_id AS query_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY list_inner_product(e.q, c.q) DESC, c.cluster ASC) AS rn
+    FROM e CROSS JOIN c1 c WHERE e.vec_id < 5) WHERE rn <= 2
+),
+qres AS MATERIALIZED (
+  SELECT qp.query_id, qp.cluster, list(eu.val - cu.val ORDER BY eu.pos) AS r
+  FROM qprobe qp
+  JOIN (SELECT vec_id, unnest(q) AS val,
+               unnest(generate_series(1, len(q))) AS pos
+        FROM e WHERE vec_id < 5) eu ON eu.vec_id = qp.query_id
+  JOIN cu ON cu.cluster = qp.cluster AND cu.pos = eu.pos
+  GROUP BY qp.query_id, qp.cluster
+),
+qsub AS MATERIALIZED (
+  SELECT query_id, cluster, s, list_slice(r, s*16+1, (s+1)*16) AS qs FROM qres, sub
+),
+adc AS (
+  SELECT q.query_id, n.vec_id AS neighbour_id,
+         CAST(sum(list_inner_product(q.qs, q.qs)
+                  - 2 * list_inner_product(q.qs, c.qs)
+                  + list_inner_product(c.qs, c.qs)) AS BIGINT) AS adc_dist
+  FROM codes n
+  JOIN afinal a ON a.vec_id = n.vec_id
+  JOIN qsub q ON q.s = n.s AND q.cluster = a.cluster
+  JOIN cb1 c ON c.s = n.s AND c.code = n.code
+  WHERE n.vec_id <> q.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, neighbour_id, adc_dist FROM (
+  SELECT query_id, neighbour_id, adc_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY adc_dist ASC, neighbour_id ASC) AS BIGINT) AS rank
+  FROM adc) WHERE rank <= 5
     """
 
     # streaming_rollup: full-table replay of the integer-micro-unit
