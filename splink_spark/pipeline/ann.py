@@ -881,6 +881,14 @@ def pq_topk(
     re-rank them by exact cosine on the original embeddings (the sq8_topk
     pattern: only |Q| x rerank_candidates pairs ever re-read the floats),
     returning (query_id, rank, neighbour_id, cosine_sim) instead.
+
+    On CLUSTERED corpora raw-vector codes are the wrong tool at any
+    rerank depth (BENCH_ANN: recall@10 0.17 with rerank on a 256-center
+    1M corpus — the codes spend their budget re-describing cluster
+    structure): use :func:`ivf_pq_topk` with ``residual=True`` (IVFADC),
+    which encodes ``v − coarse_centroid`` and recovers the recall with
+    the same bit budget. This flat-PQ entry point is the right shape
+    only for corpora without strong cluster structure.
     """
     codes_df, codebooks = pq_train_encode(
         corpus,
