@@ -2019,10 +2019,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_hash_probe_temporal(spark, sf_dir):
         """Driver-hasher canonicalization probe, part 2: the exotic
         scalar types no current gate emits — int32, smallint, date,
-        timestamp (instant; session TZ sensitivity), timestamp_ntz, and
-        decimal. Green pins them usable; red (with part 1 green)
-        isolates the unsafe class without burning a round on a
-        production gate."""
+        timestamp (instant; session TZ sensitivity), timestamp_ntz.
+        Green pins them usable; red (with part 1 green) isolates the
+        unsafe class without burning a round on a production gate.
+        DECIMAL is deliberately absent: DuckDB decimals render as
+        float64 through pandas fetch paths (12.50 -> 12.5), a KNOWN
+        unsafe representation that would mask this probe's signal about
+        the temporal types — gates must cast decimals to double/bigint
+        anyway."""
         return _session(spark).range(1).select(
             F.lit(42).cast("int").alias("c_int32"),
             F.lit(7).cast("smallint").alias("c_small"),
@@ -2031,7 +2035,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.expr(
                 "to_timestamp_ntz('2024-02-29 12:34:56')"
             ).alias("c_ts_ntz"),
-            F.lit("12.50").cast("decimal(10,2)").alias("c_decimal"),
         )
 
     def q_streaming_rollup(spark, sf_dir):
@@ -7201,8 +7204,7 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
              CAST(7 AS SMALLINT) AS c_small,
              DATE '2024-02-29' AS c_date,
              TIMESTAMP '2024-02-29 12:34:56' AS c_ts,
-             TIMESTAMP '2024-02-29 12:34:56' AS c_ts_ntz,
-             CAST('12.50' AS DECIMAL(10,2)) AS c_decimal
+             TIMESTAMP '2024-02-29 12:34:56' AS c_ts_ntz
     """
 
     # ann_ivfadc: full SQL replay of residual IVF-PQ — coarse spherical
