@@ -299,13 +299,24 @@ def _kmeans_int_index(
     embedding_col: str,
     id_col: str,
     scale: int,
+    train_fraction: "Optional[float]" = None,
 ):
     """The exact-int64 spherical-k-means index build shared by
     :func:`kmeans_fit_assign` and :func:`ivf_topk_portable`.
 
     Returns ``(staged, centroids, assign)``: the persisted quantized corpus
     ``(id, __q)``, the final integer centroid vectors, and an ``assign``
-    closure producing ``(id, __q, cluster, __dot)``."""
+    closure producing ``(id, __q, cluster, __dot)``.
+
+    ``train_fraction``: train the centroids on a deterministic MINSTD
+    subset (``bucket(id) < fraction·1e6`` — the same portable sampler as
+    ``estimate_u``) instead of the full corpus; the final assignment
+    still covers every vector. This is FAISS's standard quantizer-
+    training economy (train on ~100k–1M samples however big the corpus):
+    Lloyd iterations cost O(train · k) instead of O(N · k), and at 100 TB
+    the training scans are the dominant index-build cost. Deterministic
+    and engine-replayable (an oracle replays the subset with the same
+    bucket predicate)."""
     from .curation import _minstd_bucket
 
     # materialize the quantized vectors ONCE: without the persist barrier
@@ -313,12 +324,18 @@ def _kmeans_int_index(
     # into every one of the k dot products in every iteration (k * iters
     # recomputes per row, measured 17x slower at sf0.1)
     staged = _quantize_int(corpus, embedding_col, id_col, scale).persist()
+    train = staged
+    if train_fraction is not None:
+        if not 0 < train_fraction <= 1:
+            raise ValueError("train_fraction must be in (0, 1]")
+        thr = int(round(float(train_fraction) * 1_000_000))
+        train = staged.where(_minstd_bucket(id_col) < F.lit(thr)).persist()
 
-    def _assign(centroids: list[list[int]]) -> DataFrame:
+    def _assign_df(df: DataFrame, centroids: list[list[int]]) -> DataFrame:
         # argmax via ARRAY of dots + array_position: first max wins, so
         # ties break to the lower cluster id
         dots = _int_dot_array(centroids)
-        with_dots = staged.select(F.col(id_col), F.col("__q"), dots.alias("__dots"))
+        with_dots = df.select(F.col(id_col), F.col("__q"), dots.alias("__dots"))
         return with_dots.select(
             F.col(id_col),
             F.col("__q"),
@@ -328,8 +345,11 @@ def _kmeans_int_index(
             F.array_max("__dots").alias("__dot"),
         )
 
+    def _assign(centroids: list[list[int]]) -> DataFrame:
+        return _assign_df(staged, centroids)
+
     init_rows = (
-        staged.withColumn("__b", _minstd_bucket(id_col))
+        train.withColumn("__b", _minstd_bucket(id_col))
         .orderBy("__b", id_col)
         .limit(k)
         .collect()
@@ -338,7 +358,7 @@ def _kmeans_int_index(
     k = len(centroids)
 
     for _ in range(max(0, iterations)):
-        assigned = _assign(centroids)
+        assigned = _assign_df(train, centroids)
         # integer mean per (cluster, position): sum is exact int64; round of
         # sum/count is the only float op and both engines round .5 away
         means = (
@@ -750,12 +770,15 @@ def _pq_core(
     m: int,
     codebook_size: int,
     iterations: int,
+    train_df: "Optional[DataFrame]" = None,
 ):
     """PQ train+encode over an already-staged integer-vector frame
     ``(id_col, __q array<bigint>)`` — the shared core behind
     :func:`pq_train_encode` (raw vectors) and :func:`ivf_pq_topk`'s
     residual path (``__q`` = vector − coarse centroid). Same exact-int64
-    contract and plan shape as documented on :func:`pq_train_encode`."""
+    contract and plan shape as documented on :func:`pq_train_encode`.
+    ``train_df``: optional subset to TRAIN the codebooks on (init + mean
+    updates); encoding always covers the full ``staged`` frame."""
     dim_row = staged.select(F.size("__q").alias("d")).head()
     if dim_row is None:
         staged.unpersist()
@@ -767,11 +790,12 @@ def _pq_core(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
+    train = train_df if train_df is not None else staged
 
     from .curation import _minstd_bucket
 
     init_rows = (
-        staged.withColumn("__b", _minstd_bucket(id_col))
+        train.withColumn("__b", _minstd_bucket(id_col))
         .orderBy("__b", id_col)
         .limit(codebook_size)
         .collect()
@@ -781,7 +805,7 @@ def _pq_core(
         for s in range(m)
     ]
 
-    long_form = staged.select(
+    long_form = train.select(
         F.col(id_col),
         F.posexplode(
             F.array(*[F.slice("__q", s * sub + 1, sub) for s in range(m)])
@@ -992,6 +1016,7 @@ def ivf_pq_topk(
     scale: int = 1_000_000,
     rerank_candidates: "Optional[int] | str" = "auto",
     residual: bool = True,
+    train_fraction: "Optional[float]" = None,
 ) -> DataFrame:
     """IVF-PQ: the 100 TB ANN workhorse — route each query to its
     ``nprobe`` nearest coarse cells (:func:`ivf_topk_portable`'s exact-int64
@@ -1022,11 +1047,25 @@ def ivf_pq_topk(
     pins it). All arithmetic is exact int64 (residuals are differences
     of quantized ints; LUT entries are integer squared L2), so
     candidate sets and ADC ranks replay bit-identically in any engine.
+
+    ``train_fraction``: train BOTH quantizers (coarse cells and PQ
+    codebooks) on a deterministic MINSTD subset of the corpus — FAISS's
+    standard economy; at 100 TB the Lloyd iterations are the dominant
+    index-build cost and a ~100k–1M sample trains centroids just as
+    well. Assignment, residuals, and encoding always cover the full
+    corpus. Deterministic and engine-replayable.
+
+    Operating point: ``num_cells ≈ sqrt(N)`` (the IVFADC default). A
+    coarse quantizer with FEWER cells than the corpus's latent cluster
+    structure leaves that structure in the residuals and codes can't
+    separate within-cell neighbours — BENCH_ANN measured recall 0.165
+    at 64 cells vs ≥0.9 at 256 cells on a 256-center corpus.
     """
     if rerank_candidates == "auto":
         rerank_candidates = 20 * k
     staged, centroids, _assign = _kmeans_int_index(
-        corpus, num_cells, iterations, embedding_col, id_col, scale
+        corpus, num_cells, iterations, embedding_col, id_col, scale,
+        train_fraction=train_fraction,
     )
     assigned = _assign(centroids).select(
         F.col(id_col).alias("neighbour_id"), "__q", "cluster"
@@ -1049,13 +1088,30 @@ def ivf_pq_topk(
             )
             .persist()
         )
+        res_train = None
+        if train_fraction is not None:
+            from .curation import _minstd_bucket
+
+            res_train = res_staged.where(
+                _minstd_bucket(id_col)
+                < F.lit(int(round(float(train_fraction) * 1_000_000)))
+            )
         codes_df, codebooks = _pq_core(
-            res_staged, id_col, m, codebook_size, iterations
+            res_staged, id_col, m, codebook_size, iterations,
+            train_df=res_train,
         )
     else:
         # staged is (id_col, __q) and already persisted by the index build
+        pq_train = None
+        if train_fraction is not None:
+            from .curation import _minstd_bucket
+
+            pq_train = staged.where(
+                _minstd_bucket(id_col)
+                < F.lit(int(round(float(train_fraction) * 1_000_000)))
+            )
         codes_df, codebooks = _pq_core(
-            staged, id_col, m, codebook_size, iterations
+            staged, id_col, m, codebook_size, iterations, train_df=pq_train
         )
     assigned = assigned.select("neighbour_id", "cluster")
     if not codebooks:

@@ -379,6 +379,49 @@ def test_ivfadc_residual_recall_beats_raw_on_clustered_data(spark):
     assert rr_res > rr_raw, (rr_res, rr_raw)
 
 
+def test_ivfadc_sampled_training_still_accurate(spark):
+    """train_fraction trains both quantizers on a deterministic MINSTD
+    subset; encoding/assignment cover the full corpus, results stay
+    deterministic, and exact-rerank recall stays high."""
+    import math
+    import random
+
+    import pytest
+
+    from splink_spark.pipeline.ann import brute_force_topk, ivf_pq_topk
+
+    # clustered corpus (8 centers, small jitter): the geometry where
+    # recall is a meaningful bar — structureless random vectors defeat
+    # 12-bit codes regardless of how the quantizers were trained
+    rng = random.Random(5)
+    centers = [
+        [rng.uniform(-1, 1) for _ in range(16)] for _ in range(8)
+    ]
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        v = [x + rng.gauss(0, 0.05) for x in c]
+        nrm = math.sqrt(sum(y * y for y in v))
+        rows.append((i, [y / nrm for y in v]))
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = vecs.where(F.col("vec_id") < 4)
+    kwargs = dict(
+        k=3, num_cells=8, nprobe=4, m=4, codebook_size=8, iterations=2,
+        train_fraction=0.3,
+    )
+    a = sorted(map(tuple, ivf_pq_topk(vecs, queries, **kwargs).collect()))
+    b = sorted(map(tuple, ivf_pq_topk(vecs, queries, **kwargs).collect()))
+    assert a == b and len(a) == 12  # deterministic, 4 queries x k=3
+    truth = {
+        (r["query_id"], r["neighbour_id"])
+        for r in brute_force_topk(vecs, queries, k=3).collect()
+    }
+    got = {(r[0], r[2]) for r in a}
+    assert len(got & truth) / len(truth) >= 0.8
+    with pytest.raises(ValueError):
+        ivf_pq_topk(vecs, queries, k=3, train_fraction=1.5).collect()
+
+
 def test_ivfadc_auto_rerank_default(spark):
     """Default rerank_candidates='auto' re-ranks 20·k ADC survivors by
     exact cosine — output carries cosine_sim, and the top hit for a
