@@ -293,21 +293,23 @@ def repetition_metrics(
             F.round(top_2gram_char_frac, 6).alias("top_2gram_char_frac"),
         )
 
-    if method == "hof":
-        # single consumer — one pass, nothing to share
-        return _hof_metrics(staged)
-    if method not in ("auto", "explode"):
-        raise ValueError("method must be 'auto', 'hof' or 'explode'")
-    # tokenize ONCE: the explode path reads the staged token frame three
-    # times (token counts, gram counts, id spine) and auto's two branches
-    # would otherwise each re-run the split+gram build over the full
-    # corpus — the single biggest constant factor in the curation suite
-    # (re-tokenization dominated the 10M bench). The optimizer barrier
-    # stops expression inlining but not plan re-EXECUTION; persist does.
-    staged = staged.persist()
+    # NOTE on tokenize-once: the explode path reads the staged token
+    # frame three times and auto's branches twice, so persisting it looks
+    # like an obvious share — it is NOT. Measured at 10M docs / 1.25B
+    # tokens: persist made repetition_metrics_explode 954s (42 GiB heap)
+    # vs 714s re-tokenizing. Re-running the whole-stage-codegen
+    # split+gram build is CHEAPER than materializing a billion token
+    # arrays into the columnar cache; each consumer streams the narrow
+    # projection instead. (The optimizer barrier still prevents the
+    # worse failure mode — expression inlining INTO the gram lambda,
+    # which is O(L²) per document.)
     if method == "explode":
         return _explode_metrics(staged)
-    # per-document routing: both branches read the same cached token frame,
+    if method == "hof":
+        return _hof_metrics(staged)
+    if method != "auto":
+        raise ValueError("method must be 'auto', 'hof' or 'explode'")
+    # per-document routing: both branches read the same staged token frame,
     # short docs stay shuffle-free, long docs get linear explode-aggregate
     short = staged.where(F.size(toks) <= F.lit(hof_max_tokens))
     long_docs = staged.where(F.size(toks) > F.lit(hof_max_tokens))

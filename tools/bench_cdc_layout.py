@@ -7,9 +7,10 @@ driver data):
   first job of every CDC consumer) + scd2_history on the same log
 - snapshot_diff of two 10M-row snapshots (1% changed, ~6% removed,
   ~8% added)
-- zorder_sort vs hilbert_sort wall clock at bits=16 (the Hilbert walk
-  is 16 staged integer projections vs Morton's single expression — the
-  bench shows what that costs)
+- zorder_sort vs hilbert_sort wall clock at bits=16 (Hilbert now
+  defaults to the numpy mapInPandas walk — bit-equal to the staged
+  Column form; the bench shows what the curve costs vs Morton's single
+  expression)
 - file-skipping quality: the sorted orders are split into 512
   range-partition "files"; for 16 narrow x-band and y-band queries we
   count files whose min-max stats intersect the band. Lower = better
