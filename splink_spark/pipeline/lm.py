@@ -73,9 +73,15 @@ def char_lm_fit(
     grams_ex = corpus.select(
         F.explode(char_ngrams_multiset(F.col(text_col), order)).alias("gram")
     )
+    # persist the POST-aggregation gram table (charset-bounded —
+    # |charset|^order rows however big the corpus): it is consumed by the
+    # contexts derivation, the vocab_size action, the broadcast-size
+    # probe, and the scoring join — each would otherwise re-run the full
+    # corpus char-gram explode (billions of rows at 10M docs; the same
+    # multi-pass failure measured on dsir's dictionary)
     gram_counts = grams_ex.groupBy("gram").agg(
         F.count(F.lit(1)).alias("gram_count")
-    )
+    ).persist()
     contexts = (
         gram_counts.groupBy(
             F.substring("gram", 1, order - 1).alias("ctx")
