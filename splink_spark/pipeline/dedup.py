@@ -751,6 +751,7 @@ def incremental_dedup(
     jaccard_threshold: float = 0.5,
     corpus_fingerprints: Optional[DataFrame] = None,
     corpus_signatures: Optional[DataFrame] = None,
+    max_band_bucket: Optional[int] = 100_000,
 ) -> DataFrame:
     """Deduplicate a NEW batch of documents against an EXISTING corpus —
     the shape every ongoing ingestion pipeline needs (yesterday's 100 TB
@@ -854,9 +855,30 @@ def incremental_dedup(
         if corpus_signatures is not None
         else minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_size)
     )
+    banded_batch = _banded(batch_sigs, "__batch_id")
+    # restrict the corpus banding to batch-hit buckets first (broadcast
+    # semi shape), then DROP degenerate buckets before the candidate
+    # join: on low-diversity corpora (boilerplate-heavy web text, the
+    # bench's tiny synthetic vocabulary) a single (band, band_hash)
+    # bucket can hold a large fraction of the corpus, and joining it
+    # against the batch multiplies into |batch|x|bucket| candidate pairs
+    # — measured as a stage that never finished at 10M docs. A bucket
+    # with >max_band_bucket corpus rows carries no near-dup signal (it
+    # is the LSH analogue of a stop word / hub — same cap-with-docs
+    # pattern as bipartite_project's degree probe); the window count is
+    # ONE linear pass over hit rows, never a pair blow-up.
+    corpus_hits = _banded(corpus_sigs, "__corpus_id").join(
+        F.broadcast(banded_batch.select("band", "band_hash").distinct()),
+        ["band", "band_hash"],
+    )
+    if max_band_bucket is not None:
+        wb = Window.partitionBy("band", "band_hash")
+        corpus_hits = corpus_hits.withColumn(
+            "__bn", F.count(F.lit(1)).over(wb)
+        ).where(F.col("__bn") <= int(max_band_bucket)).drop("__bn")
     cand = (
-        _banded(corpus_sigs, "__corpus_id")
-        .join(F.broadcast(_banded(batch_sigs, "__batch_id")), ["band", "band_hash"])
+        corpus_hits
+        .join(F.broadcast(banded_batch), ["band", "band_hash"])
         .select("__batch_id", "__corpus_id")
         .distinct()
     )

@@ -110,3 +110,40 @@ def test_cap_per_group_sampled(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_incremental_dedup_band_bucket_cap(spark):
+    from splink_spark.pipeline.dedup import incremental_dedup
+
+    # degenerate corpus: every document identical text -> ALL corpus rows
+    # share every band bucket. With the cap the bucket is dropped (no
+    # candidate blow-up, batch doc not flagged near-dup); with the cap
+    # disabled the batch doc matches.
+    corpus = spark.createDataFrame(
+        [(i, "the same words repeated here for everyone to share today")
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1000, "the same words repeated here for everyone to share today x")],
+        "doc_id long, text string",
+    )
+    capped = incremental_dedup(
+        batch, corpus, jaccard_threshold=0.5, max_band_bucket=50
+    ).collect()[0]
+    assert capped["near_dup_corpus"] is False
+    uncapped = incremental_dedup(
+        batch, corpus, jaccard_threshold=0.5, max_band_bucket=None
+    ).collect()[0]
+    assert uncapped["near_dup_corpus"] is True
+    # a small (signal-bearing) bucket is untouched by the cap
+    mixed_corpus = spark.createDataFrame(
+        [(0, "the same words repeated here for everyone to share today")]
+        + [(i, f"totally different document number {i} with its own words "
+               f"and unique content {i * 37}") for i in range(1, 100)],
+        "doc_id long, text string",
+    )
+    small = incremental_dedup(
+        batch, mixed_corpus, jaccard_threshold=0.5, max_band_bucket=50
+    ).collect()[0]
+    assert small["near_dup_corpus"] is True
