@@ -2338,6 +2338,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "adc_dist",
         )
 
+    def q_ann_ivfadc_prebuilt(spark, sf_dir):
+        """Build-once/search-many IVFADC (pipeline/ann.py ivfadc_build +
+        ivfadc_search): the index — cluster-partitioned codes parquet,
+        cells, codebooks, meta — is persisted to disk, then the search
+        routes each query through the STORED structure (probed-cell
+        partition filter pushed to the codes scan). Same exact-int64
+        arithmetic as ann_ivfadc, so the same oracle SQL replays it."""
+        import tempfile
+
+        emb = _session(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+        idx = tempfile.mkdtemp(prefix="gate_ivfadc_")
+        ann.ivfadc_build(
+            emb, idx, num_cells=4, m=4, codebook_size=8, iterations=1,
+            residual=True,
+        )
+        return ann.ivfadc_search(
+            emb.where(F.col("vec_id") < 5), idx, k=5, nprobe=2,
+            rerank_candidates=None,
+        ).select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbour_id",
+            "adc_dist",
+        )
+
     def q_attribution(spark, sf_dir):
         """First/last-touch conversion attribution (pipeline/temporal.py
         conversion_attribution — 'since previous conversion' model: one
@@ -2472,11 +2497,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         functional_dependency_report — per-dependency groupBy on the
         LHS counting distinct RHS, NULL RHS as a value; exact ppm via
         integer division). o_orderkey→o_custkey must hold (key);
-        o_custkey→o_orderstatus must not."""
+        o_custkey→o_orderstatus must not. `holds` is cast to int on
+        both sides (hasher discipline: booleans render differently
+        across pandas/arrow fetch paths — see tools/audit_gate_types)."""
         from splink_spark.pipeline.quality import functional_dependency_report
 
         orders = _session(spark).read.parquet(f"{sf_dir}/orders.parquet")
-        return functional_dependency_report(
+        rep = functional_dependency_report(
             orders,
             [
                 ("o_orderkey", "o_custkey"),
@@ -2484,6 +2511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 (["o_orderstatus", "o_orderpriority"], "o_custkey"),
             ],
         )
+        return rep.withColumn("holds", F.col("holds").cast("int"))
 
     def q_clustering_agreement(spark, sf_dir):
         """Clustering-vs-truth evaluation (pipeline/dedup.py
@@ -2956,6 +2984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "functional_deps": q_functional_deps,
         "ann_pq": q_ann_pq,
         "ann_ivfadc": q_ann_ivfadc,
+        "ann_ivfadc_prebuilt": q_ann_ivfadc_prebuilt,
         "jaccard_join": q_jaccard_join,
         "bm25_topk": q_bm25_topk,
         "streaming_bm25": q_streaming_bm25,
@@ -6584,7 +6613,7 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
                AS n_violating,
              CAST((sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) * 1000000)
                   // greatest(count(*), 1) AS BIGINT) AS violation_ppm,
-             sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0 AS holds
+             CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0 AS INT) AS holds
       FROM (
         SELECT o_orderkey,
                count(DISTINCT o_custkey)
@@ -6596,7 +6625,7 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
              CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
              CAST((sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) * 1000000)
                   // greatest(count(*), 1) AS BIGINT),
-             sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0
+             CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0 AS INT)
       FROM (
         SELECT o_custkey,
                count(DISTINCT o_orderstatus)
@@ -6609,7 +6638,7 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbour_id
              CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
              CAST((sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) * 1000000)
                   // greatest(count(*), 1) AS BIGINT),
-             sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0
+             CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0 AS INT)
       FROM (
         SELECT o_orderstatus, o_orderpriority,
                count(DISTINCT o_custkey)
@@ -7337,6 +7366,12 @@ SELECT query_id, rank, neighbour_id, adc_dist FROM (
            ORDER BY adc_dist ASC, neighbour_id ASC) AS BIGINT) AS rank
   FROM adc) WHERE rank <= 5
     """
+
+    # ann_ivfadc_prebuilt: the build/search serving split is pytest-pinned
+    # bit-identical to the in-memory call, so the oracle is the SAME full
+    # SQL replay — the gate exercises the parquet index round-trip
+    # (cluster-partitioned codes + cells + codebooks + meta) end to end.
+    sqls["ann_ivfadc_prebuilt"] = sqls["ann_ivfadc"]
 
     # streaming_rollup: full-table replay of the integer-micro-unit
     # continuous aggregate (quantize -> bucket -> count/sum/min/max)

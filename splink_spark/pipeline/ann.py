@@ -354,6 +354,19 @@ def _kmeans_int_index(
         .limit(k)
         .collect()
     )
+    if len(init_rows) < k and train is not staged:
+        # the MINSTD subset is too small to seed k centroids — fall back to
+        # full-corpus training rather than silently shrinking k
+        train.unpersist()
+        train = staged
+        init_rows = (
+            train.withColumn("__b", _minstd_bucket(id_col))
+            .orderBy("__b", id_col)
+            .limit(k)
+            .collect()
+        )
+    if not init_rows:
+        raise ValueError("k-means training corpus is empty")
     centroids = [[int(x) for x in r["__q"]] for r in init_rows]
     k = len(centroids)
 
@@ -393,6 +406,11 @@ def _kmeans_int_index(
             new[c] = vec
         centroids = [new[c] for c in range(k)]
 
+    if train is not staged:
+        # the Lloyd loop's final collect was the last action over the
+        # training subset — release its cache (staged itself stays
+        # persisted: the returned assign closure scans it)
+        train.unpersist()
     return staged, centroids, _assign
 
 
@@ -480,7 +498,15 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus rows sharing any of
     ``num_tables`` LSH bucket signatures with the query, then exact cosine
-    rank within candidates."""
+    rank within candidates.
+
+    Measured operating point (BENCH_ANN, 1M 64-dim clustered vectors,
+    num_planes=12): recall@10 ≈ 0.56 — random-hyperplane buckets are a
+    cheap candidate GENERATOR, not a high-recall index. When recall
+    matters, prefer :func:`ivf_topk_portable` / :func:`sq8_topk` /
+    :func:`ivf_pq_topk` (all ≥0.84 at their bench operating points);
+    use LSH when an index build (k-means training) is not affordable.
+    """
     if dim is None:
         dim = len(corpus.select(embedding_col).first()[0])
     cand = None
@@ -800,6 +826,16 @@ def _pq_core(
         .limit(codebook_size)
         .collect()
     )
+    if len(init_rows) < codebook_size and train is not staged:
+        # training subset too small to seed the codebooks — fall back to
+        # the full staged frame rather than silently shrinking them
+        train = staged
+        init_rows = (
+            train.withColumn("__b", _minstd_bucket(id_col))
+            .orderBy("__b", id_col)
+            .limit(codebook_size)
+            .collect()
+        )
     codebooks = [
         [[int(x) for x in r["__q"][s * sub : (s + 1) * sub]] for r in init_rows]
         for s in range(m)
@@ -1040,7 +1076,12 @@ def ivf_pq_topk(
 
     ``rerank_candidates="auto"`` (default) takes ``20·k`` ADC survivors
     per query and re-ranks them by exact cosine on the original
-    embeddings (returns ``cosine_sim``); pass an int for explicit depth
+    embeddings (returns ``cosine_sim``) — at the BENCH_ANN operating
+    point (1M vectors, 256 cells, m=16) this is the difference between
+    recall@10 0.855 (rerank) and 0.225 (raw residual ADC): 64-bit codes
+    rank candidates well but cannot resolve the final ordering, so
+    treat the exact rerank as mandatory and the ADC pass as candidate
+    generation. Pass an int for explicit depth
     or ``None`` for raw ADC ranking (returns ``adc_dist``; also the
     composition-law path: ``residual=False, nprobe=num_cells,
     rerank_candidates=None`` equals :func:`pq_topk` exactly — pytest
@@ -1113,16 +1154,58 @@ def ivf_pq_topk(
         codes_df, codebooks = _pq_core(
             staged, id_col, m, codebook_size, iterations, train_df=pq_train
         )
-    assigned = assigned.select("neighbour_id", "cluster")
     if not codebooks:
         return spark.createDataFrame(
             [], "query_id bigint, rank int, neighbour_id bigint, adc_dist bigint"
         )
+    coded = assigned.select("neighbour_id", "cluster").join(
+        codes_df.withColumnRenamed(id_col, "neighbour_id"), "neighbour_id"
+    )
+    return _ivfadc_search_core(
+        coded,
+        centroids,
+        codebooks,
+        queries,
+        k=k,
+        nprobe=nprobe,
+        residual=residual,
+        rerank_candidates=rerank_candidates,
+        corpus=corpus,
+        scale=scale,
+        id_col=id_col,
+        embedding_col=embedding_col,
+    )
+
+
+def _ivfadc_search_core(
+    coded: DataFrame,
+    centroids: list,
+    codebooks: list,
+    queries: DataFrame,
+    *,
+    k: int,
+    nprobe: int,
+    residual: bool,
+    rerank_candidates: "Optional[int]",
+    corpus: "Optional[DataFrame]",
+    scale: int,
+    id_col: str,
+    embedding_col: str,
+) -> DataFrame:
+    """The IVFADC query half shared by :func:`ivf_pq_topk` (in-memory
+    convenience) and :func:`ivfadc_search` (pre-built parquet index).
+
+    ``coded``: one row per corpus vector ``(neighbour_id, cluster,
+    codes array<int>)``. Probe selection and the per-(query, probed cell)
+    distance LUTs run driver-side — queries are the small side (the
+    standing contract of every ANN entry point here), and the probe argmax
+    over integer dots is the same arithmetic the distributed path uses, so
+    candidate sets replay bit-equally. The probed-cell set is also pushed
+    as a ``cluster IN (...)`` filter on ``coded`` BEFORE the LUT join: on
+    a cluster-partitioned index parquet this is partition pruning — only
+    ``nprobe``·|Q| cell directories are ever read."""
+    spark = queries.sparkSession
     sub = len(codebooks[0][0])
-    # probe selection + per-(query, probed cell) LUTs driver-side: queries
-    # are the small side (the standing contract of every ANN entry point
-    # here), and probe argmax over integer dots is the same arithmetic the
-    # distributed path uses — bit-equal, just |Q| x num_cells on the driver
     qrows = _quantize_int(queries, embedding_col, id_col, scale).collect()
 
     def _lut_for(rq: list) -> list:
@@ -1166,10 +1249,11 @@ def ivf_pq_topk(
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
+    probed = sorted({cell for (_, cell, _) in lut_rows})
     cand = (
-        assigned.join(F.broadcast(luts), on="cluster")
+        coded.where(F.col("cluster").isin(probed))
+        .join(F.broadcast(luts), on="cluster")
         .where(F.col("neighbour_id") != F.col("query_id"))
-        .join(codes_df.withColumnRenamed(id_col, "neighbour_id"), "neighbour_id")
         .select("query_id", "neighbour_id", adc.alias("adc_dist"))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1180,6 +1264,11 @@ def ivf_pq_topk(
             cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "neighbour_id", "adc_dist")
+        )
+    if corpus is None:
+        raise ValueError(
+            "exact-cosine rerank needs the original embeddings: pass "
+            "corpus=, or rerank_candidates=None for raw ADC ranking"
         )
     shortlist = (
         cand.withColumn("__crank", F.row_number().over(w))
@@ -1209,4 +1298,205 @@ def ivf_pq_topk(
         rescored.withColumn("rank", F.row_number().over(wf))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbour_id", "cosine_sim")
+    )
+
+
+def ivfadc_build(
+    corpus: DataFrame,
+    index_path: str,
+    *,
+    num_cells: int = 8,
+    m: int = 4,
+    codebook_size: int = 16,
+    iterations: int = 2,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+    residual: bool = True,
+    train_fraction: "Optional[float]" = None,
+) -> dict:
+    """Build an IVFADC index ONCE and persist it to parquet — the serving
+    split of :func:`ivf_pq_topk` (which trains + encodes inside every
+    call: 565–887s at 1M vectors, vs ~10s for a search against a
+    pre-built index). Same pattern as ``bm25_index_write/read``
+    (search.py): pay the coarse k-means + residual-PQ train + encode
+    cost once per corpus, then run any number of query batches against
+    the stored structure with :func:`ivfadc_search`.
+
+    Layout under ``index_path``:
+
+    - ``codes/``  — (``neighbour_id``, ``codes array<int>``) parquet,
+      PARTITIONED BY ``cluster``: a search probes ``nprobe`` cells per
+      query, and the probed-cell union is pushed down as a partition
+      filter, so only those directories are read — on a 100 TB corpus
+      the codes table is the big artifact and pruning is the whole point.
+    - ``cells/`` — (cluster, centroid array<bigint>) — num_cells rows.
+    - ``codebooks/`` — (s, c, vec array<bigint>) — m·codebook_size rows.
+    - ``meta/`` — one row (scale, m, codebook_size, residual, id_col,
+      num_cells) so the search side replays the exact build arithmetic.
+
+    All arithmetic is the exact-int64 contract of :func:`ivf_pq_topk`
+    (residual IVFADC by default, Jégou et al. TPAMI 2011 §IV); a search
+    against the stored index returns bit-identical candidate sets and
+    ADC ranks to a same-parameter in-memory ``ivf_pq_topk`` call —
+    pytest pins the equality.
+
+    Returns ``{"num_cells", "m", "codebook_size", "n_vectors"}``.
+    """
+    spark = corpus.sparkSession
+    staged, centroids, _assign = _kmeans_int_index(
+        corpus, num_cells, iterations, embedding_col, id_col, scale,
+        train_fraction=train_fraction,
+    )
+    assigned = _assign(centroids).select(
+        F.col(id_col).alias("neighbour_id"), "__q", "cluster"
+    )
+    res_staged = None
+    if residual:
+        cent_df = spark.createDataFrame(
+            [(c, [int(x) for x in vec]) for c, vec in enumerate(centroids)],
+            "cluster bigint, __cent array<bigint>",
+        )
+        res_staged = (
+            assigned.join(F.broadcast(cent_df), "cluster")
+            .select(
+                F.col("neighbour_id").alias(id_col),
+                F.zip_with("__q", "__cent", lambda a, b: a - b).alias("__q"),
+            )
+            .persist()
+        )
+        res_train = None
+        if train_fraction is not None:
+            from .curation import _minstd_bucket
+
+            res_train = res_staged.where(
+                _minstd_bucket(id_col)
+                < F.lit(int(round(float(train_fraction) * 1_000_000)))
+            )
+        codes_df, codebooks = _pq_core(
+            res_staged, id_col, m, codebook_size, iterations,
+            train_df=res_train,
+        )
+    else:
+        pq_train = None
+        if train_fraction is not None:
+            from .curation import _minstd_bucket
+
+            pq_train = staged.where(
+                _minstd_bucket(id_col)
+                < F.lit(int(round(float(train_fraction) * 1_000_000)))
+            )
+        codes_df, codebooks = _pq_core(
+            staged, id_col, m, codebook_size, iterations, train_df=pq_train
+        )
+    if not codebooks:
+        raise ValueError("cannot build an IVFADC index over an empty corpus")
+
+    coded = assigned.select("neighbour_id", "cluster").join(
+        codes_df.withColumnRenamed(id_col, "neighbour_id"), "neighbour_id"
+    )
+    coded.write.partitionBy("cluster").mode("overwrite").parquet(
+        f"{index_path}/codes"
+    )
+    spark.createDataFrame(
+        [(c, [int(x) for x in vec]) for c, vec in enumerate(centroids)],
+        "cluster bigint, centroid array<bigint>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/cells")
+    spark.createDataFrame(
+        [
+            (s, c, [int(x) for x in vec])
+            for s, book in enumerate(codebooks)
+            for c, vec in enumerate(book)
+        ],
+        "s int, c int, vec array<bigint>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebooks")
+    spark.createDataFrame(
+        [
+            (
+                int(scale),
+                int(m),
+                int(codebook_size),
+                bool(residual),
+                str(id_col),
+                len(centroids),
+            )
+        ],
+        "scale bigint, m int, codebook_size int, residual boolean, "
+        "id_col string, num_cells int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+    # the codes write materialized everything — release the build caches
+    n_vectors = spark.read.parquet(f"{index_path}/codes").count()
+    if res_staged is not None:
+        res_staged.unpersist()
+    staged.unpersist()
+    return {
+        "num_cells": len(centroids),
+        "m": int(m),
+        "codebook_size": int(codebook_size),
+        "n_vectors": int(n_vectors),
+    }
+
+
+def ivfadc_search(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 5,
+    nprobe: int = 2,
+    *,
+    corpus: "Optional[DataFrame]" = None,
+    rerank_candidates: "Optional[int] | str" = "auto",
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search a pre-built :func:`ivfadc_build` index: route each query to
+    its ``nprobe`` nearest stored cells, rank ONLY those cells' codes by
+    residual ADC, optionally rerank the top ``rerank_candidates``
+    survivors by exact cosine against ``corpus`` (the original
+    embeddings; required for rerank — the index stores codes, not
+    vectors). ``rerank_candidates="auto"`` = ``20·k`` when ``corpus`` is
+    given, else raw ADC ranking.
+
+    The probed-cell union is pushed down as a partition filter on the
+    cluster-partitioned codes parquet, so a query batch reads only
+    ``nprobe``·|Q| cell directories — never the whole index. Centroids +
+    codebooks (num_cells + m·codebook_size rows) are collected
+    driver-side, same as the in-memory path.
+
+    Bit-identical to a same-parameter :func:`ivf_pq_topk` call (pytest
+    pins it): with rerank, returns ``(query_id, rank, neighbour_id,
+    cosine_sim)``; without, ``(query_id, rank, neighbour_id, adc_dist)``.
+    """
+    spark = queries.sparkSession
+    meta = spark.read.parquet(f"{index_path}/meta").head()
+    if rerank_candidates == "auto":
+        rerank_candidates = 20 * k if corpus is not None else None
+    cent_rows = (
+        spark.read.parquet(f"{index_path}/cells")
+        .orderBy("cluster")
+        .collect()
+    )
+    centroids = [[int(x) for x in r["centroid"]] for r in cent_rows]
+    book_rows = (
+        spark.read.parquet(f"{index_path}/codebooks")
+        .orderBy("s", "c")
+        .collect()
+    )
+    codebooks: list[list[list[int]]] = [[] for _ in range(int(meta["m"]))]
+    for r in book_rows:
+        codebooks[int(r["s"])].append([int(x) for x in r["vec"]])
+    coded = spark.read.parquet(f"{index_path}/codes")
+    return _ivfadc_search_core(
+        coded,
+        centroids,
+        codebooks,
+        queries,
+        k=k,
+        nprobe=nprobe,
+        residual=bool(meta["residual"]),
+        rerank_candidates=rerank_candidates,
+        corpus=corpus,
+        scale=int(meta["scale"]),
+        id_col=id_col,
+        embedding_col=embedding_col,
     )

@@ -1207,6 +1207,12 @@ def dsir_importance_weights(
 
     Returns ``(id_col, log_weight)`` for every corpus document (documents
     with no grams score 0.0).
+
+    Cache lifecycle: the aggregated gram dictionary stays ``persist()``-ed
+    (it is read again by the returned lazy scoring DAG, so it cannot be
+    released here). In a long-lived session, ``spark.catalog.clearCache()``
+    or materializing the result and discarding it releases the ~B-row (or
+    vocab-row) cache.
     """
     target_text_col = target_text_col or text_col
 

@@ -751,7 +751,7 @@ def incremental_dedup(
     jaccard_threshold: float = 0.5,
     corpus_fingerprints: Optional[DataFrame] = None,
     corpus_signatures: Optional[DataFrame] = None,
-    max_band_bucket: Optional[int] = 100_000,
+    max_band_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Deduplicate a NEW batch of documents against an EXISTING corpus —
     the shape every ongoing ingestion pipeline needs (yesterday's 100 TB
@@ -776,6 +776,18 @@ def incremental_dedup(
        ``corpus_signatures=`` (id, minhash array) to reuse stored
        signatures — then corpus TEXT is touched only for verification
        candidates.
+
+    ``max_band_bucket`` (default ``None`` = exact LSH semantics): when set,
+    corpus band buckets holding more than this many rows are DROPPED before
+    the candidate join. On low-diversity corpora (boilerplate-heavy web
+    text; the 10M bench's 40-word synthetic vocabulary) one (band, hash)
+    bucket can hold a large fraction of the corpus, multiplying into
+    |batch|x|bucket| candidate pairs — a stage measured as never finishing
+    at 10M docs. The cap is one linear window pass (the LSH analogue of a
+    stop-word/hub cap) but it is a RECALL trade-off: a batch doc whose only
+    collisions land in degenerate buckets will not be flagged near-dup.
+    Leave it ``None`` for oracle-exact results; set ~100_000 for
+    adversarially low-diversity corpora at scale.
 
     Within-batch exact duplicates are also flagged (first occurrence by id
     kept); within-batch NEAR-dups are out of scope here — run

@@ -302,12 +302,22 @@ def hilbert_sort(
     :func:`hilbert_index_vectorized` (numpy ``mapInPandas`` — the 100M
     scale path); ``engine="staged"`` uses the pure-Column staged walk
     (engine-portable arithmetic, the oracle-parity reference). Both
-    produce bit-identical keys.
+    produce bit-identical keys. The vectorized path needs an
+    Arrow-capable runtime (pandas + pyarrow + numpy); when those imports
+    fail the default silently falls back to the pure-Column staged walk,
+    so the API stays usable on a JVM-only client.
     """
     if len(cols) != 2:
         raise ValueError("hilbert_sort clusters exactly 2 columns")
     if engine not in ("vectorized", "staged"):
         raise ValueError("engine must be 'vectorized' or 'staged'")
+    if engine == "vectorized":
+        try:  # pragma: no cover - environment-dependent
+            import numpy  # noqa: F401
+            import pandas  # noqa: F401
+            import pyarrow  # noqa: F401
+        except ImportError:
+            engine = "staged"
     stats = df.agg(
         *[F.min(c).cast("bigint").alias(f"__mn_{c}") for c in cols],
         *[F.max(c).cast("bigint").alias(f"__mx_{c}") for c in cols],

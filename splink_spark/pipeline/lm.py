@@ -67,6 +67,11 @@ def char_lm_fit(
 
     Both model tables shuffle keyed by gram with map-side partial counts;
     their sizes are charset-bounded, independent of corpus row count.
+
+    Cache lifecycle: the returned ``grams`` frame is ``persist()``-ed (every
+    downstream consumer — contexts, vocab probe, scoring join — re-reads
+    it). The caller owns the model: call ``model["grams"].unpersist()``
+    when done with it in a long-lived session.
     """
     if order < 2:
         raise ValueError("order must be >= 2")

@@ -456,3 +456,93 @@ def test_ivfadc_auto_rerank_default(spark):
     # full probe + exact rerank at depth 60 over 200 vectors: the true
     # top-1 must be recovered for every query
     assert got == want
+
+
+def test_ivfadc_build_search_matches_inmemory(spark, tmp_path):
+    """The serving split: ivfadc_build persists the index once (codes
+    parquet partitioned by cluster + cells/codebooks/meta), and
+    ivfadc_search against it is bit-identical to a same-parameter
+    in-memory ivf_pq_topk call — both with exact-cosine rerank and with
+    raw ADC ranking."""
+    import math
+    import random
+
+    from splink_spark.pipeline.ann import (
+        ivf_pq_topk,
+        ivfadc_build,
+        ivfadc_search,
+    )
+
+    rng = random.Random(7)
+    centers = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(8)]
+    rows = []
+    for i in range(300):
+        c = centers[i % 8]
+        v = [x + rng.gauss(0, 0.05) for x in c]
+        nrm = math.sqrt(sum(y * y for y in v))
+        rows.append((i, [y / nrm for y in v]))
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = vecs.where(F.col("vec_id") < 4)
+    path = str(tmp_path / "ivfadc_idx")
+    params = dict(num_cells=8, m=4, codebook_size=8, iterations=2)
+    info = ivfadc_build(vecs, path, **params)
+    assert info["n_vectors"] == 300 and info["num_cells"] == 8
+
+    # with rerank (needs the original embeddings)
+    stored = sorted(
+        map(tuple, ivfadc_search(queries, path, k=3, nprobe=4,
+                                 corpus=vecs).collect())
+    )
+    inmem = sorted(
+        map(tuple, ivf_pq_topk(vecs, queries, k=3, nprobe=4,
+                               **params).collect())
+    )
+    assert stored == inmem and len(stored) == 12
+
+    # raw ADC ranking (no corpus needed)
+    stored_adc = sorted(
+        map(tuple, ivfadc_search(queries, path, k=3, nprobe=4,
+                                 rerank_candidates=None).collect())
+    )
+    inmem_adc = sorted(
+        map(tuple, ivf_pq_topk(vecs, queries, k=3, nprobe=4,
+                               rerank_candidates=None, **params).collect())
+    )
+    assert stored_adc == inmem_adc
+
+    # rerank without embeddings is a clear error, not a silent fallback
+    import pytest
+
+    with pytest.raises(ValueError):
+        ivfadc_search(queries, path, k=3, rerank_candidates=10).collect()
+
+    # the probed-cell partition filter reaches the parquet scan
+    plan = ivfadc_search(
+        queries, path, k=3, nprobe=2, rerank_candidates=None
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "cluster" in plan
+
+
+def test_kmeans_train_subset_smaller_than_k_falls_back(spark):
+    """A train_fraction yielding fewer rows than k (or codebook_size) must
+    fall back to full-corpus training, not silently shrink k or crash on
+    empty centroids."""
+    import math
+    import random
+
+    from splink_spark.pipeline.ann import ivf_pq_topk
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(60):
+        v = [rng.uniform(-1, 1) for _ in range(8)]
+        nrm = math.sqrt(sum(y * y for y in v))
+        rows.append((i, [y / nrm for y in v]))
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = vecs.where(F.col("vec_id") < 2)
+    # fraction so small the MINSTD subset is almost surely < num_cells
+    out = ivf_pq_topk(
+        vecs, queries, k=2, num_cells=16, nprobe=16, m=4, codebook_size=8,
+        iterations=1, train_fraction=0.0001,
+    ).collect()
+    assert len(out) == 4  # 2 queries x k=2 — full k survived

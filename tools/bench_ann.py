@@ -183,6 +183,40 @@ def main() -> None:
             results["ops"][name] = {"error": str(exc)[:300]}
             print(f"{name} FAILED: {exc}", flush=True)
 
+    # the serving split: pay coarse-kmeans + residual-PQ train + encode
+    # ONCE (ivfadc_build -> parquet), then measure a query batch against
+    # the stored index — the per-batch number a serving deployment sees
+    # (the in-loop ivfadc rows above rebuild the index inside every call)
+    import shutil
+    import tempfile
+
+    idx_dir = tempfile.mkdtemp(prefix="ivfadc_idx_")
+    try:
+        t0 = time.time()
+        ann.ivfadc_build(
+            vecs, idx_dir, num_cells=256, m=16, codebook_size=32,
+            iterations=2, train_fraction=0.1,
+        )
+        results["ops"]["ivfadc_build_once"] = {
+            "sec": round(time.time() - t0, 2)
+        }
+        print(f"ivfadc_build_once: {results['ops']['ivfadc_build_once']['sec']}s",
+              flush=True)
+        got = run(
+            "ivfadc_search_prebuilt",
+            lambda: ann.ivfadc_search(
+                queries, idx_dir, k=k, nprobe=16, corpus=vecs
+            ),
+        )
+        results["ops"]["ivfadc_search_prebuilt"]["recall_at_10"] = rec(got)
+        print(f"  recall@10 = {results['ops']['ivfadc_search_prebuilt']['recall_at_10']}",
+              flush=True)
+    except Exception as exc:
+        results["ops"]["ivfadc_search_prebuilt"] = {"error": str(exc)[:300]}
+        print(f"ivfadc_search_prebuilt FAILED: {exc}", flush=True)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
     # recall floor: the r7 verdict's regression tripwire — the residual
     # IVFADC path (the default ivf_pq_topk) must clear 0.8 recall@10 on
     # this clustered corpus. A floor violation is loud (nonzero exit),

@@ -142,14 +142,51 @@ def main() -> None:
     print(f"# perplexity_filter_char3: {results['ops']['perplexity_filter_char3']}s",
           file=sys.stderr)
 
+    # adversarial vocabulary (this corpus: 40 words -> degenerate LSH band
+    # buckets) — the capped scale path is mandatory here; uncapped this
+    # stage never finished at 10M (round-8 abort)
     t0 = time.time()
     batch = docs.where(F.pmod(F.col("doc_id"), F.lit(101)) == 0)
     settled = docs.where(F.pmod(F.col("doc_id"), F.lit(101)) != 0)
-    flags = dd.incremental_dedup(batch, settled, jaccard_threshold=0.6)
+    flags = dd.incremental_dedup(
+        batch, settled, jaccard_threshold=0.6, max_band_bucket=100_000
+    )
     flags.write.format("noop").mode("overwrite").save()
-    results["ops"]["incremental_dedup_1pct_batch"] = round(time.time() - t0, 2)
-    print(f"# incremental_dedup_1pct_batch: "
-          f"{results['ops']['incremental_dedup_1pct_batch']}s", file=sys.stderr)
+    results["ops"]["incremental_dedup_1pct_batch_capped"] = round(time.time() - t0, 2)
+    print(f"# incremental_dedup_1pct_batch_capped: "
+          f"{results['ops']['incremental_dedup_1pct_batch_capped']}s",
+          file=sys.stderr)
+
+    # realistic vocabulary: Zipf-ish 50k-word corpus (rank = floor(V/u) for
+    # uniform u => P(rank) ~ 1/rank^2), same doc-length profile; run the
+    # UNCAPPED default to pin the normal path's throughput
+    V = 50_000
+    zwords = F.transform(
+        F.sequence(F.lit(1), nwords),
+        lambda j: F.concat(
+            F.lit("w"),
+            (
+                F.lit(V)
+                / (F.pmod(F.xxhash64(F.col("id") * 131 + j * 17), F.lit(V)) + 1)
+            ).cast("int").cast("string"),
+        ),
+    )
+    zdocs = (
+        spark.range(n)
+        .repartition(4 * int(cpus))
+        .select(F.col("id").alias("doc_id"), F.concat_ws(" ", zwords).alias("text"))
+        .persist()
+    )
+    zdocs.count()
+    t0 = time.time()
+    zbatch = zdocs.where(F.pmod(F.col("doc_id"), F.lit(101)) == 0)
+    zsettled = zdocs.where(F.pmod(F.col("doc_id"), F.lit(101)) != 0)
+    zflags = dd.incremental_dedup(zbatch, zsettled, jaccard_threshold=0.6)
+    zflags.write.format("noop").mode("overwrite").save()
+    results["ops"]["incremental_dedup_zipf_vocab"] = round(time.time() - t0, 2)
+    print(f"# incremental_dedup_zipf_vocab: "
+          f"{results['ops']['incremental_dedup_zipf_vocab']}s", file=sys.stderr)
+    zdocs.unpersist()
 
     t0 = time.time()
     capped = cu.cap_per_group(
