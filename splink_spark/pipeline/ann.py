@@ -1101,6 +1101,15 @@ def ivf_pq_topk(
     structure leaves that structure in the residuals and codes can't
     separate within-cell neighbours — BENCH_ANN measured recall 0.165
     at 64 cells vs ≥0.9 at 256 cells on a 256-center corpus.
+
+    Cache lifecycle: the quantized corpus (and, with ``residual=True``,
+    the residual frame) stay ``persist()``-ed — the returned lazy plan
+    re-reads them, so they cannot be released here. Long-lived sessions
+    issuing many calls should use :func:`ivfadc_build` +
+    :func:`ivfadc_search` instead (build materializes the index to
+    parquet and unpersists everything; search holds no caches) — that
+    is also the serving shape: train+encode is paid once per corpus,
+    not per call.
     """
     if rerank_candidates == "auto":
         rerank_candidates = 20 * k
