@@ -227,3 +227,39 @@ def test_histogram_exact_bins(spark):
     }
     with pytest.raises(ValueError):
         histogram(df, "v", 0.0)
+
+
+def test_hilbert_sort_vectorized_falls_back_without_arrow(spark, monkeypatch):
+    """The default engine needs pandas/pyarrow/numpy; when any import
+    fails it must silently fall back to the pure-Column staged walk
+    (same keys — pytest pins bit-equality elsewhere), not crash."""
+    import builtins
+
+    from splink_spark.pipeline.layout import hilbert_sort
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 101, (i * 61) % 97) for i in range(200)],
+        "id bigint, x bigint, y bigint",
+    )
+    want = [
+        (r["id"], r["h_value"])
+        for r in hilbert_sort(
+            df, ["x", "y"], bits=8, keep_key=True, engine="staged"
+        ).collect()
+    ]
+
+    real_import = builtins.__import__
+
+    def no_arrow(name, *args, **kwargs):
+        if name == "pyarrow":
+            raise ImportError("pyarrow disabled for test")
+        return real_import(name, *args, **kwargs)
+
+    monkeypatch.setattr(builtins, "__import__", no_arrow)
+    got_df = hilbert_sort(df, ["x", "y"], bits=8, keep_key=True)
+    monkeypatch.undo()  # let Spark's collect path import freely
+    got = [(r["id"], r["h_value"]) for r in got_df.collect()]
+    assert sorted(got) == sorted(want)
+    # and the plan is the staged Column walk — no Arrow eval node
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan

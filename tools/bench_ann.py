@@ -101,7 +101,25 @@ def main() -> None:
     def rec(got):
         return round(len(got & truth) / max(1, len(truth)), 3)
 
-    for name, fn in [
+    # ANN_BENCH_SERVING_ONLY=1: refresh ONLY the build-once/search-many
+    # rows (plus brute-force truth, recomputed above — the corpus is
+    # deterministic so recall stays comparable), carrying every other op's
+    # row forward from the existing artifact. The full loop re-runs all
+    # variants in one shared noise window — use it when the variant code
+    # itself changed.
+    serving_only = os.environ.get("ANN_BENCH_SERVING_ONLY") == "1"
+    prior_ops = {}
+    if serving_only:
+        try:
+            with open(os.path.join(REPO, "BENCH_ANN.json")) as f:
+                prior_ops = json.load(f).get("ops", {})
+        except Exception:
+            prior_ops = {}
+        for key, val in prior_ops.items():
+            if key not in ("brute_force",):
+                results["ops"][key] = dict(val, carried_forward=True)
+
+    for name, fn in [] if serving_only else [
         (
             "lsh_topk",
             lambda: ann.lsh_topk(vecs, queries, k=k, num_planes=12),
