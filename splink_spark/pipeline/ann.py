@@ -1167,11 +1167,8 @@ def ivf_pq_topk(
         return spark.createDataFrame(
             [], "query_id bigint, rank int, neighbour_id bigint, adc_dist bigint"
         )
-    coded = assigned.select("neighbour_id", "cluster").join(
-        codes_df.withColumnRenamed(id_col, "neighbour_id"), "neighbour_id"
-    )
     return _ivfadc_search_core(
-        coded,
+        assigned.select("neighbour_id", "cluster"),
         centroids,
         codebooks,
         queries,
@@ -1183,6 +1180,7 @@ def ivf_pq_topk(
         scale=scale,
         id_col=id_col,
         embedding_col=embedding_col,
+        codes_df=codes_df,
     )
 
 
@@ -1200,12 +1198,20 @@ def _ivfadc_search_core(
     scale: int,
     id_col: str,
     embedding_col: str,
+    codes_df: "Optional[DataFrame]" = None,
 ) -> DataFrame:
     """The IVFADC query half shared by :func:`ivf_pq_topk` (in-memory
     convenience) and :func:`ivfadc_search` (pre-built parquet index).
 
-    ``coded``: one row per corpus vector ``(neighbour_id, cluster,
-    codes array<int>)``. Probe selection and the per-(query, probed cell)
+    ``coded``: one row per corpus vector — ``(neighbour_id, cluster,
+    codes array<int>)``, or ``(neighbour_id, cluster)`` with the codes
+    supplied separately via ``codes_df`` ``(id_col, codes)``. The split
+    form keeps the in-memory wrapper's plan shape: the codes frame joins
+    AFTER the LUT join has shrunk the left side to probed-cell rows, so
+    AQE broadcasts the shrunken side instead of shuffling the full codes
+    frame on id. The combined form is the parquet-index path, where codes
+    and cluster live in one cluster-partitioned table.
+    Probe selection and the per-(query, probed cell)
     distance LUTs run driver-side — queries are the small side (the
     standing contract of every ANN entry point here), and the probe argmax
     over integer dots is the same arithmetic the distributed path uses, so
@@ -1263,8 +1269,12 @@ def _ivfadc_search_core(
         coded.where(F.col("cluster").isin(probed))
         .join(F.broadcast(luts), on="cluster")
         .where(F.col("neighbour_id") != F.col("query_id"))
-        .select("query_id", "neighbour_id", adc.alias("adc_dist"))
     )
+    if codes_df is not None:
+        cand = cand.join(
+            codes_df.withColumnRenamed(id_col, "neighbour_id"), "neighbour_id"
+        )
+    cand = cand.select("query_id", "neighbour_id", adc.alias("adc_dist"))
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbour_id")
     )

@@ -1347,6 +1347,16 @@ def dsir_resample(
         raise ValueError("method must be 'gumbel' or 'topk'")
     scored = w.select(id_col, "log_weight", F.round(score, 9).alias("score"))
     if k > exact_topk_max:
+        # persist the NARROW scored frame (id, log_weight, score — a few
+        # hundred MB at 10M docs) before the three actions that read it
+        # (count, percentile cutoff, the returned filter): without the
+        # barrier each action re-runs the whole weights DAG — the corpus
+        # gram explode + scoring join, ~700s per pass at 10M docs;
+        # measured 3300s for this op pre-persist vs one paid pass after.
+        # Same post-aggregation-cache rule as the gram dictionary in
+        # dsir_importance_weights (raw gram arrays stay UNcached — see
+        # repetition_metrics' measured-negative tokenize-once note).
+        scored = scored.persist()
         n_rows = scored.count()
         if k >= n_rows:
             return scored

@@ -190,3 +190,17 @@ def test_dsir_resample_large_k_keeps_all_when_k_exceeds_corpus(dsir_frames):
         corpus, target, 1000, method="topk", exact_topk_max=10
     )
     assert out.count() == 100
+
+
+def test_dsir_threshold_path_reads_persisted_scores(dsir_frames):
+    """The threshold path runs three actions over the scored frame (count,
+    percentile cutoff, the returned filter); the narrow frame must be
+    persisted so the weights DAG — the corpus gram explode — runs once,
+    not per action (measured 3300s vs ~1 pass at 10M docs)."""
+    corpus, target = dsir_frames
+    out = curation.dsir_resample(
+        corpus, target, 30, method="topk", exact_topk_max=10
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    out.collect()

@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Selective re-measurement for BENCH_CURATION_10M.json: regenerate the
+same deterministic corpus as tools/bench_curation_1m.py, re-run ONLY the
+named ops, and merge their fresh wall clocks into the existing artifact
+(other rows untouched, a `remeasured` map records which keys were
+refreshed and when). For fix-verification runs where repeating the full
+~90-minute suite would waste the measurement window.
+
+Usage: CURATION_BENCH_ROWS=10000000 python tools/bench_curation_op.py dsir_resample_hashed [op ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from bench_curation_1m import VOCAB  # same corpus recipe
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from splink_spark.pipeline import curation as cu
+    from splink_spark.pipeline import dedup as dd
+    from splink_spark.pipeline import lm
+
+    wanted = sys.argv[1:]
+    if not wanted:
+        raise SystemExit("name at least one op to re-measure")
+    n = int(os.environ.get("CURATION_BENCH_ROWS", "10000000"))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("curation_op_bench")
+        .config("spark.sql.shuffle.partitions", str(2 * int(cpus)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "80g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    nwords = (F.lit(50) + F.pmod(F.col("id"), F.lit(151))).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(1), nwords),
+        lambda j: F.element_at(vocab, (F.pmod(F.col("id") * 31 + j * 7, F.lit(40)) + 1).cast("int")),
+    )
+    docs = (
+        spark.range(n)
+        .repartition(4 * int(cpus))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", words).alias("text"),
+            F.concat(F.lit("lang"), F.pmod(F.col("id"), F.lit(8)).cast("string")).alias("lang"),
+        )
+        .persist()
+    )
+    docs.count()
+
+    def dsir_op():
+        return cu.dsir_resample(
+            docs, docs.where(F.col("lang") == "lang0").limit(10_000),
+            max(1000, n // 100), n=2, hash_buckets=1 << 16,
+        )
+
+    def ppl_op():
+        return lm.perplexity_filter(docs, max_perplexity=40.0, order=3)
+
+    def inc_capped_op():
+        batch = docs.where(F.pmod(F.col("doc_id"), F.lit(101)) == 0)
+        settled = docs.where(F.pmod(F.col("doc_id"), F.lit(101)) != 0)
+        return dd.incremental_dedup(
+            batch, settled, jaccard_threshold=0.6, max_band_bucket=100_000
+        )
+
+    def cap_op():
+        return cu.cap_per_group(docs, "lang", max(1000, n // 100), method="sampled")
+
+    ops = {
+        "dsir_resample_hashed": dsir_op,
+        "perplexity_filter_char3": ppl_op,
+        "incremental_dedup_1pct_batch_capped": inc_capped_op,
+        "cap_per_group_sampled": cap_op,
+    }
+    unknown = [w for w in wanted if w not in ops]
+    if unknown:
+        raise SystemExit(f"unknown ops: {unknown}; known: {sorted(ops)}")
+
+    fresh = {}
+    for name in wanted:
+        t0 = time.time()
+        ops[name]().write.format("noop").mode("overwrite").save()
+        fresh[name] = round(time.time() - t0, 2)
+        print(f"# {name}: {fresh[name]}s", file=sys.stderr, flush=True)
+
+    label = "10M" if n >= 10_000_000 else "1M"
+    path = os.path.join(REPO, f"BENCH_CURATION_{label}.json")
+    with open(path) as f:
+        art = json.load(f)
+    from tools._stamp import measurement_stamp
+
+    stamp = measurement_stamp()
+    art.setdefault("remeasured", {})
+    for name, sec in fresh.items():
+        prev = art["ops"].get(name)
+        art["ops"][name] = sec
+        art["remeasured"][name] = {"prev_sec": prev, **stamp}
+    art["total_sec"] = round(sum(art["ops"].values()), 2)
+    with open(path, "w") as f:
+        json.dump(art, f, indent=1)
+    print(json.dumps({k: fresh[k] for k in wanted}))
+
+
+if __name__ == "__main__":
+    main()
