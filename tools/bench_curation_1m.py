@@ -14,6 +14,7 @@ pins the constant at 1M docs on local[32].
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -157,18 +158,38 @@ def main() -> None:
           f"{results['ops']['incremental_dedup_1pct_batch_capped']}s",
           file=sys.stderr)
 
-    # realistic vocabulary: Zipf-ish 50k-word corpus (rank = floor(V/u) for
-    # uniform u => P(rank) ~ 1/rank^2), same doc-length profile; run the
-    # UNCAPPED default to pin the normal path's throughput
+    # realistic vocabulary: Zipf s~1 50k-word corpus (rank = floor(V^u)
+    # for uniform u in (0,1) => P(rank=k) ~ 1/k; top-word mass ~6%, like
+    # real text), same doc-length profile; run the UNCAPPED default to
+    # pin the normal path's throughput. NOT floor(V/u): that is s~2 (the
+    # top word becomes HALF of all tokens) — measured as another
+    # degenerate-banding corpus that never finished, not a realistic one.
     V = 50_000
     zwords = F.transform(
         F.sequence(F.lit(1), nwords),
         lambda j: F.concat(
             F.lit("w"),
-            (
-                F.lit(V)
-                / (F.pmod(F.xxhash64(F.col("id") * 131 + j * 17), F.lit(V)) + 1)
-            ).cast("int").cast("string"),
+            F.least(
+                F.lit(V),
+                F.greatest(
+                    F.lit(1),
+                    F.floor(
+                        F.exp(
+                            (
+                                (
+                                    F.pmod(
+                                        F.xxhash64(F.col("id") * 131 + j * 17),
+                                        F.lit(1_000_000),
+                                    ).cast("double")
+                                    + 0.5
+                                )
+                                / 1_000_000.0
+                            )
+                            * float(math.log(V))
+                        )
+                    ).cast("int"),
+                ),
+            ).cast("string"),
         ),
     )
     zdocs = (

@@ -83,11 +83,79 @@ def main() -> None:
     def cap_op():
         return cu.cap_per_group(docs, "lang", max(1000, n // 100), method="sampled")
 
+    def shard_op():
+        return cu.shard_corpus(docs, num_shards=256, seed=1)
+
+    def sq8_op():
+        from splink_spark.pipeline import embeddings as emb
+
+        vecs = docs.select(
+            F.col("doc_id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda j: (
+                    F.pmod(F.col("doc_id") * 37 + j * 101, F.lit(997)).cast("double")
+                    / 498.5 - 1.0
+                ),
+            ).alias("embedding"),
+        )
+        return emb.quantize_embeddings(vecs, "embedding", "vec_id")
+
+    def zipf_inc_op():
+        # Zipf s~1 vocabulary (rank = floor(V^u), top-word mass ~6%) —
+        # the realistic-text throughput row for the UNCAPPED default path
+        import math
+
+        V = 50_000
+        zwords = F.transform(
+            F.sequence(F.lit(1), nwords),
+            lambda j: F.concat(
+                F.lit("w"),
+                F.least(
+                    F.lit(V),
+                    F.greatest(
+                        F.lit(1),
+                        F.floor(
+                            F.exp(
+                                (
+                                    (
+                                        F.pmod(
+                                            F.xxhash64(F.col("id") * 131 + j * 17),
+                                            F.lit(1_000_000),
+                                        ).cast("double")
+                                        + 0.5
+                                    )
+                                    / 1_000_000.0
+                                )
+                                * float(math.log(V))
+                            )
+                        ).cast("int"),
+                    ),
+                ).cast("string"),
+            ),
+        )
+        zdocs = (
+            spark.range(n)
+            .repartition(4 * int(cpus))
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(" ", zwords).alias("text"),
+            )
+            .persist()
+        )
+        zdocs.count()
+        zbatch = zdocs.where(F.pmod(F.col("doc_id"), F.lit(101)) == 0)
+        zsettled = zdocs.where(F.pmod(F.col("doc_id"), F.lit(101)) != 0)
+        return dd.incremental_dedup(zbatch, zsettled, jaccard_threshold=0.6)
+
     ops = {
         "dsir_resample_hashed": dsir_op,
         "perplexity_filter_char3": ppl_op,
         "incremental_dedup_1pct_batch_capped": inc_capped_op,
+        "incremental_dedup_zipf_vocab": zipf_inc_op,
         "cap_per_group_sampled": cap_op,
+        "shard_corpus_256": shard_op,
+        "sq8_quantize_64d": sq8_op,
     }
     unknown = [w for w in wanted if w not in ops]
     if unknown:
@@ -95,8 +163,9 @@ def main() -> None:
 
     fresh = {}
     for name in wanted:
-        t0 = time.time()
-        ops[name]().write.format("noop").mode("overwrite").save()
+        df = ops[name]()  # eager setup (e.g. zipf corpus gen) stays untimed,
+        t0 = time.time()  # matching the main bench's timing boundary
+        df.write.format("noop").mode("overwrite").save()
         fresh[name] = round(time.time() - t0, 2)
         print(f"# {name}: {fresh[name]}s", file=sys.stderr, flush=True)
 
