@@ -20,6 +20,14 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+# Spark's forked Python workers must be able to import splink_spark too
+# (mapInPandas/pandas_udf ops pickle module functions BY REFERENCE): export
+# the repo root on PYTHONPATH before the session starts, whatever the cwd.
+os.environ["PYTHONPATH"] = (
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    + os.pathsep
+    + os.environ.get("PYTHONPATH", "")
+)
 
 VOCAB = [
     "the", "data", "of", "a", "run", "that", "we", "have", "built", "with",
