@@ -109,9 +109,11 @@ def main() -> None:
         )
         return emb.quantize_embeddings(vecs, "embedding", "vec_id")
 
-    def zipf_inc_op():
+    _zipf_state = {}
+
+    def _zipf_setup():
         # Zipf s~1 vocabulary (rank = floor(V^u), top-word mass ~6%) —
-        # the realistic-text throughput row for the UNCAPPED default path
+        # corpus generation excluded from timing, like the main bench
         import math
 
         V = 50_000
@@ -152,9 +154,15 @@ def main() -> None:
             .persist()
         )
         zdocs.count()
+        _zipf_state["docs"] = zdocs
+
+    def zipf_inc_op():
+        zdocs = _zipf_state["docs"]
         zbatch = zdocs.where(F.pmod(F.col("doc_id"), F.lit(101)) == 0)
         zsettled = zdocs.where(F.pmod(F.col("doc_id"), F.lit(101)) != 0)
         return dd.incremental_dedup(zbatch, zsettled, jaccard_threshold=0.6)
+
+    zipf_inc_op.setup = _zipf_setup
 
     ops = {
         "dsir_resample_hashed": dsir_op,
@@ -171,9 +179,18 @@ def main() -> None:
 
     fresh = {}
     for name in wanted:
-        df = ops[name]()  # eager setup (e.g. zipf corpus gen) stays untimed,
-        t0 = time.time()  # matching the main bench's timing boundary
-        df.write.format("noop").mode("overwrite").save()
+        # the op CALL must sit inside the timed window: several ops run
+        # eager driver-side actions during construction (dsir's threshold
+        # count/percentile, sq8's calibration scan) — timing only the
+        # write once recorded dsir as 0.51s, which was the cached tail of
+        # a ~1h computation. Only zipf's corpus generation is excluded,
+        # via the explicit setup hook (the main bench also generates that
+        # corpus outside its timed window).
+        setup = getattr(ops[name], "setup", None)
+        if setup is not None:
+            setup()
+        t0 = time.time()
+        ops[name]().write.format("noop").mode("overwrite").save()
         fresh[name] = round(time.time() - t0, 2)
         print(f"# {name}: {fresh[name]}s", file=sys.stderr, flush=True)
 
