@@ -157,6 +157,7 @@ def jaccard_similarity_join(
     tokens_col: str,
     threshold: float,
     keep_tokens: bool = False,
+    dense_max_vocab: "int | None" = None,
 ) -> DataFrame:
     """EXACT-threshold Jaccard self-join via prefix filtering (the
     PPJoin/AllPairs family — Bayardo et al. WWW'07, Xiao et al. WWW'08):
@@ -197,6 +198,19 @@ def jaccard_similarity_join(
         F.col(id_col).alias("__id"),
         F.array_distinct(F.col(tokens_col)).alias("__toks"),
     ).where(F.col("__toks").isNotNull() & (F.size("__toks") > 0))
+
+    # dense regime (tiny vocabulary — prefix filtering stops pruning because
+    # even the rarest tokens are frequent): bit-identical output via the
+    # broadcast-matmul plan, see pipeline/dense.py.  ``dense_max_vocab``
+    # None = default cap, 0 disables.
+    if not keep_tokens and (dense_max_vocab is None or dense_max_vocab > 0):
+        from .dense import DENSE_MAX_VOCAB, dense_jaccard_self_join
+
+        dense = dense_jaccard_self_join(
+            base, "__id", t_ppm, max_vocab=dense_max_vocab or DENSE_MAX_VOCAB
+        )
+        if dense is not None:
+            return dense
 
     freq = (
         base.select(F.explode("__toks").alias("token"))

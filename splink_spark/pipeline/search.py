@@ -315,6 +315,7 @@ def term_cosine_join(
     threshold: float = 0.5,
     max_df: Optional[int] = None,
     round_to: int = 6,
+    dense_max_vocab: Optional[int] = None,
 ) -> DataFrame:
     """Sparse term-frequency cosine similarity self-join: every document
     pair sharing at least one term, scored by the cosine of their raw
@@ -338,6 +339,12 @@ def term_cosine_join(
     pruning semantics, not an approximation of the unpruned metric; the
     docstring contract is the pruned vocabulary). Default None computes
     the exact full-vocabulary cosine.
+
+    ``dense_max_vocab`` (None = the ``dense.DENSE_MAX_VOCAB`` default, 0
+    disables): vocabulary cap under which the dense-regime broadcast-matmul
+    plan replaces the postings self-join — bit-identical output (see
+    ``pipeline/dense.py`` for the exactness argument), orders of magnitude
+    faster when a tiny vocabulary makes sum df(term)^2 approach n_docs^2.
     """
     postings = (
         docs.select(
@@ -355,40 +362,55 @@ def term_cosine_join(
             .select("term")
         )
         postings = postings.join(keep, "term")
-    norms = postings.groupBy("doc_id").agg(
-        F.sum(F.col("tf") * F.col("tf")).alias("norm_sq")
-    )
-    l = postings.select(
-        F.col("doc_id").alias(f"{id_col}_l"), "term", F.col("tf").alias("__tf_l")
-    )
-    r = postings.select(
-        F.col("doc_id").alias(f"{id_col}_r"), "term", F.col("tf").alias("__tf_r")
-    )
-    dots = (
-        l.join(r, "term")
-        .where(F.col(f"{id_col}_l") < F.col(f"{id_col}_r"))
-        .groupBy(f"{id_col}_l", f"{id_col}_r")
-        .agg(F.sum(F.col("__tf_l") * F.col("__tf_r")).alias("dot"))
-    )
-    cos = F.col("dot").cast("double") / F.sqrt(
-        F.col("norm_sq_l").cast("double") * F.col("norm_sq_r").cast("double")
-    )
-    return (
-        dots.join(
+
+    scored = None
+    if dense_max_vocab is None or dense_max_vocab > 0:
+        from .dense import DENSE_MAX_VOCAB, dense_cosine_self_join
+
+        dense = dense_cosine_self_join(
+            postings,
+            "doc_id",
+            threshold,
+            max_vocab=dense_max_vocab or DENSE_MAX_VOCAB,
+        )
+        if dense is not None:
+            scored = dense.withColumnsRenamed(
+                {"doc_id_l": f"{id_col}_l", "doc_id_r": f"{id_col}_r"}
+            )
+    if scored is None:
+        norms = postings.groupBy("doc_id").agg(
+            F.sum(F.col("tf") * F.col("tf")).alias("norm_sq")
+        )
+        l = postings.select(
+            F.col("doc_id").alias(f"{id_col}_l"), "term", F.col("tf").alias("__tf_l")
+        )
+        r = postings.select(
+            F.col("doc_id").alias(f"{id_col}_r"), "term", F.col("tf").alias("__tf_r")
+        )
+        dots = (
+            l.join(r, "term")
+            .where(F.col(f"{id_col}_l") < F.col(f"{id_col}_r"))
+            .groupBy(f"{id_col}_l", f"{id_col}_r")
+            .agg(F.sum(F.col("__tf_l") * F.col("__tf_r")).alias("dot"))
+        )
+        scored = dots.join(
             norms.select(
                 F.col("doc_id").alias(f"{id_col}_l"),
                 F.col("norm_sq").alias("norm_sq_l"),
             ),
             f"{id_col}_l",
-        )
-        .join(
+        ).join(
             norms.select(
                 F.col("doc_id").alias(f"{id_col}_r"),
                 F.col("norm_sq").alias("norm_sq_r"),
             ),
             f"{id_col}_r",
         )
-        .where(cos >= F.lit(float(threshold)))
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("norm_sq_l").cast("double") * F.col("norm_sq_r").cast("double")
+    )
+    return (
+        scored.where(cos >= F.lit(float(threshold)))
         .select(
             f"{id_col}_l",
             f"{id_col}_r",
