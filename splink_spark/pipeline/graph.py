@@ -169,9 +169,23 @@ def triangle_count(
     Why this survives power-law skew at 100 TB: naive wedge counting
     generates deg² wedges at every hub — a 1M-degree node alone yields
     5·10¹¹ join rows. Under degree orientation a node's OUT-degree is
-    O(√m) for any graph, so the wedge join (the only superlinear step) is
-    bounded regardless of hubs; everything else is equi-joins and
-    map-side-combined aggregations on the edge key.
+    O(√m) for any graph, so the superlinear step is bounded regardless of
+    hubs; everything else is equi-joins and map-side-combined aggregations
+    on the edge key.
+
+    Execution (the "forward" edge-iterator form of the same oriented
+    algorithm): instead of materializing every wedge (u, x, y) and
+    shuffling Σ dout² rows into a closure join (41M wedge rows for the
+    1.2M-edge gate graph), group the oriented edges into per-node
+    out-neighbour arrays and compute, per oriented edge (u, v),
+    ``|N+(u) ∩ N+(v)|`` with a JVM array intersect — the triangles whose
+    source is u, middle v, sink the common neighbour. Each triangle is
+    found exactly once (orientation is a total order, so a triangle's
+    three corners give exactly one source/middle/sink split). Total
+    per-task work is the same Σ dout² the wedge join had, but it stays
+    inside one codegen stage instead of crossing a shuffle; the adjacency
+    table (one row per node, Σ dout total entries) broadcasts when small
+    and sort-merge-joins otherwise.
 
     Returns one row ``(n_triangles)``, or with ``per_node=True`` one row
     per node: ``(node, degree, triangles, lcc)`` where ``lcc`` is the
@@ -192,10 +206,18 @@ def triangle_count(
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
         F.col("a").alias("node"), "d"
     )
+    # one bounded probe drives both join-strategy decisions below (the
+    # count doubles as canon's cache materialization)
+    n_edges = canon.count()
+    graph_small = n_edges <= 8_000_000
     # orient u -> v iff (deg(u), u) < (deg(v), v): join both endpoint
-    # degrees onto the canonical edge, pick direction by struct comparison
+    # degrees onto the canonical edge, pick direction by struct comparison.
+    # The degree table has one narrow row per node — broadcast it while
+    # small so neither orientation join shuffles the edge table.
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    if graph_small:
+        da, db = F.broadcast(da), F.broadcast(db)
     withdeg = canon.join(da, "a").join(db, "b")
     lower_first = F.struct(F.col("da"), F.col("a")) < F.struct(
         F.col("db"), F.col("b")
@@ -204,19 +226,65 @@ def triangle_count(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
     )
-    o1 = oriented.select(F.col("u"), F.col("v").alias("x"))
-    o2 = oriented.select(F.col("u"), F.col("v").alias("y"))
-    wedges = o1.join(o2, "u").where(F.col("x") < F.col("y"))
-    closing = canon.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    tris = wedges.join(closing, ["x", "y"])  # (u, x, y) per triangle
-    if not per_node:
-        return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
-    corners = (
-        tris.select(F.col("u").alias("node"))
-        .unionByName(tris.select(F.col("x").alias("node")))
-        .unionByName(tris.select(F.col("y").alias("node")))
+    adj = oriented.groupBy("u").agg(
+        F.sort_array(F.collect_list("v")).alias("__nbrs")
     )
-    tcount = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+    # adjacency entries == oriented edges; broadcast while the packed
+    # arrays are comfortably under the executor-memory bar, SMJ beyond
+    adj_u = adj.select("u", F.col("__nbrs").alias("__nu"))
+    adj_v = adj.select(F.col("u").alias("v"), F.col("__nbrs").alias("__nv"))
+    if graph_small:
+        adj_u, adj_v = F.broadcast(adj_u), F.broadcast(adj_v)
+    # every u has out-edges by construction (inner join); a sink v has no
+    # adjacency row (left join + empty-array coalesce)
+    closed = (
+        oriented.join(adj_u, "u")
+        .join(adj_v, "v", "left")
+        .select(
+            "u",
+            "v",
+            F.array_intersect(
+                F.col("__nu"), F.coalesce(F.col("__nv"), F.expr("array()"))
+            ).alias("__common"),
+        )
+    )
+    if not per_node:
+        return closed.agg(
+            F.coalesce(F.sum(F.size("__common")), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles")
+        )
+    # one scan of the closure: per oriented edge emit (source, t),
+    # (middle, t) and one (sink, 1) per common neighbour in a single
+    # exploded contribution array — a 3-way union would re-execute the
+    # whole closure pipeline once per branch
+    contrib = closed.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("node"),
+                        F.size("__common").alias("__t"),
+                    ),
+                    F.struct(
+                        F.col("v").alias("node"),
+                        F.size("__common").alias("__t"),
+                    ),
+                ),
+                F.transform(
+                    "__common",
+                    lambda c: F.struct(
+                        c.alias("node"), F.lit(1).alias("__t")
+                    ),
+                ),
+            )
+        ).alias("__c")
+    ).select(F.col("__c.node").alias("node"), F.col("__c.__t").alias("__t"))
+    tcount = (
+        contrib.groupBy("node")
+        .agg(F.sum("__t").cast("bigint").alias("triangles"))
+        .where(F.col("triangles") > 0)
+    )
     out = deg.join(tcount, "node", "left")
     t = F.coalesce(F.col("triangles"), F.lit(0)).cast("bigint")
     d = F.col("d").cast("double")
