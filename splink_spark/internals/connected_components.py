@@ -149,7 +149,7 @@ def solve_connected_components(
     edge_r_col: str = "node_id_r",
     materialization: Optional[MaterializationPolicy] = None,
     max_iterations: int = 50,
-    delta_broadcast_rows: int = 1_000_000,
+    delta_broadcast_rows: int = 4_000_000,
     driver_solve_max_edges: Optional[int] = None,
     assignments_only: bool = False,
     edges_cheap_to_recompute: bool = False,
@@ -177,6 +177,16 @@ def solve_connected_components(
 
     Pointer jumping (path halving) is applied to frontier rows each round, so
     chain-shaped clusters still converge in O(log diameter) rounds.
+
+    ``delta_broadcast_rows``: frontier size at or below which every
+    per-round join broadcasts the frontier side (4M narrow (id, rep) rows
+    is ~64 MB — well inside executor memory; the round then costs one
+    aggregation exchange instead of five sort-merge shuffles — measured
+    ~16-20s -> ~5s per full-size round on the 1.2M-node chain bench).
+    Above the cap the frontier sides carry a SHUFFLE_HASH hint: every join
+    here pairs a large neighbour/rep table with a strictly smaller
+    frontier-derived side, so hash beats sort-merge and skips both sorts
+    (guide: prefer shuffled-hash when the per-partition build side fits).
     """
     mat = materialization or MaterializationPolicy(method="local_checkpoint")
 
@@ -249,43 +259,28 @@ def solve_connected_components(
         delta_as_nbr = delta.select(
             F.col("node").alias("nbr"), F.col("rep").alias("nbr_rep")
         )
-        if small:
-            delta_as_nbr = F.broadcast(delta_as_nbr)
+        delta_as_nbr = (
+            F.broadcast(delta_as_nbr) if small else delta_as_nbr.hint("SHUFFLE_HASH")
+        )
         cand = (
             neighbours.join(delta_as_nbr, on="nbr")
             .groupBy("node")
             .agg(F.min("nbr_rep").alias("cand_rep"))
         )
-        if small:
-            cand = F.broadcast(cand)
+        cand = F.broadcast(cand) if small else cand.hint("SHUFFLE_HASH")
         improved = (
             rep.join(cand, on="node")
             .where(F.col("cand_rep") < F.col("rep"))
             .select("node", F.col("cand_rep").alias("rep"))
         )
-        # pointer jump through the previous rep table: rep(node) <- rep(rep).
-        # Every rep value is itself a node id, so an inner join is total and
-        # lets Spark broadcast the (small) frontier as the build side.
-        parent = rep.select(F.col("node").alias("p_node"), F.col("rep").alias("p_rep"))
-        jump_side = F.broadcast(improved) if small else improved
-        improved = jump_side.join(
-            parent, jump_side["rep"] == parent["p_node"], "inner"
-        ).select("node", F.least(jump_side["rep"], parent["p_rep"]).alias("rep"))
-        # second jump through the same parent table: reaches the grandparent
-        # representative for one more (broadcast) join per round. On
-        # long-diameter graphs this trades a cheap extra stage for fewer
-        # cluster-wide rounds (measured 18 -> 16 rounds, ~20% wall-clock on a
-        # 1.2M-node 100k-diameter chain); on shallow graphs the frontier is
-        # small and broadcast, so the extra join is noise. Correctness is
-        # unchanged — jumps are monotone accelerators (see docstring).
-        jump2 = F.broadcast(improved) if small else improved
-        parent2 = rep.select(
-            F.col("node").alias("p_node"), F.col("rep").alias("p_rep")
-        )
-        improved = jump2.join(
-            parent2, jump2["rep"] == parent2["p_node"], "inner"
-        ).select("node", F.least(jump2["rep"], parent2["p_rep"]).alias("rep"))
-
+        # materialize the propagation result BEFORE the jump joins: each
+        # jump broadcasts its input, and a broadcast build is its own job
+        # that re-executes everything upstream — un-truncated, the
+        # neighbours-scan + aggregate pipeline above ran once per jump
+        # plus once for the final action (3x per round, measured).  The
+        # jumps preserve row count (the parent lookup is total), so the
+        # exit-condition count is taken here and a converged round skips
+        # the jumps entirely.
         improved = mat.materialize(improved, "clustering", iterative=True)
         n_delta = improved.count()
         logger.info(
@@ -293,19 +288,46 @@ def solve_connected_components(
         )
         if n_delta == 0:
             break
+        # pointer jump through the previous rep table: rep(node) <- rep(rep).
+        # Every rep value is itself a node id, so an inner join is total and
+        # lets Spark broadcast the (small) frontier as the build side.
+        parent = rep.select(F.col("node").alias("p_node"), F.col("rep").alias("p_rep"))
+        jump_side = F.broadcast(improved) if small else improved.hint("SHUFFLE_HASH")
+        improved = jump_side.join(
+            parent, jump_side["rep"] == parent["p_node"], "inner"
+        ).select("node", F.least(jump_side["rep"], parent["p_rep"]).alias("rep"))
+        # second jump through the same parent table: reaches the grandparent
+        # representative for one more (broadcast) join per round. On
+        # long-diameter graphs this trades a cheap extra stage for fewer
+        # cluster-wide rounds (measured 18 -> 16 rounds, ~20% wall-clock on
+        # a 1.2M-node 100k-diameter chain); deeper jump chains were
+        # measured SLOWER: the extra broadcast builds re-execute the jump
+        # chain so cost grows quadratically in the jump count while the
+        # round count barely moves. Correctness is unchanged — jumps are
+        # monotone accelerators (see docstring).
+        jump2 = F.broadcast(improved) if small else improved.hint("SHUFFLE_HASH")
+        parent2 = rep.select(
+            F.col("node").alias("p_node"), F.col("rep").alias("p_rep")
+        )
+        improved = jump2.join(
+            parent2, jump2["rep"] == parent2["p_node"], "inner"
+        ).select("node", F.least(jump2["rep"], parent2["p_rep"]).alias("rep"))
+        improved = mat.materialize(improved, "clustering", iterative=True)
 
         upd = improved.select(F.col("node").alias("u_node"), F.col("rep").alias("u_rep"))
-        if small:
-            upd = F.broadcast(upd)
+        upd = F.broadcast(upd) if small else upd.hint("SHUFFLE_HASH")
         rep = (
             rep.join(upd, rep["node"] == upd["u_node"], "left")
             .select(rep["node"], F.coalesce(upd["u_rep"], rep["rep"]).alias("rep"))
         )
         since_rep_checkpoint += 1
-        # rep's lineage grows one (broadcast) join per round; truncate every
-        # few rounds — and always after a full-size round — so neither the
-        # plan nor the recompute stack deepens unboundedly
-        if since_rep_checkpoint >= 3 or not small:
+        # rep's lineage grows one (broadcast) join per round, and the next
+        # round references rep FOUR times (improved join, two parent
+        # lookups, update base) — every un-truncated layer re-executes 4x,
+        # so truncate every other round and always after a full-size round
+        # (measured: the >=3 cadence produced 8-30s recompute spikes in
+        # near-converged tail rounds)
+        if since_rep_checkpoint >= 2 or not small:
             rep = mat.materialize(rep, "clustering", iterative=True)
             since_rep_checkpoint = 0
         delta = improved
