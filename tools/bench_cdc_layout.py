@@ -66,9 +66,12 @@ def main() -> None:
 
     results = {"rows": n, "keys": keys, "cpus": int(cpus), "ops": {}}
 
-    def run(name, df):
+    def run(name, make):
+        # the op CALL sits inside the stopwatch (thunk), so eager
+        # construction-time driver actions are measured too — the r09 dsir
+        # timing-boundary bug class; tools/pre_snapshot_check.py lints this
         t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
+        make().write.format("noop").mode("overwrite").save()
         sec = round(time.time() - t0, 2)
         results["ops"][name] = sec
         print(f"{name}: {sec}s", flush=True)
@@ -91,10 +94,10 @@ def main() -> None:
     log.count()
     run(
         "latest_by_key",
-        latest_by_key(log, "k", "ts", tiebreak_col="offset", op_col="op",
-                      delete_values=("D",)),
+        lambda: latest_by_key(log, "k", "ts", tiebreak_col="offset",
+                              op_col="op", delete_values=("D",)),
     )
-    run("scd2_history", scd2_history(log, "k", "ts", attr_cols=["val"]))
+    run("scd2_history", lambda: scd2_history(log, "k", "ts", attr_cols=["val"]))
 
     old = (
         spark.range(n)
@@ -119,7 +122,7 @@ def main() -> None:
             )
         )
     )
-    run("snapshot_diff", snapshot_diff(old, new, "k", ["v"]))
+    run("snapshot_diff", lambda: snapshot_diff(old, new, "k", ["v"]))
     log.unpersist()
 
     # --- layout ------------------------------------------------------
@@ -134,8 +137,8 @@ def main() -> None:
         .persist()
     )
     pts.count()
-    run("zorder_sort_b16", zorder_sort(pts, ["x", "y"], bits=16))
-    run("hilbert_sort_b16", hilbert_sort(pts, ["x", "y"], bits=16))
+    run("zorder_sort_b16", lambda: zorder_sort(pts, ["x", "y"], bits=16))
+    run("hilbert_sort_b16", lambda: hilbert_sort(pts, ["x", "y"], bits=16))
 
     # pruning quality: 512 range "files", min-max stats per file, count
     # files intersected by 16 narrow x-bands and 16 y-bands

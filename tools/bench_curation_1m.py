@@ -77,9 +77,12 @@ def main() -> None:
 
     heap_after = {}
 
-    def run(name, df):
+    def run(name, make):
+        # the op CALL sits inside the stopwatch (thunk), so eager
+        # construction-time driver actions are measured too — the r09 dsir
+        # timing-boundary bug class; tools/pre_snapshot_check.py lints this
         t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
+        make().write.format("noop").mode("overwrite").save()
         sec = round(time.time() - t0, 2)
         rt = spark._jvm.java.lang.Runtime.getRuntime()
         heap_after[name] = round(
@@ -92,26 +95,26 @@ def main() -> None:
         "rows": n_docs,
         "cpus": int(cpus),
         "ops": {
-            "gopher_rules": run("gopher_rules", cu.gopher_quality_flags(docs)),
+            "gopher_rules": run("gopher_rules", lambda: cu.gopher_quality_flags(docs)),
             # explode method: the long-document/linear-work scale path
             "repetition_metrics_explode": run(
                 "repetition_metrics_explode",
-                cu.repetition_metrics(docs, method="explode"),
+                lambda: cu.repetition_metrics(docs, method="explode"),
             ),
             "repetition_metrics_hof": run(
                 "repetition_metrics_hof",
-                cu.repetition_metrics(docs, method="hof"),
+                lambda: cu.repetition_metrics(docs, method="hof"),
             ),
             "decontaminate_vs_1pct_eval": run(
-                "decontaminate", cu.decontaminate(docs, eval_docs, n=8)
+                "decontaminate", lambda: cu.decontaminate(docs, eval_docs, n=8)
             ),
             "pack_sequences": run(
-                "pack_sequences", cu.pack_sequences(docs, 8192, "lang")
+                "pack_sequences", lambda: cu.pack_sequences(docs, 8192, "lang")
             ),
-            "pii_redact": run("pii_redact", cu.pii_redact(docs)),
+            "pii_redact": run("pii_redact", lambda: cu.pii_redact(docs)),
             "stratified_sample": run(
                 "stratified_sample",
-                cu.stratified_sample(
+                lambda: cu.stratified_sample(
                     docs, "lang", {f"lang{i}": 0.5 for i in range(8)}
                 ),
             ),

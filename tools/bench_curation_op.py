@@ -172,6 +172,14 @@ def main() -> None:
         "cap_per_group_sampled": cap_op,
         "shard_corpus_256": shard_op,
         "sq8_quantize_64d": sq8_op,
+        # drift-adjudication rows (same expressions as bench_curation_1m)
+        "repetition_metrics_explode": lambda: cu.repetition_metrics(
+            docs, method="explode"
+        ),
+        "repetition_metrics_hof": lambda: cu.repetition_metrics(
+            docs, method="hof"
+        ),
+        "pii_redact": lambda: cu.pii_redact(docs),
     }
     unknown = [w for w in wanted if w not in ops]
     if unknown:

@@ -59,9 +59,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     results = {"keys": n_keys, "docs": n_docs, "cpus": int(cpus), "ops": {}}
 
-    def run(name, df):
+    def run(name, make):
+        # the op CALL sits inside the stopwatch (thunk), so eager
+        # construction-time driver actions are measured too — the r09 dsir
+        # timing-boundary bug class; tools/pre_snapshot_check.py lints this
         t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
+        make().write.format("noop").mode("overwrite").save()
         sec = round(time.time() - t0, 2)
         results["ops"][name] = sec
         print(f"# {name}: {sec}s", file=sys.stderr)
@@ -81,11 +84,11 @@ def main() -> None:
     keys.count()
 
     sketch = sk.cms_build(keys, depth=4, width=65536)
-    run("cms_build_10m_occurrences", sketch)
+    run("cms_build_10m_occurrences", lambda: sketch)
     sketch = sketch.persist()
     sketch.count()
     probe = keys.distinct().limit(1000)
-    run("cms_estimate_1000_keys", sk.cms_estimate(sketch, probe, depth=4, width=65536))
+    run("cms_estimate_1000_keys", lambda: sk.cms_estimate(sketch, probe, depth=4, width=65536))
     hot = sk.cms_estimate(
         sketch,
         spark.createDataFrame([("hotkey",)], ["key"]),
@@ -100,7 +103,7 @@ def main() -> None:
         .select(F.concat(F.lit("m"), F.col("id")).alias("key"))
     )
     bloom = sk.bloom_build(members, num_bits=1 << 24, num_hashes=5)
-    run("bloom_build_1m_members", bloom)
+    run("bloom_build_1m_members", lambda: bloom)
     bloom = bloom.persist()
     results["bloom_words"] = bloom.count()
     probe_all = sk.bloom_probe(keys, bloom, num_bits=1 << 24, num_hashes=5)
@@ -132,11 +135,11 @@ def main() -> None:
     plain = cu.decontaminate(
         docs, eval_docs, n=8, broadcast_eval=False, bloom_prescreen=False
     )
-    run("decontaminate_big_path_plain", plain)
+    run("decontaminate_big_path_plain", lambda: plain)
     screened = cu.decontaminate(
         docs, eval_docs, n=8, broadcast_eval=False, bloom_prescreen=True
     )
-    run("decontaminate_big_path_bloom_prescreen", screened)
+    run("decontaminate_big_path_bloom_prescreen", lambda: screened)
     # gram selectivity: what fraction of distinct corpus (doc, gram) pairs
     # truly overlap the eval dictionary (the prescreen's theoretical cut)
     contaminated = plain.where("contaminated").count()

@@ -73,9 +73,12 @@ def main() -> None:
     ev.count()
     results = {"rows": n, "cpus": int(cpus), "hot_key_fraction": 0.1, "ops": {}}
 
-    def run(name, df):
+    def run(name, make):
+        # the op CALL sits inside the stopwatch (thunk), so eager
+        # construction-time driver actions are measured too — the r09 dsir
+        # timing-boundary bug class; tools/pre_snapshot_check.py lints this
         t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
+        make().write.format("noop").mode("overwrite").save()
         sec = round(time.time() - t0, 2)
         results["ops"][name] = sec
         print(f"# {name}: {sec}s", file=sys.stderr)
@@ -87,15 +90,17 @@ def main() -> None:
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("click_id"))
     )
-    run("asof_plain", asof_join(left, right, on="ts", by="user_id"))
+    run("asof_plain", lambda: asof_join(left, right, on="ts", by="user_id"))
     run(
         "asof_bucketed",
-        asof_join(left, right, on="ts", by="user_id", bucket_size=24 * hour),
+        lambda: asof_join(left, right, on="ts", by="user_id",
+                          bucket_size=24 * hour),
     )
 
     grans = (hour, 24 * hour, 168 * hour)
     run("rollup_grouping_sets_3_levels",
-        time_rollup(ev, "ts", "value", granularities=grans, by="user_id"))
+        lambda: time_rollup(ev, "ts", "value", granularities=grans,
+                            by="user_id"))
     t0 = time.time()
     for g in grans:
         (
@@ -109,10 +114,10 @@ def main() -> None:
     print(f"# rollup_separate_3_groupbys: "
           f"{results['ops']['rollup_separate_3_groupbys']}s", file=sys.stderr)
 
-    run("sessionize", sessionize(ev, gap=1800 * 1_000_000_000,
-                                 order_cols="event_id"))
-    run("funnel_3_steps", funnel(ev, ["view", "click", "error"],
-                                 within=24 * hour))
+    run("sessionize", lambda: sessionize(ev, gap=1800 * 1_000_000_000,
+                                         order_cols="event_id"))
+    run("funnel_3_steps", lambda: funnel(ev, ["view", "click", "error"],
+                                         within=24 * hour))
 
     results["ratios"] = {
         "asof_bucketed_over_plain": round(
