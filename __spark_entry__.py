@@ -3115,39 +3115,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
     }
     # The round driver's correctness snapshot records the FIRST 50 entries
-    # only. Round-9 ordering (attestation union after r08: 155/155 ever
-    # driver-green, so the window is spent on the one NEW gate, the gates
-    # whose code changed this round, and the stalest refresh rotation):
-    # (1) `ann_ivfadc_prebuilt`, new this round — the ivfadc_build/
-    # ivfadc_search serving split driving the parquet index round-trip;
-    # (2) changed-code gates: `functional_deps` (holds now emitted as int
-    # on both sides — hasher discipline), `ann_ivfadc` (search half
-    # refactored into the shared _ivfadc_search_core), `incremental_dedup`
-    # (max_band_bucket default now None = oracle-exact semantics);
-    # (3) refresh rotation: the 12 gates last driver-recorded in r05,
-    # then the alphabetically-first 34 of the 48 last recorded in r06
-    # (the rest rotate in next round). Full local sweep over all entries:
-    # tools/check_oracle.py, artifact CORRECTNESS_FULL_r09.json.
+    # only. Round-10 (optimization round) ordering: (1) every gate whose
+    # execution path changed this round — the dense-regime similarity
+    # joins (pipeline/dense.py behind term_cosine_join/jaccard_join), the
+    # triangle_count adjacency-closure rewrite, and everything flowing
+    # through the restructured solve_connected_components loop
+    # (cluster family + CC-based dedup); (2) refresh rotation: the 14
+    # gates last driver-recorded in r06, then the alphabetically-first 26
+    # of the 45 last recorded in r07 (the rest rotate in next round).
+    # Full local sweep over all entries: tools/check_oracle.py, artifact
+    # CORRECTNESS_FULL_r10.json.
     lead = [
-        # new this round — never driver-recorded
-        "ann_ivfadc_prebuilt",
-        # code changed this round — re-attest under the driver
-        "functional_deps", "ann_ivfadc", "incremental_dedup",
-        # refresh rotation: last driver-recorded in r05
-        "semantic_dedup", "simhash", "skew_report", "source_caps",
-        "span_dedup", "text_quality", "tf_mktsegment", "tfidf_top_terms",
-        "token_counts", "truth_space", "unlinkables", "weighted_sample",
-        # refresh rotation: last driver-recorded in r06 (first 34 of 48)
-        "ann_ivf", "ann_join", "ann_lsh", "ann_sq8", "ann_topk",
-        "bm25_topk", "boilerplate_lines", "chunk_documents",
-        "common_neighbors", "completeness", "cv_distribution",
-        "domain_stats", "embedding_neardup", "embedding_quantize",
-        "event_funnel", "events_sessions", "events_window",
-        "fuzzy_join_ed1", "gap_fill", "group_moments", "group_quantiles",
-        "k_core", "lang_id", "lang_stats", "mixture_plan",
-        "pack_sequences", "perplexity_filter", "pii_redact",
-        "profile_top_values", "range_join", "repeated_spans",
-        "retention", "rolling_aggregate", "sessionize", "shard_corpus",
+        # code changed this round (optimizations; outputs oracle-identical)
+        "term_cosine_join", "jaccard_join", "triangle_count",
+        "cluster_components", "cluster_multi_thresholds", "graph_metrics",
+        "edge_bridges", "single_best_links", "single_best_links_lowest_id",
+        "corpus_dedup", "semantic_dedup",
+        # refresh rotation: last driver-recorded in r06
+        "shard_corpus", "sorted_neighborhood", "stratified_sample",
+        "streaming_bm25", "streaming_cms", "streaming_neardupe",
+        "streaming_rollup", "streaming_sessions", "streaming_windows",
+        "time_rollup", "top_k_per_group", "url_dedup", "zorder_key",
+        # refresh rotation: last driver-recorded in r07 (first 26 of 45)
+        "ann_pq", "attribution", "bipartite_project",
+        "column_correlations", "column_expression", "date_difference",
+        "distance_in_km", "em_train", "em_train_tf",
+        "embedding_covariance", "estimate_u", "event_paths", "geohash",
+        "group_distinct", "group_outliers", "hilbert_key", "histogram",
+        "hll_registers", "link_prediction", "m_from_label",
+        "merge_intervals", "ngram_novelty", "normalize_text",
+        "pairwise_levenshtein", "phrase_search", "predict_between",
     ]
     return {k: d[k] for k in lead} | {
         k: v for k, v in d.items() if k not in lead
