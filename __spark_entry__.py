@@ -2345,10 +2345,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         routes each query through the STORED structure (probed-cell
         partition filter pushed to the codes scan). Same exact-int64
         arithmetic as ann_ivfadc, so the same oracle SQL replays it."""
-        import tempfile
+        import os
+        import shutil
 
         emb = _session(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
-        idx = tempfile.mkdtemp(prefix="gate_ivfadc_")
+        # deterministic per-sf index dir, overwritten each invocation —
+        # a mkdtemp here leaked one parquet directory per sweep run
+        idx = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".stream_cache",
+            os.path.basename(sf_dir.rstrip("/")),
+            "gate_ivfadc_index",
+        )
+        if os.path.isdir(idx):
+            shutil.rmtree(idx)
+        os.makedirs(idx, exist_ok=True)
         ann.ivfadc_build(
             emb, idx, num_cells=4, m=4, codebook_size=8, iterations=1,
             residual=True,

@@ -1323,6 +1323,12 @@ def dsir_resample(
     cutoff and a pure filter keeps rows at or above it — two linear passes,
     no global sort, ~k rows kept (approximate by the sketch's rank error;
     exact k matters at small k, where the exact path applies anyway).
+
+    Cache lifecycle: on the threshold path the narrow scored frame stays
+    persisted in the RETURNED DataFrame's lineage (the caller's first
+    action is its third consumer — unpersisting here would re-run the
+    ~700s/pass corpus-gram DAG). The caller owns the cache, same
+    convention as ``dsir_importance_weights`` / ``char_lm_fit``.
     """
     w = dsir_importance_weights(
         corpus,

@@ -317,6 +317,18 @@ def hilbert_sort(
             import pandas  # noqa: F401
             import pyarrow  # noqa: F401
         except ImportError:
+            # loud downgrade: at 100M+ rows the staged Column walk is ~3x
+            # the vectorized engine, and a silently broken Arrow install
+            # would otherwise read as an unexplained perf regression
+            import warnings
+
+            warnings.warn(
+                "hilbert_sort: pandas/pyarrow/numpy unavailable — falling "
+                "back from engine='vectorized' to the staged Column walk "
+                "(same keys, slower at scale)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             engine = "staged"
     stats = df.agg(
         *[F.min(c).cast("bigint").alias(f"__mn_{c}") for c in cols],

@@ -272,6 +272,14 @@ def incremental_dedup_stream(
     docs (and their stored fingerprints/signatures) to the corpus tables
     between runs.
 
+    ``**dedup_kwargs`` forwards to ``incremental_dedup`` — note its
+    ``max_band_bucket`` default changed in round 9 from 100_000 to None
+    (exact semantics, no bucket cap): on low-diversity corpora an uncapped
+    degenerate LSH band bucket can make a batch effectively unbounded.
+    Long-running streams over adversarial/low-entropy text should pass an
+    explicit ``max_band_bucket`` (documented recall trade-off in
+    ``incremental_dedup``).
+
     Returns the started StreamingQuery.
     """
     from ..pipeline.dedup import incremental_dedup
