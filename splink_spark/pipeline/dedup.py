@@ -175,6 +175,8 @@ def minhash_lsh_pairs(
     on the band key (shuffle bounded by bucket sizes — the 100 TB path).
     Optionally verifies candidates with exact n-gram Jaccard.
     """
+    from pyspark import StorageLevel
+
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
     banded = sigs.select(
@@ -190,6 +192,11 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    # both sides of the candidate self-join read this frame — without the
+    # lineage break the num_hashes-per-row signature computation (the
+    # expensive scan) executes twice (caller owns the cache, as with the
+    # other dedup persists)
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     l = banded.select(
         F.col(id_col).alias(f"{id_col}_l"), "band", "band_hash"
     )
@@ -206,7 +213,11 @@ def minhash_lsh_pairs(
         return cand
     # verify candidates with exact n-gram jaccard (rejoin text)
     n = n or shingle_size
-    grams = df.select(F.col(id_col), char_ngrams(F.col(text_col), n).alias("__g"))
+    # same double-read shape: the l- and r-side verify joins both scan the
+    # gram arrays — persist so tokenization happens once
+    grams = df.select(
+        F.col(id_col), char_ngrams(F.col(text_col), n).alias("__g")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     out = (
         cand.join(
             grams.select(F.col(id_col).alias(f"{id_col}_l"), F.col("__g").alias("__g_l")),
