@@ -672,7 +672,7 @@ def cross_document_span_dedup(
     (``id_col``, n_tokens, n_removed_tokens, n_duplicate_spans, cleaned_text).
     """
     from ..internals.misc import optimizer_barrier
-    from .curation import _tokens
+    from .curation import _gram_ws, _tokens
 
     n = int(span_tokens)
     if n < 1:
@@ -688,7 +688,7 @@ def cross_document_span_dedup(
     ).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+            lambda i: F.md5(_gram_ws(toks, i, n)),
         )
     )
     doc_spans = staged.select(
