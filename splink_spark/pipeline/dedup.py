@@ -809,9 +809,18 @@ def incremental_dedup(
         (id_col, fingerprint, exact_dup_corpus, exact_dup_batch,
          near_dup_corpus, keep)
     """
+    from pyspark import StorageLevel
+
     from .text import fingerprint
 
-    batch_fp = fingerprint(batch, text_col=text_col, id_col=id_col)
+    # every batch-derived frame below is read twice (once to build a
+    # broadcast probe, once in the output join); the batch is the small
+    # side by contract, so persist each once instead of re-running the
+    # fingerprint/signature scans per consumer (caller owns the cache,
+    # as with the other dedup persists)
+    batch_fp = fingerprint(batch, text_col=text_col, id_col=id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     corpus_fp = (
         corpus_fingerprints
         if corpus_fingerprints is not None
@@ -878,7 +887,9 @@ def incremental_dedup(
         if corpus_signatures is not None
         else minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_size)
     )
-    banded_batch = _banded(batch_sigs, "__batch_id")
+    banded_batch = _banded(batch_sigs, "__batch_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # restrict the corpus banding to batch-hit buckets first (broadcast
     # semi shape), then DROP degenerate buckets before the candidate
     # join: on low-diversity corpora (boilerplate-heavy web text, the
@@ -904,6 +915,7 @@ def incremental_dedup(
         .join(F.broadcast(banded_batch), ["band", "band_hash"])
         .select("__batch_id", "__corpus_id")
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # verification pulls ONLY candidate corpus rows: semi-join the corpus
