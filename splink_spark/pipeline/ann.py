@@ -1466,7 +1466,7 @@ def ivfadc_search(
     corpus: "Optional[DataFrame]" = None,
     rerank_candidates: "Optional[int] | str" = "auto",
     embedding_col: str = "embedding",
-    id_col: str = "vec_id",
+    id_col: Optional[str] = None,
 ) -> DataFrame:
     """Search a pre-built :func:`ivfadc_build` index: route each query to
     its ``nprobe`` nearest stored cells, rank ONLY those cells' codes by
@@ -1488,6 +1488,12 @@ def ivfadc_search(
     """
     spark = queries.sparkSession
     meta = spark.read.parquet(f"{index_path}/meta").head()
+    # default the id column to the one the index was BUILT with (recorded
+    # in meta) so a non-default build replays without re-stating it; an
+    # explicit id_col= names both the query frame's id and, for rerank,
+    # the corpus id — it always wins
+    if id_col is None:
+        id_col = str(meta["id_col"])
     if rerank_candidates == "auto":
         rerank_candidates = 20 * k if corpus is not None else None
     cent_rows = (

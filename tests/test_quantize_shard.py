@@ -523,6 +523,35 @@ def test_ivfadc_build_search_matches_inmemory(spark, tmp_path):
     assert "cluster" in plan
 
 
+def test_ivfadc_search_defaults_id_col_from_meta(spark, tmp_path):
+    """An index built with a non-default id_col must replay without the
+    caller re-stating it: ivfadc_search resolves id_col from the stored
+    meta when the argument is omitted (round-9 advice)."""
+    import math
+    import random
+
+    from splink_spark.pipeline.ann import ivfadc_build, ivfadc_search
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(120):
+        v = [rng.uniform(-1, 1) for _ in range(8)]
+        nrm = math.sqrt(sum(y * y for y in v))
+        rows.append((i, [y / nrm for y in v]))
+    vecs = spark.createDataFrame(rows, "doc_id bigint, embedding array<double>")
+    queries = vecs.where(F.col("doc_id") < 3)
+    path = str(tmp_path / "idx_docid")
+    ivfadc_build(vecs, path, num_cells=4, m=4, codebook_size=8,
+                 iterations=2, id_col="doc_id")
+
+    # no id_col passed: must resolve "doc_id" from meta, not fail on vec_id
+    implicit = sorted(map(tuple, ivfadc_search(
+        queries, path, k=2, nprobe=4, corpus=vecs).collect()))
+    explicit = sorted(map(tuple, ivfadc_search(
+        queries, path, k=2, nprobe=4, corpus=vecs, id_col="doc_id").collect()))
+    assert implicit == explicit and len(implicit) == 6
+
+
 def test_kmeans_train_subset_smaller_than_k_falls_back(spark):
     """A train_fraction yielding fewer rows than k (or codebook_size) must
     fall back to full-corpus training, not silently shrink k or crash on
