@@ -2350,12 +2350,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         emb = _session(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
         # deterministic per-sf index dir, overwritten each invocation —
-        # a mkdtemp here leaked one parquet directory per sweep run
+        # a mkdtemp here leaked one parquet directory per sweep run. Kept
+        # OUTSIDE .stream_cache/<sf>/ (a SIBLING dir): the streaming gates
+        # stream-read that whole directory, and this index's partitioned
+        # codes/coarse_cell=N layout trips parquet partition discovery
+        # (CONFLICTING_DIRECTORY_STRUCTURES) for any gate run after it.
         idx = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             ".stream_cache",
-            os.path.basename(sf_dir.rstrip("/")),
-            "gate_ivfadc_index",
+            os.path.basename(sf_dir.rstrip("/")) + "_ivfadc_index",
         )
         if os.path.isdir(idx):
             shutil.rmtree(idx)
