@@ -180,6 +180,9 @@ def main() -> None:
             docs, method="hof"
         ),
         "pii_redact": lambda: cu.pii_redact(docs),
+        "decontaminate_vs_1pct_eval": lambda: cu.decontaminate(
+            docs, docs.where(F.pmod(F.col("doc_id"), F.lit(101)) == 0), n=8
+        ),
     }
     unknown = [w for w in wanted if w not in ops]
     if unknown:
