@@ -932,9 +932,19 @@ def incremental_dedup(
         F.col(id_col).alias("__batch_id"),
         char_ngrams(F.col(text_col), shingle_size).alias("__g_b"),
     )
+    # verify with ZERO shuffles: stream the candidate corpus rows through
+    # two broadcast joins (pairs, then batch gram arrays). Both build
+    # sides are batch-bounded by the op's contract (cand is |batch| x
+    # collisions of 16-byte id pairs; batch_grams is |batch| rows). The
+    # previous shape attached the batch gram arrays to every pair FIRST
+    # and then sort-merge-joined by __corpus_id — at 10M docs with a
+    # realistic Zipf vocabulary that SMJ sorted ~10 KB of gram payload
+    # per candidate pair (tens of millions of pairs => hundreds of GB of
+    # spill, measured as a disk-full abort). Joins are inner and the
+    # result feeds a distinct(), so the reorder is result-identical.
     near = (
-        cand.join(F.broadcast(batch_grams), "__batch_id")
-        .join(corpus_cand_grams, "__corpus_id")
+        corpus_cand_grams.join(F.broadcast(cand), "__corpus_id")
+        .join(F.broadcast(batch_grams), "__batch_id")
         .where(
             F.size(F.array_intersect("__g_b", "__g_c")).cast("double")
             / F.size(F.array_union("__g_b", "__g_c")).cast("double")

@@ -113,37 +113,57 @@ def main() -> None:
 
     def _zipf_setup():
         # Zipf s~1 vocabulary (rank = floor(V^u), top-word mass ~6%) —
-        # corpus generation excluded from timing, like the main bench
+        # corpus generation excluded from timing, like the main bench.
+        # Each rank maps to a deterministic 4-8 LETTER word (not "w"+digits):
+        # incremental_dedup shingles on char 5-grams, and digit-words share
+        # grams pathologically ("w123"/"w124" collide on 4 of 5 chars) —
+        # measured 5.7x the candidate-pair rate of letter words at 200k
+        # docs. Letter words give real-text-like char-gram diversity while
+        # keeping the word-rank law identical.
         import math
 
         V = 50_000
-        zwords = F.transform(
-            F.sequence(F.lit(1), nwords),
-            lambda j: F.concat(
-                F.lit("w"),
-                F.least(
-                    F.lit(V),
-                    F.greatest(
-                        F.lit(1),
-                        F.floor(
-                            F.exp(
+
+        def _rank(j):
+            return F.least(
+                F.lit(V),
+                F.greatest(
+                    F.lit(1),
+                    F.floor(
+                        F.exp(
+                            (
                                 (
-                                    (
-                                        F.pmod(
-                                            F.xxhash64(F.col("id") * 131 + j * 17),
-                                            F.lit(1_000_000),
-                                        ).cast("double")
-                                        + 0.5
-                                    )
-                                    / 1_000_000.0
+                                    F.pmod(
+                                        F.xxhash64(F.col("id") * 131 + j * 17),
+                                        F.lit(1_000_000),
+                                    ).cast("double")
+                                    + 0.5
                                 )
-                                * float(math.log(V))
+                                / 1_000_000.0
                             )
-                        ).cast("int"),
+                            * float(math.log(V))
+                        )
+                    ).cast("int"),
+                ),
+            )
+
+        letters = F.split(F.lit(",".join("abcdefghijklmnopqrstuvwxyz")), ",")
+
+        def _word(j):
+            r = _rank(j).cast("string")
+            h = F.xxhash64(r)
+            ln = (F.pmod(h, F.lit(5)) + 4).cast("int")
+            return F.concat_ws(
+                "",
+                F.transform(
+                    F.sequence(F.lit(1), ln),
+                    lambda p: F.element_at(
+                        letters, (F.pmod(F.xxhash64(r, p), F.lit(26)) + 1).cast("int")
                     ),
-                ).cast("string"),
-            ),
-        )
+                ),
+            )
+
+        zwords = F.transform(F.sequence(F.lit(1), nwords), _word)
         zdocs = (
             spark.range(n)
             .repartition(4 * int(cpus))
