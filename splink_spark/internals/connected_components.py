@@ -153,6 +153,8 @@ def solve_connected_components(
     driver_solve_max_edges: Optional[int] = None,
     assignments_only: bool = False,
     edges_cheap_to_recompute: bool = False,
+    contract_frac: Optional[float] = None,
+    contract_min_gap: int = 2,
 ) -> DataFrame:
     """Return (node_id, cluster_id) with cluster_id = min node id in component.
 
@@ -187,6 +189,39 @@ def solve_connected_components(
     here pairs a large neighbour/rep table with a strictly smaller
     frontier-derived side, so hash beats sort-merge and skips both sorts
     (guide: prefer shuffled-hash when the per-partition build side fits).
+
+    ``contract_frac`` (default from env SPLINK_SPARK_CC_CONTRACT_FRAC,
+    0.05; 0/None disables): graph contraction once the frontier has
+    collapsed. Every round scans the FULL cached neighbour table (the
+    broadcast-join probe side) and rebuilds jump parents from the FULL rep
+    table, even when only a sliver of nodes is still moving — at 10M+ nodes
+    those two scans ARE the near-converged rounds' cost. When
+    ``n_delta <= contract_frac * initial frontier`` (and at least
+    ``contract_min_gap`` rounds passed since the last contraction), both
+    endpoints of every neighbour row are mapped through the current rep;
+    intra-block rows (rep equal — provably same component, since a rep
+    value is always a node of its owner's component) vanish map-side before
+    a distinct, and the loop continues on the contracted graph whose nodes
+    are the LABELS (distinct rep values). Two properties make this safe and
+    cheap:
+
+    - *Correctness*: the label partition refines the final components, so
+      quotient components = quotient of components, and the component
+      minimum is itself a label (``rep(min) == min`` — the minimum never
+      receives a smaller id). The archived full mapping is composed back
+      over the contracted result at exit: ``out(u) = cluster'(rep_k(u))``.
+    - *No convergence reset*: the contracted rep is initialised as
+      ``least(rep_old(label), min contracted-neighbour label)`` — the image
+      of rep is closed under rep, so ``rep_old(label)`` is itself a label
+      and the accumulated pointer-jumping structure carries over; the jump
+      joins stay total over the all-labels universe. (A plain identity
+      re-init was measured to destroy the O(log diameter) behaviour on
+      chain graphs — linear rounds.)
+
+    The trigger is frontier-fraction-based, not round-based, so
+    diameter-stress graphs whose frontier stays near-full (the 100k-chain
+    bench) contract only in their cheap tail, while cluster-shaped graphs
+    (dedup components, hub skew) contract right after the mass settles.
     """
     mat = materialization or MaterializationPolicy(method="local_checkpoint")
 
@@ -246,8 +281,18 @@ def solve_connected_components(
     # are information a neighbour hasn't already folded in via nbr_min
     delta = rep.where(F.col("rep") != F.col("node"))
     n_delta = delta.count()
+    n_delta_init = n_delta
     since_rep_checkpoint = 0
     rounds_run = 0
+    if contract_frac is None:
+        contract_frac = float(
+            _os.environ.get("SPLINK_SPARK_CC_CONTRACT_FRAC", "0.05")
+        )
+    rounds_since_contract = 0
+    # archived full (node -> rep) mappings, outermost first; composed back
+    # over the contracted result at exit
+    base_maps: list = []
+    n_contractions = 0
 
     for it in range(max_iterations):
         if n_delta == 0:
@@ -321,6 +366,76 @@ def solve_connected_components(
             .select(rep["node"], F.coalesce(upd["u_rep"], rep["rep"]).alias("rep"))
         )
         since_rep_checkpoint += 1
+        rounds_since_contract += 1
+
+        if (
+            contract_frac
+            and rounds_since_contract >= contract_min_gap
+            and n_delta <= contract_frac * n_delta_init
+        ):
+            t_c = time.time()
+            rep = mat.materialize(rep, "clustering", iterative=True)
+            since_rep_checkpoint = 0
+            # map both neighbour endpoints through rep; the rep side
+            # broadcasts when the universe is known-small (bounded by the
+            # initial frontier + settled roots: broadcast only when the
+            # initial frontier already fit the broadcast budget), else
+            # SHUFFLE_HASH per the loop's join convention
+            small_u = n_delta_init <= delta_broadcast_rows
+            r1 = rep.select(
+                F.col("node").alias("m_node"), F.col("rep").alias("m_rep")
+            )
+            r1h = F.broadcast(r1) if small_u else r1.hint("SHUFFLE_HASH")
+            half = neighbours.join(r1h, neighbours["node"] == r1["m_node"]).select(
+                F.col("m_rep").alias("node"), F.col("nbr")
+            )
+            r2 = rep.select(
+                F.col("node").alias("m_node2"), F.col("rep").alias("m_rep2")
+            )
+            r2h = F.broadcast(r2) if small_u else r2.hint("SHUFFLE_HASH")
+            contracted = (
+                half.join(r2h, half["nbr"] == r2["m_node2"])
+                .select("node", F.col("m_rep2").alias("nbr"))
+                .where(F.col("node") != F.col("nbr"))
+                .distinct()
+            )
+            neighbours = mat.materialize(contracted, "clustering", iterative=True)
+            base_maps.append((rep, small_u))
+            # contracted universe = ALL labels (so the jump joins stay
+            # total); inherit the old pointers via rep_old(label)
+            labels = rep.select(F.col("rep").alias("node")).distinct()
+            nbr_min2 = neighbours.groupBy("node").agg(F.min("nbr").alias("nbr_min"))
+            nbr_min2 = (
+                F.broadcast(nbr_min2) if small_u else nbr_min2.hint("SHUFFLE_HASH")
+            )
+            old_vals = rep.select(
+                F.col("node").alias("o_node"), F.col("rep").alias("o_rep")
+            )
+            old_vals = (
+                F.broadcast(old_vals) if small_u else old_vals.hint("SHUFFLE_HASH")
+            )
+            rep = (
+                labels.join(nbr_min2, on="node", how="left")
+                .join(old_vals, labels["node"] == old_vals["o_node"], "inner")
+                .select(
+                    "node",
+                    F.least(
+                        F.coalesce(F.col("nbr_min"), F.col("node")), F.col("o_rep")
+                    ).alias("rep"),
+                )
+            )
+            rep = mat.materialize(rep, "clustering", iterative=True)
+            delta = rep.where(F.col("rep") != F.col("node"))
+            n_delta = delta.count()
+            n_delta_init = max(n_delta, 1)
+            rounds_since_contract = 0
+            n_contractions += 1
+            logger.info(
+                "CC contraction after round %d: frontier %d (%.2fs)",
+                it, n_delta, time.time() - t_c,
+            )
+            continue
+
         # rep's lineage grows one (broadcast) join per round, and the next
         # round references rep FOUR times (improved join, two parent
         # lookups, update base) — every un-truncated layer re-executes 4x,
@@ -332,11 +447,25 @@ def solve_connected_components(
             since_rep_checkpoint = 0
         delta = improved
 
+    # compose the archived mappings back over the contracted result,
+    # innermost first: out(u) = cluster'(rep_k(u)). The composed side's
+    # universe is the labels of that contraction, bounded by the universe
+    # it was contracted from — broadcast exactly when that universe already
+    # fit the broadcast budget, else SHUFFLE_HASH (same convention as the
+    # loop's joins)
+    for base, b_small in reversed(base_maps):
+        fr = rep.select(F.col("node").alias("f_node"), F.col("rep").alias("f_rep"))
+        fr = F.broadcast(fr) if b_small else fr.hint("SHUFFLE_HASH")
+        rep = base.join(fr, base["rep"] == fr["f_node"], "left").select(
+            base["node"], F.coalesce(fr["f_rep"], base["rep"]).alias("rep")
+        )
+
     out = rep.select(F.col("node").alias(node_col), F.col("rep").alias("cluster_id"))
     try:
         # observability for benches/tests: how many delta rounds the
         # distributed loop ran (the loop is eager, so this is final)
         out._splink_cc_rounds = rounds_run  # type: ignore[attr-defined]
+        out._splink_cc_contractions = n_contractions  # type: ignore[attr-defined]
     except Exception:
         pass
     return out

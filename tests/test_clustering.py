@@ -228,3 +228,90 @@ def test_distributed_cc_chain_logarithmic_rounds(spark):
     assert rounds is not None and rounds <= 16, (
         f"chain of {n} should converge in ~log2(n) rounds, took {rounds}"
     )
+
+
+@pytest.mark.parametrize(
+    "n,p,seed,gap",
+    [
+        (100, 0.02, 1, 1),
+        (500, 0.004, 2, 2),
+        (300, 0.0005, 3, 1),
+    ],
+)
+def test_cc_contraction_matches_networkx(spark, n, p, seed, gap):
+    """Graph contraction (forced every `gap` rounds) must leave the output
+    identical: the label partition refines the final components and the
+    archived mappings compose back exactly."""
+    nodes, edges, g = _random_graph(n, p, seed)
+    nodes_df = spark.createDataFrame([(x,) for x in nodes], ["node_id"])
+    edges_df = spark.createDataFrame(
+        edges or [(0, 0)], ["node_id_l", "node_id_r"]
+    )
+    result = solve_connected_components(
+        edges_df, nodes_df,
+        materialization=MaterializationPolicy(method="local_checkpoint"),
+        driver_solve_max_edges=0,
+        contract_frac=1.0, contract_min_gap=gap,
+    )
+    got = {r["node_id"]: r["cluster_id"] for r in result.collect()}
+    assert len(got) == n
+    for comp in nx.connected_components(g):
+        ids = {got[node] for node in comp}
+        assert ids == {min(comp)}, f"component {comp} -> {ids}"
+
+
+def test_cc_contraction_chain_keeps_logarithmic_rounds(spark):
+    """Contraction must NOT reset the pointer-jumping acceleration: the
+    contracted rep inherits rep_old(label), so a worst-case chain still
+    converges in O(log diameter) rounds even when contraction is forced
+    every round (an identity re-init was measured to need linear rounds)."""
+    n = 4096
+    ids = spark.range(n)
+    edges = ids.where(F.col("id") + 1 < n).select(
+        F.col("id").alias("node_id_l"), (F.col("id") + 1).alias("node_id_r")
+    )
+    nodes = ids.select(F.col("id").alias("node_id"))
+    out = solve_connected_components(
+        edges, nodes, driver_solve_max_edges=0,
+        contract_frac=1.0, contract_min_gap=1,
+    )
+    rows = out.collect()
+    assert all(r["cluster_id"] == 0 for r in rows) and len(rows) == n
+    rounds = getattr(out, "_splink_cc_rounds", None)
+    assert rounds is not None and rounds <= 20, (
+        f"contracted chain of {n} should stay ~log2(n) rounds, took {rounds}"
+    )
+    assert getattr(out, "_splink_cc_contractions", 0) >= 1
+
+
+def test_cc_contraction_string_ids_and_assignments_only(spark):
+    """Contraction with string node ids (lexicographic min) and the
+    assignments_only contract must agree with the uncontracted loop."""
+    rng = random.Random(11)
+    names = sorted({f"ds{rng.randrange(3)}-__-{rng.randrange(60):03d}" for _ in range(90)})
+    edge_rows = []
+    for _ in range(70):
+        u, v = rng.choice(names), rng.choice(names)
+        if u != v:
+            edge_rows.append((u, v))
+    edges_df = spark.createDataFrame(edge_rows, ["node_id_l", "node_id_r"])
+    nodes_df = spark.createDataFrame([(x,) for x in names], ["node_id"])
+    plain = solve_connected_components(
+        edges_df, nodes_df, driver_solve_max_edges=0, contract_frac=0.0
+    )
+    contracted = solve_connected_components(
+        edges_df, nodes_df, driver_solve_max_edges=0,
+        contract_frac=1.0, contract_min_gap=1,
+    )
+    assert contracted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(contracted).count() == 0
+    plain_a = solve_connected_components(
+        edges_df, None, driver_solve_max_edges=0, assignments_only=True,
+        contract_frac=0.0,
+    )
+    contracted_a = solve_connected_components(
+        edges_df, None, driver_solve_max_edges=0, assignments_only=True,
+        contract_frac=1.0, contract_min_gap=1,
+    )
+    assert contracted_a.exceptAll(plain_a).count() == 0
+    assert plain_a.exceptAll(contracted_a).count() == 0
