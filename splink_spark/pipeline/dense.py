@@ -60,6 +60,30 @@ DENSE_MAX_CELLS = 32_000_000  # broadcast matrix cells (x8 bytes = 256 MB)
 _EXACT_DOT_BOUND = float(2**52)
 
 
+def _collect_vectors(postings: DataFrame, id_col: str, vocab: list, max_docs: int):
+    """The expensive part of the dense probe: index terms against the
+    (already-validated) vocabulary, group per-doc sparse entries and collect
+    them to the driver. Split out so the over-cap short-circuit in
+    ``_dense_vectors`` is testable — an over-cap corpus must never reach
+    this aggregation (it pays a full groupBy shuffle plus an array
+    collect)."""
+    spark = postings.sparkSession
+    vocab_df = F.broadcast(
+        spark.createDataFrame(
+            [(t, i) for i, t in enumerate(vocab)], ["term", "__term_idx"]
+        )
+    )
+    entries = (
+        postings.join(vocab_df, "term")
+        .groupBy(id_col)
+        .agg(
+            F.collect_list("__term_idx").alias("__idx"),
+            F.collect_list("tf").alias("__val"),
+        )
+    )
+    return entries.limit(max_docs + 1).toPandas()
+
+
 def _dense_vectors(
     postings: DataFrame,
     id_col: str,
@@ -68,12 +92,14 @@ def _dense_vectors(
     max_cells: int,
 ):
     """Collect the corpus as (ids ndarray, dense float64 matrix) when it
-    fits the dense regime, else None.  Bounded driver probes: a LIMIT
-    max_vocab+1 vocabulary fetch, then a LIMIT max_docs+1 row cap on the
-    grouped vector frame itself (so an over-cap corpus costs at most
-    max_docs+1 collected rows before falling back).  The postings frame is
-    persisted for the duration of the two probes (both scan it) and
-    unpersisted before returning."""
+    fits the dense regime, else None.  Bounded driver probes, cheapest
+    first: a LIMIT max_vocab+1 vocabulary fetch, then a LIMIT max_docs+1
+    ids-only distinct-doc count — BOTH run before the grouped
+    collect_list aggregation, so an over-cap corpus (the 100 TB shape the
+    fallback exists for) never pays the full vector aggregation shuffle
+    or a max_docs-array collect just to discover it must use the sparse
+    plan.  The postings frame is persisted for the duration of the probes
+    (all scan it) and unpersisted before returning."""
     import numpy as np
     from pyspark import StorageLevel
 
@@ -85,21 +111,13 @@ def _dense_vectors(
         if len(vocab_rows) > max_vocab:
             return None
         vocab = sorted(r["term"] for r in vocab_rows)
-        spark = postings.sparkSession
-        vocab_df = F.broadcast(
-            spark.createDataFrame(
-                [(t, i) for i, t in enumerate(vocab)], ["term", "__term_idx"]
-            )
+        # ids-only doc-count probe: narrow rows, early-stops at the cap
+        n_docs = (
+            postings.select(id_col).distinct().limit(max_docs + 1).count()
         )
-        entries = (
-            postings.join(vocab_df, "term")
-            .groupBy(id_col)
-            .agg(
-                F.collect_list("__term_idx").alias("__idx"),
-                F.collect_list("tf").alias("__val"),
-            )
-        )
-        pdf = entries.limit(max_docs + 1).toPandas()
+        if n_docs > max_docs or n_docs * len(vocab) > max_cells:
+            return None
+        pdf = _collect_vectors(postings, id_col, vocab, max_docs)
     finally:
         try:
             postings.unpersist()
@@ -251,8 +269,15 @@ def dense_jaccard_self_join(
                 ri = rows[s : s + step]
                 inter = (all_mat[ri] @ all_mat.T).astype("int64")
                 union = all_sizes[ri][:, None] + all_sizes[None, :] - inter
-                keep = (inter * 1_000_000 >= tp * union) & (
-                    all_ids[ri][:, None] < all_ids[None, :]
+                # inter > 0 preserves the sparse plan's "pairs must share a
+                # token" contract when t_ppm rounds to 0 (threshold ~1e-7):
+                # the prefix join can never emit a non-co-occurring pair,
+                # while inter*1e6 >= 0*union alone would keep them all.
+                # For t_ppm >= 1 the guard is implied (inter >= union/1e6).
+                keep = (
+                    (inter * 1_000_000 >= tp * union)
+                    & (inter > 0)
+                    & (all_ids[ri][:, None] < all_ids[None, :])
                 )
                 li, ci = np.nonzero(keep)
                 yield pd.DataFrame(

@@ -92,6 +92,52 @@ def test_dense_jaccard_keep_tokens_stays_sparse(spark):
     )
 
 
+def test_over_doc_cap_never_runs_vector_aggregation(spark, monkeypatch):
+    """An over-doc-cap corpus must fall back BEFORE the grouped
+    collect_list aggregation (the ids-only probe short-circuit): the full
+    vector collect on a 100 TB-shaped corpus is exactly the wasted work
+    the probe exists to avoid."""
+    from splink_spark.pipeline import dense
+
+    def _boom(*args, **kwargs):  # pragma: no cover - failure path
+        raise AssertionError(
+            "vector aggregation executed on an over-cap corpus"
+        )
+
+    monkeypatch.setattr(dense, "_collect_vectors", _boom)
+    docs = spark.createDataFrame(
+        [(i, "w0 w1 w2") for i in range(30)], "doc_id long, text string"
+    )
+    postings = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).withColumn("tf", F.lit(1).cast("bigint"))
+    assert dense.dense_cosine_self_join(postings, "doc_id", 0.5, max_docs=10) is None
+    toks = docs.select("doc_id", F.split("text", " ").alias("__toks"))
+    assert (
+        dense.dense_jaccard_self_join(toks, "doc_id", 500_000, max_docs=10) is None
+    )
+
+
+def test_dense_jaccard_threshold_rounds_to_zero_ppm(spark):
+    """threshold=1e-7 rounds to t_ppm=0; the dense path must still emit
+    only co-occurring pairs, exactly like the sparse prefix join."""
+    from splink_spark.pipeline.fuzzy import jaccard_similarity_join
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["b", "c"]), (3, ["z"]), (4, ["q"])],
+        "doc_id long, tokens array<string>",
+    )
+    dense = jaccard_similarity_join(df, "doc_id", "tokens", 1e-7)
+    assert "MapInPandas" in dense._jdf.queryExecution().executedPlan().toString()
+    sparse = jaccard_similarity_join(df, "doc_id", "tokens", 1e-7, dense_max_vocab=0)
+    key = lambda r: (r["id_l"], r["id_r"])  # noqa: E731
+    d = {key(r): r.asDict() for r in dense.collect()}
+    s = {key(r): r.asDict() for r in sparse.collect()}
+    # (3,z) and (4,q) share no token with anything: no pair may mention them
+    assert d == s
+    assert all(i not in (3, 4) for pair in d for i in pair)
+
+
 def test_dense_string_ids(spark):
     """Non-numeric ids order and emit correctly through the dense path."""
     from splink_spark.pipeline.fuzzy import jaccard_similarity_join

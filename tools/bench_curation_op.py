@@ -237,6 +237,11 @@ def main() -> None:
         prev = art["ops"].get(name)
         art["ops"][name] = sec
         art["remeasured"][name] = {"prev_sec": prev, **stamp}
+    # refresh the BLOCK stamp whenever any row updates: a stale block-level
+    # measured_round next to fresh rows misreads as "this whole artifact is
+    # round N" (the per-row stamps in `remeasured` stay authoritative for
+    # which rows were refreshed when)
+    art.update(stamp)
     art["total_sec"] = round(sum(art["ops"].values()), 2)
     with open(path, "w") as f:
         json.dump(art, f, indent=1)
