@@ -277,10 +277,27 @@ def solve_connected_components(
         )
     rep = mat.materialize(rep, "clustering", iterative=True)
 
+    def _universe_and_delta(rep_df: DataFrame) -> "tuple[int, int]":
+        """One job over the (materialized, narrow) rep table: its total row
+        count — the node UNIVERSE every full-rep join side is bounded by —
+        and the frontier size. The universe count is what gates the
+        contraction/composition broadcasts: the initial frontier does NOT
+        bound the rep table (nodes-supplied solves carry isolated nodes;
+        assignments_only reps reach ~2x the frontier), so gating a full-rep
+        broadcast on the frontier size risks an oversized broadcast on a
+        huge settled universe with a small frontier."""
+        row = rep_df.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count(
+                F.when(F.col("rep") != F.col("node"), F.lit(1))
+            ).alias("__nd"),
+        ).collect()[0]
+        return int(row["__n"]), int(row["__nd"])
+
     # initial frontier: nodes whose rep moved off self — only their new reps
     # are information a neighbour hasn't already folded in via nbr_min
     delta = rep.where(F.col("rep") != F.col("node"))
-    n_delta = delta.count()
+    n_universe, n_delta = _universe_and_delta(rep)
     n_delta_init = n_delta
     since_rep_checkpoint = 0
     rounds_run = 0
@@ -377,11 +394,11 @@ def solve_connected_components(
             rep = mat.materialize(rep, "clustering", iterative=True)
             since_rep_checkpoint = 0
             # map both neighbour endpoints through rep; the rep side
-            # broadcasts when the universe is known-small (bounded by the
-            # initial frontier + settled roots: broadcast only when the
-            # initial frontier already fit the broadcast budget), else
-            # SHUFFLE_HASH per the loop's join convention
-            small_u = n_delta_init <= delta_broadcast_rows
+            # broadcasts only when the ACTUAL rep row count (the node
+            # universe, counted once per solve and re-counted after each
+            # contraction) fits the broadcast budget, else SHUFFLE_HASH
+            # per the loop's join convention
+            small_u = n_universe <= delta_broadcast_rows
             r1 = rep.select(
                 F.col("node").alias("m_node"), F.col("rep").alias("m_rep")
             )
@@ -426,7 +443,7 @@ def solve_connected_components(
             )
             rep = mat.materialize(rep, "clustering", iterative=True)
             delta = rep.where(F.col("rep") != F.col("node"))
-            n_delta = delta.count()
+            n_universe, n_delta = _universe_and_delta(rep)
             n_delta_init = max(n_delta, 1)
             rounds_since_contract = 0
             n_contractions += 1
@@ -452,13 +469,18 @@ def solve_connected_components(
     # universe is the labels of that contraction, bounded by the universe
     # it was contracted from — broadcast exactly when that universe already
     # fit the broadcast budget, else SHUFFLE_HASH (same convention as the
-    # loop's joins)
-    for base, b_small in reversed(base_maps):
+    # loop's joins). With several archived contractions the composition
+    # would nest one un-materialized join per step onto rep's lineage —
+    # exactly the plan growth the loop truncates — so materialize between
+    # steps whenever more than one remains.
+    for i, (base, b_small) in enumerate(reversed(base_maps)):
         fr = rep.select(F.col("node").alias("f_node"), F.col("rep").alias("f_rep"))
         fr = F.broadcast(fr) if b_small else fr.hint("SHUFFLE_HASH")
         rep = base.join(fr, base["rep"] == fr["f_node"], "left").select(
             base["node"], F.coalesce(fr["f_rep"], base["rep"]).alias("rep")
         )
+        if i < len(base_maps) - 1:
+            rep = mat.materialize(rep, "clustering", iterative=True)
 
     out = rep.select(F.col("node").alias(node_col), F.col("rep").alias("cluster_id"))
     try:

@@ -284,6 +284,41 @@ def test_cc_contraction_chain_keeps_logarithmic_rounds(spark):
     assert getattr(out, "_splink_cc_contractions", 0) >= 1
 
 
+def test_cc_contraction_fires_on_env_default_trigger(spark):
+    """Integration: with contract_frac left at the env default (0.05) and
+    the driver shortcut disabled, a cluster-shaped graph (mass settles in
+    round 1, one long chain keeps iterating) must fire a contraction
+    NATURALLY and still produce exact components — including isolated
+    nodes supplied only via the node table (the universe the broadcast
+    gate must respect exceeds the frontier here)."""
+    star_hubs = 400
+    chain_n = 64
+    rows = []
+    for h in range(star_hubs):  # stars: hub 10*h, leaves 10*h+1..+5
+        base = h * 10
+        rows += [(base, base + j) for j in range(1, 6)]
+    chain_base = star_hubs * 10
+    rows += [(chain_base + i, chain_base + i + 1) for i in range(chain_n - 1)]
+    edges_df = spark.createDataFrame(rows, ["node_id_l", "node_id_r"])
+    node_ids = sorted({x for e in rows for x in e})
+    isolated = list(range(chain_base + 1000, chain_base + 1300))
+    nodes_df = spark.createDataFrame(
+        [(x,) for x in node_ids + isolated], ["node_id"]
+    )
+    out = solve_connected_components(
+        edges_df, nodes_df, driver_solve_max_edges=0
+    )
+    got = {r["node_id"]: r["cluster_id"] for r in out.collect()}
+    assert getattr(out, "_splink_cc_contractions", 0) >= 1, (
+        "default-trigger contraction did not fire on a cluster-shaped graph"
+    )
+    for h in range(star_hubs):
+        base = h * 10
+        assert all(got[base + j] == base for j in range(6))
+    assert all(got[chain_base + i] == chain_base for i in range(chain_n))
+    assert all(got[x] == x for x in isolated)
+
+
 def test_cc_contraction_string_ids_and_assignments_only(spark):
     """Contraction with string node ids (lexicographic min) and the
     assignments_only contract must agree with the uncontracted loop."""
