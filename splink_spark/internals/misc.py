@@ -113,3 +113,42 @@ def optimizer_barrier_numeric(col, dtype: str = "bigint"):
     from pyspark.sql import functions as F
 
     return col + (F.rand(7) * F.lit(0.0)).cast(dtype)
+
+
+def attach_caches(df, *frames):
+    """Record the ``persist()``-ed frames an operator created while building
+    ``df`` ON the returned DataFrame, so long-lived sessions can release
+    them with :func:`unpersist_caches` once the output is consumed.
+
+    The dedup/curation operators persist small derived frames (banded
+    signatures, batch fingerprints, gram dictionaries) that several
+    consumers inside one call share — "caller owns the cache" is the
+    documented convention, but without a handle a 100-batch ingestion
+    session accumulates MEMORY_AND_DISK frames it can never find again.
+    Frames already attached to ``df`` (an operator composing another
+    operator's output) are preserved and extended."""
+    existing = list(getattr(df, "_splink_caches", ()) or ())
+    try:
+        df._splink_caches = existing + [f for f in frames if f is not None]
+    except Exception:
+        pass
+    return df
+
+
+def unpersist_caches(df, blocking: bool = False) -> int:
+    """Release every cache recorded by :func:`attach_caches` on ``df``;
+    returns how many were released. Call AFTER the output has been fully
+    consumed (unpersisting earlier just forces a recompute, never wrong
+    results). Safe to call twice."""
+    n = 0
+    for frame in list(getattr(df, "_splink_caches", ()) or ()):
+        try:
+            frame.unpersist(blocking=blocking)
+            n += 1
+        except Exception:
+            pass
+    try:
+        df._splink_caches = []
+    except Exception:
+        pass
+    return n

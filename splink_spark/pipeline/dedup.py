@@ -203,6 +203,8 @@ def minhash_lsh_pairs(
     r = banded.select(
         F.col(id_col).alias(f"{id_col}_r"), "band", "band_hash"
     )
+    from ..internals.misc import attach_caches
+
     cand = (
         l.join(r, on=["band", "band_hash"])
         .where(F.col(f"{id_col}_l") < F.col(f"{id_col}_r"))
@@ -210,7 +212,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     if jaccard_threshold is None:
-        return cand
+        return attach_caches(cand, banded)
     # verify candidates with exact n-gram jaccard (rejoin text)
     n = n or shingle_size
     # same double-read shape: the l- and r-side verify joins both scan the
@@ -237,7 +239,7 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= jaccard_threshold)
     )
-    return out
+    return attach_caches(out, banded, grams)
 
 
 def simhash_signatures(
@@ -729,18 +731,23 @@ def cross_document_span_dedup(
         ),
         lambda s: ~F.array_contains(remove_pos, s["1"].cast("int")),
     )
-    return out.select(
-        F.col(id_col),
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.coalesce(F.size(F.col("__remove_pos")), F.lit(0))
-        .cast("bigint")
-        .alias("n_removed_tokens"),
-        F.coalesce(F.col("n_dup_spans"), F.lit(0))
-        .cast("bigint")
-        .alias("n_duplicate_spans"),
-        F.when(F.size(toks) == 0, F.lit("")).otherwise(
-            F.concat_ws(" ", F.transform(kept, lambda s: s["__toks"]))
-        ).alias("cleaned_text"),
+    from ..internals.misc import attach_caches
+
+    return attach_caches(
+        out.select(
+            F.col(id_col),
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.coalesce(F.size(F.col("__remove_pos")), F.lit(0))
+            .cast("bigint")
+            .alias("n_removed_tokens"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0))
+            .cast("bigint")
+            .alias("n_duplicate_spans"),
+            F.when(F.size(toks) == 0, F.lit("")).otherwise(
+                F.concat_ws(" ", F.transform(kept, lambda s: s["__toks"]))
+            ).alias("cleaned_text"),
+        ),
+        staged,
     )
 
 
@@ -811,13 +818,16 @@ def incremental_dedup(
     """
     from pyspark import StorageLevel
 
+    from ..internals.misc import attach_caches
     from .text import fingerprint
 
     # every batch-derived frame below is read twice (once to build a
     # broadcast probe, once in the output join); the batch is the small
     # side by contract, so persist each once instead of re-running the
-    # fingerprint/signature scans per consumer (caller owns the cache,
-    # as with the other dedup persists)
+    # fingerprint/signature scans per consumer. The caches are attached
+    # to the returned frame (internals.misc.attach_caches): an ingestion
+    # loop calls unpersist_caches(out) after consuming each batch so a
+    # 100-batch session never accumulates MEMORY_AND_DISK frames.
     batch_fp = fingerprint(batch, text_col=text_col, id_col=id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -853,13 +863,18 @@ def incremental_dedup(
     )
 
     if not near_dup:
-        return flags.select(
-            id_col,
-            "fingerprint",
-            "exact_dup_corpus",
-            "exact_dup_batch",
-            F.lit(False).alias("near_dup_corpus"),
-            (~(F.col("exact_dup_corpus") | F.col("exact_dup_batch"))).alias("keep"),
+        return attach_caches(
+            flags.select(
+                id_col,
+                "fingerprint",
+                "exact_dup_corpus",
+                "exact_dup_batch",
+                F.lit(False).alias("near_dup_corpus"),
+                (~(F.col("exact_dup_corpus") | F.col("exact_dup_batch"))).alias(
+                    "keep"
+                ),
+            ),
+            batch_fp,
         )
 
     rows_per_band = num_hashes // bands
@@ -955,7 +970,7 @@ def incremental_dedup(
         .withColumn("__near", F.lit(True))
     )
 
-    return (
+    return attach_caches(
         flags.join(F.broadcast(near), id_col, "left")
         .select(
             id_col,
@@ -970,7 +985,10 @@ def incremental_dedup(
                     | F.coalesce("__near", F.lit(False))
                 )
             ).alias("keep"),
-        )
+        ),
+        batch_fp,
+        banded_batch,
+        cand,
     )
 
 

@@ -147,3 +147,38 @@ def test_incremental_dedup_band_bucket_cap(spark):
         batch, mixed_corpus, jaccard_threshold=0.5, max_band_bucket=50
     ).collect()[0]
     assert small["near_dup_corpus"] is True
+
+
+def test_consecutive_batches_release_caches(spark, corpus_and_batch):
+    """An ingestion loop over many batches must not accumulate
+    MEMORY_AND_DISK frames: each incremental_dedup output carries handles
+    to the frames it persisted (attach_caches) and unpersist_caches
+    releases them all, returning the session's persistent-RDD count to
+    its pre-loop baseline."""
+    from splink_spark.internals.misc import unpersist_caches
+
+    corpus, _ = corpus_and_batch
+
+    def pinned_ids():
+        # track SPECIFIC persistent-RDD ids: the session is shared across
+        # test modules and Spark's ContextCleaner unpersists other tests'
+        # dropped frames asynchronously, so raw counts are not stable
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    base_ids = pinned_ids()
+    for i in range(3):
+        batch = spark.createDataFrame(
+            [(1000 + i * 10 + j, f"batch {i} novel doc {j} about topic {j}")
+             for j in range(4)],
+            "doc_id long, text string",
+        )
+        out = dedup.incremental_dedup(batch, corpus, jaccard_threshold=0.5)
+        assert out.count() == 4  # consume the batch output fully
+        new_ids = pinned_ids() - base_ids
+        assert new_ids  # the per-batch caches exist while consuming
+        released = unpersist_caches(out)
+        assert released >= 3  # batch_fp, banded_batch, cand
+        assert not (pinned_ids() & new_ids), "per-batch caches not released"
+    # double release is a no-op
+    assert unpersist_caches(out) == 0
