@@ -199,8 +199,6 @@ def repetition_metrics(
     )
     toks = F.col("__toks")
     grams2 = F.col("__grams2")
-    n_words = F.size(toks)
-    total_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
 
     def _explode_metrics(staged_part: DataFrame) -> DataFrame:
         base = staged_part.select(
@@ -264,44 +262,99 @@ def repetition_metrics(
             ).alias("top_2gram_char_frac"),
         )
 
-    def _top_run_chars(arr):
-        """Chars of the most frequent element: sort, then one linear fold
-        tracking the current run length and the best count*len seen —
-        O(L log L) per document vs the O(L * distinct) naive scan (equal at
-        short repetitive docs; the win is long documents)."""
-        init = F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    def _hof_metrics(staged_part: DataFrame) -> DataFrame:
+        """Shuffle-free per-document metrics via one vectorized Arrow pass.
+
+        The previous shape computed the top-element char counts with an
+        interpreted ``F.aggregate`` fold over ``array_sort`` (plus two more
+        interpreted folds for the char totals): higher-order-function
+        lambdas run interpreted per ELEMENT, measured as the 10M-doc
+        hof-variant floor (712-743s, perfectly linear — the same
+        interpreted-lambda cost class as the `_gram_ws` fix). One
+        ``mapInPandas`` over ONLY (id, token-array) replaces all of it:
+        counting runs through ``collections.Counter`` (a C loop) per
+        document, grams are zipped adjacent token pairs (bijective with the
+        concat_ws(" ") gram strings — tokens cannot contain a space), and
+        every emitted value is an exact integer, so the final fractions —
+        computed by the SAME Spark Column expressions as before from the
+        same integers — are bit-identical (pinned by the explode/hof
+        equality test). Still zero shuffle; the Python boundary ships only
+        the token arrays (guide §4.2 vectorized-batch rule)."""
+        id_type = staged_part.schema[id_col].dataType.simpleString()
+        out_schema = (
+            f"{id_col} {id_type}, __nw bigint, __nd bigint, __tc bigint,"
+            " __twc bigint, __tgc bigint, __tg_total bigint"
         )
 
-        def step(acc, t):
-            run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-            return F.struct(
-                t.alias("prev"),
-                run.alias("run"),
-                F.greatest(acc["best"], run * F.length(t)).alias("best"),
-            )
+        def kernel(batches):
+            from collections import Counter
 
-        return F.aggregate(F.array_sort(arr), init, step, lambda acc: acc["best"])
+            import pandas as pd
 
-    n_distinct = F.size(F.array_distinct(toks))
-    dup_word_frac = (n_words - n_distinct).cast("double") / F.greatest(
-        n_words, F.lit(1)
-    ).cast("double")
-    top_word_char_frac = _top_run_chars(toks).cast("double") / F.greatest(
-        total_chars, F.lit(1)
-    ).cast("double")
-    total_gram_chars = F.aggregate(grams2, F.lit(0), lambda acc, g: acc + F.length(g))
-    top_2gram_char_frac = _top_run_chars(grams2).cast("double") / F.greatest(
-        total_gram_chars, F.lit(1)
-    ).cast("double")
+            for pdf in batches:
+                ids = pdf[id_col]
+                nw_l, nd_l, tc_l, twc_l, tgc_l, tgt_l = [], [], [], [], [], []
+                for toks in pdf["__toks"]:
+                    if toks is None:
+                        nw_l.append(None); nd_l.append(None)
+                        tc_l.append(None); twc_l.append(None)
+                        tgc_l.append(None); tgt_l.append(None)
+                        continue
+                    toks = list(toks)
+                    counts = Counter(toks)
+                    total_chars = 0
+                    top_word = 0
+                    for w, cnt in counts.items():
+                        v = len(w) * cnt
+                        total_chars += v
+                        if v > top_word:
+                            top_word = v
+                    top_gram = 0
+                    total_gram = 0
+                    if len(toks) >= 2:
+                        gcounts = Counter(zip(toks, toks[1:]))
+                        for (a, b), cnt in gcounts.items():
+                            v = (len(a) + len(b) + 1) * cnt
+                            total_gram += v
+                            if v > top_gram:
+                                top_gram = v
+                    nw_l.append(len(toks)); nd_l.append(len(counts))
+                    tc_l.append(total_chars); twc_l.append(top_word)
+                    tgc_l.append(top_gram); tgt_l.append(total_gram)
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "__nw": pd.array(nw_l, dtype="Int64"),
+                        "__nd": pd.array(nd_l, dtype="Int64"),
+                        "__tc": pd.array(tc_l, dtype="Int64"),
+                        "__twc": pd.array(twc_l, dtype="Int64"),
+                        "__tgc": pd.array(tgc_l, dtype="Int64"),
+                        "__tg_total": pd.array(tgt_l, dtype="Int64"),
+                    }
+                )
 
-    def _hof_metrics(staged_part: DataFrame) -> DataFrame:
-        return staged_part.select(
+        ints = staged_part.select(F.col(id_col), F.col("__toks")).mapInPandas(
+            kernel, out_schema
+        )
+        nw = F.col("__nw")
+        return ints.select(
             F.col(id_col),
-            n_words.cast("bigint").alias("n_words"),
-            F.round(dup_word_frac, 6).alias("dup_word_frac"),
-            F.round(top_word_char_frac, 6).alias("top_word_char_frac"),
-            F.round(top_2gram_char_frac, 6).alias("top_2gram_char_frac"),
+            nw.cast("bigint").alias("n_words"),
+            F.round(
+                (nw - F.col("__nd")).cast("double")
+                / F.greatest(nw, F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_word_frac"),
+            F.round(
+                F.col("__twc").cast("double")
+                / F.greatest(F.col("__tc"), F.lit(1)).cast("double"),
+                6,
+            ).alias("top_word_char_frac"),
+            F.round(
+                F.col("__tgc").cast("double")
+                / F.greatest(F.col("__tg_total"), F.lit(1)).cast("double"),
+                6,
+            ).alias("top_2gram_char_frac"),
         )
 
     # NOTE on tokenize-once: the explode path reads the staged token
@@ -317,12 +370,15 @@ def repetition_metrics(
     if method == "explode":
         return _explode_metrics(staged)
     if method == "hof":
-        return _hof_metrics(staged)
+        # the Arrow kernel derives gram metrics from the token array
+        # directly, so the hof path never builds __grams2 at all
+        return _hof_metrics(stage1)
     if method != "auto":
         raise ValueError("method must be 'auto', 'hof' or 'explode'")
-    # per-document routing: both branches read the same staged token frame,
-    # short docs stay shuffle-free, long docs get linear explode-aggregate
-    short = staged.where(F.size(toks) <= F.lit(hof_max_tokens))
+    # per-document routing: short docs stay shuffle-free (and skip the JVM
+    # gram build — the kernel zips grams itself), long docs get the linear
+    # explode-aggregate
+    short = stage1.where(F.size(toks) <= F.lit(hof_max_tokens))
     long_docs = staged.where(F.size(toks) > F.lit(hof_max_tokens))
     return _hof_metrics(short).unionByName(_explode_metrics(long_docs))
 
@@ -1286,13 +1342,16 @@ def dsir_importance_weights(
         .groupBy(id_col)
         .agg(F.sum("log_ratio").alias("log_weight"))
     )
-    return (
+    from ..internals.misc import attach_caches
+
+    return attach_caches(
         corpus.select(id_col)
         .join(scored, id_col, "left")
         .select(
             id_col,
             F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
-        )
+        ),
+        joined,
     )
 
 
@@ -1362,6 +1421,9 @@ def dsir_resample(
         score = F.col("log_weight")
     else:
         raise ValueError("method must be 'gumbel' or 'topk'")
+    from ..internals.misc import attach_caches
+
+    w_caches = list(getattr(w, "_splink_caches", ()) or ())
     scored = w.select(id_col, "log_weight", F.round(score, 9).alias("score"))
     if k > exact_topk_max:
         # persist the NARROW scored frame (id, log_weight, score — a few
@@ -1376,13 +1438,19 @@ def dsir_resample(
         scored = scored.persist()
         n_rows = scored.count()
         if k >= n_rows:
-            return scored
+            return attach_caches(scored, *w_caches, scored)
         frac = 1.0 - float(k) / float(n_rows)
         cutoff = scored.agg(
             F.expr(f"percentile_approx(score, {frac!r}, 10000)").alias("c")
         ).first()["c"]
-        return scored.where(F.col("score") >= F.lit(float(cutoff)))
-    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+        return attach_caches(
+            scored.where(F.col("score") >= F.lit(float(cutoff))),
+            *w_caches,
+            scored,
+        )
+    return attach_caches(
+        scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k), *w_caches
+    )
 
 
 def _minstd_u01_state(state: Column) -> Column:
