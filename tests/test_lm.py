@@ -88,7 +88,51 @@ def test_perplexity_filter_separates_ood_docs(spark):
 
 
 def test_model_join_is_broadcast(tiny_corpus):
+    # default path: the vectorized kernel scores with NO join at all
     model = lm.char_lm_fit(tiny_corpus, order=3)
     out = lm.char_lm_cross_entropy(tiny_corpus, model)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan and "Join" not in plan
+    # forced join plan: the model tables must broadcast
+    out_j = lm.char_lm_cross_entropy(tiny_corpus, model, arrow_kernel=False)
+    plan_j = out_j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_j
+
+
+def test_arrow_kernel_matches_join_plan(spark):
+    """The vectorized fit/score kernels must reproduce the exploded join
+    plan: identical model tables (exact integers), identical n_grams, and
+    cross_entropy/perplexity equal at the declared queries' 6-dp rounding
+    (per-doc sums are numpy pairwise vs Spark sequential — same float64
+    multiset, ~1 ulp)."""
+    import random
+
+    random.seed(21)
+    chars = "abcdef 日本é"
+    rows = [
+        (i, "".join(random.choice(chars) for _ in range(random.randint(0, 30))))
+        for i in range(300)
+    ]
+    rows += [(900, ""), (901, None), (902, "ab"), (903, "aaaa")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lm_docs = docs.where(F.col("doc_id") % 3 == 0)  # unseen grams exist
+    m_k = lm.char_lm_fit(lm_docs, order=3)
+    m_j = lm.char_lm_fit(lm_docs, order=3, arrow_kernel=False)
+    assert {tuple(r) for r in m_k["grams"].collect()} == {
+        tuple(r) for r in m_j["grams"].collect()
+    }
+    new = {r["doc_id"]: r for r in lm.char_lm_cross_entropy(
+        docs, m_k, id_col="doc_id").collect()}
+    old = {r["doc_id"]: r for r in lm.char_lm_cross_entropy(
+        docs, m_j, id_col="doc_id", arrow_kernel=False).collect()}
+    assert set(new) == set(old)
+    for k in old:
+        o, n = old[k], new[k]
+        assert o["n_grams"] == n["n_grams"]
+        if o["cross_entropy"] is None:
+            assert n["cross_entropy"] is None
+        else:
+            assert round(o["cross_entropy"], 6) == round(n["cross_entropy"], 6)
+            assert round(o["perplexity"], 6) == round(n["perplexity"], 6)
+    m_k["grams"].unpersist()
+    m_j["grams"].unpersist()
