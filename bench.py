@@ -145,7 +145,19 @@ def main() -> None:
     # curation/pipeline extras (round 4): the training-data-pipeline family,
     # timed single-run at the same sf. Not in the headline total (kept
     # comparable across rounds).
+    #
+    # The four extras that were optimization targets in rounds 10-11 get the
+    # headline's best-of-n treatment (measurement fix, VERDICT r10 #5: their
+    # single-run readings were repeatedly confounded by the host's documented
+    # 5-10x noisy-neighbor windows — e.g. triangle_count read 64.5s in the
+    # round-10 driver window vs 14.8s quiet). All runs are recorded under
+    # extras_runs so the old single-run methodology stays recoverable.
+    BEST_OF_N_EXTRAS = {
+        "term_cosine_join", "jaccard_join", "triangle_count",
+        "incremental_dedup",
+    }
     extras = {}
+    extras_runs = {}
     for name in (
         "gopher_rules",
         "repetition_metrics",
@@ -204,9 +216,17 @@ def main() -> None:
         "ann_pq",
     ):
         try:
-            t0 = time.time()
-            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            extras[name] = round(time.time() - t0, 3)
+            reps = n_runs if name in BEST_OF_N_EXTRAS else 1
+            runs = []
+            for _ in range(reps):
+                t0 = time.time()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(round(time.time() - t0, 3))
+            extras[name] = min(runs)
+            if reps > 1:
+                extras_runs[name] = runs
         except Exception as exc:
             extras[name] = f"failed: {exc}"
     print(f"# curation_extras: {extras}", file=sys.stderr)
@@ -226,6 +246,8 @@ def main() -> None:
         out["cc_skew_10m"] = cc_skew
     if extras:
         out["curation_extras"] = extras
+    if extras_runs:
+        out["extras_runs"] = extras_runs
     # attach the 1M direct-comparison result (BASELINE.md row 1 analogue)
     # if tools/bench_1m.py has been run on this host — it is too slow to
     # re-run per round, so the cached artifact is reported instead
