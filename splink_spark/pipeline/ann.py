@@ -250,6 +250,48 @@ def _int_dot_array(centroids: list[list[int]]):
     )
 
 
+def _batch_q_matrix(qs, dim: int):
+    """Stack a pandas Series of quantized-vector cells into an int64 matrix
+    plus a validity mask. A cell that is NULL, contains NULLs, or whose
+    length differs from ``dim`` is masked out — the JVM expression path
+    produced a NULL dot (zip_with pads length mismatches with NULLs, and
+    NULL propagates through the product/sum), hence a NULL cluster, for
+    exactly those rows."""
+    import numpy as np
+
+    n = len(qs)
+    mat = np.zeros((n, dim), dtype=np.int64)
+    ok = np.zeros(n, dtype=bool)
+    for i, q in enumerate(qs):
+        if q is None:
+            continue
+        try:
+            a = np.asarray(q)
+        except (TypeError, ValueError):
+            continue
+        if a.shape != (dim,):
+            continue
+        if a.dtype.kind != "i":
+            # Arrow hands a list<bigint> cell CONTAINING nulls to pandas
+            # as float64 with NaN (or object with None, which asarray
+            # infers to float64/NaN) — an int64 cast of NaN is silent
+            # garbage, so mask those rows instead (the JVM path nulled
+            # them: NULL propagates through the integer dot)
+            try:
+                af = a.astype(np.float64)
+            except (TypeError, ValueError):
+                continue
+            if not np.isfinite(af).all():
+                continue
+            ai = af.astype(np.int64)
+            if not np.array_equal(ai.astype(np.float64), af):
+                continue
+            a = ai
+        mat[i] = a.astype(np.int64, copy=False)
+        ok[i] = True
+    return mat, ok
+
+
 def kmeans_fit_assign(
     corpus: DataFrame,
     k: int = 8,
@@ -332,17 +374,56 @@ def _kmeans_int_index(
         train = staged.where(_minstd_bucket(id_col) < F.lit(thr)).persist()
 
     def _assign_df(df: DataFrame, centroids: list[list[int]]) -> DataFrame:
-        # argmax via ARRAY of dots + array_position: first max wins, so
-        # ties break to the lower cluster id
-        dots = _int_dot_array(centroids)
-        with_dots = df.select(F.col(id_col), F.col("__q"), dots.alias("__dots"))
-        return with_dots.select(
-            F.col(id_col),
-            F.col("__q"),
-            (F.expr("array_position(__dots, array_max(__dots))") - 1)
-            .cast("bigint")
-            .alias("cluster"),
-            F.array_max("__dots").alias("__dot"),
+        # Vectorized assignment (guide §4.2): the expression form —
+        # _int_dot_array's k interpreted zip_with/aggregate lambdas —
+        # executes 2*k*dim interpreted lambda calls PER ROW; at sf0.1 the
+        # corpus pays that k+1 times (k=8: one scan per Lloyd iteration
+        # plus the final assignment), measured as kmeans_assign's 13.8s
+        # floor. One mapInPandas computes the same integer dot products as
+        # a single NumPy int64 matmul per batch. Exactness: int64 addition
+        # is associative mod 2^64 (any accumulation order gives the very
+        # bits the JVM fold produced, even on overflow), and argmax
+        # returns the FIRST maximum — the same lowest-cluster-id tie-break
+        # as array_position(__dots, array_max(__dots)). Rows the JVM path
+        # nulled (NULL / length-mismatched vectors) are nulled identically
+        # (see _batch_q_matrix).
+        import numpy as np
+
+        C = np.array(
+            [[int(x) for x in vec] for vec in centroids], dtype=np.int64
+        )
+        dim = C.shape[1] if C.ndim == 2 and C.size else 0
+        id_type = dict(df.dtypes)[id_col]
+        schema = (
+            f"{id_col} {id_type}, __q array<bigint>,"
+            " cluster bigint, __dot bigint"
+        )
+
+        def kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                qs = pdf["__q"]
+                mat, ok = _batch_q_matrix(qs, dim)
+                dots = mat @ C.T
+                cl = dots.argmax(axis=1).astype(np.int64)
+                best = dots[np.arange(len(qs)), cl]
+                cl_s = pd.array(cl, dtype="Int64")
+                best_s = pd.array(best, dtype="Int64")
+                cl_s[~ok] = pd.NA
+                best_s[~ok] = pd.NA
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "__q": qs,
+                        "cluster": cl_s,
+                        "__dot": best_s,
+                    }
+                )
+
+        return df.select(F.col(id_col), F.col("__q")).mapInPandas(
+            kernel, schema
         )
 
     def _assign(centroids: list[list[int]]) -> DataFrame:
@@ -371,14 +452,62 @@ def _kmeans_int_index(
     k = len(centroids)
 
     for _ in range(max(0, iterations)):
-        assigned = _assign_df(train, centroids)
-        # integer mean per (cluster, position): sum is exact int64; round of
-        # sum/count is the only float op and both engines round .5 away
+        # One FUSED pass per Lloyd iteration (guide §2.3/§4.2): assignment
+        # and per-(cluster, position) partial sums happen inside one
+        # mapInPandas kernel that ships ONLY __q in and k*dim partial rows
+        # out per batch — the previous shape posexploded N*dim assignment
+        # rows through a hash aggregate after paying the interpreted
+        # zip_with dots per row. The final mean stays the SAME Spark
+        # expression on the same exact integers (sum of int64 partials ==
+        # the int64 sum over exploded elements in any order; sum(pcount)
+        # == the per-(cluster,pos) row count), so round(sum/count) is
+        # bit-identical.
+        import numpy as np
+
+        C_it = np.array(
+            [[int(x) for x in vec] for vec in centroids], dtype=np.int64
+        )
+        dim_it = C_it.shape[1] if C_it.ndim == 2 and C_it.size else 0
+        k_it = len(centroids)
+
+        def partials(batches, _C=C_it, _dim=dim_it, _k=k_it):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                mat, ok = _batch_q_matrix(pdf["__q"], _dim)
+                m = mat[ok]
+                if not len(m) or not _dim:
+                    continue
+                cl = (m @ _C.T).argmax(axis=1)
+                sums = np.zeros((_k, _dim), dtype=np.int64)
+                counts = np.zeros(_k, dtype=np.int64)
+                for c in range(_k):
+                    sel = cl == c
+                    nc = int(sel.sum())
+                    if nc:
+                        sums[c] = m[sel].sum(axis=0)
+                        counts[c] = nc
+                ks = np.nonzero(counts)[0]
+                yield pd.DataFrame(
+                    {
+                        "cluster": np.repeat(ks, _dim).astype(np.int64),
+                        "pos": np.tile(
+                            np.arange(_dim, dtype=np.int32), len(ks)
+                        ),
+                        "psum": sums[ks].ravel(),
+                        "pcount": np.repeat(counts[ks], _dim),
+                    }
+                )
+
         means = (
-            assigned.select("cluster", F.posexplode("__q"))
+            train.select("__q")
+            .mapInPandas(
+                partials, "cluster bigint, pos int, psum bigint, pcount bigint"
+            )
             .groupBy("cluster", "pos")
             .agg(
-                F.round(F.sum("col").cast("double") / F.count(F.lit(1)))
+                F.round(F.sum("psum").cast("double") / F.sum("pcount"))
                 .cast("bigint")
                 .alias("m")
             )

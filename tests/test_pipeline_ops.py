@@ -521,9 +521,39 @@ def test_kmeans_fit_assign(spark, vectors):
     mean0 = sum(r["cosine_sim"] for r in it0.collect()) / len(rows)
     mean2 = sum(r["cosine_sim"] for r in rows) / len(rows)
     assert mean2 >= mean0 - 1e-6
-    # assignment plan stays JVM-side: no python eval in the scoring scan
+    # assignment runs through the vectorized Arrow kernel (one int64 matmul
+    # per batch), never a row-at-a-time python UDF
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "EvalPython" not in plan
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_kmeans_null_and_mismatched_vectors_get_null_cluster(spark):
+    """The assignment kernel must reproduce the JVM expression contract
+    for degenerate rows: a NULL embedding, an embedding whose length
+    differs from the centroids', or one containing NULL elements gets a
+    NULL cluster (zip_with pads mismatches with NULLs and NULL propagates
+    through the integer dot), and such rows are EXCLUDED from the Lloyd
+    centroid means (they aggregated into a discarded NULL-cluster group
+    before)."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, None),
+            (4, [1.0, 0.0, 0.0, 5.0]),
+            (5, [0.9, 0.1, 0.0]),
+            (6, [None, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in ann.kmeans_fit_assign(df, k=2, iterations=2).collect()}
+    assert out[3]["cluster"] is None and out[3]["cosine_sim"] is None
+    assert out[4]["cluster"] is None
+    assert out[6]["cluster"] is None
+    assert out[1]["cluster"] is not None
+    assert out[2]["cluster"] is not None
+    assert out[5]["cluster"] == out[1]["cluster"]  # nearby vectors co-cluster
 
 
 def test_char_ngrams_and_rolling_hash_vs_python_reference(spark):
