@@ -3129,36 +3129,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
     }
     # The round driver's correctness snapshot records the FIRST 50 entries
-    # only. Round-10 (optimization round) ordering: (1) every gate whose
-    # execution path changed this round — the dense-regime similarity
-    # joins (pipeline/dense.py behind term_cosine_join/jaccard_join), the
-    # triangle_count adjacency-closure rewrite, and everything flowing
-    # through the restructured solve_connected_components loop
-    # (cluster family + CC-based dedup); (2) refresh rotation: the 14
-    # gates last driver-recorded in r06, then the alphabetically-first 26
-    # of the 45 last recorded in r07 (the rest rotate in next round).
-    # Full local sweep over all entries: tools/check_oracle.py, artifact
-    # CORRECTNESS_FULL_r10.json.
+    # only. Round-11 (second optimization round) ordering: (1) every gate
+    # whose execution path changed in round 11 — the dedup/curation cache
+    # handles + verify paths (minhash_lsh, incremental_dedup, span_dedup,
+    # dsir_resample), the vectorized Arrow kernels (perplexity_filter,
+    # repetition_metrics, kmeans_assign and every _kmeans_int_index
+    # consumer), the dense-regime probe/threshold edge fixes
+    # (term_cosine_join, jaccard_join), and the CC contraction
+    # broadcast-gating consumers (cluster family + CC-based dedup) — plus
+    # the six word-n-gram gates VERDICT r10 flagged as attested only at
+    # r06/r07 (decontaminate, decontaminate_spans, repeated_spans; the
+    # other three are in the touched set); (2) refresh rotation: all 12
+    # gates last driver-recorded in r07, then the alphabetically-first 14
+    # of the 39 remaining r08 gates. Full local sweep over all entries:
+    # tools/check_oracle.py, artifact CORRECTNESS_FULL_r11.json.
     lead = [
         # code changed this round (optimizations; outputs oracle-identical)
-        "term_cosine_join", "jaccard_join", "triangle_count",
+        "minhash_lsh", "incremental_dedup", "span_dedup", "dsir_resample",
+        "perplexity_filter", "repetition_metrics",
+        "kmeans_assign", "ann_ivf", "ann_ivfadc", "ann_ivfadc_prebuilt",
+        "ann_pq", "semantic_dedup",
+        "term_cosine_join", "jaccard_join",
         "cluster_components", "cluster_multi_thresholds", "graph_metrics",
         "edge_bridges", "single_best_links", "single_best_links_lowest_id",
-        "corpus_dedup", "semantic_dedup",
-        # refresh rotation: last driver-recorded in r06
-        "shard_corpus", "sorted_neighborhood", "stratified_sample",
-        "streaming_bm25", "streaming_cms", "streaming_neardupe",
-        "streaming_rollup", "streaming_sessions", "streaming_windows",
-        "time_rollup", "top_k_per_group", "url_dedup", "zorder_key",
-        # refresh rotation: last driver-recorded in r07 (first 26 of 45)
-        "ann_pq", "attribution", "bipartite_project",
-        "column_correlations", "column_expression", "date_difference",
-        "distance_in_km", "em_train", "em_train_tf",
-        "embedding_covariance", "estimate_u", "event_paths", "geohash",
-        "group_distinct", "group_outliers", "hilbert_key", "histogram",
-        "hll_registers", "link_prediction", "m_from_label",
-        "merge_intervals", "ngram_novelty", "normalize_text",
-        "pairwise_levenshtein", "phrase_search", "predict_between",
+        "corpus_dedup",
+        # n-gram gates flagged stale by VERDICT r10 (last attested r08)
+        "decontaminate", "decontaminate_spans", "repeated_spans",
+        # refresh rotation: the 12 gates last driver-recorded in r07
+        "predict_chunked", "prediction_errors", "prior_estimate",
+        "robust_outliers", "scd2_history", "score_pairs", "snapshot_diff",
+        "split_dataset", "streaming_hll", "streaming_intervals",
+        "weighted_group_sample", "winsorize",
+        # refresh rotation: alphabetically-first 14 of the remaining r08s
+        "asof_join", "block_counts", "block_estimate", "block_multi",
+        "block_salted", "block_single", "bloom_screen", "bpe_tokens",
+        "cdc_latest", "clustering_agreement", "cms_frequencies",
+        "comparison_vectors", "concat_union", "corpus_stats",
     ]
     return {k: d[k] for k in lead} | {
         k: v for k, v in d.items() if k not in lead

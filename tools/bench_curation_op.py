@@ -184,11 +184,74 @@ def main() -> None:
 
     zipf_inc_op.setup = _zipf_setup
 
+    # --- the op's actual INCREMENTAL contract (VERDICT r10 #1): the two
+    # uncapped/capped 10M rows above re-derive corpus fingerprints AND
+    # minhash signatures from corpus text on EVERY batch — the one cost
+    # corpus_fingerprints=/corpus_signatures= exist to amortize. Two rows
+    # split the ingestion economics: the one-time table build (timed,
+    # written as parquet like a real settled-corpus store) and the
+    # per-batch marginal cost against the STORED tables (timed; its plan
+    # must show no corpus-text fingerprint/minhash derivation — corpus
+    # text is touched only for verification candidates).
+    _tables_dir = os.path.join(REPO, ".bench_cache", f"incdedup_zipf_{n}")
+
+    def _zipf_build_tables_op():
+        from splink_spark.pipeline.text import fingerprint as _fp
+
+        zdocs = _zipf_state["docs"]
+        _fp(zdocs, text_col="text", id_col="doc_id").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(_tables_dir, "fingerprints"))
+        dd.minhash_signatures(zdocs, "text", "doc_id", 64, 5).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(_tables_dir, "signatures"))
+        # the timed window must end with real completed writes; return a
+        # trivially-cheap frame for the shared noop sink
+        return spark.range(1)
+
+    def _zipf_build_setup():
+        if "docs" not in _zipf_state:
+            _zipf_setup()
+
+    _zipf_build_tables_op.setup = _zipf_build_setup
+
+    def zipf_stored_op():
+        zdocs = _zipf_state["docs"]
+        zbatch = zdocs.where(F.pmod(F.col("doc_id"), F.lit(101)) == 0)
+        zsettled = zdocs.where(F.pmod(F.col("doc_id"), F.lit(101)) != 0)
+        pred = F.pmod(F.col("doc_id"), F.lit(101)) != 0
+        corpus_fp = spark.read.parquet(
+            os.path.join(_tables_dir, "fingerprints")
+        ).where(pred)
+        corpus_sigs = spark.read.parquet(
+            os.path.join(_tables_dir, "signatures")
+        ).where(pred)
+        return dd.incremental_dedup(
+            zbatch,
+            zsettled,
+            jaccard_threshold=0.6,
+            corpus_fingerprints=corpus_fp,
+            corpus_signatures=corpus_sigs,
+        )
+
+    def _zipf_stored_setup():
+        _zipf_build_setup()
+        need = [
+            os.path.join(_tables_dir, d, "_SUCCESS")
+            for d in ("fingerprints", "signatures")
+        ]
+        if not all(os.path.exists(p) for p in need):
+            _zipf_build_tables_op()
+
+    zipf_stored_op.setup = _zipf_stored_setup
+
     ops = {
         "dsir_resample_hashed": dsir_op,
         "perplexity_filter_char3": ppl_op,
         "incremental_dedup_1pct_batch_capped": inc_capped_op,
         "incremental_dedup_zipf_vocab": zipf_inc_op,
+        "incremental_dedup_zipf_build_tables": _zipf_build_tables_op,
+        "incremental_dedup_zipf_stored_tables": zipf_stored_op,
         "cap_per_group_sampled": cap_op,
         "shard_corpus_256": shard_op,
         "sq8_quantize_64d": sq8_op,
