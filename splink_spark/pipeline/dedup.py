@@ -591,25 +591,107 @@ def semantic_dedup(
     assigned = _assign(centroids)  # (id, __q, cluster, __dot)
 
     thr_int = int(round(threshold * float(scale) * float(scale)))
-    left = assigned.select(
-        F.col(id_col).alias("__idl"), "cluster", F.col("__q").alias("__ql")
+    # Within-cluster pair generation. The join shape fans every cluster out
+    # to sum(cluster_size^2) pairs, each paying an interpreted
+    # zip_with/aggregate integer dot (2*dim interpreted lambda calls per
+    # PAIR — the same cost class as the k-means dots, but quadratic in
+    # cluster size). When every cluster fits the kernel bound, one
+    # applyInPandas per cluster computes the same exact-int64 dots as
+    # row-blocked NumPy matmuls over vectors that cross the boundary ONCE
+    # (guide §4.2; the dense.py self-join uses the identical pattern) and
+    # emits only the passing pairs. Exactness: int64 matmul is the same
+    # bits as the JVM fold (associative mod 2^64); the l/r orientation is
+    # decided AFTERWARD by the same Spark least/greatest ordering the join
+    # predicate used, so exotic id collations cannot diverge. A cluster
+    # above the bound (pathological skew) keeps the join plan — it streams
+    # pairs instead of holding the cluster matrix.
+    import os
+
+    max_cluster = int(
+        os.environ.get("SPLINK_SPARK_SEMDEDUP_KERNEL_MAX_CLUSTER", 262_144)
     )
-    right = assigned.select(
-        F.col(id_col).alias("__idr"), "cluster", F.col("__q").alias("__qr")
+    valid = assigned.where(F.col("cluster").isNotNull())
+    biggest = (
+        valid.groupBy("cluster").count().agg(F.max("count")).first()[0]
     )
-    pair_dot = F.expr(
-        "aggregate(zip_with(__ql, __qr, (x, y) -> x * y), "
-        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-    )
-    pairs = (
-        left.join(right, on="cluster")
-        .where(F.col("__idl") < F.col("__idr"))
-        .where(pair_dot >= F.lit(thr_int))
-        .select(
-            F.col("__idl").alias(f"{id_col}_l"),
-            F.col("__idr").alias(f"{id_col}_r"),
+    if biggest is not None and biggest <= max_cluster:
+        from .ann import _batch_q_matrix
+
+        id_type = dict(assigned.dtypes)[id_col]
+        pair_schema = f"__pa {id_type}, __pb {id_type}"
+
+        def _cluster_pairs(pdf):
+            import numpy as np
+            import pandas as pd
+
+            qs = pdf["__q"]
+            ids = pdf[id_col]
+            dim = 0
+            for q in qs:
+                if q is not None:
+                    dim = len(q)
+                    break
+            mat, ok = _batch_q_matrix(qs, dim)
+            idx = np.nonzero(ok)[0]
+            m = mat[idx]
+            n = len(idx)
+            if n < 2:
+                return pd.DataFrame({"__pa": [], "__pb": []}).astype(
+                    {"__pa": ids.dtype, "__pb": ids.dtype}
+                )
+            # row-blocked upper-triangle matmul: block x n dots at a time
+            step = max(1, 16_000_000 // n)
+            la, lb = [], []
+            for s in range(0, n, step):
+                blk = m[s : s + step] @ m.T  # exact int64 (mod 2^64)
+                keep = blk >= thr_int
+                rows = np.arange(s, min(s + step, n))
+                keep &= rows[:, None] < np.arange(n)[None, :]
+                ri, ci = np.nonzero(keep)
+                if len(ri):
+                    la.append(idx[ri + s])
+                    lb.append(idx[ci])
+            if not la:
+                return pd.DataFrame({"__pa": [], "__pb": []}).astype(
+                    {"__pa": ids.dtype, "__pb": ids.dtype}
+                )
+            ai = np.concatenate(la)
+            bi = np.concatenate(lb)
+            return pd.DataFrame(
+                {"__pa": ids.iloc[ai].values, "__pb": ids.iloc[bi].values}
+            )
+
+        raw_pairs = (
+            valid.select(F.col(id_col), F.col("__q"), F.col("cluster"))
+            .groupBy("cluster")
+            .applyInPandas(_cluster_pairs, pair_schema)
         )
-    )
+        # orient with the SAME Spark comparison the join predicate used;
+        # the != guard replays the join's exclusion of equal-id rows
+        pairs = raw_pairs.where(F.col("__pa") != F.col("__pb")).select(
+            F.least("__pa", "__pb").alias(f"{id_col}_l"),
+            F.greatest("__pa", "__pb").alias(f"{id_col}_r"),
+        )
+    else:
+        left = assigned.select(
+            F.col(id_col).alias("__idl"), "cluster", F.col("__q").alias("__ql")
+        )
+        right = assigned.select(
+            F.col(id_col).alias("__idr"), "cluster", F.col("__q").alias("__qr")
+        )
+        pair_dot = F.expr(
+            "aggregate(zip_with(__ql, __qr, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        pairs = (
+            left.join(right, on="cluster")
+            .where(F.col("__idl") < F.col("__idr"))
+            .where(pair_dot >= F.lit(thr_int))
+            .select(
+                F.col("__idl").alias(f"{id_col}_l"),
+                F.col("__idr").alias(f"{id_col}_r"),
+            )
+        )
     assignments = solve_connected_components(
         pairs,
         nodes=None,

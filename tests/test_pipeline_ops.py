@@ -307,6 +307,22 @@ def test_semantic_dedup(spark, vectors):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun.collect()))
 
 
+def test_semantic_dedup_pair_kernel_matches_join_plan(spark, vectors, monkeypatch):
+    """The per-cluster pair kernel (exact-int64 blocked matmul) must
+    reproduce the join plan's pair set exactly: same unordered pairs,
+    same l/r orientation (Spark least/greatest == the join's idl < idr),
+    and therefore identical groups/exemplars. The forced join path is the
+    SPLINK_SPARK_SEMDEDUP_KERNEL_MAX_CLUSTER=0 fallback that also serves
+    pathologically-skewed clusters."""
+    kernel = dedup.semantic_dedup(vectors, k=4, iterations=2, threshold=0.9)
+    krows = sorted(map(tuple, kernel.collect()))
+    monkeypatch.setenv("SPLINK_SPARK_SEMDEDUP_KERNEL_MAX_CLUSTER", "0")
+    join = dedup.semantic_dedup(vectors, k=4, iterations=2, threshold=0.9)
+    assert krows == sorted(map(tuple, join.collect()))
+    # some group actually merged (the comparison is not vacuous)
+    assert len({r[2] for r in krows}) < len(krows)
+
+
 def test_semantic_dedup_auto_k(spark, vectors):
     """k=None (the default) sizes k from a count probe so sum(cluster²)
     stays ~linear in n; at this fixture's size the formula floors at 8 and
